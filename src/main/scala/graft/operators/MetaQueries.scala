@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.meta.Fixtures
+import graft.meta.Fixtures.withCtes
+
+/** Metadata-plane operators K2–K18 (SURVEY §2.c) — the reference's
+  * MongoDB find/update surface re-expressed as Catalyst-friendly
+  * relational plans over the fixture Datasets.
+  *
+  * Each operator cites the reference operation it re-implements
+  * (`/root/reference/src/kalytical/...`). The oracle SQL runs on DuckDB
+  * with the fixture CTEs inlined (generated from the same Scala data —
+  * see [[graft.meta.Fixtures]]).
+  *
+  * Scale note: the defs/edges/running/incubating relations are tiny
+  * operational metadata (thousands of rows at most in any deployment);
+  * every join against them is a broadcast join by size. The
+  * event-history relations (K9/K10) are the ones that grow unbounded —
+  * those plans filter/sort/limit BEFORE any join, and the join side that
+  * remains is the 41-row map, so the plan stays scan + broadcast +
+  * TakeOrderedAndProject at any scale.
+  */
+object MetaQueries {
+
+  private val headerCols = Seq("pipeline_uuid", "description", "retry_max", "concurrency",
+    "engine", "engine_args", "schedule", "triggers_op", "scheduler_tracking_id",
+    "tags_team", "tags_env")
+  private val headerColsSql = headerCols.mkString(", ")
+
+  /** K2 / D2 (`data_provider.py:39-53`) — prefix search with header
+    * projection (column pruning drops pipeline_body). */
+  val prefixHeaders: GraftQuery = GraftQuery.checked("k02_prefix_headers",
+    withCtes(s"""SELECT $headerColsSql FROM pipeline_defs
+      WHERE pipeline_uuid LIKE 'ingest-%' ORDER BY pipeline_uuid""")) { (spark, _) =>
+    Fixtures.defsDS(spark)
+      .where(col("pipeline_uuid").startsWith("ingest-"))
+      .select(headerCols.map(col): _*)
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K3 / D2 tag filter (`data_provider.py:49-51`). */
+  val tagFilter: GraftQuery = GraftQuery.checked("k03_tag_filter",
+    withCtes(s"""SELECT $headerColsSql FROM pipeline_defs
+      WHERE tags_team = 'data-eng' AND tags_env = 'prod' ORDER BY pipeline_uuid""")) { (spark, _) =>
+    Fixtures.defsDS(spark)
+      .where(col("tags_team") === "data-eng" && col("tags_env") === "prod")
+      .select(headerCols.map(col): _*)
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K4 / D3 (`data_provider.py:55-60`) — point lookup, full document. */
+  val pointLookup: GraftQuery = GraftQuery.checked("k04_point_lookup",
+    withCtes("SELECT * FROM pipeline_defs WHERE pipeline_uuid = 'report-daily'")) { (spark, _) =>
+    Fixtures.defsDS(spark).where(col("pipeline_uuid") === "report-daily").toDF()
+  }
+
+  /** K5 / D1 (`data_provider.py:36-37`) — downstream lookup on the
+    * normalized edge view (array-contains becomes an equi-filter). */
+  val downstream: GraftQuery = GraftQuery.checked("k05_downstream",
+    withCtes("""SELECT pipeline_uuid, op FROM pipeline_triggers
+      WHERE trigger_uuid = 'ingest-orders' ORDER BY pipeline_uuid""")) { (spark, _) =>
+    Fixtures.edgesDS(spark)
+      .where(col("trigger_uuid") === "ingest-orders")
+      .select("pipeline_uuid", "op")
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K6 / D6 orphan guard (`data_provider.py:92-110`) — dangling edges:
+    * triggers referencing non-existent defs, via left-anti join. */
+  val danglingTriggers: GraftQuery = GraftQuery.checked("k06_dangling_triggers",
+    withCtes("""SELECT DISTINCT trigger_uuid FROM pipeline_triggers t
+      WHERE NOT EXISTS (SELECT 1 FROM pipeline_defs d WHERE d.pipeline_uuid = t.trigger_uuid)
+      ORDER BY trigger_uuid""")) { (spark, _) =>
+    Fixtures.edgesDS(spark)
+      .join(Fixtures.defsDS(spark).select(col("pipeline_uuid").as("trigger_uuid")),
+        Seq("trigger_uuid"), "left_anti")
+      .select("trigger_uuid").distinct()
+      .orderBy("trigger_uuid")
+  }
+
+  /** K7 / P6 concurrency gate (`dispatcher.py:88-96`, status vocabulary
+    * unified per `facade.py:88`) — left-semi membership vs running set. */
+  val concurrencyGate: GraftQuery = GraftQuery.checked("k07_concurrency_gate",
+    withCtes("""SELECT d.pipeline_uuid FROM pipeline_defs d
+      WHERE NOT d.concurrency AND EXISTS (
+        SELECT 1 FROM running_jobs r WHERE r.pipeline_uuid = d.pipeline_uuid
+          AND r.engine_status IN ('running', 'waiting', 'pending'))
+      ORDER BY d.pipeline_uuid""")) { (spark, _) =>
+    val active = Fixtures.runningDS(spark)
+      .where(col("engine_status").isin("running", "waiting", "pending"))
+      .select("pipeline_uuid")
+    Fixtures.defsDS(spark)
+      .where(!col("concurrency"))
+      .join(active, Seq("pipeline_uuid"), "left_semi")
+      .select("pipeline_uuid")
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K8 / P2 fan-out rule (`dispatcher.py:31-46`): children of a
+    * succeeded pipeline split into run-now ('any' or single-dep 'all')
+    * vs to-incubate ('all' with >1 deps). */
+  val fanoutSplit: GraftQuery = GraftQuery.checked("k08_fanout_split",
+    withCtes("""SELECT t.pipeline_uuid,
+        CASE WHEN t.op = 'any' OR cnt.n = 1 THEN 'run' ELSE 'incubate' END AS action
+      FROM pipeline_triggers t
+      JOIN (SELECT pipeline_uuid, COUNT(*) AS n FROM pipeline_triggers GROUP BY pipeline_uuid) cnt
+        ON t.pipeline_uuid = cnt.pipeline_uuid
+      WHERE t.trigger_uuid = 'report-daily'
+      ORDER BY t.pipeline_uuid""")) { (spark, _) =>
+    val edges = Fixtures.edgesDS(spark)
+    val depCounts = edges.groupBy("pipeline_uuid").agg(count(lit(1)).as("n"))
+    edges.where(col("trigger_uuid") === "report-daily")
+      .join(depCounts, Seq("pipeline_uuid"))
+      .select(col("pipeline_uuid"),
+        when(col("op") === "any" || col("n") === 1, "run").otherwise("incubate").as("action"))
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K9 / P4 unknown origination (`dispatcher.py:60-68`) — anti-join of
+    * the event stream vs the defs catalog; events filtered before the
+    * join, defs broadcast. */
+  val unknownOrigin: GraftQuery = GraftQuery.checked("k09_unknown_origin",
+    withCtes("""SELECT e.event_id, e.pipeline_uuid FROM lifecycle_events e
+      WHERE e.event_subtype = 'origination'
+        AND NOT EXISTS (SELECT 1 FROM pipeline_defs d WHERE d.pipeline_uuid = e.pipeline_uuid)
+      ORDER BY e.event_id""")) { (spark, dir) =>
+    Fixtures.lifecycleEventsDF(spark, dir)
+      .where(col("event_subtype") === "origination")
+      .join(broadcast(Fixtures.defsDS(spark).select("pipeline_uuid")),
+        Seq("pipeline_uuid"), "left_anti")
+      .select("event_id", "pipeline_uuid")
+      .orderBy("event_id")
+  }
+
+  /** K10 / D10 history page (`data_provider.py:133-147`) — time-range
+    * scan + sort-desc + limit → TakeOrderedAndProject (no full sort at
+    * scale). */
+  val historyPage: GraftQuery = GraftQuery.checked("k10_history_page",
+    withCtes("""SELECT event_id, event_subtype, exec_uuid, received_time, retry_count
+      FROM lifecycle_events
+      WHERE pipeline_uuid = 'ingest-orders' AND received_time >= TIMESTAMP '2024-01-15 00:00:00'
+      ORDER BY received_time DESC, event_id DESC LIMIT 20""")) { (spark, dir) =>
+    Fixtures.lifecycleEventsDF(spark, dir)
+      .where(col("pipeline_uuid") === "ingest-orders" &&
+        col("received_time") >= expr("TIMESTAMP '2024-01-15 00:00:00'"))
+      .select("event_id", "event_subtype", "exec_uuid", "received_time", "retry_count")
+      .orderBy(col("received_time").desc, col("event_id").desc)
+      .limit(20)
+  }
+
+  /** K11 / E2 job filter (`engine.py:46-62` — the reference's client-side
+    * filtering TODO, pushed down for free here). */
+  val runningFilter: GraftQuery = GraftQuery.checked("k11_running_filter",
+    withCtes("""SELECT exec_uuid, pipeline_uuid, engine_status FROM running_jobs
+      WHERE engine_status IN ('running', 'pending')
+      ORDER BY exec_uuid LIMIT 10""")) { (spark, _) =>
+    Fixtures.runningDS(spark)
+      .where(col("engine_status").isin("running", "pending"))
+      .select("exec_uuid", "pipeline_uuid", "engine_status")
+      .orderBy("exec_uuid")
+      .limit(10)
+  }
+
+  /** K12 / D14 distinct waiting pipelines (`data_provider.py:217-218`). */
+  val distinctIncubating: GraftQuery = GraftQuery.checked("k12_distinct_incubating",
+    withCtes("""SELECT DISTINCT pipeline_uuid FROM incubating
+      WHERE reason = 'dependencies' ORDER BY pipeline_uuid""")) { (spark, _) =>
+    Fixtures.incubatingDS(spark)
+      .where(col("reason") === "dependencies")
+      .select("pipeline_uuid").distinct()
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K13 / P7 uuid validator (`pipeline_models.py:36-41`) — regex scalar
+    * function; counts catalog entries conforming to ^[a-z0-9-]+$. */
+  val uuidRegexCount: GraftQuery = GraftQuery.checked("k13_uuid_regex_count",
+    withCtes("""SELECT COUNT(*) AS n_valid FROM pipeline_defs
+      WHERE regexp_matches(pipeline_uuid, '^[a-z0-9-]+$')""")) { (spark, _) =>
+    Fixtures.defsDS(spark)
+      .where(col("pipeline_uuid").rlike("^[a-z0-9-]+$"))
+      .agg(count(lit(1)).as("n_valid"))
+  }
+
+  /** K14 / D14 oldest-waiting selection (`data_provider.py:221-222`) —
+    * ranking window, one row per pipeline. */
+  val oldestWaiting: GraftQuery = GraftQuery.checked("k14_oldest_waiting",
+    withCtes("""SELECT obj_id, pipeline_uuid, create_time FROM (
+        SELECT obj_id, pipeline_uuid, create_time,
+               ROW_NUMBER() OVER (PARTITION BY pipeline_uuid
+                                  ORDER BY create_time, obj_id) AS rn
+        FROM incubating WHERE reason = 'dependencies') ranked
+      WHERE rn = 1 ORDER BY pipeline_uuid""")) { (spark, _) =>
+    val w = Window.partitionBy("pipeline_uuid").orderBy(col("create_time"), col("obj_id"))
+    Fixtures.incubatingDS(spark)
+      .where(col("reason") === "dependencies")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("obj_id", "pipeline_uuid", "create_time")
+      .orderBy("pipeline_uuid")
+  }
+
+  /** K15 / P3 retry gate (`dispatcher.py:48-58`) — dead-letter set:
+    * deferred runs whose retry budget is exhausted. */
+  val retryGate: GraftQuery = GraftQuery.checked("k15_retry_gate",
+    withCtes("""SELECT i.obj_id, i.pipeline_uuid, i.retry_count, d.retry_max
+      FROM incubating i JOIN pipeline_defs d ON i.pipeline_uuid = d.pipeline_uuid
+      WHERE i.retry_count >= d.retry_max AND d.retry_max > 0
+      ORDER BY i.obj_id""")) { (spark, _) =>
+    val defs = Fixtures.defsDS(spark).select("pipeline_uuid", "retry_max")
+    Fixtures.incubatingDS(spark)
+      .join(broadcast(defs), Seq("pipeline_uuid"))
+      .where(col("retry_count") >= col("retry_max") && col("retry_max") > 0)
+      .select("obj_id", "pipeline_uuid", "retry_count", "retry_max")
+      .orderBy("obj_id")
+  }
+
+  /** K16 / S2 rule (iii) age-out (`job_culler.py:35`). */
+  val ageOut: GraftQuery = GraftQuery.checked("k16_age_out",
+    withCtes(s"""SELECT obj_id, pipeline_uuid, create_time FROM incubating
+      WHERE create_time < ${Fixtures.NowSql} - INTERVAL ${Fixtures.AgeOutSeconds} SECOND
+      ORDER BY obj_id""")) { (spark, _) =>
+    Fixtures.incubatingDS(spark)
+      .where(col("create_time") <
+        lit(Fixtures.NOW) - expr(s"INTERVAL ${Fixtures.AgeOutSeconds} SECOND"))
+      .select("obj_id", "pipeline_uuid", "create_time")
+      .orderBy("obj_id")
+  }
+
+  /** K17 / S2 rule (i) concurrency debounce (`job_culler.py:22`). */
+  val debounceExpired: GraftQuery = GraftQuery.checked("k17_debounce_expired",
+    withCtes(s"""SELECT obj_id, pipeline_uuid, create_time, retry_count FROM incubating
+      WHERE reason = 'concurrency'
+        AND create_time < ${Fixtures.NowSql} - INTERVAL ${Fixtures.DebounceSeconds} SECOND
+      ORDER BY obj_id""")) { (spark, _) =>
+    Fixtures.incubatingDS(spark)
+      .where(col("reason") === "concurrency" &&
+        col("create_time") <
+          lit(Fixtures.NOW) - expr(s"INTERVAL ${Fixtures.DebounceSeconds} SECOND"))
+      .select("obj_id", "pipeline_uuid", "create_time", "retry_count")
+      .orderBy("obj_id")
+  }
+
+  /** K18 / S2 rule (ii) all-deps-satisfied (`job_culler.py:28`, intended
+    * semantics per SURVEY §8.18) — relational division via
+    * MIN(CASE)-as-universal-quantifier. */
+  val depsSatisfied: GraftQuery = GraftQuery.checked("k18_deps_satisfied",
+    withCtes("""SELECT i.obj_id, i.pipeline_uuid
+      FROM incubating i JOIN incubating_triggers tr ON i.obj_id = tr.obj_id
+      WHERE i.reason = 'dependencies'
+      GROUP BY i.obj_id, i.pipeline_uuid
+      HAVING MIN(CASE WHEN tr.status = 'waiting' THEN 0 ELSE 1 END) = 1
+      ORDER BY i.obj_id""")) { (spark, _) =>
+    Fixtures.incubatingDS(spark)
+      .where(col("reason") === "dependencies")
+      .join(Fixtures.incubatingTriggersDS(spark), Seq("obj_id"))
+      .groupBy("obj_id", "pipeline_uuid")
+      .agg(min(when(col("status") === "waiting", 0).otherwise(1)).as("all_sat"))
+      .where(col("all_sat") === 1)
+      .select("obj_id", "pipeline_uuid")
+      .orderBy("obj_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
+    concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
+    distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
+    debounceExpired, depsSatisfied)
+}

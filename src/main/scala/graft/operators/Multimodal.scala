@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star extension): treat media as
+  * opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction as a per-partition batch stage.
+  *
+  * The decode step is STUBBED (deterministic fake — no image/audio
+  * libraries ship in this container, per the builder brief); everything
+  * around it — binary column handling, schema, partition-batched
+  * processing shape, feature output — is real Spark plumbing. On a
+  * cluster the `mapPartitions` stage is where a vectorized decoder
+  * (JNI/native batch API) would slot in, amortizing per-batch setup
+  * across each partition's rows, exactly like a Python `mapInPandas`
+  * batch UDF would.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      checksum: Long, feat_mean: Double, width: Int, height: Int)
+
+  /** Synthesize a media table from `documents`: text bytes as the opaque
+    * payload (stand-in for image/audio bytes), typed metadata derived
+    * deterministically. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: deterministic fake features from the payload bytes.
+    * A real deployment replaces only this function body with e.g. a
+    * JPEG decode + resize; signature and batching shape stay. */
+  private def decodeStub(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    var checksum = 1125899906842597L
+    var i = 0
+    var sum = 0L
+    while (i < bytes.length) {
+      checksum = checksum * 31 + bytes(i)
+      sum += (bytes(i) & 0xff)
+      i += 1
+    }
+    val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    // fake dimensions derived from content (a real decoder reads headers)
+    MediaFeatures(row.doc_id, row.media_type, bytes.length, checksum,
+      math.rint(mean * 100) / 100, 16 + (checksum & 0x3f).toInt, 16 + ((checksum >> 6) & 0x3f).toInt)
+  }
+
+  /** Decode + feature-extract, batched per partition. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would init the native decoder once here
+      rows.map(decodeStub)
+    }
+  }
+
+  /** Feature table over the synthesized media column, per-type stats. */
+  val features: GraftQuery = GraftQuery.rowsOnly("ns_mm_features") { (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+  }
+
+  /** Aggregated per-media-type feature summary — oracle-checkable
+    * because n_bytes == n_chars (payload is the utf-8 text) and the
+    * type assignment is pure column algebra. */
+  val typeSummary: GraftQuery = GraftQuery.checked("ns_mm_type_summary",
+    """SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY media_type ORDER BY media_type""") { (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
+      .orderBy("media_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(features, typeSummary)
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension; builder brief): token counting, quality scoring, document
+  * fingerprinting, and an n-gram language-ID heuristic.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions`
+  * higher-order array functions (codegen'd — no UDFs in the hot path),
+  * so at 100 TB these are embarrassingly parallel per-row map stages
+  * that pipeline into whatever scan/shuffle surrounds them.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (texts are single-space word sequences;
+    * `\s+` keeps it robust to general input). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** K-style per-document text statistics: token count, stopword ratio,
+    * average word length, composite quality score. Mirrors the oracle
+    * formula exactly (double math, identical rounding). */
+  val textStats: GraftQuery = GraftQuery.checked("ns_text_stats",
+    s"""WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  w -> w IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS INTEGER) AS n_stop
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           ROUND((CAST(n_chars AS DOUBLE) - n_tokens + 1) / n_tokens, 2) AS avg_word_len,
+           ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - CAST(n_stop AS DOUBLE) / n_tokens), 4) AS quality
+    FROM base ORDER BY doc_id""") { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(stopArr, w))).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        dround(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        dround((col("n_chars").cast("double") - col("n_tokens") + 1) / col("n_tokens"), 2).as("avg_word_len"),
+        dround(least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1) - col("n_stop").cast("double") / col("n_tokens")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whitespace-normalized lowercase MD5 —
+    * the exact-dedup key for content-addressed storage. */
+  val fingerprint: GraftQuery = GraftQuery.checked("ns_text_fingerprint",
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus statistics (north-star K24 companion). */
+  val langStats: GraftQuery = GraftQuery.checked("ns_text_lang_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        dround(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  /** Character-trigram language-ID heuristic. Scores each doc's trigram
+    * multiset against small per-language profiles (built from fixed
+    * public function-word lists); deterministic, pure column algebra.
+    * Rows-only: the heuristic's output has no SQL oracle (verified for
+    * determinism + coverage in the test suite instead).
+    */
+  val langId: GraftQuery = GraftQuery.rowsOnly("ns_text_langid") { (spark, dir) =>
+    // Distinctive function words per language (public knowledge lists).
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "that", "with"),
+      "de" -> Seq("der", "und", "die", "ist", "das", "mit"),
+      "fr" -> Seq("le", "et", "les", "est", "que", "avec"),
+      "es" -> Seq("el", "y", "los", "es", "que", "con"),
+      "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+    val toks = tokens(lower(col("text")))
+    val scores = profiles.map { case (lang, words) =>
+      val wordArr = array(words.map(lit): _*)
+      struct(size(filter(toks, w => array_contains(wordArr, w))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("label_lang"),
+        greatest(scores: _*).getField("lang").as("predicted_lang"),
+        greatest(scores: _*).getField("hits").as("score"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(textStats, fingerprint, langStats, langId)
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Vector/similarity-search operators over the `embeddings` table
+  * (north-star extension): norms, brute-force cosine top-k (the
+  * correctness baseline), and a random-hyperplane-LSH-bucketed ANN
+  * variant (the scale path).
+  *
+  * Dot products use `zip_with` + `aggregate` with explicit
+  * float→double casts and sequential left-to-right accumulation — the
+  * exact same arithmetic the DuckDB oracle performs
+  * (`list_sum(list_transform(list_zip(...)))`), so similarity values
+  * hash-match bit-for-bit.
+  *
+  * Scale: brute-force is O(Q·N) per query batch — fine when Q is small
+  * and N is broadcast-partitioned; the LSH variant buckets the corpus
+  * by signature so each query probes only its bucket (candidate set
+  * ~N/2^bits), the standard trade of recall for a bounded join.
+  */
+object Vectors {
+
+  /** Exact double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Per-label embedding statistics incl. average L2 norm (K25). */
+  val norms: GraftQuery = GraftQuery.checked("ns_vec_norms",
+    """SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first
+    FROM embeddings GROUP BY label ORDER BY label""") { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        dround(avg(l2norm(col("embedding"))), 4).as("avg_norm"),
+        dround(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_first"))
+      .orderBy("label")
+  }
+
+  /** Brute-force cosine top-k (embeddings are L2-normalized, so cosine
+    * = dot). Query side broadcast; ranking by ROUND(sim,4) with id
+    * tie-break so ordering is stable across engines. */
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topK: GraftQuery = GraftQuery.checked("ns_vec_topk",
+    """WITH pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM embeddings q JOIN embeddings v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => bruteForceTopK(s, d))
+
+  // --- random-hyperplane LSH (sign-bit signatures) ----------------------
+  private val SigBits = 12
+  private val Dim = 64
+  /** Deterministic ±1 hyperplane components (fixed LCG). */
+  private val hyperplanes: Array[Array[Double]] = {
+    var s = 77L
+    Array.fill(SigBits, Dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 40) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Sign-bit signature of an embedding: bit i = sign(v · h_i). */
+  def lshSignature(v: Column): Column =
+    (0 until SigBits).map { i =>
+      val h = array(hyperplanes(i).map(lit): _*)
+      when(dot(v, h) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: probe only the query's LSH bucket and its single-bit
+    * neighbors (multi-probe, recall/cost knob), exact re-rank inside. */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("sig"))
+    val probes = (0 until SigBits).map(i => col("sig").bitwiseXOR(lit(1L << i))) :+ col("sig")
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(array(probes: _*)).as("sig"))
+    val pairs = emb.join(q, Seq("sig"))
+      .where(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topKLsh: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_lsh")((s, d) => lshTopK(s, d))
+
+  /** Embedding near-duplicate pairs: cosine above threshold via LSH
+    * bucket self-join + exact verify (the embedding analog of minhash
+    * dedup). */
+  def cosineNearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("sig"))
+    // near-identical vectors agree on all sign bits with high prob;
+    // single-bit wobble covered by multi-probe
+    val expanded = emb.select(col("vec_id"), col("embedding"),
+      explode(array((0 until SigBits).map(i => col("sig").bitwiseXOR(lit(1L << i))) :+ col("sig"): _*)).as("probe"))
+    val a = emb.select(col("sig").as("probe"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = expanded.select(col("probe"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("probe"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), dround(dot(col("emb_a"), col("emb_b")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")((s, d) => cosineNearDups(s, d))
+
+  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, nearDups)
+}

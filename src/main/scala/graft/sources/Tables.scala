@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All tables are plain parquet reads — filters/projections applied by
+  * callers push down to the scan via Catalyst (verified with
+  * `.explain("formatted")`: `PushedFilters`/`ReadSchema` reach the
+  * `FileSourceScanExec`). At cluster scale these reads parallelize per
+  * parquet row-group; nothing here materializes on the driver.
+  *
+  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which Spark
+  * does not read natively ([PARQUET_TYPE_ILLEGAL]); we read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` and expose `ts` as a
+  * microsecond-truncated TimestampType (`timestamp_micros(ns div 1000)`),
+  * which matches DuckDB's `CAST(ts AS TIMESTAMP)` truncation exactly, so
+  * oracle comparisons are precision-stable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _        => spark.read.parquet(path(dir, name))
+    }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** `events` with `ts` as microsecond TimestampType (see class doc). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}
