@@ -80,35 +80,46 @@ object Vectors {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => bruteForceTopK(s, d))
 
-  // --- random-hyperplane LSH (sign-bit signatures) ----------------------
-  private val SigBits = 12
+  // --- random-hyperplane LSH: L tables × b sign bits --------------------
+  // Standard SimHash-style ANN (Charikar-style random hyperplanes): a
+  // vector lands in bucket (table, b-bit signature); true neighbors
+  // collide in ≥1 of the L tables with probability
+  // 1-(1-p^b)^L, p = 1-θ/π. Uniform-random vectors are the worst case
+  // (no cluster structure) — b=4, L=8 keeps recall@5 high there;
+  // clustered production embeddings allow bigger b / fewer candidates.
+  private val TableBits = 4
+  private val NumTables = 8
   private val Dim = 64
   /** Deterministic ±1 hyperplane components (fixed LCG). */
-  private val hyperplanes: Array[Array[Double]] = {
+  private val hyperplanes: Array[Array[Array[Double]]] = {
     var s = 77L
-    Array.fill(SigBits, Dim) {
+    Array.fill(NumTables, TableBits, Dim) {
       s = s * 6364136223846793005L + 1442695040888963407L
       if (((s >>> 40) & 1) == 1) 1.0 else -1.0
     }
   }
 
-  /** Sign-bit signature of an embedding: bit i = sign(v · h_i). */
-  def lshSignature(v: Column): Column =
-    (0 until SigBits).map { i =>
-      val h = array(hyperplanes(i).map(lit): _*)
-      when(dot(v, h) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** Bucket ids per table: element t = (t << b) | signature_t. */
+  def lshBuckets(v: Column): Column =
+    array((0 until NumTables).map { t =>
+      (0 until TableBits).map { i =>
+        val h = array(hyperplanes(t)(i).map(lit): _*)
+        when(dot(v, h) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).+(lit(t.toLong << TableBits))
+    }: _*)
 
-  /** ANN top-k: probe only the query's LSH bucket and its single-bit
-    * neighbors (multi-probe, recall/cost knob), exact re-rank inside. */
+  /** ANN top-k: candidates = union of the query's buckets across the L
+    * tables (equi-join on bucket id — the shuffle is on small bucket
+    * keys, never the O(n²) cross product), exact re-rank inside. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("sig"))
-    val probes = (0 until SigBits).map(i => col("sig").bitwiseXOR(lit(1L << i))) :+ col("sig")
+      .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets"))
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      explode(col("buckets")).as("bucket"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(array(probes: _*)).as("sig"))
-    val pairs = emb.join(q, Seq("sig"))
+        explode(col("buckets")).as("bucket"))
+    val pairs = corpus.join(broadcast(q), Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -128,14 +139,10 @@ object Vectors {
     * dedup). */
   def cosineNearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("sig"))
-    // near-identical vectors agree on all sign bits with high prob;
-    // single-bit wobble covered by multi-probe
-    val expanded = emb.select(col("vec_id"), col("embedding"),
-      explode(array((0 until SigBits).map(i => col("sig").bitwiseXOR(lit(1L << i))) :+ col("sig"): _*)).as("probe"))
-    val a = emb.select(col("sig").as("probe"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = expanded.select(col("probe"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("probe"))
+      .select(col("vec_id"), col("embedding"), explode(lshBuckets(col("embedding"))).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), dround(dot(col("emb_a"), col("emb_b")), 4).as("cosine"))

@@ -1,0 +1,99 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+import java.time.{Instant, ZoneOffset, ZonedDateTime}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{LifecycleEvent, PipelineDef}
+
+/** Time-scheduled triggers: the reference's K8s CronJob provider (S4,
+  * `/root/reference/src/kalytical/core/ext_sched.py:21-76` + the curl
+  * container that POSTs run_by_pipeline_uuid) re-expressed as a
+  * schedule registry + an evaluator that emits synthetic `origination`
+  * events into the stream for every schedule matching the tick minute.
+  *
+  * Standard 5-field cron (minute hour day-of-month month day-of-week),
+  * with `*`, lists, ranges and steps. Evaluation is a pure function of
+  * (expr, minute) so driver-side ticking is deterministic and testable.
+  */
+object Cron {
+
+  final case class Field(matches: Int => Boolean)
+
+  /** Parse one cron field into a predicate. Throws on malformed input. */
+  private def parseField(spec: String, min: Int, max: Int): Field = {
+    val preds = spec.split(',').toSeq.map { part =>
+      val (rangePart, step) = part.split('/') match {
+        case Array(r)    => (r, 1)
+        case Array(r, s) => (r, s.toInt)
+        case _           => throw new IllegalArgumentException(s"bad cron field: $part")
+      }
+      val (lo, hi) = rangePart match {
+        case "*" => (min, max)
+        case r if r.contains("-") =>
+          val Array(a, b) = r.split('-'); (a.toInt, b.toInt)
+        case v => val i = v.toInt; (i, if (step == 1) i else max)
+      }
+      require(lo >= min && hi <= max && lo <= hi, s"cron field out of range: $part")
+      (n: Int) => n >= lo && n <= hi && (n - lo) % step == 0
+    }
+    Field(n => preds.exists(p => p(n)))
+  }
+
+  final case class Schedule(minute: Field, hour: Field, dom: Field, month: Field, dow: Field) {
+    def matches(t: ZonedDateTime): Boolean =
+      minute.matches(t.getMinute) && hour.matches(t.getHour) &&
+        dom.matches(t.getDayOfMonth) && month.matches(t.getMonthValue) &&
+        dow.matches(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+  }
+
+  def parse(expr: String): Schedule = {
+    val f = expr.trim.split("\\s+")
+    require(f.length == 5, s"cron expression needs 5 fields: '$expr'")
+    Schedule(parseField(f(0), 0, 59), parseField(f(1), 0, 23),
+      parseField(f(2), 1, 31), parseField(f(3), 1, 12), parseField(f(4), 0, 6))
+  }
+
+  /** Does `expr` fire in the minute containing `now` (UTC)? */
+  def due(expr: String, now: Timestamp): Boolean =
+    parse(expr).matches(now.toInstant.atZone(ZoneOffset.UTC))
+
+  /** Next fire time strictly after `now`, scanning minute-by-minute
+    * (bounded to 4 years — past that the expression never fires). */
+  def nextFire(expr: String, now: Timestamp): Option[Timestamp] = {
+    val s = parse(expr)
+    var t = now.toInstant.atZone(ZoneOffset.UTC).withSecond(0).withNano(0).plusMinutes(1)
+    val limit = t.plusYears(4)
+    while (t.isBefore(limit)) {
+      if (s.matches(t)) return Some(Timestamp.from(t.toInstant))
+      t = t.plusMinutes(1)
+    }
+    None
+  }
+
+  /** One scheduler tick: synthetic origination events for every
+    * scheduled pipeline due at `now` (the Spark analog of the cron pod's
+    * POST back to the API, `ext_sched.py:22`). The registry is small
+    * metadata — evaluated driver-side, emitted as a Dataset for the
+    * dispatcher. */
+  def tick(spark: SparkSession, defs: Dataset[PipelineDef], now: Timestamp): Dataset[LifecycleEvent] = {
+    import spark.implicits._
+    val scheduled = defs.select("pipeline_uuid", "schedule")
+      .where(col("schedule").isNotNull)
+      .as[(String, String)].collect()
+    val fired = scheduled.zipWithIndex.collect {
+      case ((uuid, expr), i) if due(expr, now) =>
+        LifecycleEvent(
+          event_id = now.getTime / 60000L * 1000L + i, // deterministic per tick
+          event_type = "job_exec_update",
+          event_subtype = "origination",
+          pipeline_uuid = uuid,
+          exec_uuid = s"cron-$uuid-${now.getTime / 60000L}",
+          event_time = now, received_time = now,
+          retry_count = 0, disable_downstream = false)
+    }.toSeq
+    spark.createDataset(fired)
+  }
+}

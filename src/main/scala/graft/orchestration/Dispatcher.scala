@@ -1,0 +1,194 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.orchestration.StateMachine._
+
+/** Batch dispatcher: the reference's entire event control flow
+  * (`/root/reference/src/kalytical/core/dispatcher.py:15-96` +
+  * `job_culler.py:17-44`) as one referentially transparent function
+  * `step(catalog, runtime state, events, now) → (state', outputs)`
+  * (SURVEY §7 v2).
+  *
+  * Dataflow:
+  *  1. Route events by subtype (P1) — pure filters.
+  *  2. origination → known/unknown split via broadcast anti-join (P4).
+  *  3. failure → retry vs dead-letter via retry-gate predicate (P3).
+  *  4. success → fan-out join to children via the exploded edge view;
+  *     'any'/single-dep children run now, 'all' children become
+  *     dep-satisfied notifications (P2).
+  *  5. Dep-satisfied notifications cogroup with existing incubation
+  *     state per child pipeline; [[StateMachine]] folds them
+  *     oldest-first and the culler releases/drops (D13/D14/S2).
+  *  6. All run candidates pass the concurrency gate (P5/P6): semi-join
+  *     vs the running set defers non-concurrent pipelines.
+  *
+  * Scale: defs/edges are broadcast both ways (catalog is small);
+  * events-side joins shuffle only the event stream, keyed by pipeline;
+  * the keyed cogroup is the same shuffle Structured Streaming's state
+  * operator uses. No driver-side loops anywhere.
+  */
+object Dispatcher {
+
+  /** Flat row form of incubation state (joins [[Incubating]] with its
+    * trigger map) used as the dispatcher's state relation. */
+  final case class IncubRow(
+      pipeline_uuid: String, obj_id: String, create_time: Timestamp,
+      created_by_uuid: Option[String], reason: String, retry_count: Int,
+      triggers: Map[String, String])
+
+  /** A run candidate before the concurrency gate. */
+  final case class Candidate(
+      pipeline_uuid: String, origin: String, retry_count: Int,
+      source_uuids: Map[String, String], event_id: Long)
+
+  final case class StepResult(
+      submissions: Dataset[Submission],
+      deferred: Dataset[IncubRow],
+      newIncubating: Dataset[IncubRow],
+      deadLetters: DataFrame,
+      warnings: DataFrame,
+      droppedObjIds: DataFrame)
+
+  /** Internal row shapes (public: encoder codegen requires accessible
+    * classes). */
+  final case class DepSat(pipeline_uuid: String, dep: String, exec_uuid: String,
+      event_id: Long, event_time: Timestamp)
+
+  /** Assemble per-pipeline Meta from defs + edges (small, collected to
+    * a broadcast map — the catalog is operational metadata, never data-
+    * plane sized). */
+  def metaMap(defs: Dataset[PipelineDef], edges: Dataset[PipelineTrigger]): Map[String, Meta] = {
+    val depsByChild = edges.collect().groupBy(_.pipeline_uuid)
+    defs.collect().map { d =>
+      d.pipeline_uuid -> Meta(
+        d.triggers_op,
+        depsByChild.getOrElse(d.pipeline_uuid, Array.empty).map(_.trigger_uuid).toSeq.sorted,
+        d.retry_max, d.concurrency)
+    }.toMap
+  }
+
+  // deterministic exec id for a submission (deviation from the
+  // reference's collision-prone 8-char uuid1 truncation, SURVEY §8/P7)
+  private def execId(pipeline: String, eventId: Long): String =
+    f"exec-$pipeline-$eventId%d"
+
+  def step(spark: SparkSession,
+           defs: Dataset[PipelineDef],
+           edges: Dataset[PipelineTrigger],
+           running: Dataset[RunningJob],
+           incubating: Dataset[IncubRow],
+           events: Dataset[LifecycleEvent],
+           now: Timestamp,
+           debounceSeconds: Long = 300L,
+           ageOutSeconds: Long = 86400L): StepResult = {
+    import spark.implicits._
+
+    val metas = metaMap(defs, edges)
+    val bMetas = spark.sparkContext.broadcast(metas)
+
+    val evs = events.where(col("event_type") === "job_exec_update").cache()
+
+    // -- P4: origination ---------------------------------------------------
+    val origins = evs.where(col("event_subtype") === "origination")
+    val known = origins.join(broadcast(defs.select("pipeline_uuid")), Seq("pipeline_uuid"), "left_semi")
+    val warnings = origins.join(broadcast(defs.select("pipeline_uuid")), Seq("pipeline_uuid"), "left_anti")
+      .select(col("event_id"), col("pipeline_uuid"),
+        lit("unknown pipeline for origination event").as("warning"))
+    val originCandidates = known.as[LifecycleEvent].map(e =>
+      Candidate(e.pipeline_uuid, "origination", e.retry_count, Map.empty, e.event_id))
+
+    // -- P3: failure → retry or dead-letter --------------------------------
+    val failures = evs.where(col("event_subtype") === "failure")
+      .join(broadcast(defs.select("pipeline_uuid", "retry_max")), Seq("pipeline_uuid"))
+    val retryCandidates = failures.where(col("retry_count") < col("retry_max"))
+      .select(col("pipeline_uuid"), lit("retry").as("origin"),
+        (col("retry_count") + 1).as("retry_count"),
+        typedLit(Map.empty[String, String]).as("source_uuids"), col("event_id"))
+      .as[Candidate]
+    val deadLetters = failures.where(col("retry_count") >= col("retry_max"))
+      .select(col("event_id"), col("pipeline_uuid"), col("exec_uuid"),
+        col("retry_count"), col("retry_max"))
+
+    // -- P2: success fan-out ----------------------------------------------
+    val successes = evs.where(col("event_subtype") === "success")
+    val edgeView = edges.toDF("child", "trigger_uuid", "op")
+    val children = successes
+      .join(broadcast(edgeView), successes("pipeline_uuid") === edgeView("trigger_uuid"))
+      .select(col("child"), col("trigger_uuid").as("dep0"), col("exec_uuid"),
+        col("event_id"), col("event_time"))
+      .withColumnRenamed("dep0", "trigger_uuid")
+    val childMeta = children.as[(String, String, String, Long, Timestamp)].map {
+      case (child, dep, exec, eventId, eventTime) =>
+        val m = bMetas.value(child) // edges are validated against defs (D5 guard)
+        (child, dep, exec, eventId, eventTime, runnableNow(m))
+    }.toDF("child", "dep", "exec_uuid", "event_id", "event_time", "run_now")
+    val fanoutCandidates = childMeta.where(col("run_now"))
+      .select(col("child").as("pipeline_uuid"), lit("fanout").as("origin"),
+        lit(0).as("retry_count"),
+        map(col("dep"), col("exec_uuid")).as("source_uuids"), col("event_id"))
+      .as[Candidate]
+    val depSats = childMeta.where(!col("run_now"))
+      .select(col("child").as("pipeline_uuid"), col("dep"), col("exec_uuid"),
+        col("event_id"), col("event_time"))
+      .as[DepSat]
+
+    // -- D13/D14/S2: incubation state via cogroup --------------------------
+    val keyedState = incubating.groupByKey(_.pipeline_uuid)
+    val keyedEvents = depSats.groupByKey(_.pipeline_uuid)
+    val debounce = debounceSeconds
+    val ageOut = ageOutSeconds
+    val stepped = keyedState.cogroup(keyedEvents) { (key, stateIt, evIt) =>
+      val meta = bMetas.value.getOrElse(key, Meta(None, Nil, 0, concurrency = false))
+      val st = PipelineState(stateIt.map(r =>
+        WaitRow(r.obj_id, r.create_time, r.created_by_uuid, r.retry_count, r.reason, r.triggers)).toList)
+      val evsHere = evIt.map(d => DepSatisfied(d.dep, d.exec_uuid, d.event_id, d.event_time)).toSeq
+      val (st2, releases, dropped) = stepKey(st, meta, evsHere, now, debounce, ageOut)
+      val keptRows = st2.rows.map(r => ("kept", IncubRow(key, r.objId, r.createTime,
+        r.createdByUuid, r.reason, r.retryCount, r.triggers), 0L))
+      val rel = releases.zipWithIndex.map { case (r, i) =>
+        ("release", IncubRow(key, s"rel-$i", now, r.createdByUuid, r.reason, r.retryCount, r.sources), i.toLong)
+      }
+      val drops = dropped.map(id => ("dropped", IncubRow(key, id, now, None, "", 0, Map.empty), 0L))
+      (keptRows ++ rel ++ drops).iterator
+    }.cache()
+
+    val newIncubating = stepped.filter(_._1 == "kept").map(_._2)
+    val releaseCandidates = stepped.filter(_._1 == "release").map { case (_, r, i) =>
+      Candidate(r.pipeline_uuid, r.reason, r.retry_count, r.triggers, -1L - i)
+    }
+    val droppedObjIds = stepped.filter(_._1 == "dropped")
+      .map(t => (t._2.pipeline_uuid, t._2.obj_id)).toDF("pipeline_uuid", "obj_id")
+
+    // -- P5/P6: concurrency gate ------------------------------------------
+    val allCandidates = originCandidates
+      .unionByName(retryCandidates).unionByName(fanoutCandidates)
+      .unionByName(releaseCandidates)
+    val activeRunning = running
+      .where(col("engine_status").isin("running", "waiting", "pending"))
+      .select("pipeline_uuid").distinct()
+    val concFlags = defs.select(col("pipeline_uuid"), col("concurrency"))
+    val gated = allCandidates
+      .join(broadcast(activeRunning.withColumn("is_running", lit(true))), Seq("pipeline_uuid"), "left")
+      .join(broadcast(concFlags), Seq("pipeline_uuid"), "left")
+      .na.fill(false, Seq("concurrency"))
+
+    val submissions = gated.where(col("is_running").isNull || col("concurrency"))
+      .select(col("pipeline_uuid"), col("retry_count"), col("source_uuids"), col("event_id"))
+      .as[(String, Int, Map[String, String], Long)]
+      .map { case (p, rc, src, eid) => Submission(p, execId(p, eid), src, rc) }
+
+    val deferred = gated.where(col("is_running").isNotNull && !col("concurrency"))
+      .select(col("pipeline_uuid"), col("retry_count"), col("event_id"))
+      .as[(String, Int, Long)]
+      .map { case (p, rc, eid) =>
+        IncubRow(p, f"inc-c-$eid%012d", now, None, "concurrency", rc, Map.empty)
+      }
+
+    StepResult(submissions, deferred, newIncubating, deadLetters, warnings, droppedObjIds)
+  }
+}

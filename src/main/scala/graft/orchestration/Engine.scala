@@ -1,0 +1,115 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{RunningJob, Submission}
+
+/** Execution-engine abstraction: the reference's `EngineManager` +
+  * `K8sJobEngine` (E1–E8, `/root/reference/src/kalytical/core/
+  * engine.py`) mapped onto Spark's execution model.
+  *
+  * One pipeline run = one asynchronous Spark action inside a job group
+  * named by the exec uuid — so `abort` is `cancelJobGroup` (E6) and the
+  * status snapshot is a Dataset over the engine's run registry (E7),
+  * queryable/filterable with pushdown instead of the reference's
+  * client-side loop (E2's own TODO at `engine.py:53-58`).
+  */
+trait EngineBackend {
+  def name: String
+  /** E4 — launch a run; body receives the run context. */
+  def submit(sub: Submission, body: SparkSession => Unit): Unit
+  /** E6 — abort by exec uuid. */
+  def abort(execUuid: String): Unit
+  /** E7 — live run snapshot. */
+  def jobs(spark: SparkSession): Dataset[RunningJob]
+  /** E5 — tail of the run's captured log, byte-capped. */
+  def logs(execUuid: String, maxKb: Int = 10): String
+}
+
+/** Local backend: runs each submission as a Spark action in its own
+  * job group on a daemon thread pool. A K8s/cluster backend would
+  * implement the same trait (the reference's engine registry, E1). */
+final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
+  val name = "spark-local"
+
+  private case class RunState(sub: Submission, status: String,
+      start: Timestamp, end: Option[Timestamp], log: StringBuilder)
+  private val runs = new ConcurrentHashMap[String, RunState]()
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  def submit(sub: Submission, body: SparkSession => Unit): Unit = {
+    val st = RunState(sub, "running", new Timestamp(System.currentTimeMillis()), None, new StringBuilder)
+    runs.put(sub.exec_uuid, st)
+    Future {
+      spark.sparkContext.setJobGroup(sub.exec_uuid,
+        s"pipeline ${sub.pipeline_uuid} retry ${sub.retry_count}", interruptOnCancel = true)
+      try {
+        body(spark)
+        st.log.append(s"run ${sub.exec_uuid} completed\n")
+        runs.put(sub.exec_uuid, st.copy(status = "success",
+          end = Some(new Timestamp(System.currentTimeMillis()))))
+      } catch {
+        case e: Throwable =>
+          st.log.append(s"run ${sub.exec_uuid} failed: ${e.getMessage}\n")
+          val aborted = e.getMessage != null && e.getMessage.contains("cancelled")
+          runs.put(sub.exec_uuid, st.copy(status = if (aborted) "aborted" else "failed",
+            end = Some(new Timestamp(System.currentTimeMillis()))))
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    ()
+  }
+
+  def abort(execUuid: String): Unit = {
+    spark.sparkContext.cancelJobGroup(execUuid)
+    Option(runs.get(execUuid)).foreach { st =>
+      if (st.status == "running")
+        runs.put(execUuid, st.copy(status = "aborted",
+          end = Some(new Timestamp(System.currentTimeMillis()))))
+    }
+  }
+
+  def jobs(spark: SparkSession): Dataset[RunningJob] = {
+    import scala.jdk.CollectionConverters._
+    val rows = runs.asScala.map { case (id, st) =>
+      RunningJob(id, st.sub.pipeline_uuid, name,
+        s"exec-${st.sub.pipeline_uuid}-${st.sub.retry_count}", st.status,
+        Some(st.start), st.end)
+    }.toSeq
+    spark.createDataset(rows)(Encoders.product[RunningJob])
+  }
+
+  def logs(execUuid: String, maxKb: Int = 10): String = {
+    val full = Option(runs.get(execUuid)).map(_.log.toString).getOrElse("")
+    val cap = maxKb * 1024
+    if (full.length <= cap) full else full.substring(full.length - cap)
+  }
+}
+
+/** E1/E2 — engine registry + pushed-down job filtering across engines. */
+final class EngineManager(engines: Seq[EngineBackend]) {
+  private val byName = engines.map(e => e.name -> e).toMap
+
+  def submit(engineName: String, sub: Submission, body: SparkSession => Unit): Unit =
+    byName.getOrElse(engineName,
+      throw new IllegalArgumentException(s"unknown engine: $engineName")).submit(sub, body)
+
+  def abort(execUuid: String): Unit = engines.foreach(_.abort(execUuid))
+
+  /** E2 — union of all engines' snapshots with filter/limit pushed into
+    * the plan (the reference applied these client-side). */
+  def filteredJobs(spark: SparkSession,
+                   statuses: Seq[String] = Nil,
+                   pipelineUuid: Option[String] = None,
+                   limit: Int = 10): DataFrame = {
+    var df = engines.map(_.jobs(spark).toDF()).reduce(_.unionByName(_))
+    if (statuses.nonEmpty) df = df.where(col("engine_status").isin(statuses: _*))
+    pipelineUuid.foreach(u => df = df.where(col("pipeline_uuid") === u))
+    df.orderBy("exec_uuid").limit(limit)
+  }
+}

