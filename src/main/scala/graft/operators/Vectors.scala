@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.functions.dround
+import graft.functions.VectorExpressions.vecDot
 import graft.sources.Tables
 
 /** Vector/similarity-search operators over the `embeddings` table
@@ -25,8 +26,14 @@ import graft.sources.Tables
   */
 object Vectors {
 
-  /** Exact double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Exact double-precision dot product of two float-array columns —
+    * a native codegen'd expression ([[graft.functions.FloatVecDot]]);
+    * identical arithmetic to the interpreted HOF form (see test). */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
+
+  /** Interpreted reference implementation of [[dot]] (HOF lambdas);
+    * kept for the equivalence test. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -90,12 +97,13 @@ object Vectors {
   private val TableBits = 4
   private val NumTables = 8
   private val Dim = 64
-  /** Deterministic ±1 hyperplane components (fixed LCG). */
-  private val hyperplanes: Array[Array[Array[Double]]] = {
+  /** Deterministic ±1 hyperplane components (fixed LCG; floats so the
+    * native dot expression applies directly). */
+  private val hyperplanes: Array[Array[Array[Float]]] = {
     var s = 77L
     Array.fill(NumTables, TableBits, Dim) {
       s = s * 6364136223846793005L + 1442695040888963407L
-      if (((s >>> 40) & 1) == 1) 1.0 else -1.0
+      if (((s >>> 40) & 1) == 1) 1.0f else -1.0f
     }
   }
 
@@ -142,11 +150,14 @@ object Vectors {
       .select(col("vec_id"), col("embedding"), explode(lshBuckets(col("embedding"))).as("bucket"))
     val a = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // dot is a cheap native expression — evaluate it on raw candidate
+    // pairs and THEN threshold+distinct: filtering first shrinks the
+    // dedupe shuffle from every bucket collision to just the survivors.
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), dround(dot(col("emb_a"), col("emb_b")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
