@@ -1,0 +1,137 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+
+import graft.GraftConfig
+import graft.functions.Retry
+import graft.model._
+import graft.orchestration._
+import graft.orchestration.Dispatcher.IncubRow
+
+/** Storage backend selection — the reference's `provider_factory`
+  * (D19, `data_provider.py:291-295`): a trait + factory keyed by the
+  * config's provider string. The parquet store is the only shipped
+  * implementation (replacing MongoDB); a Delta/JDBC store would
+  * implement the same trait.
+  */
+trait MetaStore {
+  def loadDefs(spark: SparkSession): Dataset[PipelineDef]
+  def loadEdges(spark: SparkSession): Dataset[PipelineTrigger]
+  def saveDefs(defs: Dataset[PipelineDef]): Unit
+  def saveEdges(edges: Dataset[PipelineTrigger]): Unit
+}
+
+final class ParquetMetaStore(cfg: GraftConfig) extends MetaStore {
+  def loadDefs(spark: SparkSession): Dataset[PipelineDef] =
+    spark.read.parquet(cfg.catalogPath).as[PipelineDef](Encoders.product[PipelineDef])
+  def loadEdges(spark: SparkSession): Dataset[PipelineTrigger] =
+    spark.read.parquet(cfg.edgesPath).as[PipelineTrigger](Encoders.product[PipelineTrigger])
+  def saveDefs(defs: Dataset[PipelineDef]): Unit =
+    Retry(3)(defs.write.mode("overwrite").parquet(cfg.catalogPath))
+  def saveEdges(edges: Dataset[PipelineTrigger]): Unit =
+    Retry(3)(edges.write.mode("overwrite").parquet(cfg.edgesPath))
+}
+
+object MetaStore {
+  def forConfig(cfg: GraftConfig): MetaStore = cfg.metaProvider match {
+    case "parquet" => new ParquetMetaStore(cfg)
+    case other => throw new IllegalArgumentException(s"unknown meta provider: $other")
+  }
+}
+
+/** The engine's verb surface — the reference's 18 FastAPI endpoints
+  * (`/root/reference/src/kalytical/facade.py:30-126`) as library
+  * methods over the catalog, event log, engine manager and dispatcher.
+  * Auth is out of scope for the engine core (SURVEY §2.a API surface);
+  * a thin HTTP layer could wrap this 1:1.
+  */
+final class GraftApi(
+    val spark: SparkSession,
+    var catalog: Catalog,
+    var edges: Dataset[PipelineTrigger],
+    val engines: EngineManager,
+    cfg: GraftConfig = GraftConfig.default) {
+
+  // --- pipeline CRUD (facade.py:30-68) ---------------------------------
+  /** GET /pipeline/list (stub in the reference; semantics = D2). */
+  def listPipelines(prefix: Option[String] = None, tagTeam: Option[String] = None,
+                    tagEnv: Option[String] = None): DataFrame =
+    catalog.list(prefix, tagTeam, tagEnv)
+
+  /** GET /pipeline/describe */
+  def describePipeline(uuid: String): Dataset[PipelineDef] = catalog.describe(uuid)
+
+  /** GET /pipeline/head */
+  def headPipeline(uuid: String): DataFrame = catalog.head(uuid)
+
+  /** GET /pipeline/downstream (D1) */
+  def downstream(uuid: String): DataFrame = catalog.downstream(uuid, edges)
+
+  /** PUT /pipeline (D5) — upsert def + its trigger edges. */
+  def upsertPipeline(d: PipelineDef, triggers: Seq[PipelineTrigger]): Unit = {
+    catalog = catalog.upsert(d, triggers)
+    val others = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= d.pipeline_uuid)
+    edges = others.unionByName(
+      spark.createDataset(triggers)(Encoders.product[PipelineTrigger]))
+  }
+
+  /** DELETE /pipeline (D6). */
+  def deletePipeline(uuid: String, safeDelete: Boolean = true): Unit = {
+    catalog = catalog.delete(uuid, edges, safeDelete)
+    edges = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= uuid)
+  }
+
+  /** DELETE /pipeline/flush (D7). */
+  def flushPipelines(prefix: String): Unit = {
+    catalog = catalog.flush(prefix)
+  }
+
+  // --- events & history (facade.py:100-116) ----------------------------
+  /** POST /pipeline/dispatcher/event + the run_by_pipeline_uuid variant
+    * (synthesizes an origination event, facade.py:72-78). One batch
+    * step of the dispatcher; returns its outputs. */
+  def dispatch(events: Seq[LifecycleEvent],
+               running: Dataset[RunningJob],
+               incubating: Dataset[IncubRow],
+               now: Timestamp): Dispatcher.StepResult =
+    Dispatcher.step(spark, catalog.defs, edges, running, incubating,
+      spark.createDataset(events)(Encoders.product[LifecycleEvent]), now,
+      cfg.concurrencyDebounceSeconds, cfg.incubatingJobAgeOutSeconds)
+
+  def runByPipelineUuid(uuid: String, now: Timestamp,
+                        running: Dataset[RunningJob],
+                        incubating: Dataset[IncubRow]): Dispatcher.StepResult =
+    dispatch(Seq(LifecycleEvent(now.getTime, "job_exec_update", "origination", uuid,
+      s"manual-$uuid-${now.getTime}", now, now, 0, disable_downstream = false)),
+      running, incubating, now)
+
+  /** GET /pipeline/event/history (D10 semantics; stub in reference). */
+  def eventHistory(events: Dataset[LifecycleEvent], now: Timestamp,
+                   pipelineUuid: Option[String] = None,
+                   sinceSeconds: Option[Long] = None,
+                   maxRecords: Option[Int] = None): DataFrame =
+    EventLog.history(events, now,
+      sinceSeconds.getOrElse(cfg.historySinceSeconds), pipelineUuid,
+      maxRecords = maxRecords.getOrElse(cfg.historyMaxRecords))
+
+  // --- runs (facade.py:80-98) ------------------------------------------
+  /** GET /pipeline/running (E2). */
+  def runningJobs(statuses: Seq[String] = Seq("running", "waiting", "pending"),
+                  pipelineUuid: Option[String] = None,
+                  limit: Int = 10): DataFrame =
+    engines.filteredJobs(spark, statuses, pipelineUuid, limit)
+
+  /** POST /pipeline/abort (E3/E6). */
+  def abort(execUuid: String): Unit = engines.abort(execUuid)
+
+  /** GET /pipeline/logs (E5). */
+  def logs(engine: EngineBackend, execUuid: String, maxKb: Int = 10): String =
+    engine.logs(execUuid, maxKb)
+
+  // --- scheduler (S4) ---------------------------------------------------
+  /** One cron tick: synthetic origination events for due schedules. */
+  def cronTick(now: Timestamp): Dataset[LifecycleEvent] =
+    Cron.tick(spark, catalog.defs, now)
+}

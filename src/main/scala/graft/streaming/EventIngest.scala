@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.LifecycleEvent
+
+/** Streaming ingress: the reference's SQS long-poll loop (S1,
+  * `/root/reference/src/kalytical/core/mq_poller.py:16-40`) as a
+  * Structured Streaming source.
+  *
+  * The poller's unmarshal-or-log step (`_unmarshall_sqs`,
+  * `mq_poller.py:31-36`) becomes `from_json` with a corrupt-record
+  * column: malformed messages are split into a quarantine stream
+  * instead of being dropped (the reference's committed code deletes at
+  * most one message per poll and even on failure — §8.17; intended
+  * at-least-once semantics come free from checkpointed source offsets).
+  *
+  * Any streaming source works (Kafka in production); the file/json
+  * source here is what tests and local runs use.
+  */
+object EventIngest {
+
+  val eventSchema: StructType = Encoders.product[LifecycleEvent].schema
+
+  /** Schema used while parsing: event fields + corrupt capture. */
+  private val parseSchema: StructType =
+    StructType(eventSchema.fields :+ StructField("_corrupt", StringType, nullable = true))
+
+  final case class Parsed(events: Dataset[LifecycleEvent], corrupt: DataFrame)
+
+  /** Parse a stream (or batch) of raw JSON strings into typed events +
+    * a quarantine of malformed lines. */
+  def parse(raw: DataFrame, jsonCol: String = "value"): Parsed = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val parsed = raw.select(
+      col(jsonCol).as("_raw"),
+      from_json(col(jsonCol), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+    val good = parsed
+      .where(col("e").isNotNull && col("e._corrupt").isNull && col("e.event_id").isNotNull)
+      .select(eventSchema.fieldNames.map(f => col(s"e.$f")): _*)
+      .as[LifecycleEvent]
+    val bad = parsed
+      .where(col("e").isNull || col("e._corrupt").isNotNull || col("e.event_id").isNull)
+      .select(col("_raw"))
+    Parsed(good, bad)
+  }
+
+  /** File-based streaming source of JSON-lines event files. */
+  def fromJsonDir(spark: SparkSession, dir: String): Parsed =
+    parse(spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir).toDF("value"))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Encoders
+
+import graft.api.{GraftApi, MetaStore, ParquetMetaStore}
+import graft.meta.Fixtures
+import graft.model._
+import graft.orchestration.{Catalog, Dispatcher, EngineManager, LocalSparkEngine}
+import graft.streaming.EventIngest
+
+/** Facade-verb surface (18 endpoints → GraftApi), MetaStore factory,
+  * ingest parsing, retry semantics. */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private def api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+    Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))))
+
+  test("list/describe/head/downstream verbs") {
+    val a = api
+    assert(a.listPipelines(Some("report-")).count() == 3)
+    assert(a.describePipeline("report-daily").count() == 1)
+    assert(!a.headPipeline("report-daily").columns.contains("pipeline_body"))
+    assert(a.downstream("report-daily").count() == 4)
+  }
+
+  test("upsert + delete round-trip keeps catalog and edges consistent") {
+    val a = api
+    a.upsertPipeline(Fixtures.defs.head.copy(pipeline_uuid = "brand-new", schedule = None,
+      scheduler_tracking_id = None),
+      Seq(PipelineTrigger("brand-new", "report-daily", "any")))
+    assert(a.describePipeline("brand-new").count() == 1)
+    assert(a.edges.where($"pipeline_uuid" === "brand-new").count() == 1)
+    a.deletePipeline("brand-new")
+    assert(a.describePipeline("brand-new").count() == 0)
+    assert(a.edges.where($"pipeline_uuid" === "brand-new").count() == 0)
+  }
+
+  test("run_by_pipeline_uuid dispatches an origination event") {
+    val a = api
+    val r = a.runByPipelineUuid("ingest-orders", Fixtures.NOW,
+      spark.emptyDataset[RunningJob],
+      spark.emptyDataset[Dispatcher.IncubRow])
+    assert(r.submissions.collect().map(_.pipeline_uuid).toSeq == Seq("ingest-orders"))
+  }
+
+  test("event history verb applies defaults and filters") {
+    val events = Fixtures.lifecycleEventsDF(spark, SparkSuite.sfDir)
+      .as[LifecycleEvent]
+    val h = api.eventHistory(events, Fixtures.ts("2024-01-20 00:00:00"),
+      pipelineUuid = Some("ingest-orders"), sinceSeconds = Some(86400L * 30))
+    assert(h.count() <= 20)
+  }
+
+  test("MetaStore parquet round-trip + factory rejects unknown provider") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val cfg = GraftConfig(catalogPath = s"$tmp/defs", edgesPath = s"$tmp/edges")
+    val store = MetaStore.forConfig(cfg)
+    assert(store.isInstanceOf[ParquetMetaStore])
+    store.saveDefs(Fixtures.defsDS(spark))
+    store.saveEdges(Fixtures.edgesDS(spark))
+    assert(store.loadDefs(spark).count() == 40)
+    assert(store.loadEdges(spark).count() == Fixtures.edges.size)
+    intercept[IllegalArgumentException] { MetaStore.forConfig(GraftConfig(metaProvider = "mongo")) }
+  }
+
+  test("event ingest parses good lines, quarantines corrupt ones (S1)") {
+    val good = """{"event_id": 7, "event_type": "job_exec_update", "event_subtype": "success",
+      "pipeline_uuid": "clean-orders", "exec_uuid": "e-7", "event_time": "2024-01-31T23:00:00Z",
+      "received_time": "2024-01-31T23:00:05Z", "retry_count": 0, "disable_downstream": false}"""
+      .replaceAll("\n\\s*", " ")
+    val raw = Seq(good, """{"event_id": "not json""", "garbage").toDF("value")
+    val parsed = EventIngest.parse(raw)
+    val evs = parsed.events.collect()
+    assert(evs.length == 1 && evs.head.pipeline_uuid == "clean-orders" && evs.head.event_id == 7)
+    assert(parsed.corrupt.count() == 2)
+  }
+
+  test("retry rethrows after exhausting attempts (deviation §8.21)") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      graft.functions.Retry(3, backoffMs = 1) { calls += 1; throw new RuntimeException("boom") }
+    }
+    assert(e.getMessage == "boom" && calls == 3)
+    calls = 0
+    assert(graft.functions.Retry(3, backoffMs = 1) { calls += 1; if (calls < 2) throw new RuntimeException("x"); 42 } == 42)
+  }
+
+  test("native dot == interpreted HOF dot, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).limit(50)
+    val pairs = emb.toDF("ia", "ea", "la").crossJoin(emb.toDF("ib", "eb", "lb")).limit(500)
+    val diff = pairs.select(
+      graft.operators.Vectors.dot(col("ea"), col("eb")).as("native"),
+      graft.operators.Vectors.dotHof(col("ea"), col("eb")).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+}
