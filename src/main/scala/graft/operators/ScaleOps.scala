@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping patterns the 100 TB deployment
+  * leans on (builder brief "Partitioning & shuffle"). Each is a plain
+  * plan transformation — usable on any DataFrame — with a spec
+  * asserting its plan shape in ScaleOpsSpec.
+  */
+object ScaleOps {
+
+  /** Skew-salted aggregation: two-phase groupBy for skewed keys.
+    * Phase 1 groups on (key, salt) — spreading a hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials. Use for
+    * algebraic aggregates (sum/count/min/max) when one key holds a
+    * disproportionate share of rows and AQE's skew handling can't help
+    * (it only splits skewed JOIN partitions, not aggregations).
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_pcount"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as(s"sum_$valueCol"), sum("_pcount").as("n"))
+  }
+
+  /** Salted join: replicate the small side `saltBuckets` times and
+    * salt the large side, so one hot key's rows spread across
+    * reducers. For when the small side is too big to broadcast but the
+    * join key is skewed. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1)).cast("array<long>")))
+    saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write a table bucketed by a join key so future equi-joins on that
+    * key are co-located (no shuffle on the bucketed side). Bucketing
+    * requires saveAsTable (metastore-tracked). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"spark-warehouse/$table")
+      .saveAsTable(table)
+}

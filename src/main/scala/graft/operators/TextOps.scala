@@ -64,6 +64,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token counting, two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letters / digits / single non-alphanumeric — the
+    * pre-tokenization shape GPT-style BPE vocabularies assume). The
+    * pattern uses only constructs RE2 (DuckDB) and java.util.regex
+    * agree on. */
+  val tokenCounts: GraftQuery = GraftQuery.checked("ns_text_token_counts",
+    """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus statistics (north-star K24 companion). */
   val langStats: GraftQuery = GraftQuery.checked("ns_text_lang_stats",
     """SELECT lang, COUNT(*) AS n_docs,
@@ -105,5 +123,5 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(textStats, fingerprint, langStats, langId)
+  val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId)
 }

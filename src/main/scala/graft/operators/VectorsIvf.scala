@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.dround
+import graft.operators.Vectors.dot
+
+/** IVF (inverted-file) ANN — the coarse-quantizer alternative to
+  * [[Vectors.lshTopK]] (builder brief: "an IVF or LSH-bucketed
+  * variant as the scale path"; both shipped).
+  *
+  * Index: K coarse centroids partition the corpus into cells (argmax
+  * dot, vectors are L2-normalized); a query probes only its `nProbe`
+  * nearest cells and exact-re-ranks inside — candidates ≈
+  * N·nProbe/K. Centroids here are a deterministic corpus sample
+  * (first K by vec_id); production would run k-means refinement, which
+  * changes only the centroid literals, not the plan.
+  *
+  * Scale: the corpus side is partitioned by cell id (a shuffle on K
+  * keys); queries broadcast. Cell assignment is a per-row argmax over
+  * K native dots — codegen, no shuffle.
+  */
+object VectorsIvf {
+
+  val NumCells = 16
+  val NumProbes = 4
+
+  private def centroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    graft.sources.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < NumCells)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** (dot, cellId) structs per centroid — struct ordering ranks by dot
+    * then id, so argmax/top-n probes are plain array ops. */
+  private def cellScores(v: Column, cents: Array[(Int, Array[Float])]): Column =
+    array(cents.map { case (cid, c) =>
+      struct(dot(v, array(c.map(lit): _*)).as("score"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Cell assignment: id of the max-scoring centroid. */
+  def cellOf(v: Column, cents: Array[(Int, Array[Float])]): Column =
+    array_max(cellScores(v, cents)).getField("cid")
+
+  /** Top-`nProbe` cells for a query vector (descending score). */
+  def probeCells(v: Column, cents: Array[(Int, Array[Float])], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(cellScores(v, cents))), 1, nProbe),
+      s => s.getField("cid"))
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+              nProbe: Int = NumProbes): DataFrame = {
+    val cents = centroids(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding"), cents).as("cell"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeCells(col("embedding"), cents, nProbe)).as("cell"))
+    val pairs = corpus.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topKIvf: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_ivf")((s, d) => ivfTopK(s, d))
+
+  val all: Seq[GraftQuery] = Seq(topKIvf)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ScaleOps, Vectors, VectorsIvf}
+import graft.streaming.WindowedAgg
+import graft.sources.Tables
+
+/** Scale utilities, IVF ANN, and the streaming windowed aggregation. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+  private val dir = SparkSuite.sfDir
+
+  test("saltedSum equals plain groupBy sum") {
+    val li = Tables.lineitem(spark, dir)
+    val plain = li.groupBy("l_returnflag").agg(
+      sum("l_quantity").as("sum_l_quantity"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (math.rint(r.getDouble(1) * 100) / 100, r.getLong(2)))).toMap
+    val salted = ScaleOps.saltedSum(li, "l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), (math.rint(r.getDouble(1) * 100) / 100, r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = ScaleOps.saltedJoin(li, o, "l_orderkey").count()
+    assert(salted == plain)
+  }
+
+  test("bucketed join on the bucket key plans without exchange on bucketed sides") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    ScaleOps.writeBucketed(li, "li_b", "l_orderkey", 8)
+    ScaleOps.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_b", "l_orderkey", 8)
+    val joined = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+    // disable broadcast so the co-located (bucketed) join shape is observable
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(joined.count() > 0)
+  }
+
+  test("IVF topk: recall@5 vs brute force is reasonable, probes bound candidates") {
+    val bf = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorsIvf.ivfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall too low: $recall") // 4/16 cells probed on uniform data
+    // probing all cells must recover brute force exactly
+    val full = VectorsIvf.ivfTopK(spark, dir, nProbe = VectorsIvf.NumCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+  }
+
+  test("streaming windowed agg with watermark == batch daily totals") {
+    val batch = graft.operators.Analytics.eventsDaily.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet
+
+    val srcDir = java.nio.file.Files.createTempDirectory("wagg-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wagg-ckpt").toString
+    val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = WindowedAgg.dailyTotals(stream)
+      .writeStream.format("memory").queryName("wagg_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // append mode emits only windows closed by the watermark; the last
+    // event day stays open, so compare on the emitted subset and check
+    // everything emitted matches batch exactly.
+    val streamed = spark.table("wagg_out")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streaming rows not found in batch: ${streamed -- batch}")
+  }
+}
