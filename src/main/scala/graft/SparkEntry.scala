@@ -10,7 +10,7 @@ object SparkEntry {
   /** Every implemented operator, each a named deterministic query. */
   val registry: Seq[GraftQuery] =
     Analytics.all ++ MetaQueries.all ++ TextOps.all ++ Dedup.all ++
-      Vectors.all ++ VectorsIvf.all ++ Multimodal.all
+      Vectors.all ++ VectorsIvf.all ++ Multimodal.all ++ Analytics2.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.GraftQuery.checked
+import graft.functions.dround
+import graft.meta.Fixtures.withCtes
+import graft.sources.Tables
+
+/** Second wave of analytics-parity operators: sessionization,
+  * hierarchical rollup, set operations, anti-join/HAVING shapes, and
+  * the E8 run-projection — rounding out the relational surface beyond
+  * K19–K23.
+  */
+object Analytics2 {
+
+  /** Sessionization (the full form of K23's "sessionize-lite"): Spark
+    * plans it with the native `session_window` operator (gap-merged
+    * event-time sessions — the same state machine the streaming path
+    * uses); the oracle is the classic gaps-and-islands SQL. 30-minute
+    * gap; deterministic via (user_id, session_start) ordering.
+    *
+    * Scale: session_window aggregates shuffle once on user_id and
+    * merge windows within each key — no self-join, no window-function
+    * double sort.
+    */
+  val sessions: GraftQuery = checked("ns_sessions",
+    """WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    ORDER BY user_id, session_start""") { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Hierarchical ROLLUP: revenue by region → nation → total, the
+    * grouping-sets surface (bench: partial aggregation reused across
+    * grouping sets in one pass). */
+  val revenueRollup: GraftQuery = checked("ns_revenue_rollup",
+    """SELECT r.r_name, n.n_name,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    // grouping columns renamed around the rollup: Expand re-emits
+    // nullable copies of the originals, making bare names ambiguous
+    val base = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("g_r"), col("n_name").as("g_n"), col("c_acctbal"))
+    // the DataFrame rollup API re-emits grouping attributes through
+    // Expand, tripping the ambiguous-self-join check on any later
+    // by-name reference — the SQL surface resolves ROLLUP cleanly
+    base.createOrReplaceTempView("rollup_base")
+    base.sparkSession.sql(
+      """SELECT g_r AS r_name, g_n AS n_name,
+           round(SUM(c_acctbal) * 100, 0) / 100 AS total_acctbal,
+           COUNT(*) AS n_customers
+         FROM rollup_base GROUP BY ROLLUP(g_r, g_n)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }
+
+  /** Set operations: customers present in ASIA INTERSECT customers
+    * with an open order, then EXCEPT the auto-mkt segment — exercises
+    * INTERSECT/EXCEPT (hash-dedup set ops) beyond E2's union. */
+  val setOps: GraftQuery = checked("ns_set_ops",
+    """SELECT c_custkey FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_custkey""") { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val asia = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(col("r_name") === "ASIA").select("c_custkey")
+    val open = Tables.orders(spark, dir).where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val auto = c.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    asia.intersect(open).except(auto).orderBy("c_custkey")
+  }
+
+  /** Anti-join + HAVING shape: customers with ≥ 8 orders but no open
+    * order (left-anti against the open set). */
+  val loyalClosed: GraftQuery = checked("ns_loyal_closed_customers",
+    """SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders op WHERE op.o_custkey = o.o_custkey AND op.o_orderstatus = 'O')
+    GROUP BY o_custkey HAVING COUNT(*) >= 8
+    ORDER BY c_custkey""") { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
+    o.join(open, Seq("o_custkey"), "left_anti")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 8)
+      .orderBy("c_custkey")
+  }
+
+  /** E8 run projection (`engine.py:182-197` unmarshall): tracking view
+    * of running jobs with the reference's `%Y%m%d-%H:%M:%S` timestamp
+    * format; its 'NA' placeholder becomes NULL (deviation SURVEY §8). */
+  val runProjection: GraftQuery = checked("ns_run_projection",
+    withCtes("""SELECT exec_uuid, pipeline_uuid, engine_status,
+           strftime(start_time, '%Y%m%d-%H:%M:%S') AS start_fmt,
+           strftime(end_time, '%Y%m%d-%H:%M:%S') AS end_fmt
+    FROM running_jobs ORDER BY exec_uuid""")) { (spark, _) =>
+    graft.meta.Fixtures.runningDS(spark)
+      .select(col("exec_uuid"), col("pipeline_uuid"), col("engine_status"),
+        date_format(col("start_time"), "yyyyMMdd-HH:mm:ss").as("start_fmt"),
+        date_format(col("end_time"), "yyyyMMdd-HH:mm:ss").as("end_fmt"))
+      .orderBy("exec_uuid")
+  }
+
+  val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection)
+}
