@@ -105,21 +105,21 @@ object Analytics2 {
     asia.intersect(open).except(auto).orderBy("c_custkey")
   }
 
-  /** Anti-join + HAVING shape: customers with ≥ 8 orders but no open
+  /** Anti-join + HAVING shape: customers with ≥ 5 orders but no open
     * order (left-anti against the open set). */
   val loyalClosed: GraftQuery = checked("ns_loyal_closed_customers",
     """SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
     FROM orders o
     WHERE NOT EXISTS (
       SELECT 1 FROM orders op WHERE op.o_custkey = o.o_custkey AND op.o_orderstatus = 'O')
-    GROUP BY o_custkey HAVING COUNT(*) >= 8
+    GROUP BY o_custkey HAVING COUNT(*) >= 5
     ORDER BY c_custkey""") { (spark, dir) =>
     val o = Tables.orders(spark, dir)
     val open = o.where(col("o_orderstatus") === "O").select("o_custkey")
     o.join(open, Seq("o_custkey"), "left_anti")
       .groupBy(col("o_custkey").as("c_custkey"))
       .agg(count(lit(1)).as("n_orders"))
-      .where(col("n_orders") >= 8)
+      .where(col("n_orders") >= 5)
       .orderBy("c_custkey")
   }
 
