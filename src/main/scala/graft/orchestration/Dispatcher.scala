@@ -115,7 +115,9 @@ object Dispatcher {
         col("retry_count"), col("retry_max"))
 
     // -- P2: success fan-out ----------------------------------------------
-    val successes = evs.where(col("event_subtype") === "success")
+    // disable_downstream on the event suppresses triggering children
+    // (field declared at runtime_models.py:13; intended semantics)
+    val successes = evs.where(col("event_subtype") === "success" && !col("disable_downstream"))
     val edgeView = edges.toDF("child", "trigger_uuid", "op")
     val children = successes
       .join(broadcast(edgeView), successes("pipeline_uuid") === edgeView("trigger_uuid"))

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatVecDot, JaccardSortedLongs, ShingleHashesExpr, TokenHashesExpr}
+
+/** SQL surface for the engine's native expressions.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (cluster-wide, survives session cloning), the standard
+  *    `SparkSessionExtensions` injection point;
+  *  - [[GraftFunctions.register]] for an already-built session (tests,
+  *    notebooks).
+  *
+  * After registration the custom kernels are usable from pure SQL:
+  * {{{
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT jaccard_sorted(shingle_hashes(a.text, 3), shingle_hashes(b.text, 3)) ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.specs.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val specs: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard similarity of two sorted bigint arrays"),
+      (es: Seq[Expression]) => JaccardSortedLongs(es(0), es(1))),
+    ("token_hashes",
+      info("token_hashes", "token_hashes(text) - distinct 64-bit hashes of whitespace tokens"),
+      (es: Seq[Expression]) => TokenHashesExpr(es(0))),
+    ("shingle_hashes",
+      info("shingle_hashes", "shingle_hashes(text, w) - sorted distinct hashes of word w-shingles"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es(0),
+        es(1).eval().asInstanceOf[Int])))
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    specs.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

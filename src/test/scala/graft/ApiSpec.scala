@@ -88,6 +88,23 @@ class ApiSpec extends AnyFunSuite {
     assert(graft.functions.Retry(3, backoffMs = 1) { calls += 1; if (calls < 2) throw new RuntimeException("x"); 42 } == 42)
   }
 
+  test("SQL function registration: vec_dot/shingle_hashes/jaccard_sorted from pure SQL") {
+    graft.plans.GraftFunctions.register(spark)
+    graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).createOrReplaceTempView("emb_sql")
+    val self = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS d FROM emb_sql WHERE vec_id = 0").collect()
+    assert(math.abs(self.head.getDouble(0) - 1.0) < 1e-6) // L2-normalized
+    graft.sources.Tables.documents(spark, SparkSuite.sfDir).createOrReplaceTempView("docs_sql")
+    val j = spark.sql(
+      "SELECT jaccard_sorted(shingle_hashes(text, 3), shingle_hashes(text, 3)) AS j FROM docs_sql LIMIT 5")
+      .collect()
+    assert(j.forall(_.getDouble(0) == 1.0))
+    val nTokens = spark.sql("SELECT size(token_hashes(text)) FROM docs_sql LIMIT 1").collect()
+    assert(nTokens.head.getInt(0) > 0)
+    // extensions class wires the same specs (constructible + applies cleanly)
+    assert(new graft.plans.GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
   test("native dot == interpreted HOF dot, bit for bit") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).limit(50)

@@ -72,6 +72,13 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(sub.get.source_uuids == Map("clean-orders" -> "exec-10", "clean-customer" -> "exec-11"))
   }
 
+  test("disable_downstream suppresses fan-out (P2)") {
+    val ev = mkEvent(40, "success", "report-daily").copy(disable_downstream = true)
+    val r = step(Seq(ev))
+    assert(r.submissions.count() == 0)
+    assert(r.newIncubating.count() == 0)
+  }
+
   test("failure below retry_max resubmits with retry+1; at max dead-letters (P3/K15)") {
     val r = step(Seq(
       mkEvent(20, "failure", "flaky-export", retry = 1), // retry_max=3 -> retry

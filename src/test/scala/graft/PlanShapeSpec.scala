@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** Plan-quality regression tests: assert the physical-plan properties
+  * the 100 TB design depends on (predicate pushdown, column pruning,
+  * broadcast dimensions, window-group-limit) so a refactor can't
+  * silently regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("k19: shipdate predicate pushed to parquet, schema pruned") {
+    val p = plan(Analytics.pricingSummary.run(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$p")
+    assert(!p.contains("l_orderkey"), "schema should prune unused columns")
+  }
+
+  test("k20: dimension joins broadcast, region filter pushed") {
+    val p = plan(Analytics.revenueByNation.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter should push to scan")
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected at dimension sizes")
+  }
+
+  test("k21: top-k per group plans WindowGroupLimit below the sort") {
+    val p = plan(Analytics.topOrdersPerPriority.run(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("k10: history page plans TakeOrderedAndProject (no full sort)") {
+    val p = plan(graft.operators.MetaQueries.historyPage.run(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("whole-stage codegen covers the k19 aggregate") {
+    // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
+    // shows the generated subtrees
+    val p = Analytics.pricingSummary.run(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), s"expected WSCG spans:\n$p")
+  }
+}
