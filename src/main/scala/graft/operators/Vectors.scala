@@ -142,6 +142,34 @@ object Vectors {
 
   val topKLsh: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_lsh")((s, d) => lshTopK(s, d))
 
+  /** Brute-force top-k via the bounded [[graft.functions.TopKAggregator]]
+    * (SURVEY §7 v5): per-group reduction with O(k) state and map-side
+    * partials — no WindowExec sort over the full candidate set. Same
+    * output contract as [[bruteForceTopK]] (equivalence asserted in
+    * ScaleOpsSpec). */
+  def aggregatorTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val agg = new TopKAggregator(k).toColumn
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        col("vec_id").as("id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, id, score) => (qid, ScoredId(id, score)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, top) => top.map(s => (qid, s.id, s.score)) }
+      .toDF("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topKAgg: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_agg")((s, d) => aggregatorTopK(s, d))
+
   /** Embedding near-duplicate pairs: cosine above threshold via LSH
     * bucket self-join + exact verify (the embedding analog of minhash
     * dedup). */
@@ -163,5 +191,5 @@ object Vectors {
 
   val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")((s, d) => cosineNearDups(s, d))
 
-  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, nearDups)
+  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, topKAgg, nearDups)
 }

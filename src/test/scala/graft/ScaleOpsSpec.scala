@@ -61,6 +61,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("TopKAggregator top-k == window-ranking top-k") {
+    val win = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = Vectors.aggregatorTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(agg == win)
+  }
+
   test("streaming windowed agg with watermark == batch daily totals") {
     val batch = graft.operators.Analytics.eventsDaily.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet
