@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.GraftConfig
+import graft.model._
+import graft.orchestration.StateMachine.{runnableNow, Meta}
+
+/** The whole reference system as ONE streaming driver program
+  * (SURVEY §3 "Spark rebuild lifecycle"):
+  *
+  * {{{
+  * events (json dir / any source)
+  *   → EventIngest.parse (corrupt quarantine)
+  *   → router: origination|failure|success   [stream-static joins vs defs/edges]
+  *   → run-now candidates  ∪  IncubationStream releases ('all'-trigger state)
+  *   → foreachBatch: concurrency gate vs live engine state → submissions sink
+  *   + history sink (append, date-partitioned)
+  * }}}
+  *
+  * The reference needed an API process, an SQS poller thread, a culler
+  * loop thread, MongoDB and a distributed lock to do this; here it is
+  * two streaming queries over one checkpoint. Restart-safe by
+  * construction (checkpointed offsets + keyed state store).
+  */
+object GraftStream {
+
+  final case class Sinks(submissions: StreamingQuery, history: StreamingQuery)
+
+  /** Route a typed event stream into run-now candidates (origination /
+    * retry / 'any'-fan-out) — the stateless branches of the dispatcher,
+    * all stream-static broadcast joins against the catalog. */
+  def runNowCandidates(events: Dataset[LifecycleEvent],
+                       defs: Dataset[PipelineDef],
+                       edges: Dataset[PipelineTrigger],
+                       metas: Map[String, Meta]): DataFrame = {
+    val defKeys = broadcast(defs.select("pipeline_uuid"))
+
+    val origination = events
+      .where(col("event_subtype") === "origination")
+      .join(defKeys, Seq("pipeline_uuid"), "left_semi")
+      .select(col("pipeline_uuid"), col("event_id"), col("retry_count"),
+        map().as("source_uuids"))
+
+    val retries = events
+      .where(col("event_subtype") === "failure")
+      .join(broadcast(defs.select("pipeline_uuid", "retry_max")), Seq("pipeline_uuid"))
+      .where(col("retry_count") < col("retry_max"))
+      .select(col("pipeline_uuid"), col("event_id"),
+        (col("retry_count") + 1).as("retry_count"), map().as("source_uuids"))
+
+    val runNowChildren = metas.filter { case (_, m) => runnableNow(m) }.keySet
+    val edgeView = broadcast(edges.toDF("child", "trigger_uuid", "op")
+      .where(col("child").isin(runNowChildren.toSeq: _*)))
+    val fanout = events
+      .where(col("event_subtype") === "success" && !col("disable_downstream"))
+      .join(edgeView, col("pipeline_uuid") === edgeView("trigger_uuid"))
+      .select(col("child").as("pipeline_uuid"), col("event_id"), lit(0).as("retry_count"),
+        map(col("trigger_uuid"), col("exec_uuid")).as("source_uuids"))
+
+    origination.unionByName(retries).unionByName(fanout)
+  }
+
+  /** Start the full pipeline over a JSON-lines event directory.
+    * `runningSnapshot` supplies the live run set per micro-batch for the
+    * concurrency gate (P5/P6). */
+  def start(spark: SparkSession,
+            eventsJsonDir: String,
+            defs: Dataset[PipelineDef],
+            edges: Dataset[PipelineTrigger],
+            metas: Map[String, Meta],
+            submissionsDir: String,
+            historyDir: String,
+            checkpointRoot: String,
+            runningSnapshot: () => Dataset[RunningJob],
+            fixedNow: Option[Timestamp] = None,
+            trigger: Trigger = Trigger.AvailableNow()): Sinks = {
+    import spark.implicits._
+
+    val parsed = EventIngest.fromJsonDir(spark, eventsJsonDir)
+
+    // history sink: append everything (D9), stamped at ingest
+    val history = parsed.events.toDF()
+      .withColumn("received_ingest", fixedNow.map(lit(_)).getOrElse(current_timestamp()))
+      .withColumn("event_date", to_date(col("received_time")))
+      .writeStream.format("parquet")
+      .option("path", historyDir)
+      .option("checkpointLocation", s"$checkpointRoot/history")
+      .outputMode("append").trigger(trigger).start()
+
+    // run-now branches ∪ stateful 'all'-trigger releases
+    val candNow = runNowCandidates(parsed.events, defs, edges, metas)
+      .as[(String, Long, Int, Map[String, String])]
+      .map { case (p, eid, rc, src) => Submission(p, s"exec-$p-$eid", src, rc) }
+    val depSats = IncubationStream.depSatisfactions(parsed.events, edges, metas)
+    val released = IncubationStream.submissions(depSats, metas, fixedNow)
+    val bConc = spark.sparkContext.broadcast(metas.map { case (k, m) => k -> m.concurrency })
+
+    val submissions = candNow.unionByName(released)
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/submissions")
+      .outputMode("append").trigger(trigger)
+      .foreachBatch { (batch: Dataset[Submission], batchId: Long) =>
+        // concurrency gate against the live run set (P5/P6) — per
+        // micro-batch, mirroring the reference's submit-time check
+        val running = runningSnapshot()
+          .where(col("engine_status").isin("running", "waiting", "pending"))
+          .select("pipeline_uuid").distinct()
+        val gated = batch.toDF()
+          .join(broadcast(running.withColumn("_live", lit(true))), Seq("pipeline_uuid"), "left")
+        val conc = udf((p: String) => bConc.value.getOrElse(p, false))
+        gated.where(col("_live").isNull || conc(col("pipeline_uuid")))
+          .drop("_live")
+          .write.mode("append").parquet(submissionsDir)
+        ()
+      }.start()
+
+    Sinks(submissions, history)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Encoders
+
+import graft.meta.Fixtures
+import graft.model.RunningJob
+import graft.orchestration.Dispatcher
+import graft.streaming.GraftStream
+
+/** End-to-end streaming pipeline: JSON event files in → typed routing +
+  * keyed incubation state → gated submissions parquet + history parquet.
+  * The full SURVEY §3 lifecycle in one test. */
+class GraftStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ev(id: Long, subtype: String, pipeline: String, retry: Int = 0): String =
+    s"""{"event_id": $id, "event_type": "job_exec_update", "event_subtype": "$subtype",
+        "pipeline_uuid": "$pipeline", "exec_uuid": "exec-$id",
+        "event_time": "2024-01-31T23:0${id % 10}:00Z", "received_time": "2024-01-31T23:0${id % 10}:05Z",
+        "retry_count": $retry, "disable_downstream": false}""".replaceAll("\n\\s*", " ")
+
+  test("full streaming pipeline: ingest -> route -> incubate -> gate -> sinks") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("gs-src").toString
+    val subs = Files.createTempDirectory("gs-subs").toString
+    val hist = Files.createTempDirectory("gs-hist").toString
+    val ckpt = Files.createTempDirectory("gs-ckpt").toString
+
+    // batch 1: origination + one failure retry + partial 'all' deps +
+    //          a gated pipeline (report-daily is live in the engine)
+    Files.writeString(java.nio.file.Path.of(src, "b1.json"), Seq(
+      ev(1, "origination", "ingest-orders"),
+      ev(2, "origination", "report-daily"),        // gated: running
+      ev(3, "failure", "flaky-export", retry = 1), // retry_max=3 -> retry
+      ev(4, "success", "clean-orders"),            // join-orders-customer dep 1/2
+      "not json at all").mkString("\n"))
+
+    val metas = Dispatcher.metaMap(Fixtures.defsDS(spark), Fixtures.edgesDS(spark))
+    val running = Seq(RunningJob("live-1", "report-daily", "spark-local", "t", "running", None, None))
+    def runningSnapshot() = spark.createDataset(running)(Encoders.product[RunningJob])
+
+    def runOnce(): Unit = {
+      val sinks = GraftStream.start(spark, src,
+        Fixtures.defsDS(spark), Fixtures.edgesDS(spark), metas,
+        subs, hist, ckpt, () => runningSnapshot(), fixedNow = Some(Fixtures.NOW))
+      sinks.submissions.awaitTermination(120000)
+      sinks.history.awaitTermination(120000)
+      sinks.submissions.stop(); sinks.history.stop()
+    }
+    runOnce()
+
+    val got1 = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().sorted.toSeq
+    // ingest-orders submitted; report-daily gated out; flaky-export retried;
+    // join-orders-customer still incubating (1/2 deps)
+    assert(got1 == Seq("flaky-export", "ingest-orders"))
+
+    // batch 2 (restart from checkpoint): second dep arrives -> release
+    Files.writeString(java.nio.file.Path.of(src, "b2.json"),
+      ev(5, "success", "clean-customer"))
+    runOnce()
+
+    val got2 = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().sorted.toSeq
+    assert(got2 == Seq("flaky-export", "ingest-orders", "join-orders-customer"),
+      s"state should survive restart and release the 'all' child: $got2")
+
+    // history captured all parseable events (4 + 1 across batches)
+    assert(spark.read.parquet(hist).count() == 5)
+    val retried = spark.read.parquet(subs).where($"pipeline_uuid" === "flaky-export").collect()
+    assert(retried.head.getAs[Int]("retry_count") == 2)
+  }
+}
