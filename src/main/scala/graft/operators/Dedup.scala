@@ -147,12 +147,15 @@ object Dedup {
       }: _*)).as(Seq("band_idx", "band_val")))
     val a = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE the pair dedupe: bit_count is a codegen'd
+    // scalar, so evaluating it on raw band collisions is cheaper than
+    // shuffling them all through dropDuplicates
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

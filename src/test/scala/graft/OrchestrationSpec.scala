@@ -159,6 +159,19 @@ class OrchestrationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cron.parse("not a cron") }
   }
 
+  test("cron property: nextFire always satisfies due; due is minute-stable") {
+    val exprs = Seq("*/5 * * * *", "0 0 * * *", "30 2 * * 0", "15 */6 1-15 * *", "0 12 * * 1-5")
+    val starts = (0 until 20).map(i => ts(f"2024-0${1 + i % 2}%d-${1 + i}%02d 0${i % 10}%d:${(i * 7) % 60}%02d:00"))
+    for (e <- exprs; t <- starts) {
+      Cron.nextFire(e, t).foreach { nf =>
+        assert(Cron.due(e, nf), s"nextFire($e, $t) = $nf is not due")
+        assert(nf.after(t))
+        // due is stable within the minute
+        assert(Cron.due(e, new java.sql.Timestamp(nf.getTime + 59000)))
+      }
+    }
+  }
+
   test("cron tick emits origination events for due schedules") {
     // fixtures schedule sources at '0 {i%24} * * *'
     val fired = Cron.tick(spark, Fixtures.defsDS(spark), ts("2024-02-01 03:00:10")).collect()
