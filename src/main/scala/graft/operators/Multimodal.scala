@@ -71,6 +71,50 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * becomes a "frame" row (the explode-shaped expansion a video
+    * pipeline uses; a real decoder yields keyframes instead of byte
+    * windows — only the chunking stub changes). Partition-batched like
+    * [[extractFeatures]]. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").flatMap { row =>
+      val b = row.payload
+      val nFrames = math.max(1, b.length / frameBytes)
+      (0 until nFrames by stride).map { i =>
+        val start = i * frameBytes
+        val end = math.min(start + frameBytes, b.length)
+        var ck = 1125899906842597L
+        var j = start
+        while (j < end) { ck = ck * 31 + b(j); j += 1 }
+        Frame(row.doc_id, i, end - start, ck)
+      }
+    }
+  }
+
+  /** "Resize": deterministic downsample of the payload to a fixed byte
+    * budget (every k-th byte) — the shape of an image-resize stage;
+    * a real implementation swaps in an actual scaler. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 256): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val b = row.payload
+      if (b.length <= targetBytes) row
+      else {
+        val step = b.length.toDouble / targetBytes
+        val out = Array.tabulate(targetBytes)(i => b((i * step).toInt))
+        row.copy(payload = out)
+      }
+    }
+  }
+
+  /** Sampled-frame inventory per video doc. */
+  val frames: GraftQuery = GraftQuery.rowsOnly("ns_mm_frames") { (spark, dir) =>
+    sampleFrames(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** Aggregated per-media-type feature summary — oracle-checkable
     * because n_bytes == n_chars (payload is the utf-8 text) and the
     * type assignment is pure column algebra. */
@@ -84,5 +128,5 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(features, typeSummary)
+  val all: Seq[GraftQuery] = Seq(features, frames, typeSummary)
 }

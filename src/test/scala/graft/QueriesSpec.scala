@@ -45,6 +45,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall > 0.6, s"LSH recall too low: $recall")
   }
 
+  test("multimodal: frames only from video docs, resize respects budget") {
+    val media = graft.operators.Multimodal.mediaTable(spark, dir)
+    val frames = graft.operators.Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
+    assert(frames.map(_.doc_id).toSet.subsetOf(videoIds))
+    val resized = graft.operators.Multimodal.resize(media, 128).collect()
+    assert(resized.forall(_.payload.length <= 128))
+  }
+
   test("minhash pairs are symmetric-free and above threshold") {
     val pairs = graft.operators.Dedup.minhashPairs(spark, dir, 0.2).collect()
     pairs.foreach { r =>
