@@ -83,9 +83,15 @@ final class GraftApi(
     edges = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= uuid)
   }
 
-  /** DELETE /pipeline/flush (D7). */
+  /** DELETE /pipeline/flush (D7). Flush bypasses the D6 per-pipeline
+    * orphan guard, so the flushed pipelines' trigger edges must go with
+    * them — a surviving edge whose child has no def would surface as an
+    * unknown-child warning on the next dispatch (ADVICE r1). */
   def flushPipelines(prefix: String): Unit = {
+    val doomed = catalog.list(Some(prefix)).select("pipeline_uuid")
     catalog = catalog.flush(prefix)
+    edges = edges.join(doomed, Seq("pipeline_uuid"), "left_anti")
+      .as[PipelineTrigger](Encoders.product[PipelineTrigger])
   }
 
   // --- events & history (facade.py:100-116) ----------------------------

@@ -43,14 +43,19 @@ object Dedup {
   private val as = coeffs(42L, NumHashes)
   private val bs = coeffs(4242L, NumHashes)
 
-  /** Word w-shingles of a text column (distinct, as strings). */
+  /** Word w-shingles of a text column (distinct, as strings). Documents
+    * with fewer than w tokens yield an empty array — without the guard,
+    * `sequence(0, size-w)` produces a DESCENDING sequence and slice()
+    * is then called with start 0, which Spark rejects (ADVICE r1). */
   def shingles(text: Column, w: Int): Column = {
     val toks = split(text, "\\s+")
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), size(toks) - w),
-          i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
-        s => s =!= ""))
+    when(size(toks) >= w,
+      array_distinct(
+        filter(
+          transform(sequence(lit(0), size(toks) - w),
+            i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
+          s => s =!= "")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Shingle set hashed to sorted distinct longs in one native pass
@@ -65,9 +70,17 @@ object Dedup {
       .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
       .where(size(col("sh")) > 0)
 
-  /** 64-element MinHash signatures via explode + 64 partial min
-    * aggregates (whole-stage codegen; the shuffle key is doc_id). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** 64-element MinHash signature per document in ONE pass over the
+    * hashed shingle array ([[graft.functions.MinHashSigExpr]]) — a pure
+    * map stage, no explode, no shuffle. Output: (doc_id, sig). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SketchExpressions.minhashSig(col("sh"), as, bs, P).as("sig"))
+
+  /** The original explode + 64-partial-min-aggregate formulation, kept
+    * as the equivalence reference for [[minhashSignatures]] (same
+    * hash family, same arithmetic — asserted bit-for-bit in the spec). */
+  def minhashSignaturesAgg(docs: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("h0"))
       .select(col("doc_id"), pmod(col("h0"), lit(P)).as("h"))
     val aggs = (0 until NumHashes).map(i =>
@@ -75,11 +88,13 @@ object Dedup {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band_idx, band_hash) — 16 bands of 4 rows each. */
+  /** (doc_id, band_idx, band_hash) — 16 bands of 4 rows each, hashed
+    * from the signature array. */
   def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
 
   /** Exact-duplicate groups, keyed on the first-5-word prefix (the
@@ -121,9 +136,20 @@ object Dedup {
   val minhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_minhash")((s, d) => minhashPairs(s, d))
 
-  /** 64-bit SimHash per document via explode + 64 codegen'd ±1 vote
-    * sums (bit j of each distinct token's hash votes on output bit j). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** 64-bit SimHash per document in ONE pass over the distinct token
+    * hashes ([[graft.functions.SimHashExpr]]): bit j of each token's
+    * hash votes ±1 on output bit j — a pure map stage, no explode, no
+    * shuffle. Empty docs are dropped (parity with the aggregate
+    * formulation, where no exploded row means no group). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .where(size(col("th")) > 0)
+      .select(col("doc_id"), graft.functions.SketchExpressions.simhashSig(col("th")).as("sig"))
+
+  /** The original explode + 64-vote-sum aggregate formulation, kept as
+    * the equivalence reference for [[simhashSignatures]]. */
+  def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
     val votes = (0 until 64).map(j =>
@@ -195,8 +221,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val ngramNearDups: GraftQuery =
-    GraftQuery.rowsOnly("ns_dedup_ngram")((s, d) => ngramJaccardPairs(s, d))
+  /** Blocked n-gram Jaccard IS oracle-expressible: the oracle builds the
+    * same distinct 3-shingle sets as STRINGS (the Spark side hashes them
+    * to 64-bit longs — collision probability ~2^-64 per shingle pair,
+    * negligible) and the same (lang, len_bucket) blocking; the Spark
+    * size-ratio prune is lossless (J ≤ min/max), so result sets match. */
+  val ngramNearDups: GraftQuery = GraftQuery.checked("ns_dedup_ngram",
+    """WITH docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+    SELECT lang, doc_a, doc_b, ROUND(j, 4) AS jaccard
+    FROM pairs WHERE j >= 0.4 ORDER BY doc_a, doc_b""")((s, d) => ngramJaccardPairs(s, d))
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, simhashNearDups, ngramNearDups)
 }

@@ -96,22 +96,40 @@ object TextOps {
       .orderBy("lang")
   }
 
-  /** Character-trigram language-ID heuristic. Scores each doc's trigram
-    * multiset against small per-language profiles (built from fixed
-    * public function-word lists); deterministic, pure column algebra.
-    * Rows-only: the heuristic's output has no SQL oracle (verified for
-    * determinism + coverage in the test suite instead).
+  /** Function-word language-ID heuristic. Scores each doc's tokens
+    * against small per-language profiles (fixed public function-word
+    * lists); deterministic, pure column algebra — so the oracle mirrors
+    * it exactly: per-language hit counts, argmax with Spark's
+    * `greatest`-over-structs tie-break (max hits, then max lang string
+    * = ORDER BY hits DESC, lang DESC).
     */
-  val langId: GraftQuery = GraftQuery.rowsOnly("ns_text_langid") { (spark, dir) =>
-    // Distinctive function words per language (public knowledge lists).
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is", "that", "with"),
-      "de" -> Seq("der", "und", "die", "ist", "das", "mit"),
-      "fr" -> Seq("le", "et", "les", "est", "que", "avec"),
-      "es" -> Seq("el", "y", "los", "es", "que", "con"),
-      "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "that", "with"),
+    "de" -> Seq("der", "und", "die", "ist", "das", "mit"),
+    "fr" -> Seq("le", "et", "les", "est", "que", "avec"),
+    "es" -> Seq("el", "y", "los", "es", "que", "con"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  val langId: GraftQuery = GraftQuery.checked("ns_text_langid", {
+    val scoreRows = langProfiles.map { case (lang, words) =>
+      s"""SELECT doc_id, label_lang, '$lang' AS plang,
+            CAST(len(list_filter(t, w -> w IN (${words.map("'" + _ + "'").mkString(", ")}))) AS INTEGER) AS hits
+          FROM toks"""
+    }.mkString("\n      UNION ALL ")
+    s"""WITH toks AS (
+      SELECT doc_id, lang AS label_lang, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents),
+    scores AS (
+      $scoreRows),
+    ranked AS (
+      SELECT doc_id, label_lang, plang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang DESC) AS rn
+      FROM scores)
+    SELECT doc_id, label_lang, plang AS predicted_lang, hits AS score
+    FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+  }) { (spark, dir) =>
     val toks = tokens(lower(col("text")))
-    val scores = profiles.map { case (lang, words) =>
+    val scores = langProfiles.map { case (lang, words) =>
       val wordArr = array(words.map(lit): _*)
       struct(size(filter(toks, w => array_contains(wordArr, w))).as("hits"),
         lit(lang).as("lang"))

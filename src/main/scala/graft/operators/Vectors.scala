@@ -107,8 +107,14 @@ object Vectors {
     }
   }
 
-  /** Bucket ids per table: element t = (t << b) | signature_t. */
+  /** Bucket ids per table: element t = (t << b) | signature_t. One-pass
+    * native expression ([[graft.functions.LshBucketsExpr]]). */
   def lshBuckets(v: Column): Column =
+    graft.functions.SketchExpressions.lshBuckets(v, hyperplanes)
+
+  /** Column-algebra reference formulation of [[lshBuckets]], kept for
+    * the bit-for-bit equivalence spec. */
+  def lshBucketsRef(v: Column): Column =
     array((0 until NumTables).map { t =>
       (0 until TableBits).map { i =>
         val h = array(hyperplanes(t)(i).map(lit): _*)
@@ -168,7 +174,21 @@ object Vectors {
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
   }
 
-  val topKAgg: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_agg")((s, d) => aggregatorTopK(s, d))
+  /** The Aggregator produces EXACT top-k (same output contract as the
+    * window formulation, ties toward smaller id), so it shares the
+    * brute-force oracle — a stronger check than rows-only. */
+  val topKAgg: GraftQuery = GraftQuery.checked("ns_vec_topk_agg",
+    """WITH pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM embeddings q JOIN embeddings v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => aggregatorTopK(s, d))
 
   /** Embedding near-duplicate pairs: cosine above threshold via LSH
     * bucket self-join + exact verify (the embedding analog of minhash

@@ -73,7 +73,43 @@ object VectorsIvf {
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
   }
 
-  val topKIvf: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_ivf")((s, d) => ivfTopK(s, d))
+  /** The IVF path is deterministic (fixed centroid sample, argmax cell
+    * assignment, fixed probe count), so the oracle replicates the exact
+    * index+probe logic in SQL: cell scores via the same double dot,
+    * argmax with the `array_max`-over-structs tie-break (score DESC,
+    * cid DESC), top-`NumProbes` probes, exact re-rank inside. */
+  val topKIvf: GraftQuery = GraftQuery.checked("ns_vec_topk_ivf",
+    s"""WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCells),
+    cellscore AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS score
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM cellscore) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM cellscore WHERE vec_id < 5) WHERE rn <= $NumProbes),
+    pairs AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM probes p
+      JOIN cells ce ON ce.cell = p.cell
+      JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => ivfTopK(s, d))
 
   val all: Seq[GraftQuery] = Seq(topKIvf)
 }

@@ -20,7 +20,10 @@ import graft.model.{LifecycleEvent, PipelineDef}
   */
 object Cron {
 
-  final case class Field(matches: Int => Boolean)
+  /** `restricted` = the field is not a bare `*`/`*／step` wildcard —
+    * standard (vixie) cron ORs day-of-month and day-of-week only when
+    * BOTH are restricted. */
+  final case class Field(matches: Int => Boolean, restricted: Boolean)
 
   /** Parse one cron field into a predicate. Throws on malformed input. */
   private def parseField(spec: String, min: Int, max: Int): Field = {
@@ -39,21 +42,32 @@ object Cron {
       require(lo >= min && hi <= max && lo <= hi, s"cron field out of range: $part")
       (n: Int) => n >= lo && n <= hi && (n - lo) % step == 0
     }
-    Field(n => preds.exists(p => p(n)))
+    Field(n => preds.exists(p => p(n)), restricted = !spec.trim.startsWith("*"))
   }
 
   final case class Schedule(minute: Field, hour: Field, dom: Field, month: Field, dow: Field) {
-    def matches(t: ZonedDateTime): Boolean =
+    def matches(t: ZonedDateTime): Boolean = {
+      val d = t.getDayOfWeek.getValue % 7 // cron: 0=Sunday
+      val domOk = dom.matches(t.getDayOfMonth)
+      val dowOk = dow.matches(d)
+      // vixie-cron day rule: when BOTH day fields are restricted the
+      // day matches if EITHER does (the K8s CronJob the reference
+      // delegates to follows this; ANDing fires on strictly fewer days)
+      val dayOk =
+        if (dom.restricted && dow.restricted) domOk || dowOk else domOk && dowOk
       minute.matches(t.getMinute) && hour.matches(t.getHour) &&
-        dom.matches(t.getDayOfMonth) && month.matches(t.getMonthValue) &&
-        dow.matches(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+        month.matches(t.getMonthValue) && dayOk
+    }
   }
 
   def parse(expr: String): Schedule = {
     val f = expr.trim.split("\\s+")
     require(f.length == 5, s"cron expression needs 5 fields: '$expr'")
+    // dow accepts 0-7 with 7 as the standard Sunday alias for 0
+    val dowRaw = parseField(f(4), 0, 7)
+    val dow = Field(n => dowRaw.matches(n) || (n == 0 && dowRaw.matches(7)), dowRaw.restricted)
     Schedule(parseField(f(0), 0, 59), parseField(f(1), 0, 23),
-      parseField(f(2), 1, 31), parseField(f(3), 1, 12), parseField(f(4), 0, 6))
+      parseField(f(2), 1, 31), parseField(f(3), 1, 12), dow)
   }
 
   /** Does `expr` fire in the minute containing `now` (UTC)? */

@@ -41,10 +41,14 @@ object Dispatcher {
       created_by_uuid: Option[String], reason: String, retry_count: Int,
       triggers: Map[String, String])
 
-  /** A run candidate before the concurrency gate. */
+  /** A run candidate before the concurrency gate. `exec_tag` (set only
+    * for culler releases) carries a stable identity derived from the
+    * released row's objId + release time, so release exec ids never
+    * collide across step() invocations. */
   final case class Candidate(
       pipeline_uuid: String, origin: String, retry_count: Int,
-      source_uuids: Map[String, String], event_id: Long)
+      source_uuids: Map[String, String], event_id: Long,
+      exec_tag: Option[String] = None)
 
   final case class StepResult(
       submissions: Dataset[Submission],
@@ -96,7 +100,7 @@ object Dispatcher {
     // -- P4: origination ---------------------------------------------------
     val origins = evs.where(col("event_subtype") === "origination")
     val known = origins.join(broadcast(defs.select("pipeline_uuid")), Seq("pipeline_uuid"), "left_semi")
-    val warnings = origins.join(broadcast(defs.select("pipeline_uuid")), Seq("pipeline_uuid"), "left_anti")
+    val originWarnings = origins.join(broadcast(defs.select("pipeline_uuid")), Seq("pipeline_uuid"), "left_anti")
       .select(col("event_id"), col("pipeline_uuid"),
         lit("unknown pipeline for origination event").as("warning"))
     val originCandidates = known.as[LifecycleEvent].map(e =>
@@ -108,7 +112,8 @@ object Dispatcher {
     val retryCandidates = failures.where(col("retry_count") < col("retry_max"))
       .select(col("pipeline_uuid"), lit("retry").as("origin"),
         (col("retry_count") + 1).as("retry_count"),
-        typedLit(Map.empty[String, String]).as("source_uuids"), col("event_id"))
+        typedLit(Map.empty[String, String]).as("source_uuids"), col("event_id"),
+        lit(null).cast("string").as("exec_tag"))
       .as[Candidate]
     val deadLetters = failures.where(col("retry_count") >= col("retry_max"))
       .select(col("event_id"), col("pipeline_uuid"), col("exec_uuid"),
@@ -124,20 +129,28 @@ object Dispatcher {
       .select(col("child"), col("trigger_uuid").as("dep0"), col("exec_uuid"),
         col("event_id"), col("event_time"))
       .withColumnRenamed("dep0", "trigger_uuid")
+    // D5 upsert validates edges against defs, but flush (D7) bypasses
+    // that guard — so an edge can reference a child with no def. Route
+    // such children to warnings instead of failing the whole step.
     val childMeta = children.as[(String, String, String, Long, Timestamp)].map {
       case (child, dep, exec, eventId, eventTime) =>
-        val m = bMetas.value(child) // edges are validated against defs (D5 guard)
-        (child, dep, exec, eventId, eventTime, runnableNow(m))
-    }.toDF("child", "dep", "exec_uuid", "event_id", "event_time", "run_now")
-    val fanoutCandidates = childMeta.where(col("run_now"))
+        val m = bMetas.value.get(child)
+        (child, dep, exec, eventId, eventTime, m.exists(runnableNow), m.isDefined)
+    }.toDF("child", "dep", "exec_uuid", "event_id", "event_time", "run_now", "known")
+    val fanoutCandidates = childMeta.where(col("known") && col("run_now"))
       .select(col("child").as("pipeline_uuid"), lit("fanout").as("origin"),
         lit(0).as("retry_count"),
-        map(col("dep"), col("exec_uuid")).as("source_uuids"), col("event_id"))
+        map(col("dep"), col("exec_uuid")).as("source_uuids"), col("event_id"),
+        lit(null).cast("string").as("exec_tag"))
       .as[Candidate]
-    val depSats = childMeta.where(!col("run_now"))
+    val depSats = childMeta.where(col("known") && !col("run_now"))
       .select(col("child").as("pipeline_uuid"), col("dep"), col("exec_uuid"),
         col("event_id"), col("event_time"))
       .as[DepSat]
+    val warnings = originWarnings.unionByName(
+      childMeta.where(!col("known"))
+        .select(col("event_id"), col("child").as("pipeline_uuid"),
+          lit("unknown child pipeline for success fan-out").as("warning")))
 
     // -- D13/D14/S2: incubation state via cogroup --------------------------
     val keyedState = incubating.groupByKey(_.pipeline_uuid)
@@ -153,15 +166,18 @@ object Dispatcher {
       val keptRows = st2.rows.map(r => ("kept", IncubRow(key, r.objId, r.createTime,
         r.createdByUuid, r.reason, r.retryCount, r.triggers), 0L))
       val rel = releases.zipWithIndex.map { case (r, i) =>
-        ("release", IncubRow(key, s"rel-$i", now, r.createdByUuid, r.reason, r.retryCount, r.sources), i.toLong)
+        // obj_id keeps the released row's stable identity (ADVICE r1:
+        // a per-step counter collides across step() invocations)
+        ("release", IncubRow(key, r.objId, now, r.createdByUuid, r.reason, r.retryCount, r.sources), i.toLong)
       }
       val drops = dropped.map(id => ("dropped", IncubRow(key, id, now, None, "", 0, Map.empty), 0L))
       (keptRows ++ rel ++ drops).iterator
     }.cache()
 
     val newIncubating = stepped.filter(_._1 == "kept").map(_._2)
-    val releaseCandidates = stepped.filter(_._1 == "release").map { case (_, r, i) =>
-      Candidate(r.pipeline_uuid, r.reason, r.retry_count, r.triggers, -1L - i)
+    val releaseCandidates = stepped.filter(_._1 == "release").map { case (_, r, _) =>
+      Candidate(r.pipeline_uuid, r.reason, r.retry_count, r.triggers, -1L,
+        exec_tag = Some(s"rel-${r.obj_id}-${now.getTime}"))
     }
     val droppedObjIds = stepped.filter(_._1 == "dropped")
       .map(t => (t._2.pipeline_uuid, t._2.obj_id)).toDF("pipeline_uuid", "obj_id")
@@ -180,15 +196,19 @@ object Dispatcher {
       .na.fill(false, Seq("concurrency"))
 
     val submissions = gated.where(col("is_running").isNull || col("concurrency"))
-      .select(col("pipeline_uuid"), col("retry_count"), col("source_uuids"), col("event_id"))
-      .as[(String, Int, Map[String, String], Long)]
-      .map { case (p, rc, src, eid) => Submission(p, execId(p, eid), src, rc) }
+      .select(col("pipeline_uuid"), col("retry_count"), col("source_uuids"), col("event_id"),
+        col("exec_tag"))
+      .as[(String, Int, Map[String, String], Long, Option[String])]
+      .map { case (p, rc, src, eid, tag) =>
+        Submission(p, tag.map(t => s"exec-$p-$t").getOrElse(execId(p, eid)), src, rc)
+      }
 
     val deferred = gated.where(col("is_running").isNotNull && !col("concurrency"))
-      .select(col("pipeline_uuid"), col("retry_count"), col("event_id"))
-      .as[(String, Int, Long)]
-      .map { case (p, rc, eid) =>
-        IncubRow(p, f"inc-c-$eid%012d", now, None, "concurrency", rc, Map.empty)
+      .select(col("pipeline_uuid"), col("retry_count"), col("event_id"), col("exec_tag"))
+      .as[(String, Int, Long, Option[String])]
+      .map { case (p, rc, eid, tag) =>
+        IncubRow(p, tag.map(t => s"inc-c-$t").getOrElse(f"inc-c-$eid%012d"),
+          now, None, "concurrency", rc, Map.empty)
       }
 
     StepResult(submissions, deferred, newIncubating, deadLetters, warnings, droppedObjIds)

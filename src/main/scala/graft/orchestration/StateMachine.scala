@@ -59,12 +59,16 @@ object StateMachine {
       eventId: Long,
       eventTime: Timestamp)
 
-  /** A released run: emit to the submit path. */
+  /** A released run: emit to the submit path. `objId` carries the
+    * released row's stable identity so downstream exec ids never
+    * collide across culler passes (they are derived from
+    * `objId` + release time, not a per-step counter). */
   final case class Release(
       reason: String, // 'dependencies' | 'concurrency-requeue'
       createdByUuid: Option[String],
       retryCount: Int,
-      sources: Map[String, String]) // dep -> exec_uuid
+      sources: Map[String, String], // dep -> exec_uuid
+      objId: String)
 
   /** D14 intended semantics (SURVEY §8.13): ensure at least one row is
     * waiting for `dep` (create one with ALL deps waiting if none is),
@@ -119,11 +123,11 @@ object StateMachine {
       val ageSec = (nowMs - r.createTime.getTime) / 1000
       if (ageSec > ageOutSeconds) { dropped ::= r.objId; false }
       else if (r.reason == "concurrency" && ageSec > debounceSeconds) {
-        releases ::= Release("concurrency-requeue", r.createdByUuid, r.retryCount + 1, Map.empty)
+        releases ::= Release("concurrency-requeue", r.createdByUuid, r.retryCount + 1, Map.empty, r.objId)
         false
       } else if (r.reason == "dependencies" && r.triggers.nonEmpty &&
                  !r.triggers.values.exists(_ == WaitRow.Waiting)) {
-        releases ::= Release("dependencies", r.createdByUuid, r.retryCount, r.triggers)
+        releases ::= Release("dependencies", r.createdByUuid, r.retryCount, r.triggers, r.objId)
         false
       } else true
     }

@@ -69,11 +69,16 @@ object IncubationStream {
       if (st1.rows.isEmpty) state.remove()
       else {
         state.update(st1)
-        if (!state.hasTimedOut) state.setTimeoutDuration(cullIntervalMs)
+        // Spark clears the timeout on EVERY invocation (including
+        // timeout-driven ones), so re-arm unconditionally — otherwise a
+        // key whose timeout fired once but still holds rows is never
+        // culled again until a new event arrives (ADVICE r1).
+        state.setTimeoutDuration(cullIntervalMs)
       }
-      releases.zipWithIndex.iterator.map { case (r, i) =>
-        Submission(key, s"exec-$key-rel-${evs.headOption.map(_.eventId).getOrElse(0L)}-$i",
-          r.sources, r.retryCount)
+      releases.iterator.map { r =>
+        // stable id from the released row's identity + release time —
+        // never a per-invocation counter (collides across batches)
+        Submission(key, s"exec-$key-rel-${r.objId}-${nowTs.getTime}", r.sources, r.retryCount)
       }
     }
 
@@ -98,8 +103,8 @@ object IncubationStream {
         val meta = bMetas.value.getOrElse(key, Meta(None, Nil, 0, concurrency = false))
         val evs = it.map(d => DepSatisfied(d.dep, d.exec_uuid, d.event_id, d.event_time)).toSeq
         val (_, releases, _) = stepKey(StateMachine.emptyState, meta, evs, now, debounceSeconds, ageOutSeconds)
-        releases.zipWithIndex.iterator.map { case (r, i) =>
-          Submission(key, s"exec-$key-rel-$i", r.sources, r.retryCount)
+        releases.iterator.map { r =>
+          Submission(key, s"exec-$key-rel-${r.objId}-${now.getTime}", r.sources, r.retryCount)
         }
       }
   }

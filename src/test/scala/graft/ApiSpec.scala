@@ -38,6 +38,32 @@ class ApiSpec extends AnyFunSuite {
     assert(a.edges.where($"pipeline_uuid" === "brand-new").count() == 0)
   }
 
+  test("flushPipelines drops defs AND their trigger edges; survivors still dispatch (D7)") {
+    val a = api
+    assert(a.edges.where($"pipeline_uuid".startsWith("report-")).count() > 0)
+    a.flushPipelines("report-")
+    assert(a.listPipelines(Some("report-")).count() == 0)
+    // flushed pipelines' trigger edges must go with them (ADVICE r1)
+    assert(a.edges.where($"pipeline_uuid".startsWith("report-")).count() == 0)
+    // success of a surviving parent whose children were all flushed must
+    // dispatch cleanly (previously threw NoSuchElementException in childMeta)
+    val r = a.dispatch(
+      Seq(LifecycleEvent(900L, "job_exec_update", "success", "agg-revenue", "exec-900",
+        Fixtures.NOW, Fixtures.NOW, 0, disable_downstream = false)),
+      spark.emptyDataset[RunningJob], spark.emptyDataset[Dispatcher.IncubRow], Fixtures.NOW)
+    assert(r.submissions.count() == 0)
+  }
+
+  test("shingles() yields empty array for docs shorter than w (ADVICE r1)") {
+    val out = Seq("one two", "one two three four", "")
+      .toDF("text")
+      .select(graft.operators.Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("one two three", "two three four"))
+    assert(out(2).isEmpty)
+  }
+
   test("run_by_pipeline_uuid dispatches an origination event") {
     val a = api
     val r = a.runByPipelineUuid("ingest-orders", Fixtures.NOW,

@@ -118,6 +118,52 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(r.newIncubating.collect().exists(_.obj_id == "inc-08"))
   }
 
+  test("success fan-out to a child with no def warns instead of failing (ADVICE r1)") {
+    // an edge whose child def was flushed (D7 bypasses the D5 guard)
+    val danglingEdges = Fixtures.edges :+ PipelineTrigger("vanished-child", "ingest-orders", "any")
+    val r = Dispatcher.step(spark,
+      Fixtures.defsDS(spark),
+      spark.createDataset(danglingEdges)(Encoders.product[PipelineTrigger]),
+      spark.emptyDataset[RunningJob],
+      spark.emptyDataset[IncubRow],
+      spark.createDataset(Seq(mkEvent(50, "success", "ingest-orders")))(
+        Encoders.product[LifecycleEvent]),
+      now, Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+    // known children still dispatch; the dangling one becomes a warning
+    assert(r.submissions.collect().map(_.pipeline_uuid).sorted.toSeq ==
+      Seq("clean-orders", "stream-metrics"))
+    val w = r.warnings.collect().map(row => (row.getString(1), row.getString(2)))
+    assert(w.toSeq == Seq(("vanished-child", "unknown child pipeline for success fan-out")))
+  }
+
+  test("culler release exec ids are stable across step() invocations (ADVICE r1)") {
+    // same pipeline released in two different steps must yield distinct exec ids
+    def releaseOf(objId: String, t: java.sql.Timestamp) = {
+      val rows = incubRows(Fixtures.incubating.filter(_.obj_id == objId),
+        Fixtures.incubatingTriggers)
+      Dispatcher.step(spark, Fixtures.defsDS(spark), Fixtures.edgesDS(spark),
+        spark.emptyDataset[RunningJob],
+        spark.createDataset(rows)(Encoders.product[IncubRow]),
+        spark.emptyDataset[LifecycleEvent],
+        t, Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+        .submissions.collect().map(_.exec_uuid).toSeq
+    }
+    // inc-06 and inc-04+inc-06 both contain report-daily releases
+    val a = releaseOf("inc-06", now)
+    val b = releaseOf("inc-06", new java.sql.Timestamp(now.getTime + 60000))
+    assert(a.nonEmpty && b.nonEmpty && a.toSet.intersect(b.toSet).isEmpty)
+    // and two different rows released in ONE step differ too
+    val both = incubRows(Fixtures.incubating.filter(i => Set("inc-03", "inc-06").contains(i.obj_id)),
+      Fixtures.incubatingTriggers)
+    val subs = Dispatcher.step(spark, Fixtures.defsDS(spark), Fixtures.edgesDS(spark),
+      spark.emptyDataset[RunningJob],
+      spark.createDataset(both)(Encoders.product[IncubRow]),
+      spark.emptyDataset[LifecycleEvent],
+      now, Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+      .submissions.collect().map(_.exec_uuid)
+    assert(subs.distinct.length == subs.length)
+  }
+
   test("catalog upsert validates trigger references (D5)") {
     val cat = Catalog(Fixtures.defsDS(spark))
     val ok = cat.upsert(Fixtures.defs.head.copy(pipeline_uuid = "new-pipe"),
@@ -157,6 +203,20 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(Cron.nextFire("0 3 * * *", ts("2024-02-01 04:00:00"))
       .contains(ts("2024-02-02 03:00:00")))
     intercept[IllegalArgumentException] { Cron.parse("not a cron") }
+  }
+
+  test("cron: dom/dow OR rule when both restricted; dow 7 = Sunday") {
+    // '0 0 1 * 1': both day fields restricted -> fires on the 1st OR Mondays
+    assert(Cron.due("0 0 1 * 1", ts("2024-02-01 00:00:00"))) // Thu the 1st (dom)
+    assert(Cron.due("0 0 1 * 1", ts("2024-02-05 00:00:00"))) // Monday (dow)
+    assert(!Cron.due("0 0 1 * 1", ts("2024-02-06 00:00:00"))) // Tue the 6th
+    // only one day field restricted -> plain AND, as before
+    assert(!Cron.due("0 0 2 * *", ts("2024-02-05 00:00:00")))
+    assert(!Cron.due("0 0 * * 1", ts("2024-02-04 00:00:00"))) // Sunday
+    // dow=7 is the standard Sunday alias
+    assert(Cron.due("30 2 * * 7", ts("2024-02-04 02:30:00"))) // Sunday
+    assert(!Cron.due("30 2 * * 7", ts("2024-02-05 02:30:00"))) // Monday
+    assert(Cron.due("30 2 * * 5-7", ts("2024-02-04 02:30:00"))) // Fri-Sun incl. Sunday
   }
 
   test("cron property: nextFire always satisfies due; due is minute-stable") {

@@ -40,6 +40,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("k01: COUNT(*) is pushed into the v2 parquet scan (footer metadata, no row scan)") {
+    val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val p = plan(Analytics.tableCounts.run(spark, dir))
+      assert(p.contains("PushedAggregation: [COUNT(*)]"),
+        s"expected aggregate pushdown in scan:\n$p")
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

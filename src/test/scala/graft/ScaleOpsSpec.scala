@@ -69,6 +69,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("native LSH buckets == column-algebra buckets, bit for bit") {
+    val emb = Tables.embeddings(spark, dir).limit(200)
+    val diff = emb.select(
+      Vectors.lshBuckets(col("embedding")).as("native"),
+      Vectors.lshBucketsRef(col("embedding")).as("ref"))
+      .where(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("k01 table counts run through v2 aggregate pushdown and match direct counts") {
+    val got = graft.operators.Analytics.tableCounts.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = Tables.names.map(n => n -> Tables(spark, dir, n).count()).toMap
+    assert(got == expected)
+    // the conf flip must not leak
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+  }
+
+  test("native one-pass MinHash signatures == explode+aggregate signatures, bit for bit") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val native = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val agg = Dedup.minhashSignaturesAgg(docs)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i)).toVector).toMap
+    assert(native == agg)
+  }
+
+  test("native one-pass SimHash signatures == explode+aggregate signatures, bit for bit") {
+    import graft.operators.Dedup
+    val native = Dedup.simhashSignatures(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agg = Dedup.simhashSignaturesAgg(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native == agg)
+  }
+
   test("streaming windowed agg with watermark == batch daily totals") {
     val batch = graft.operators.Analytics.eventsDaily.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet

@@ -40,7 +40,7 @@ class StateMachineSpec extends AnyFunSuite {
     val (st2, releases, dropped) = cull(st, now, 300, 86400)
     assert(st2.rows.isEmpty && dropped.isEmpty)
     assert(releases == List(Release("dependencies", Some("exec-1"), 0,
-      Map("dep-a" -> "exec-1", "dep-b" -> "exec-2"))))
+      Map("dep-a" -> "exec-1", "dep-b" -> "exec-2"), "inc-000000000001")))
   }
 
   test("oldest-first: a second event for the same dep opens a second row") {
@@ -65,7 +65,7 @@ class StateMachineSpec extends AnyFunSuite {
     val r = WaitRow("inc-c", ts("2024-01-31 23:50:00"), Some("x"), 1, "concurrency", Map.empty)
     val (st2, rel, _) = cull(PipelineState(List(r)), now, 300, 86400)
     assert(st2.rows.isEmpty)
-    assert(rel == List(Release("concurrency-requeue", Some("x"), 2, Map.empty)))
+    assert(rel == List(Release("concurrency-requeue", Some("x"), 2, Map.empty, "inc-c")))
   }
 
   test("culler rule i: within debounce -> kept") {
