@@ -141,5 +141,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId)
+  /** PII-style redaction: emails → <EMAIL>, digit runs → <NUM> (the
+    * scrubbing pass every training corpus gets before tokenization).
+    * Pure regexp_replace — codegen'd, pipelines into the scan; the
+    * patterns use only RE2/java.util.regex-common constructs. Output
+    * keeps an md5 of the redacted text (stable row, no bulk text in
+    * the result) plus the redaction counts. */
+  val redact: GraftQuery = GraftQuery.checked("ns_text_redact",
+    """SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums
+    FROM documents ORDER BY doc_id""") { (spark, dir) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          "[0-9]+", "<NUM>")).as("redacted_md5"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic content-hash sampling: keep a doc iff the last hex
+    * digit of md5(text) falls in the accept set (2/16 = 12.5%) —
+    * reproducible corpus subsampling that needs no RNG state, no
+    * coordination, and survives re-partitioning/re-runs byte-for-byte
+    * (what `TABLESAMPLE` can't promise across engines). */
+  val hashSample: GraftQuery = GraftQuery.checked("ns_text_sample",
+    """SELECT doc_id, lang, n_chars FROM documents
+    WHERE substr(md5(text), 32, 1) IN ('0', '1') ORDER BY doc_id""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .where(substring(md5(col("text")), 32, 1).isin("0", "1"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: greedy sequential fill of fixed token-budget
+    * context windows, per language, in doc_id order — the standard
+    * "pack short docs into 2048-token sequences" step before LLM
+    * training. Formulated as a windowed cumulative sum (shuffle on
+    * lang, sort within partition — no driver-side loop, scales to any
+    * corpus); bin = floor(cumulative_start / budget). */
+  val pack: GraftQuery = GraftQuery.checked("ns_text_pack",
+    """WITH toks AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+      FROM toks)
+    SELECT lang, CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM cum GROUP BY lang, bin ORDER BY lang, bin""") { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .groupBy(col("lang"), floor(col("start_off") / 2048.0).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
+    redact, hashSample, pack)
 }

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication for a continuously-ingested document
+  * stream (north-star: the dedup stage of a training-data pipeline run
+  * as ingestion happens, not as a nightly batch).
+  *
+  * Fingerprint = md5 of whitespace-normalized lowercase text (the same
+  * content key as the batch `ns_text_fingerprint` operator), then
+  * `dropDuplicatesWithinWatermark` — Spark keeps one state entry per
+  * fingerprint and EXPIRES it once the watermark passes, so state is
+  * bounded by (dedup horizon × ingest rate) instead of growing with
+  * corpus size. That horizon-bounded state is what makes streaming
+  * dedup viable at 100 TB/day: exact global dedup of all history needs
+  * a join against the full corpus (the batch operators); the stream
+  * needs only the sliding horizon.
+  */
+object StreamingDedup {
+
+  /** Content fingerprint column (matches batch `TextOps.fingerprint`). */
+  def fingerprint(textCol: String): org.apache.spark.sql.Column =
+    md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+
+  /** Dedup a streaming document relation by content fingerprint within
+    * the watermark horizon. `docs` must carry an event-time column
+    * `tsCol`. */
+  def dedupByFingerprint(docs: DataFrame, tsCol: String = "ingest_ts",
+                         delay: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", fingerprint("text"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
+}

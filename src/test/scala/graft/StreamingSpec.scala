@@ -76,4 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamSubs == batchSubs)
     assert(batchSubs.map(_._1) == Set("join-orders-customer", "agg-revenue"))
   }
+
+  test("streaming fingerprint dedup emits one doc per content fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // documents with duplicated texts arriving across two files
+    val docs = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
+      .select(col("doc_id"), col("text"))
+      .limit(40)
+      .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
+    val dups = docs.withColumn("doc_id", col("doc_id") + 100000) // same text, new ids
+    val srcDir = Files.createTempDirectory("dedup-src").toString
+    docs.write.mode("append").parquet(srcDir)
+    dups.write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = graft.streaming.StreamingDedup.dedupByFingerprint(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val out = spark.table("dedup_out")
+    val batchDistinct = docs.select(
+      graft.streaming.StreamingDedup.fingerprint("text").as("fp")).distinct().count()
+    assert(out.count() == batchDistinct, "one surviving doc per distinct fingerprint")
+    assert(out.select("fp").distinct().count() == out.count())
+  }
 }
