@@ -18,16 +18,24 @@ import graft.sources.Tables
   */
 object Analytics {
 
-  /** K1 — per-table row counts. Planned through the DSv2 parquet path
-    * with aggregate pushdown, so COUNT(*) is answered from row-group
-    * metadata in the footers (the same trick DuckDB uses) instead of
-    * scanning row batches — the difference between O(files) and O(rows)
-    * at 100 TB. Scoped to this query: the v1/v2 choice is bound when
-    * `spark.read` resolves, so the conf flip never leaks into other
-    * plans. */
+  /** K1 — per-table row counts, answered from parquet footer metadata
+    * as one distributed job ([[graft.sources.ParquetMeta.rowCounts]]):
+    * O(data files), never O(rows), which is the only COUNT(*) shape
+    * that survives 100 TB. */
   val tableCounts: GraftQuery = checked("k01_table_counts",
     Tables.names.map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n FROM $n")
       .mkString("", " UNION ALL ", " ORDER BY tbl")) { (spark, dir) =>
+    graft.sources.ParquetMeta.rowCounts(
+      spark, Tables.names.map(n => n -> Tables.path(dir, n)))
+      .orderBy("tbl")
+  }
+
+  /** The pure-Catalyst formulation of K1: DSv2 parquet scans with
+    * `PushedAggregation: [COUNT(*)]` (plan pinned in PlanShapeSpec;
+    * equivalence with the footer job asserted in ScaleOpsSpec). The
+    * conf flip is scoped — the v1/v2 choice binds when `spark.read`
+    * resolves, so it never leaks into other plans. */
+  def tableCountsViaScan(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events: TIMESTAMP(NANOS) footer
     spark.conf.set("spark.sql.sources.useV1SourceList", "")

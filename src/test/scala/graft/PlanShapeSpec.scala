@@ -44,7 +44,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
-      val p = plan(Analytics.tableCounts.run(spark, dir))
+      val p = plan(Analytics.tableCountsViaScan(spark, dir))
       assert(p.contains("PushedAggregation: [COUNT(*)]"),
         s"expected aggregate pushdown in scan:\n$p")
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)

@@ -78,11 +78,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
-  test("k01 table counts run through v2 aggregate pushdown and match direct counts") {
-    val got = graft.operators.Analytics.tableCounts.run(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  test("k01 footer-metadata counts == v2 pushed-scan counts == direct counts") {
     val expected = Tables.names.map(n => n -> Tables(spark, dir, n).count()).toMap
-    assert(got == expected)
+    val footer = graft.operators.Analytics.tableCounts.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(footer == expected)
+    val scan = graft.operators.Analytics.tableCountsViaScan(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(scan == expected)
     // the conf flip must not leak
     assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
   }
