@@ -190,6 +190,74 @@ object Vectors {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => aggregatorTopK(s, d))
 
+  // --- int8 scalar quantization ANN -------------------------------------
+
+  /** Symmetric int8 scalar quantization: q_i = floor(x_i·127/max|x| +
+    * 0.5). At 100 TB the candidate-scoring pass is memory-bandwidth
+    * bound, so int8 codes cut the scanned bytes 4× vs float32; exact
+    * re-ranking touches only the top candidates. floor(x+0.5) (not
+    * round) so Spark and the DuckDB oracle agree bit-for-bit. */
+  def quantizeInt8(v: Column): Column = {
+    val mx = greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-12))
+    transform(v, x => floor(x.cast("double") * 127.0 / mx + 0.5).cast("int"))
+  }
+
+  /** Integer dot of two int8 code arrays (exact in both engines). */
+  def quantDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized-scan ANN: score ALL pairs with the int8 dot, keep the
+    * top `refine` per query, exact-re-rank those with the double dot.
+    * Fully deterministic → oracle-checked, unlike the probabilistic
+    * LSH path. */
+  def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+                    refine: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), quantizeInt8(col("embedding")).as("q8"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("q8").as("q_q8"))
+    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantDot(col("q_q8"), col("q8")).as("qdot"),
+        col("q_emb"), col("embedding"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    val refined = pairs.withColumn("qrn", row_number().over(wq))
+      .where(col("qrn") <= refine)
+      .select(col("query_id"), col("neighbor_id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    refined.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topKQuant: GraftQuery = GraftQuery.checked("ns_vec_topk_quant",
+    """WITH coded AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 /
+               GREATEST(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12)
+               + 0.5) AS INTEGER)) AS q8
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.q8, v.q8), p -> p[1] * p[2])) AS qdot,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM coded q JOIN coded v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+    refined AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS qrn
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM refined WHERE qrn <= 20)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => quantizedTopK(s, d))
+
   /** Embedding near-duplicate pairs: cosine above threshold via LSH
     * bucket self-join + exact verify (the embedding analog of minhash
     * dedup). */
@@ -211,5 +279,5 @@ object Vectors {
 
   val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")((s, d) => cosineNearDups(s, d))
 
-  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, topKAgg, nearDups)
+  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, topKAgg, topKQuant, nearDups)
 }

@@ -61,6 +61,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("int8-quantized topk: high recall vs brute force") {
+    val bf = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Vectors.quantizedTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect qz).size.toDouble / bf.size
+    assert(recall >= 0.8, s"int8 refine-and-rerank recall too low: $recall")
+  }
+
   test("TopKAggregator top-k == window-ranking top-k") {
     val win = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
