@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** One-pass sketch signatures for the dedup pipeline.
   *
@@ -131,9 +131,61 @@ case class LshBucketsExpr(child: Expression, planes: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Symmetric int8 scalar quantization of a float vector in one pass:
+  * q_i = floor(x_i · 127 / max(|x|, 1e-12) + 0.5). Same arithmetic as
+  * the HOF formulation in [[graft.operators.Vectors.quantizeInt8Ref]]
+  * (equivalence spec'd). */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+    var mx = 1e-12
+    var i = 0
+    while (i < arr.length) {
+      val a = math.abs(arr(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val out = new Array[Int](arr.length)
+    i = 0
+    while (i < arr.length) {
+      out(i) = math.floor(arr(i).toDouble * 127.0 / mx + 0.5).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact integer dot of two int arrays (the int8 candidate-scoring
+  * kernel). */
+case class IntVecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toIntArray()
+    val b = r.asInstanceOf[ArrayData].toIntArray()
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i).toLong * b(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SketchExpressions {
   def lshBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     ColumnShim.column(LshBucketsExpr(ColumnShim.expression(vec), planes))
+  def quantizeInt8(vec: Column): Column =
+    ColumnShim.column(QuantizeInt8Expr(ColumnShim.expression(vec)))
+  def intVecDot(a: Column, b: Column): Column =
+    ColumnShim.column(IntVecDotExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
   def minhashSig(shingleHashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingleHashes), as, bs, p))
   def simhashSig(tokenHashes: Column): Column =

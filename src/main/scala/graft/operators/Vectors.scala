@@ -196,39 +196,52 @@ object Vectors {
     * 0.5). At 100 TB the candidate-scoring pass is memory-bandwidth
     * bound, so int8 codes cut the scanned bytes 4× vs float32; exact
     * re-ranking touches only the top candidates. floor(x+0.5) (not
-    * round) so Spark and the DuckDB oracle agree bit-for-bit. */
-  def quantizeInt8(v: Column): Column = {
+    * round) so Spark and the DuckDB oracle agree bit-for-bit. One-pass
+    * native expression ([[graft.functions.QuantizeInt8Expr]]). */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.SketchExpressions.quantizeInt8(v)
+
+  /** HOF reference formulation of [[quantizeInt8]] (equivalence spec). */
+  def quantizeInt8Ref(v: Column): Column = {
     val mx = greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-12))
     transform(v, x => floor(x.cast("double") * 127.0 / mx + 0.5).cast("int"))
   }
 
-  /** Integer dot of two int8 code arrays (exact in both engines). */
+  /** Exact integer dot of two int8 code arrays (native kernel). */
   def quantDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+    graft.functions.SketchExpressions.intVecDot(a, b)
 
   /** Quantized-scan ANN: score ALL pairs with the int8 dot, keep the
     * top `refine` per query, exact-re-rank those with the double dot.
     * Fully deterministic → oracle-checked, unlike the probabilistic
-    * LSH path. */
+    * LSH path. Only (id, qdot) rides the ranking shuffle — the float
+    * vectors are joined back for the refined candidates alone. */
   def quantizedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
                     refine: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), quantizeInt8(col("embedding")).as("q8"))
     val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("q8").as("q_q8"))
-    val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        quantDot(col("q_q8"), col("q8")).as("qdot"),
-        col("q_emb"), col("embedding"))
+      .select(col("vec_id").as("query_id"), col("q8").as("q_q8"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
-    val refined = pairs.withColumn("qrn", row_number().over(wq))
+    val refinedIds = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        quantDot(col("q_q8"), col("q8")).as("qdot"))
+      .withColumn("qrn", row_number().over(wq))
       .where(col("qrn") <= refine)
-      .select(col("query_id"), col("neighbor_id"),
-        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+      .select("query_id", "neighbor_id")
+    val qv = Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nv = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    refined.withColumn("rn", row_number().over(w))
+    refinedIds
+      .join(broadcast(qv), "query_id")
+      .join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim_r")
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))

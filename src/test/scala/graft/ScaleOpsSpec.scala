@@ -61,6 +61,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("native int8 quantizer == HOF quantizer, bit for bit") {
+    val emb = Tables.embeddings(spark, dir).limit(200)
+    val diff = emb.select(
+      Vectors.quantizeInt8(col("embedding")).as("native"),
+      Vectors.quantizeInt8Ref(col("embedding")).as("ref"))
+      .where(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
   test("int8-quantized topk: high recall vs brute force") {
     val bf = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
