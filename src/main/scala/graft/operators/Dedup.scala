@@ -31,7 +31,7 @@ object Dedup {
   // --- deterministic hash-family parameters (fixed LCG; formula
   //     h_i(x) = (a_i·x + b_i) mod p, p prime > 2^32; a,b < 2^30 keeps
   //     the product within Long range after x is reduced mod p) ---------
-  private val P = 4294967311L // prime > 2^32
+  private[graft] val P = 4294967311L // prime > 2^32
   private def lcg(seed: Long): Iterator[Long] =
     Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
   private def coeffs(seed: Long, k: Int): Seq[Long] =
@@ -40,8 +40,8 @@ object Dedup {
   val NumHashes = 64
   val Bands = 16
   val RowsPerBand = 4
-  private val as = coeffs(42L, NumHashes)
-  private val bs = coeffs(4242L, NumHashes)
+  private[graft] val as = coeffs(42L, NumHashes)
+  private[graft] val bs = coeffs(4242L, NumHashes)
 
   /** Word w-shingles of a text column (distinct, as strings). Documents
     * with fewer than w tokens yield an empty array — without the guard,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, JaccardSortedLongs, ShingleHashesExpr, TokenHashesExpr}
+import graft.functions.{FloatVecDot, IntVecDotExpr, JaccardSortedLongs, MinHashSigExpr,
+  QuantizeInt8Expr, ShingleHashesExpr, SimHashExpr, TokenHashesExpr}
 
 /** SQL surface for the engine's native expressions.
   *
@@ -47,7 +48,20 @@ object GraftFunctions {
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(text, w) - sorted distinct hashes of word w-shingles"),
       (es: Seq[Expression]) => ShingleHashesExpr(es(0),
-        es(1).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int])),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(shingle_hashes) - 64-element MinHash signature (engine hash family)"),
+      (es: Seq[Expression]) => MinHashSigExpr(es(0),
+        graft.operators.Dedup.as, graft.operators.Dedup.bs, graft.operators.Dedup.P)),
+    ("simhash_sig",
+      info("simhash_sig", "simhash_sig(token_hashes) - 64-bit SimHash signature"),
+      (es: Seq[Expression]) => SimHashExpr(es(0))),
+    ("quantize_int8",
+      info("quantize_int8", "quantize_int8(vec) - symmetric int8 scalar quantization of a float array"),
+      (es: Seq[Expression]) => QuantizeInt8Expr(es(0))),
+    ("int_vec_dot",
+      info("int_vec_dot", "int_vec_dot(a, b) - exact integer dot of two int arrays"),
+      (es: Seq[Expression]) => IntVecDotExpr(es(0), es(1))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -127,6 +127,12 @@ class ApiSpec extends AnyFunSuite {
     assert(j.forall(_.getDouble(0) == 1.0))
     val nTokens = spark.sql("SELECT size(token_hashes(text)) FROM docs_sql LIMIT 1").collect()
     assert(nTokens.head.getInt(0) > 0)
+    val sig = spark.sql(
+      "SELECT size(minhash_sig(shingle_hashes(text, 3))) AS k, simhash_sig(token_hashes(text)) AS s FROM docs_sql LIMIT 1").collect()
+    assert(sig.head.getInt(0) == 64)
+    val qd = spark.sql(
+      "SELECT int_vec_dot(quantize_int8(embedding), quantize_int8(embedding)) AS d FROM emb_sql WHERE vec_id = 0").collect()
+    assert(qd.head.getLong(0) > 0L)
     // extensions class wires the same specs (constructible + applies cleanly)
     assert(new graft.plans.GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
