@@ -188,10 +188,14 @@ object Dedup {
   val simhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_simhash")((s, d) => simhashPairs(s, d))
 
-  /** Blocked exact n-gram Jaccard: block on (lang, length bucket) —
-    * the classic blocking alternative to LSH when a cheap natural key
-    * bounds the candidate set — then exact hashed-3-shingle Jaccard
-    * within blocks. */
+  /** Blocked exact n-gram Jaccard: block on (lang, length bucket), then
+    * PPJoin-style PREFIX FILTERING inside blocks — for J(A,B) ≥ t two
+    * sorted shingle sets must share an element among their first
+    * ⌊(1−t)·|set|⌋+1 shingles, so candidates come from an inverted-
+    * index equi-join on prefix shingles instead of the per-block cross
+    * product (which a 10× weak-scaling run showed going quadratic).
+    * Both prunes (prefix, size-ratio J ≤ min/max) are LOSSLESS: the
+    * exact Jaccard filter at the end makes results identical. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -200,17 +204,18 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
       .cache()
-    // ids-first candidate join: the wide shingle arrays never ride the
-    // block join; the size-ratio bound (J(A,B) ≤ min/max) prunes pairs
-    // before arrays are attached.
-    val ids = docs.select(col("lang"), col("len_bucket"), col("doc_id"), col("sz"))
-    val a = ids.toDF("lang", "len_bucket", "doc_a", "sz_a")
-    val b = ids.toDF("lang", "len_bucket", "doc_b", "sz_b")
-    val candidates = a.join(b, Seq("lang", "len_bucket"))
+    // inverted index over prefix shingles: the wide arrays never ride
+    // the candidate join, and a pair must collide on a prefix token
+    val prefixLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    val pref = docs.select(col("lang"), col("len_bucket"), col("doc_id"), col("sz"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val a = pref.toDF("lang", "len_bucket", "doc_a", "sz_a", "tok")
+    val b = pref.toDF("lang", "len_bucket", "doc_b", "sz_b", "tok")
+    val candidates = a.join(b, Seq("lang", "len_bucket", "tok"))
       .where(col("doc_a") < col("doc_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") /
           greatest(col("sz_a"), col("sz_b")) >= threshold)
-      .select("lang", "doc_a", "doc_b")
+      .select("lang", "doc_a", "doc_b").distinct()
     candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
