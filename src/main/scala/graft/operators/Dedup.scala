@@ -13,16 +13,20 @@ import graft.sources.Tables
   * extension): exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
   *
   * Scale design (the point of these ops is the 100 TB path):
-  *  - Shingles are HASHED to longs once per document
-  *    (`xxhash64`, codegen'd); every downstream op (minhash perms,
-  *    Jaccard intersections) works on long arrays, never re-touching
-  *    strings.
-  *  - Signatures (minhash vectors, simhash bits) are computed by
-  *    explode + partial-aggregated groupBy (map-side combine, whole-stage codegen) — NOT by Spark's higher-order lambda
-  *    functions, which evaluate interpreted and were 3-5× slower.
-  *  - Candidate generation is a banded equi-join on (band_idx,
-  *    band_hash) — the classic LSH trick that replaces the O(n²) cross
-  *    product with a shuffle on hash buckets.
+  *  - Shingles are HASHED to longs once per document (one native
+  *    pass, [[graft.functions.ShingleHashesExpr]]); every downstream
+  *    op (minhash perms, Jaccard intersections) works on long arrays,
+  *    never re-touching strings.
+  *  - Signatures (minhash vectors, simhash bits) are computed whole-
+  *    document in ONE native pass over the hashed arrays
+  *    ([[graft.functions.MinHashSigExpr]]/[[graft.functions.SimHashExpr]])
+  *    — a pure map stage with zero row inflation and zero shuffle (the
+  *    earlier explode + 64-aggregate formulation is kept only as the
+  *    equivalence reference).
+  *  - Candidate generation is always an equi-join on a pruned key —
+  *    LSH band buckets for minhash/simhash, Jaccard prefix tokens
+  *    (PPJoin prefix filter, lossless) for the blocked exact path —
+  *    never the O(n²) cross product.
   *  - Exact verification (Jaccard / Hamming) runs only on candidate
   *    pairs.
   */
