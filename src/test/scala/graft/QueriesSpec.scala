@@ -55,6 +55,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(resized.forall(_.payload.length <= 128))
   }
 
+  test("sequence packing conserves tokens and respects the bin budget") {
+    import org.apache.spark.sql.functions._
+    val packed = graft.operators.TextOps.pack.run(spark, dir).collect()
+    val totalPacked = packed.map(_.getLong(3)).sum
+    val totalTokens = graft.sources.Tables.documents(spark, dir)
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    assert(totalPacked == totalTokens, "every token lands in exactly one bin")
+    // greedy sequential fill: a bin holds docs whose start offsets fall in
+    // [bin*B, (bin+1)*B), so bin_tokens < B + the largest single doc
+    val maxDoc = graft.sources.Tables.documents(spark, dir)
+      .select(max(size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    packed.foreach { r =>
+      assert(r.getLong(3) < 2048 + maxDoc,
+        s"bin ${r.getLong(1)} of lang ${r.getString(0)} overflows: ${r.getLong(3)}")
+    }
+    // bins per lang are contiguous from 0 (a doc larger than the budget
+    // can legitimately skip a bin, so only assert when none exists)
+    if (maxDoc < 2048) packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0 && bins.zipWithIndex.forall { case (b, i) => b == i })
+    }
+  }
+
   test("minhash pairs are symmetric-free and above threshold") {
     val pairs = graft.operators.Dedup.minhashPairs(spark, dir, 0.2).collect()
     pairs.foreach { r =>
