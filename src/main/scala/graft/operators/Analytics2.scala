@@ -138,5 +138,33 @@ object Analytics2 {
       .orderBy("exec_uuid")
   }
 
-  val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection)
+  /** Data-profiling aggregates (the corpus-QA pass every training
+    * pipeline runs before ingest): row count, distinct cardinality,
+    * min/max/median/mean per numeric column, grouped by a partition
+    * key. Exact percentile (sort + linear interpolation — the same
+    * definition as DuckDB's quantile_cont); at 100 TB the swap is
+    * `percentile_approx` (t-digest sketch, mergeable map-side), which
+    * changes one function name, not the plan shape. */
+  val profile: GraftQuery = checked("ns_profile",
+    """SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct("l_suppkey").as("n_supp"),
+        graft.functions.dround(min("l_extendedprice"), 2).as("min_price"),
+        graft.functions.dround(max("l_extendedprice"), 2).as("max_price"),
+        graft.functions.dround(expr("percentile(l_extendedprice, 0.5)"), 2).as("med_price"),
+        graft.functions.dround(avg("l_discount"), 4).as("avg_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection,
+    profile)
 }
