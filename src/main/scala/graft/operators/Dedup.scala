@@ -140,6 +140,40 @@ object Dedup {
   val minhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_minhash")((s, d) => minhashPairs(s, d))
 
+  /** Cross-corpus near-duplicate detection — the DECONTAMINATION op: which
+    * probe documents (an eval/benchmark set, or a new crawl) are near-dups
+    * of the training corpus. Same banded-LSH shape as [[minhashPairs]],
+    * but the band join is corpus×probe instead of a self-join, so the
+    * probe side (typically tiny: an eval suite) broadcasts and the corpus
+    * is touched in one pass — the way you sweep 100 TB of training data
+    * against a fixed benchmark set. */
+  def minhashPairsAcross(corpusDocs: DataFrame, probeDocs: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
+    val cb = minhashBands(minhashSignatures(corpusDocs))
+      .toDF("corpus_id", "band_idx", "band_hash")
+    val pb = minhashBands(minhashSignatures(probeDocs))
+      .toDF("probe_id", "band_idx", "band_hash")
+    val candidates = cb.join(broadcast(pb), Seq("band_idx", "band_hash"))
+      .select("probe_id", "corpus_id").distinct()
+    candidates
+      .join(probeDocs.toDF("probe_id", "sh_p"), "probe_id")
+      .join(corpusDocs.toDF("corpus_id", "sh_c"), "corpus_id")
+      .select(col("probe_id"), col("corpus_id"),
+        jaccardSorted(col("sh_p"), col("sh_c")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), dround(col("jaccard"), 4).as("jaccard"))
+      .orderBy("probe_id", "corpus_id")
+  }
+
+  /** Decontamination query over the shared corpus: every 10th doc plays
+    * the held-out benchmark set; the rest is the training corpus. */
+  val decontam: GraftQuery = GraftQuery.rowsOnly("ns_dedup_decontam") { (spark, dir) =>
+    val docs = shingledDocs(spark, dir).cache()
+    val probe = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    minhashPairsAcross(corpus, probe, threshold = 0.3)
+  }
+
   /** 64-bit SimHash per document in ONE pass over the distinct token
     * hashes ([[graft.functions.SimHashExpr]]): bit j of each token's
     * hash votes ±1 on output bit j — a pure map stage, no explode, no
@@ -253,5 +287,6 @@ object Dedup {
     SELECT lang, doc_a, doc_b, ROUND(j, 4) AS jaccard
     FROM pairs WHERE j >= 0.4 ORDER BY doc_a, doc_b""")((s, d) => ngramJaccardPairs(s, d))
 
-  val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, simhashNearDups, ngramNearDups)
+  val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, simhashNearDups, ngramNearDups,
+    decontam)
 }

@@ -11,7 +11,8 @@ class QueriesSpec extends AnyFunSuite {
   // queries that legitimately return 0 rows at sf0.001 (tiny user-id
   // range doesn't reach their filter bucket)
   private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
-    "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups")
+    "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
+    "ns_dedup_decontam")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -76,6 +77,30 @@ class QueriesSpec extends AnyFunSuite {
       val bins = rows.map(_.getLong(1)).sorted
       assert(bins.head == 0 && bins.zipWithIndex.forall { case (b, i) => b == i })
     }
+  }
+
+  test("decontamination: found pairs verify exactly; high-similarity pairs are found") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.Dedup.hashedShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val probe = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val found = graft.operators.Dedup.minhashPairsAcross(corpus, probe, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force exact Jaccard across the split (tiny at sf0.001)
+    val exact = probe.toDF("probe_id", "sh_p")
+      .crossJoin(corpus.toDF("corpus_id", "sh_c"))
+      .select(col("probe_id"), col("corpus_id"),
+        graft.functions.VectorExpressions.jaccardSorted(col("sh_p"), col("sh_c")).as("j"))
+      .cache()
+    val exactAll = exact.where(col("j") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactHigh = exact.where(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exactAll), "every emitted pair passes the exact verify")
+    assert(exactHigh.subsetOf(found),
+      s"high-sim contamination missed by LSH: ${exactHigh -- found}")
   }
 
   test("minhash pairs are symmetric-free and above threshold") {
