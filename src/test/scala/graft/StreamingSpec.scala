@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSubs.map(_._1) == Set("join-orders-customer", "agg-revenue"))
   }
 
+  test("streaming curation pipeline == batch curate on fingerprint set") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
+      .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
+    val srcDir = Files.createTempDirectory("cur-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = graft.operators.Curation.prepare(stream)
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.format("memory").queryName("cur_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+
+    val streamed = spark.table("cur_out")
+    val batch = graft.operators.Curation.curate(
+      graft.sources.Tables.documents(spark, SparkSuite.sfDir))
+    // identical survivor fingerprints (streaming keeps first-seen, batch
+    // keeps min doc_id — the de-duplicated fp SET is the same)
+    assert(streamed.select("fp").collect().map(_.getString(0)).toSet ==
+      batch.select("fp").collect().map(_.getString(0)).toSet)
+    assert(streamed.count() == batch.count())
+  }
+
   test("streaming fingerprint dedup emits one doc per content fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
