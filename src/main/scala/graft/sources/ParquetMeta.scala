@@ -49,7 +49,7 @@ object ParquetMeta {
       buf.toSeq
     }
     val bconf = spark.sparkContext.broadcast(hconf)
-    spark.createDataset(files)
+    val counted = spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism)))
       .map { case (tbl, file) =>
         val footer = ParquetFileReader.readFooter(
@@ -58,5 +58,10 @@ object ParquetMeta {
       }
       .toDF("tbl", "n0")
       .groupBy("tbl").agg(sum("n0").as("n"))
+    // a table with zero data files must still count as 0 (COUNT(*) of an
+    // empty relation is a row, not an absence)
+    spark.createDataset(tables.map(_._1)).toDF("tbl")
+      .join(counted, Seq("tbl"), "left")
+      .na.fill(0L, Seq("n"))
   }
 }
