@@ -68,11 +68,24 @@ object Dedup {
     * ([[graft.functions.JaccardSortedLongs]]). */
   def hashedShingles(text: Column, w: Int): Column = shingleHashes(text, w)
 
-  /** (doc_id, sh) with hashed 3-shingles, empty docs dropped. */
+  /** Memoized `.cache()` handles: several dedup queries (and warm bench
+    * re-runs) share the shingled frames; calling `.cache()` twice on an
+    * equivalent plan is harmless but floods the log with CacheManager
+    * "already cached" warnings (round-2 verdict item 5). */
+  private val cacheMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def memoCached(spark: SparkSession, dir: String, key: String)
+                        (build: => DataFrame): DataFrame =
+    cacheMemo.getOrElseUpdate((spark, dir, key), build.cache())
+
+  /** (doc_id, sh) with hashed 3-shingles, empty docs dropped; cached
+    * (shared by the minhash + decontamination queries). */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
+    memoCached(spark, dir, "shingled") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), hashedShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+    }
 
   /** 64-element MinHash signature per document in ONE pass over the
     * hashed shingle array ([[graft.functions.MinHashSigExpr]]) — a pure
@@ -120,7 +133,7 @@ object Dedup {
     * exact Jaccard ≥ threshold on candidates only (shingle arrays joined
     * back by doc_id, so the wide arrays never ride through the bands). */
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = shingledDocs(spark, dir).cache()
+    val docs = shingledDocs(spark, dir)
     val bands = minhashBands(minhashSignatures(docs))
     val a = bands.toDF("doc_a", "band_idx", "band_hash")
     val b = bands.toDF("doc_b", "band_idx", "band_hash")
@@ -168,7 +181,7 @@ object Dedup {
   /** Decontamination query over the shared corpus: every 10th doc plays
     * the held-out benchmark set; the rest is the training corpus. */
   val decontam: GraftQuery = GraftQuery.rowsOnly("ns_dedup_decontam") { (spark, dir) =>
-    val docs = shingledDocs(spark, dir).cache()
+    val docs = shingledDocs(spark, dir)
     val probe = docs.where(col("doc_id") % 10 === 0)
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     minhashPairsAcross(corpus, probe, threshold = 0.3)
@@ -235,13 +248,14 @@ object Dedup {
     * Both prunes (prefix, size-ratio J ≤ min/max) are LOSSLESS: the
     * exact Jaccard filter at the end makes results identical. */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 100).cast("int").as("len_bucket"),
-        hashedShingles(col("text"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
-      .cache()
+    val docs = memoCached(spark, dir, "ngram") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"),
+          hashedShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+        .withColumn("sz", size(col("sh")))
+    }
     // inverted index over prefix shingles: the wide arrays never ride
     // the candidate join, and a pair must collide on a prefix token
     val prefixLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")

@@ -74,7 +74,9 @@ object Vectors {
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
   }
 
-  val topK: GraftQuery = GraftQuery.checked("ns_vec_topk",
+  /** Shared DuckDB oracle of the exact top-k contract (window
+    * formulation in SQL — both Spark paths must match it). */
+  private val topKOracle: String =
     """WITH pairs AS (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
@@ -85,7 +87,13 @@ object Vectors {
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
       FROM pairs)
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
-    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => bruteForceTopK(s, d))
+    ORDER BY query_id, sim_r DESC, neighbor_id"""
+
+  /** PRIMARY exact top-k (round-2 plan-audit fix): the bounded
+    * [[aggregatorTopK]] — O(k) state with map-side partials — not the
+    * window ranking, which sorts every candidate pair. */
+  val topK: GraftQuery =
+    GraftQuery.checked("ns_vec_topk", topKOracle)((s, d) => aggregatorTopK(s, d))
 
   // --- random-hyperplane LSH: L tables × b sign bits --------------------
   // Standard SimHash-style ANN (Charikar-style random hyperplanes): a
@@ -174,21 +182,11 @@ object Vectors {
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
   }
 
-  /** The Aggregator produces EXACT top-k (same output contract as the
-    * window formulation, ties toward smaller id), so it shares the
-    * brute-force oracle — a stronger check than rows-only. */
-  val topKAgg: GraftQuery = GraftQuery.checked("ns_vec_topk_agg",
-    """WITH pairs AS (
-      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
-               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
-      FROM embeddings q JOIN embeddings v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, sim_r,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
-      FROM pairs)
-    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
-    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => aggregatorTopK(s, d))
+  /** The window-ranking formulation, kept oracle-checked as the
+    * reference implementation (it mirrors the oracle SQL 1:1; the
+    * Aggregator's equivalence to it is also asserted in ScaleOpsSpec). */
+  val topKWindow: GraftQuery =
+    GraftQuery.checked("ns_vec_topk_window", topKOracle)((s, d) => bruteForceTopK(s, d))
 
   // --- int8 scalar quantization ANN -------------------------------------
 
@@ -220,20 +218,22 @@ object Vectors {
                     refine: Int = 20): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), quantizeInt8(col("embedding")).as("q8"))
+    // query side computed ONCE (tiny: pushed vec_id filter) and reused
+    // for both the int8 scoring pass and the exact re-rank — the corpus
+    // is scanned exactly twice: the int8 scoring pass, and the ids-only
+    // join-back (column-pruned to (vec_id, embedding), q8 never decoded)
     val q = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q8").as("q_q8"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("q8").as("q_q8"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
-    val refinedIds = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val refinedIds = emb.join(broadcast(q.select("query_id", "q_q8")), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         quantDot(col("q_q8"), col("q8")).as("qdot"))
       .withColumn("qrn", row_number().over(wq))
       .where(col("qrn") <= refine)
       .select("query_id", "neighbor_id")
-    val qv = Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val nv = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val qv = q.select(col("query_id"), col("q_emb"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
     refinedIds
@@ -292,5 +292,33 @@ object Vectors {
 
   val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")((s, d) => cosineNearDups(s, d))
 
-  val all: Seq[GraftQuery] = Seq(norms, topK, topKLsh, topKAgg, topKQuant, nearDups)
+  /** One-sided SOUNDNESS check for [[cosineNearDups]] (round-2 verdict
+    * item 3): recall is probabilistic (rows-only above) but soundness is
+    * not — every emitted pair must carry the exact rounded cosine and
+    * sit at/above the threshold. This query re-joins the emitted pairs
+    * back to the embeddings table, recomputes the cosine independently,
+    * and returns the violations; the DuckDB oracle is the empty set, so
+    * any unsound pair breaks the driver's hash compare. Threshold 0.3
+    * (not 0.8) so the emitted set is non-empty at every SF and the check
+    * exercises real recomputation. */
+  def nearDupViolations(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val emitted = cosineNearDups(spark, dir, threshold)
+    val emb = Tables.embeddings(spark, dir)
+    emitted
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        dround(dot(col("emb_a"), col("emb_b")), 4).as("cosine_check"))
+      .where(col("cosine_check") < threshold || col("cosine_check") =!= col("cosine") ||
+        col("id_a") >= col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val nearDupsSound: GraftQuery = GraftQuery.checked("ns_vec_near_dups_sound",
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS DOUBLE) AS cosine_check
+    WHERE 1 = 0""")((s, d) => nearDupViolations(s, d))
+
+  val all: Seq[GraftQuery] =
+    Seq(norms, topK, topKWindow, topKLsh, topKQuant, nearDups, nearDupsSound)
 }

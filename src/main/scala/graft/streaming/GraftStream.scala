@@ -77,11 +77,44 @@ object GraftStream {
             historyDir: String,
             checkpointRoot: String,
             runningSnapshot: () => Dataset[RunningJob],
+            fixedNow: Option[Timestamp],
+            trigger: Trigger): Sinks =
+    startFromRaw(spark,
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+        .text(eventsJsonDir).toDF("value"),
+      defs, edges, metas, submissionsDir, historyDir, checkpointRoot,
+      runningSnapshot, fixedNow, trigger)
+
+  def start(spark: SparkSession, eventsJsonDir: String, defs: Dataset[PipelineDef],
+            edges: Dataset[PipelineTrigger], metas: Map[String, Meta],
+            submissionsDir: String, historyDir: String, checkpointRoot: String,
+            runningSnapshot: () => Dataset[RunningJob],
+            fixedNow: Option[Timestamp] = None): Sinks =
+    start(spark, eventsJsonDir, defs, edges, metas, submissionsDir, historyDir,
+      checkpointRoot, runningSnapshot, fixedNow, Trigger.AvailableNow())
+
+  /** Source-agnostic entry: any streaming DataFrame with a string
+    * `value` column of JSON event payloads — the file/json source
+    * above, or the Kafka-shaped [[graft.sources.mq.SpoolMQProvider]]
+    * (`value` cast to string), or a real Kafka topic in production.
+    * Proves S1 parity is not file-source-specific: GraftStreamSpec runs
+    * the identical pipeline over both sources. */
+  def startFromRaw(spark: SparkSession,
+            raw: DataFrame,
+            defs: Dataset[PipelineDef],
+            edges: Dataset[PipelineTrigger],
+            metas: Map[String, Meta],
+            submissionsDir: String,
+            historyDir: String,
+            checkpointRoot: String,
+            runningSnapshot: () => Dataset[RunningJob],
             fixedNow: Option[Timestamp] = None,
             trigger: Trigger = Trigger.AvailableNow()): Sinks = {
     import spark.implicits._
 
-    val parsed = EventIngest.fromJsonDir(spark, eventsJsonDir)
+    val parsed = EventIngest.parse(raw)
 
     // history sink: append everything (D9), stamped at ingest
     val history = parsed.events.toDF()
@@ -98,7 +131,11 @@ object GraftStream {
       .map { case (p, eid, rc, src) => Submission(p, s"exec-$p-$eid", src, rc) }
     val depSats = IncubationStream.depSatisfactions(parsed.events, edges, metas)
     val released = IncubationStream.submissions(depSats, metas, fixedNow)
-    val bConc = spark.sparkContext.broadcast(metas.map { case (k, m) => k -> m.concurrency })
+    // catalog concurrency flags as a map-literal Catalyst expression
+    // (bounded: one entry per pipeline def) — codegen'd, no Scala UDF
+    val concMap =
+      if (metas.isEmpty) map()
+      else map(metas.toSeq.flatMap { case (k, m) => Seq(lit(k), lit(m.concurrency)) }: _*)
 
     val submissions = candNow.unionByName(released)
       .writeStream
@@ -112,8 +149,8 @@ object GraftStream {
           .select("pipeline_uuid").distinct()
         val gated = batch.toDF()
           .join(broadcast(running.withColumn("_live", lit(true))), Seq("pipeline_uuid"), "left")
-        val conc = udf((p: String) => bConc.value.getOrElse(p, false))
-        gated.where(col("_live").isNull || conc(col("pipeline_uuid")))
+        gated.where(col("_live").isNull ||
+            coalesce(element_at(concMap, col("pipeline_uuid")), lit(false)))
           .drop("_live")
           .write.mode("append").parquet(submissionsDir)
         ()

@@ -50,6 +50,13 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prev)
   }
 
+  test("ns_vec_topk: bounded aggregator plan — ObjectHashAggregate, no full-pair window sort") {
+    val p = plan(graft.operators.Vectors.topK.run(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate (O(k) state):\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ("),
+      s"top-k must not rank all Q·N pairs through a window sort:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

@@ -9,10 +9,11 @@ class QueriesSpec extends AnyFunSuite {
   private val dir = SparkSuite.sfDir
 
   // queries that legitimately return 0 rows at sf0.001 (tiny user-id
-  // range doesn't reach their filter bucket)
+  // range doesn't reach their filter bucket); ns_vec_near_dups_sound is
+  // a violations query — empty IS the correct answer at every SF
   private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
-    "ns_dedup_decontam")
+    "ns_dedup_decontam", "ns_vec_near_dups_sound")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -77,6 +78,27 @@ class QueriesSpec extends AnyFunSuite {
       val bins = rows.map(_.getLong(1)).sorted
       assert(bins.head == 0 && bins.zipWithIndex.forall { case (b, i) => b == i })
     }
+  }
+
+  test("distributed two-phase prefix sum == global-window prefix sum, row for row") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // chunkSize small enough that sf0.001 (500 docs) spans many chunks
+    val dist = graft.operators.TextOps.distributedStartOffsets(docs, chunkSize = 64)
+      .select("doc_id", "lang", "n_tokens", "start_off")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val global = graft.operators.TextOps.globalStartOffsets(docs)
+      .select("doc_id", "lang", "n_tokens", "start_off")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist == global)
+  }
+
+  test("near-dup soundness check is non-vacuous: pairs emitted at 0.3, zero violations") {
+    val emitted = graft.operators.Vectors.cosineNearDups(spark, dir, 0.3).count()
+    assert(emitted > 0, "threshold 0.3 must emit pairs or the soundness query checks nothing")
+    assert(graft.operators.Vectors.nearDupViolations(spark, dir, 0.3).count() == 0)
   }
 
   test("decontamination: found pairs verify exactly; high-similarity pairs are found") {
