@@ -1,9 +1,11 @@
 package graft.api
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 import graft.meta.Fixtures
-import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine}
+import graft.model.{PipelineDef, PipelineTrigger}
+import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine, ProcessEngine}
 
 /** `kaly`-style CLI (the reference ships an empty stub with intended
   * usage `kaly create pipeline pipeline.yaml`, `kaly/Readme.md:1-2`).
@@ -11,9 +13,83 @@ import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine}
   * `sbt "runMain graft.api.Cli <verb> [args]"`.
   *
   * Verbs: list [prefix] | describe <uuid> | downstream <uuid> |
-  * history <uuid> | running | cron-due <ts>
+  * history <uuid> | running | cron-due <ts> |
+  * create pipeline <def.json> — the reference CLI's one documented
+  * verb: a pipeline definition file (JSON here, not YAML — no YAML
+  * parser on the offline classpath and the model is 1:1) upserted into
+  * the catalog with its trigger edges.
   */
 object Cli {
+
+  /** Pipeline-definition file schema: the [[PipelineDef]] columns plus
+    * an inline `triggers` array (the reference's embedded
+    * `TriggersOnModel`, `pipeline_models.py:11-19`). */
+  private val trigSchema = StructType(Seq(
+    StructField("trigger_uuid", StringType), StructField("op", StringType)))
+  private val defFileSchema: StructType =
+    org.apache.spark.sql.Encoders.product[PipelineDef].schema
+      .add(StructField("triggers", ArrayType(trigSchema)))
+
+  /** Parse a definition file into (def, edges). Nulls get the model's
+    * defaults (`retry_max=0`, `concurrency=false` per
+    * `pipeline_models.py:25-27`). */
+  def parsePipelineFile(spark: SparkSession, path: String): (PipelineDef, Seq[PipelineTrigger]) = {
+    val rows = spark.read.schema(defFileSchema).option("multiLine", "true").json(path)
+    val r = rows.head()
+    def optS(f: String): Option[String] = Option(r.getAs[String](f))
+    val uuid = Option(r.getAs[String]("pipeline_uuid")).getOrElse(
+      throw new IllegalArgumentException(s"$path: pipeline_uuid is required"))
+    val d = PipelineDef(
+      pipeline_uuid = uuid,
+      description = optS("description").getOrElse(""),
+      retry_max = Option(r.getAs[Any]("retry_max")).map(_.toString.toDouble.toInt).getOrElse(0),
+      concurrency = Option(r.getAs[Any]("concurrency")).exists(_ == true),
+      engine = optS("engine").getOrElse("spark-local"),
+      engine_args = optS("engine_args").getOrElse("{}"),
+      schedule = optS("schedule"),
+      triggers_op = optS("triggers_op"),
+      scheduler_tracking_id = optS("scheduler_tracking_id"),
+      tags_team = optS("tags_team"),
+      tags_env = optS("tags_env"),
+      pipeline_body = optS("pipeline_body"))
+    val triggers = Option(r.getAs[scala.collection.Seq[Row]]("triggers"))
+      .getOrElse(Seq.empty).toSeq.map { t =>
+      PipelineTrigger(uuid, t.getAs[String]("trigger_uuid"),
+        Option(t.getAs[String]("op")).getOrElse(d.triggers_op.getOrElse("all")))
+    }
+    (d, triggers)
+  }
+
+  /** Verb dispatch, separated from `main` so ApiSpec can drive the CLI
+    * round-trip in-process. Returns a process exit code. */
+  def run(api: GraftApi, spark: SparkSession, args: List[String]): Int = args match {
+    case "list" :: rest =>
+      api.listPipelines(prefix = rest.headOption).show(100, truncate = false); 0
+    case "describe" :: uuid :: Nil =>
+      api.describePipeline(uuid).show(truncate = false); 0
+    case "downstream" :: uuid :: Nil =>
+      api.downstream(uuid).select("pipeline_uuid", "triggers_op").show(100, truncate = false); 0
+    case "history" :: uuid :: Nil =>
+      val events = Fixtures.lifecycleEventsDF(spark, "/root/testdata/sf0.001")
+      events.where(org.apache.spark.sql.functions.col("pipeline_uuid") === uuid)
+        .orderBy(org.apache.spark.sql.functions.col("received_time").desc)
+        .limit(20).show(truncate = false); 0
+    case "running" :: Nil =>
+      api.runningJobs().show(truncate = false); 0
+    case "cron-due" :: ts :: Nil =>
+      api.cronTick(Fixtures.ts(ts)).show(truncate = false); 0
+    case "create" :: "pipeline" :: path :: Nil =>
+      val (d, triggers) = parsePipelineFile(spark, path)
+      api.upsertPipeline(d, triggers)
+      println(s"created pipeline ${d.pipeline_uuid} with ${triggers.size} trigger(s)"); 0
+    case other =>
+      System.err.println(s"unknown verb: ${other.mkString(" ")}")
+      System.err.println(
+        "usage: list [prefix] | describe <uuid> | downstream <uuid> | history <uuid> | " +
+        "running | cron-due '<yyyy-MM-dd HH:mm:ss>' | create pipeline <def.json>")
+      2
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -22,29 +98,10 @@ object Cli {
     spark.sparkContext.setLogLevel("ERROR")
     // demo catalog = the deterministic fixtures; a deployment loads via MetaStore
     val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
-      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))))
-
-    args.toList match {
-      case "list" :: rest =>
-        api.listPipelines(prefix = rest.headOption).show(100, truncate = false)
-      case "describe" :: uuid :: Nil =>
-        api.describePipeline(uuid).show(truncate = false)
-      case "downstream" :: uuid :: Nil =>
-        api.downstream(uuid).select("pipeline_uuid", "triggers_op").show(100, truncate = false)
-      case "history" :: uuid :: Nil =>
-        val events = Fixtures.lifecycleEventsDF(spark, "/root/testdata/sf0.001")
-        events.where(org.apache.spark.sql.functions.col("pipeline_uuid") === uuid)
-          .orderBy(org.apache.spark.sql.functions.col("received_time").desc)
-          .limit(20).show(truncate = false)
-      case "running" :: Nil =>
-        api.runningJobs().show(truncate = false)
-      case "cron-due" :: ts :: Nil =>
-        api.cronTick(Fixtures.ts(ts)).show(truncate = false)
-      case other =>
-        System.err.println(s"unknown verb: ${other.mkString(" ")}")
-        System.err.println("usage: list [prefix] | describe <uuid> | downstream <uuid> | history <uuid> | running | cron-due '<yyyy-MM-dd HH:mm:ss>'")
-        sys.exit(2)
-    }
+      Fixtures.edgesDS(spark),
+      new EngineManager(Seq(new LocalSparkEngine(spark), new ProcessEngine)))
+    val code = run(api, spark, args.toList)
     spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

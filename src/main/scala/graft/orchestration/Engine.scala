@@ -20,10 +20,24 @@ import graft.model.{RunningJob, Submission}
   * queryable/filterable with pushdown instead of the reference's
   * client-side loop (E2's own TODO at `engine.py:53-58`).
   */
+/** What a run executes. The reference marshals the pipeline's
+  * `engine_args` into a pod spec (command/args/image + env,
+  * `engine.py:107-150`); here the payload is typed: a Spark closure for
+  * in-cluster backends, an OS command for pod/process-per-run backends. */
+sealed trait EngineJob
+object EngineJob {
+  /** A run body executed inside the engine's SparkSession. */
+  final case class SparkClosure(body: SparkSession => Unit) extends EngineJob
+  /** A run executed as a separate OS process (the reference's
+    * container command + args, `engine.py:110-118`). */
+  final case class Command(argv: Seq[String], env: Map[String, String] = Map.empty)
+      extends EngineJob
+}
+
 trait EngineBackend {
   def name: String
-  /** E4 — launch a run; body receives the run context. */
-  def submit(sub: Submission, body: SparkSession => Unit): Unit
+  /** E4 — launch a run. Backends reject job kinds they cannot host. */
+  def submit(sub: Submission, job: EngineJob): Unit
   /** E6 — abort by exec uuid. */
   def abort(execUuid: String): Unit
   /** E7 — live run snapshot. */
@@ -43,7 +57,13 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
   private val runs = new ConcurrentHashMap[String, RunState]()
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
-  def submit(sub: Submission, body: SparkSession => Unit): Unit = {
+  def submit(sub: Submission, job: EngineJob): Unit = {
+    val body = job match {
+      case EngineJob.SparkClosure(b) => b
+      case other: EngineJob.Command =>
+        throw new IllegalArgumentException(
+          s"$name hosts Spark closures, not OS commands (got $other); use ProcessEngine")
+    }
     val st = RunState(sub, "running", new Timestamp(System.currentTimeMillis()), None, new StringBuilder)
     runs.put(sub.exec_uuid, st)
     Future {
@@ -95,9 +115,13 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
 final class EngineManager(engines: Seq[EngineBackend]) {
   private val byName = engines.map(e => e.name -> e).toMap
 
-  def submit(engineName: String, sub: Submission, body: SparkSession => Unit): Unit =
+  def submit(engineName: String, sub: Submission, job: EngineJob): Unit =
     byName.getOrElse(engineName,
-      throw new IllegalArgumentException(s"unknown engine: $engineName")).submit(sub, body)
+      throw new IllegalArgumentException(s"unknown engine: $engineName")).submit(sub, job)
+
+  /** Convenience for Spark-closure runs (the common case in-cluster). */
+  def submit(engineName: String, sub: Submission, body: SparkSession => Unit): Unit =
+    submit(engineName, sub, EngineJob.SparkClosure(body))
 
   def abort(execUuid: String): Unit = engines.foreach(_.abort(execUuid))
 

@@ -1,0 +1,130 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+import graft.model.{RunningJob, Submission}
+
+/** Process-per-run backend — the reference's `K8sJobEngine`
+  * (`/root/reference/src/kalytical/core/engine.py:96-169`) with an OS
+  * subprocess standing in for the pod: one isolated process per
+  * submission, the run context passed through the environment exactly
+  * as the pod spec does (`PIPELINE_UUID`/`SOURCE_UUID`/`EXEC_UUID`/
+  * `RETRY_COUNT` env vars, `engine.py:130-143`), abort = kill the
+  * process (`delete_namespaced_pod`, `engine.py:162-169`), logs = the
+  * captured stdout/stderr byte-capped like `limit_bytes`
+  * (`engine.py:152-157`).
+  *
+  * Proves the [[EngineBackend]] trait is not local-Spark-only: the
+  * OrchestrationSpec lifecycle (submit/status/logs/abort, E1–E8) runs
+  * green against both backends. A real K8s backend swaps ProcessBuilder
+  * for a pod create and waitFor for a pod watch — the registry, status
+  * vocabulary and byte-capped logs stay identical.
+  */
+final class ProcessEngine extends EngineBackend {
+  val name = "process"
+
+  private case class RunState(sub: Submission, status: String,
+      start: Timestamp, end: Option[Timestamp], log: StringBuilder,
+      proc: Option[Process], trackingId: String)
+  private val runs = new ConcurrentHashMap[String, RunState]()
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  def submit(sub: Submission, job: EngineJob): Unit = {
+    val cmd = job match {
+      case c: EngineJob.Command => c
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name hosts OS commands, not Spark closures (got $other); use LocalSparkEngine")
+    }
+    // the pod name: '-'.join(exec_uuid, pipeline_uuid, retry) (engine.py:108-109)
+    val trackingId = s"${sub.exec_uuid}-${sub.pipeline_uuid}-${sub.retry_count}"
+    val pb = new ProcessBuilder(cmd.argv: _*).redirectErrorStream(true)
+    val env = pb.environment()
+    cmd.env.foreach { case (k, v) => env.put(k, v) }
+    // the run-context env block of the pod spec (engine.py:130-143);
+    // MQ_CALLBACK_URL/API_ENDPOINT equivalents come via cmd.env when a
+    // deployment needs the callback loop
+    env.put("PIPELINE_UUID", sub.pipeline_uuid)
+    env.put("SOURCE_UUID", sub.source_uuids.map { case (k, v) => s"$k=$v" }.mkString(","))
+    env.put("EXEC_UUID", sub.exec_uuid)
+    env.put("RETRY_COUNT", sub.retry_count.toString)
+
+    val log = new StringBuilder
+    val proc = pb.start()
+    runs.put(sub.exec_uuid, RunState(sub, "running",
+      new Timestamp(System.currentTimeMillis()), None, log, Some(proc), trackingId))
+    Future {
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+      try out.getLines().foreach { l => log.synchronized { log.append(l).append('\n') } }
+      finally out.close()
+      val code = proc.waitFor()
+      val st = runs.get(sub.exec_uuid)
+      // abort() may have already stamped 'aborted' — keep that verdict
+      if (st.status == "running") {
+        val status = if (code == 0) "success" else "failed"
+        log.synchronized { log.append(s"run ${sub.exec_uuid} exited code=$code\n") }
+        runs.put(sub.exec_uuid, st.copy(status = status,
+          end = Some(new Timestamp(System.currentTimeMillis())), proc = None))
+      }
+    }
+    ()
+  }
+
+  def abort(execUuid: String): Unit =
+    Option(runs.get(execUuid)).foreach { st =>
+      if (st.status == "running") {
+        runs.put(execUuid, st.copy(status = "aborted",
+          end = Some(new Timestamp(System.currentTimeMillis())), proc = None))
+        st.proc.foreach(_.destroyForcibly())
+      }
+    }
+
+  def jobs(spark: SparkSession): Dataset[RunningJob] = {
+    import scala.jdk.CollectionConverters._
+    val rows = runs.asScala.map { case (id, st) =>
+      RunningJob(id, st.sub.pipeline_uuid, name, st.trackingId, st.status,
+        Some(st.start), st.end)
+    }.toSeq
+    spark.createDataset(rows)(Encoders.product[RunningJob])
+  }
+
+  def logs(execUuid: String, maxKb: Int = 10): String = {
+    val full = Option(runs.get(execUuid))
+      .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
+    val cap = maxKb * 1024
+    if (full.length <= cap) full else full.substring(full.length - cap)
+  }
+}
+
+object ProcessEngine {
+  /** The reference's engine-args unmarshalling (`marshall_k8s_pod`,
+    * `engine.py:110-118`): `pipeline_command` + `pipeline_args` from the
+    * pipeline's `engine_args` JSON, with defaults when absent. */
+  def commandFromEngineArgs(engineArgsJson: String,
+                            defaultCommand: Seq[String] = Seq("/bin/sh", "-c"),
+                            defaultArgs: Seq[String] = Nil): EngineJob.Command = {
+    import scala.util.Try
+    val parsed = Try(ujsonLite(engineArgsJson)).getOrElse(Map.empty[String, Seq[String]])
+    val command = parsed.getOrElse("pipeline_command", defaultCommand)
+    val args = parsed.getOrElse("pipeline_args", defaultArgs)
+    EngineJob.Command(command ++ args)
+  }
+
+  /** Minimal JSON reader for the two string-array keys we need (no JSON
+    * library on the offline classpath beyond Spark's internals; the
+    * dispatcher parses rich engine_args with `from_json` on the data
+    * plane — this is a driver-side convenience for one tiny doc). */
+  private def ujsonLite(json: String): Map[String, Seq[String]] = {
+    def arr(key: String): Option[Seq[String]] = {
+      val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+      m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty))
+    }
+    Seq("pipeline_command", "pipeline_args").flatMap(k => arr(k).map(k -> _)).toMap
+  }
+}

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Weak-scaling probe for sequence packing (the round-2 plan-audit
+  * scale-killer: a per-language global window funnels the corpus
+  * through #languages reducers). Measures the global-window
+  * formulation vs the distributed two-phase prefix sum on 1× and 10×
+  * corpora, and on a worst-case single-language corpus where the
+  * global window degenerates to ONE reducer task.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.PackScaleProbe"`
+  * Results are documented in BASELINE.md ("Weak-scaling check").
+  */
+object PackScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Force the full packing computation downstream of the offsets. */
+  private def runPack(withOffsets: DataFrame): Long =
+    withOffsets
+      .groupBy(col("lang"), floor(col("start_off") / 2048.0).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .count()
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("pack-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .cache()
+    val n = base.count()
+    val span = base.agg(max("doc_id")).head.getLong(0) + 1
+
+    // 10x corpus: shifted doc_id replicas (packing is order/volume-bound,
+    // not similarity-bound, so replicas weak-scale it directly)
+    val x10 = (0 until 10).map(i =>
+      base.select((col("doc_id") + lit(i * span)).as("doc_id"), col("lang"), col("n_tokens")))
+      .reduce(_.unionByName(_)).cache()
+    x10.count()
+
+    // worst case for the global window: one language, one reducer
+    val mono1 = base.withColumn("lang", lit("en")).cache(); mono1.count()
+    val mono10 = x10.withColumn("lang", lit("en")).cache(); mono10.count()
+
+    def bench(tag: String, docs: DataFrame): Unit = {
+      // warm + best-of-2, matching Bench.scala methodology
+      def best(f: => Long): Double = { time(f); math.min(time(f)._2, time(f)._2) }
+      val g = best(runPack(TextOps.globalStartOffsets(docs)))
+      val d = best(runPack(TextOps.distributedStartOffsets(docs)))
+      println(f"[probe] $tag%-18s global=$g%6.2fs distributed=$d%6.2fs")
+    }
+
+    println(s"[probe] corpus: $n docs at 1x, ${n * 10} at 10x")
+    bench("5-lang 1x", base)
+    bench("5-lang 10x", x10)
+    bench("1-lang 1x", mono1)
+    bench("1-lang 10x", mono10)
+    spark.stop()
+  }
+}

@@ -137,6 +137,61 @@ class ApiSpec extends AnyFunSuite {
     assert(new graft.plans.GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("auth: role gate admits/denies per the facade's verb table (auth.py:13-43)") {
+    import graft.api.{Auth, SecuredGraftApi}
+    val verifier = new Auth.StaticTokenVerifier(Map(
+      "tok-admin" -> Seq("Data-Engineers"),
+      "tok-read" -> Seq("Data-Analyst"),
+      "tok-none" -> Seq("Unrelated-Group")))
+    val policy = new Auth.Policy(verifier, apiTokens = Set("s3cret-api-token"))
+    val secured = new SecuredGraftApi(api, policy)
+
+    // read verb: read + admin groups pass, unknown group and missing token fail
+    assert(secured.as("tok-read").listPipelines(Some("report-")).count() == 3)
+    assert(secured.as("tok-admin").listPipelines(Some("report-")).count() == 3)
+    intercept[Auth.AuthError] { secured.as("tok-none").listPipelines() }
+    intercept[Auth.AuthError] { secured.anonymous.listPipelines() } // auth.py:27
+    // admin verb: read group denied, admin group passes
+    intercept[Auth.AuthError] { secured.as("tok-read").flushPipelines("nope-") }
+    val a2 = secured.as("tok-admin")
+    a2.upsertPipeline(Fixtures.defs.head.copy(pipeline_uuid = "auth-new", schedule = None,
+      scheduler_tracking_id = None), Seq.empty)
+    assert(a2.describePipeline("auth-new").count() == 1)
+    // API token = superuser on every verb (auth.py:32-33)
+    val root = secured.as("s3cret-api-token")
+    assert(root.listPipelines().count() >= 40)
+    root.flushPipelines("auth-new")
+    assert(root.listPipelines(Some("auth-new")).count() == 0)
+    // unknown token: the expired/unrecognized-schema path (auth.py:38)
+    intercept[Auth.AuthError] { secured.as("garbage").listPipelines() }
+    // delete is read-gated — mirrored reference behavior (facade.py:41)
+    assert(Auth.VerbRoles("delete") == "read" && Auth.VerbRoles("upsert") == "admin")
+  }
+
+  test("CLI create pipeline <file> round-trips through upsert (kaly/Readme.md:1-2)") {
+    import graft.api.Cli
+    val a = api
+    val f = java.nio.file.Files.createTempFile("pipe", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"pipeline_uuid": "cli-made", "description": "from file", "retry_max": 2,
+         "concurrency": false, "engine": "spark-local",
+         "schedule": "0 4 * * *", "triggers_op": "all",
+         "triggers": [{"trigger_uuid": "report-daily", "op": "all"},
+                      {"trigger_uuid": "ingest-orders"}]}""")
+    assert(Cli.run(a, spark, List("create", "pipeline", f.toString)) == 0)
+    val made = a.describePipeline("cli-made").collect().head
+    assert(made.retry_max == 2 && made.schedule.contains("0 4 * * *"))
+    val es = a.edges.where($"pipeline_uuid" === "cli-made").collect()
+    assert(es.map(_.trigger_uuid).sorted.toSeq == Seq("ingest-orders", "report-daily"))
+    assert(es.forall(_.op == "all")) // missing op falls back to triggers_op
+    // D5 validation still applies through the CLI path: unknown trigger parent
+    val bad = java.nio.file.Files.createTempFile("pipe-bad", ".json")
+    java.nio.file.Files.writeString(bad,
+      """{"pipeline_uuid": "cli-bad", "triggers": [{"trigger_uuid": "no-such-pipeline"}]}""")
+    intercept[IllegalArgumentException] { Cli.run(a, spark, List("create", "pipeline", bad.toString)) }
+    assert(Cli.run(a, spark, List("bogus")) == 2)
+  }
+
   test("native dot == interpreted HOF dot, bit for bit") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).limit(50)

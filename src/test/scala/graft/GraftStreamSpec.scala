@@ -71,4 +71,66 @@ class GraftStreamSpec extends AnyFunSuite {
     val retried = spark.read.parquet(subs).where($"pipeline_uuid" === "flaky-export").collect()
     assert(retried.head.getAs[Int]("retry_count") == 2)
   }
+
+  test("same pipeline over the Kafka-shaped spool-mq source: identical submissions (S1 parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val spool = Files.createTempDirectory("gs-mq-spool").toString
+    val subs = Files.createTempDirectory("gs-mq-subs").toString
+    val hist = Files.createTempDirectory("gs-mq-hist").toString
+    val ckpt = Files.createTempDirectory("gs-mq-ckpt").toString
+
+    // one file = one message (the SQS body), same events as the file-source run
+    val batch1 = Seq(
+      ev(1, "origination", "ingest-orders"),
+      ev(2, "origination", "report-daily"),
+      ev(3, "failure", "flaky-export", retry = 1),
+      ev(4, "success", "clean-orders"),
+      "not json at all")
+    batch1.zipWithIndex.foreach { case (msg, i) =>
+      Files.writeString(java.nio.file.Path.of(spool, f"msg-$i%05d.json"), msg)
+    }
+
+    val metas = Dispatcher.metaMap(Fixtures.defsDS(spark), Fixtures.edgesDS(spark))
+    val running = Seq(RunningJob("live-1", "report-daily", "spark-local", "t", "running", None, None))
+    def runOnce(): Unit = {
+      val raw = spark.readStream.format("spool-mq").load(spool)
+        .select(col("value").cast("string").as("value"))
+      val sinks = GraftStream.startFromRaw(spark, raw,
+        Fixtures.defsDS(spark), Fixtures.edgesDS(spark), metas,
+        subs, hist, ckpt,
+        () => spark.createDataset(running)(Encoders.product[RunningJob]),
+        fixedNow = Some(Fixtures.NOW))
+      sinks.submissions.awaitTermination(120000)
+      sinks.history.awaitTermination(120000)
+      sinks.submissions.stop(); sinks.history.stop()
+    }
+    runOnce()
+    val got1 = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().sorted.toSeq
+    assert(got1 == Seq("flaky-export", "ingest-orders"))
+
+    // a later message arrives; checkpointed offsets resume past batch 1
+    Files.writeString(java.nio.file.Path.of(spool, "msg-99999.json"),
+      ev(5, "success", "clean-customer"))
+    runOnce()
+    val got2 = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().sorted.toSeq
+    assert(got2 == Seq("flaky-export", "ingest-orders", "join-orders-customer"),
+      s"spool-mq replay should match the file-source run exactly: $got2")
+    assert(spark.read.parquet(hist).count() == 5)
+  }
+
+  test("spool-mq surfaces the Kafka source schema with per-message offsets") {
+    import org.apache.spark.sql.functions.col
+    val spool = Files.createTempDirectory("gs-mq-schema").toString
+    Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (m, i) =>
+      Files.writeString(java.nio.file.Path.of(spool, s"m$i.txt"), m)
+    }
+    // batch read path (backfill); same schema as spark-sql-kafka
+    val df = spark.read.format("spool-mq").load(spool)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    val rows = df.select(col("offset"), col("value").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
+  }
 }

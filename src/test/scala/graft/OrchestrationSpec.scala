@@ -254,4 +254,57 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(mgr.filteredJobs(spark, statuses = Seq("success")).count() == 1)
     intercept[IllegalArgumentException] { mgr.submit("k8s", sub, _ => ()) }
   }
+
+  test("process engine: submit/status/logs/abort lifecycle against the same trait (E1-E8)") {
+    val engine = new ProcessEngine
+    val mgr = new EngineManager(Seq(engine))
+    val sub = Submission("adhoc-task-00", "exec-proc-1", Map("dep-a" -> "exec-42"), 1)
+    // run context rides the environment exactly like the pod spec (engine.py:130-143)
+    mgr.submit("process", sub, EngineJob.Command(Seq("/bin/sh", "-c",
+      "echo run $PIPELINE_UUID $EXEC_UUID retry=$RETRY_COUNT src=$SOURCE_UUID")))
+    val deadline = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < deadline &&
+      engine.jobs(spark).collect().head.engine_status == "running") Thread.sleep(50)
+    val job = engine.jobs(spark).collect().head
+    assert(job.engine_status == "success" && job.pipeline_uuid == "adhoc-task-00")
+    assert(job.engine_tracking_id == "exec-proc-1-adhoc-task-00-1") // pod name, engine.py:108
+    assert(engine.logs("exec-proc-1").contains("run adhoc-task-00 exec-proc-1 retry=1 src=dep-a=exec-42"))
+
+    // failure path: nonzero exit
+    mgr.submit("process", sub.copy(exec_uuid = "exec-proc-2"),
+      EngineJob.Command(Seq("/bin/sh", "-c", "exit 3")))
+    val d2 = System.currentTimeMillis() + 30000
+    def st2() = engine.jobs(spark).collect().find(_.exec_uuid == "exec-proc-2").get.engine_status
+    while (System.currentTimeMillis() < d2 && st2() == "running") Thread.sleep(50)
+    assert(st2() == "failed")
+
+    // abort = kill the process (delete_namespaced_pod, engine.py:162-169)
+    mgr.submit("process", sub.copy(exec_uuid = "exec-proc-3"),
+      EngineJob.Command(Seq("/bin/sh", "-c", "sleep 30")))
+    Thread.sleep(200)
+    mgr.abort("exec-proc-3")
+    val d3 = System.currentTimeMillis() + 30000
+    def st3() = engine.jobs(spark).collect().find(_.exec_uuid == "exec-proc-3").get.engine_status
+    while (System.currentTimeMillis() < d3 && st3() == "running") Thread.sleep(50)
+    assert(st3() == "aborted")
+
+    // backends reject job kinds they cannot host
+    intercept[IllegalArgumentException] { engine.submit(sub, EngineJob.SparkClosure(_ => ())) }
+    intercept[IllegalArgumentException] {
+      new LocalSparkEngine(spark).submit(sub, EngineJob.Command(Seq("true")))
+    }
+    // filteredJobs unions across heterogeneous backends
+    val both = new EngineManager(Seq(new LocalSparkEngine(spark), engine))
+    assert(both.filteredJobs(spark, statuses = Seq("success", "failed", "aborted"), limit = 10)
+      .count() == 3)
+  }
+
+  test("process engine: command unmarshalled from engine_args JSON (engine.py:110-118)") {
+    val c = ProcessEngine.commandFromEngineArgs(
+      """{"pipeline_command": ["/bin/echo"], "pipeline_args": ["hello", "world"], "cpu_count": "2"}""")
+    assert(c.argv == Seq("/bin/echo", "hello", "world"))
+    val d = ProcessEngine.commandFromEngineArgs("""{"cpu_count": "2"}""",
+      defaultCommand = Seq("/bin/true"))
+    assert(d.argv == Seq("/bin/true"))
+  }
 }
