@@ -42,23 +42,28 @@ object PackScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    val base = Tables.documents(spark, dir)
+    // sanity anchor: the real documents table (the oracle-checked input)
+    val real = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .cache()
-    val n = base.count()
-    val span = base.agg(max("doc_id")).head.getLong(0) + 1
+    val nReal = real.count()
 
-    // 10x corpus: shifted doc_id replicas (packing is order/volume-bound,
-    // not similarity-bound, so replicas weak-scale it directly)
-    val x10 = (0 until 10).map(i =>
-      base.select((col("doc_id") + lit(i * span)).as("doc_id"), col("lang"), col("n_tokens")))
-      .reduce(_.unionByName(_)).cache()
-    x10.count()
+    // packing consumes only (doc_id, lang, n_tokens), so weak-scaling
+    // uses a synthesized token table big enough that per-reducer volume —
+    // not fixed overhead — dominates: 2M docs at 1x, 20M at 10x.
+    def corpus(nDocs: Long, nLangs: Int): DataFrame =
+      spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat(lit("l"), (col("id") % nLangs).cast("string")).as("lang"),
+        (lit(50) + col("id") % 300).cast("long").as("n_tokens"))
+        .repartition(32).cache()
 
+    val base = corpus(2L * 1000 * 1000, 5); base.count()
+    val x10 = corpus(20L * 1000 * 1000, 5); x10.count()
     // worst case for the global window: one language, one reducer
-    val mono1 = base.withColumn("lang", lit("en")).cache(); mono1.count()
-    val mono10 = x10.withColumn("lang", lit("en")).cache(); mono10.count()
+    val mono1 = corpus(2L * 1000 * 1000, 1); mono1.count()
+    val mono10 = corpus(20L * 1000 * 1000, 1); mono10.count()
 
     def bench(tag: String, docs: DataFrame): Unit = {
       // warm + best-of-2, matching Bench.scala methodology
@@ -68,11 +73,12 @@ object PackScaleProbe {
       println(f"[probe] $tag%-18s global=$g%6.2fs distributed=$d%6.2fs")
     }
 
-    println(s"[probe] corpus: $n docs at 1x, ${n * 10} at 10x")
-    bench("5-lang 1x", base)
-    bench("5-lang 10x", x10)
-    bench("1-lang 1x", mono1)
-    bench("1-lang 10x", mono10)
+    println(s"[probe] real sf-dir corpus: $nReal docs; synthetic: 2M at 1x, 20M at 10x")
+    bench("real-docs", real)
+    bench("5-lang 1x (2M)", base)
+    bench("5-lang 10x (20M)", x10)
+    bench("1-lang 1x (2M)", mono1)
+    bench("1-lang 10x (20M)", mono10)
     spark.stop()
   }
 }
