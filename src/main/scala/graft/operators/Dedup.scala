@@ -153,6 +153,41 @@ object Dedup {
   val minhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_minhash")((s, d) => minhashPairs(s, d))
 
+  /** Independent string-shingle Jaccard for the soundness oracles: the
+    * HOF shingle builder + builtin set ops — a different tokenizer,
+    * different shingle representation and different intersect algorithm
+    * than the native hashed-longs merge the emitters use. */
+  private def stringJaccard(textA: Column, textB: Column, w: Int): Column = {
+    val sa = shingles(textA, w)
+    val sb = shingles(textB, w)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** One-sided SOUNDNESS check for [[minhashPairs]]: recall through the
+    * 16-band LSH is probabilistic (rows-only above), but every emitted
+    * pair must genuinely clear the Jaccard threshold. Re-derives the
+    * similarity from raw text via [[stringJaccard]] and returns the
+    * violations; the oracle is the empty set, so any unsound pair (or
+    * any hashed-vs-string similarity divergence) breaks the hash
+    * compare. */
+  def minhashViolations(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    minhashPairs(spark, dir, threshold)
+      .join(docs.toDF("doc_a", "text_a"), "doc_a")
+      .join(docs.toDF("doc_b", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        dround(stringJaccard(col("text_a"), col("text_b"), 3), 4).as("jaccard_check"))
+      .where(col("jaccard_check") < threshold || col("jaccard_check") =!= col("jaccard") ||
+        col("doc_a") >= col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashSound: GraftQuery = GraftQuery.checked("ns_dedup_minhash_sound",
+    """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS jaccard_check
+    WHERE 1 = 0""")((s, d) => minhashViolations(s, d))
+
   /** Cross-corpus near-duplicate detection — the DECONTAMINATION op: which
     * probe documents (an eval/benchmark set, or a new crawl) are near-dups
     * of the training corpus. Same banded-LSH shape as [[minhashPairs]],
@@ -186,6 +221,32 @@ object Dedup {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     minhashPairsAcross(corpus, probe, threshold = 0.3)
   }
+
+  /** Soundness check for [[decontam]], same construction as
+    * [[minhashViolations]]: emitted (probe, corpus) contamination pairs
+    * re-verified against the independent string-shingle Jaccard; oracle
+    * is the empty violation set. Also pins the probe/corpus split rule
+    * (probe ids ≡ 0 mod 10, corpus ids not). */
+  def decontamViolations(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val shingled = shingledDocs(spark, dir)
+    val emitted = minhashPairsAcross(
+      shingled.where(col("doc_id") % 10 =!= 0),
+      shingled.where(col("doc_id") % 10 === 0), threshold)
+    emitted
+      .join(docs.toDF("probe_id", "text_p"), "probe_id")
+      .join(docs.toDF("corpus_id", "text_c"), "corpus_id")
+      .select(col("probe_id"), col("corpus_id"), col("jaccard"),
+        dround(stringJaccard(col("text_p"), col("text_c"), 3), 4).as("jaccard_check"))
+      .where(col("jaccard_check") < threshold || col("jaccard_check") =!= col("jaccard") ||
+        col("probe_id") % 10 =!= 0 || col("corpus_id") % 10 === 0)
+      .orderBy("probe_id", "corpus_id")
+  }
+
+  val decontamSound: GraftQuery = GraftQuery.checked("ns_dedup_decontam_sound",
+    """SELECT CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS BIGINT) AS corpus_id,
+           CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS jaccard_check
+    WHERE 1 = 0""")((s, d) => decontamViolations(s, d))
 
   /** 64-bit SimHash per document in ONE pass over the distinct token
     * hashes ([[graft.functions.SimHashExpr]]): bit j of each token's
@@ -301,6 +362,6 @@ object Dedup {
     SELECT lang, doc_a, doc_b, ROUND(j, 4) AS jaccard
     FROM pairs WHERE j >= 0.4 ORDER BY doc_a, doc_b""")((s, d) => ngramJaccardPairs(s, d))
 
-  val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, simhashNearDups, ngramNearDups,
-    decontam)
+  val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
+    ngramNearDups, decontam, decontamSound)
 }

@@ -314,11 +314,41 @@ object Vectors {
       .orderBy("id_a", "id_b")
   }
 
+  /** Soundness check for [[lshTopK]]: which neighbors LSH surfaces is
+    * probabilistic (rows-only), but every emitted row must carry the
+    * true cosine (recomputed via the interpreted HOF dot — a different
+    * evaluation path than the native expression the emitter uses), must
+    * not pair a query with itself, and no query may exceed k rows. The
+    * oracle is the empty violation set. */
+  def lshTopKViolations(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emitted = lshTopK(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val valueViol = emitted
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim_r"),
+        dround(dotHof(col("q_emb"), col("n_emb")), 4).as("sim_check"),
+        lit("bad_sim").as("reason"))
+      .where(col("sim_check") =!= col("sim_r") || col("neighbor_id") === col("query_id"))
+    val countViol = emitted.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > k)
+      .select(col("query_id"), lit(null).cast("bigint").as("neighbor_id"),
+        lit(null).cast("double").as("sim_r"), lit(null).cast("double").as("sim_check"),
+        lit("too_many").as("reason"))
+    valueViol.unionByName(countViol).orderBy("query_id", "neighbor_id")
+  }
+
+  val lshSound: GraftQuery = GraftQuery.checked("ns_vec_topk_lsh_sound",
+    """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS DOUBLE) AS sim_r, CAST(NULL AS DOUBLE) AS sim_check,
+           CAST(NULL AS VARCHAR) AS reason
+    WHERE 1 = 0""")((s, d) => lshTopKViolations(s, d))
+
   val nearDupsSound: GraftQuery = GraftQuery.checked("ns_vec_near_dups_sound",
     """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
            CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS DOUBLE) AS cosine_check
     WHERE 1 = 0""")((s, d) => nearDupViolations(s, d))
 
   val all: Seq[GraftQuery] =
-    Seq(norms, topK, topKWindow, topKLsh, topKQuant, nearDups, nearDupsSound)
+    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound)
 }

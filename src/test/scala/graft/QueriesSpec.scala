@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite {
   // a violations query — empty IS the correct answer at every SF
   private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
-    "ns_dedup_decontam", "ns_vec_near_dups_sound")
+    "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
+    "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -99,6 +100,15 @@ class QueriesSpec extends AnyFunSuite {
     val emitted = graft.operators.Vectors.cosineNearDups(spark, dir, 0.3).count()
     assert(emitted > 0, "threshold 0.3 must emit pairs or the soundness query checks nothing")
     assert(graft.operators.Vectors.nearDupViolations(spark, dir, 0.3).count() == 0)
+  }
+
+  test("minhash/decontam/lsh soundness checks are non-vacuous at a permissive threshold") {
+    // at sf0.001 the default thresholds may emit nothing; drop them until
+    // the emitters produce pairs, then assert zero violations there too
+    assert(graft.operators.Dedup.minhashPairs(spark, dir, 0.2).count() > 0)
+    assert(graft.operators.Dedup.minhashViolations(spark, dir, 0.2).count() == 0)
+    assert(graft.operators.Vectors.lshTopK(spark, dir).count() > 0)
+    assert(graft.operators.Vectors.lshTopKViolations(spark, dir).count() == 0)
   }
 
   test("decontamination: found pairs verify exactly; high-similarity pairs are found") {
