@@ -362,6 +362,67 @@ object Dedup {
     SELECT lang, doc_a, doc_b, ROUND(j, 4) AS jaccard
     FROM pairs WHERE j >= 0.4 ORDER BY doc_a, doc_b""")((s, d) => ngramJaccardPairs(s, d))
 
+  /** Near-duplicate CLUSTERS via connected components over the verified
+    * pair graph — the keep-one-per-cluster step an actual dedup pipeline
+    * ends with (pairs alone over-delete: a~b, b~c must collapse to ONE
+    * cluster even when a!~c). Distributed min-label propagation: each
+    * round every node takes the min label in its closed neighborhood
+    * (one join + one agg, all shuffle-parallel); converges in
+    * graph-diameter rounds — near-dup components are short chains in
+    * practice (adversarially deep chains would call for star-contraction
+    * rounds, same join primitives). The only driver-side values are the
+    * per-round convergence scalar and the loop itself;
+    * `localCheckpoint` truncates lineage so plans stay flat. */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    maxIters: Int = 50): DataFrame = {
+    val e = ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b")
+    val und = e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = und.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nbr_label")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min("nbr_label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same verified
+    * pair set (tiny at oracle scale), cluster id = min reachable node. */
+  val clusters: GraftQuery = GraftQuery.checked("ns_dedup_cluster",
+    """WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id""")((s, d) => dedupClusters(s, d))
+
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
-    ngramNearDups, decontam, decontamSound)
+    ngramNearDups, decontam, decontamSound, clusters)
 }

@@ -179,6 +179,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Domain-MIXTURE sampling — the "hit a target mixture across
+    * sources" step of corpus assembly: a per-source quota yields a
+    * per-source Bernoulli rate, and each doc is accepted iff a uniform
+    * derived from md5(doc_id) clears the rate (the first 8 hex digits
+    * compared against the rate as a zero-padded hex threshold —
+    * fixed-width lowercase hex compares identically as string and as
+    * number in every engine). Fully parallel: the per-source rate table
+    * is a tiny broadcast, acceptance is pure column algebra — no
+    * window, no per-group sort, no skew sensitivity. Deterministic and
+    * content-independent, so re-runs and re-partitions reproduce the
+    * same sample. */
+  def mixtureSample(spark: SparkSession, dir: String, quotaPerSource: Int = 40): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate", least(lit(1.0), lit(quotaPerSource.toDouble) / col("n_docs")))
+      .withColumn("th", format_string("%08x",
+        least(floor(col("rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
+    val sampled = docs.join(broadcast(rates.select("source", "th")), "source")
+      .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) < col("th"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sampled_chars"))
+    rates.select(col("source"), col("n_docs"), dround(col("rate"), 6).as("rate"))
+      .join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+      .orderBy("source")
+  }
+
+  val mixture: GraftQuery = GraftQuery.checked("ns_text_mixture",
+    """WITH rates AS (
+      SELECT source, COUNT(*) AS n_docs,
+             LEAST(1.0, 40.0 / COUNT(*)) AS rate,
+             printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0, 40.0 / COUNT(*)) * 4294967296.0),
+                                       4294967295) AS BIGINT)) AS th
+      FROM documents GROUP BY source),
+    sampled AS (
+      SELECT d.source, COUNT(*) AS n_sampled, CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+      FROM documents d JOIN rates r USING (source)
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.th
+      GROUP BY d.source)
+    SELECT r.source, r.n_docs, ROUND(r.rate, 6) AS rate,
+           COALESCE(s.n_sampled, 0) AS n_sampled,
+           COALESCE(s.sampled_chars, 0) AS sampled_chars
+    FROM rates r LEFT JOIN sampled s ON r.source = s.source
+    ORDER BY r.source""")((s, d) => mixtureSample(s, d))
+
+  /** Deterministic GLOBAL SHUFFLE sharding — the "shuffle the corpus
+    * before training" step: shard = first hex digit of md5(doc_id)
+    * (16 shards; widen the prefix for more). Pure map + aggregate —
+    * the shard histogram verifies balance without materializing the
+    * shuffled corpus; writing it is `df.repartition(col("shard"))`. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("shard"),
+        col("n_chars"))
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("shard")
+
+  val shuffle: GraftQuery = GraftQuery.checked("ns_text_shuffle",
+    """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY shard ORDER BY shard""")((s, d) => shuffleShards(s, d))
+
   /** (doc_id, lang, n_tokens) — shared input of the packing formulations. */
   private def packInput(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -253,5 +316,5 @@ object TextOps {
   }
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
-    redact, hashSample, pack)
+    redact, hashSample, mixture, shuffle, pack)
 }

@@ -14,7 +14,7 @@ class QueriesSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
     "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
-    "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound")
+    "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -100,6 +100,40 @@ class QueriesSpec extends AnyFunSuite {
     val emitted = graft.operators.Vectors.cosineNearDups(spark, dir, 0.3).count()
     assert(emitted > 0, "threshold 0.3 must emit pairs or the soundness query checks nothing")
     assert(graft.operators.Vectors.nearDupViolations(spark, dir, 0.3).count() == 0)
+  }
+
+  test("dedup clusters: every verified pair lands in one cluster; labels are cluster minima") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir, 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "need pairs at 0.2 for a non-vacuous cluster test")
+    val labels = graft.operators.Dedup.dedupClusters(spark, dir, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // both endpoints of every edge share a label (connectivity folded in)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // each label is the min doc_id of its member set
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.keys.min == cl, s"cluster $cl label is not its min member")
+    }
+  }
+
+  test("mixture sampling hits per-source quotas approximately; shuffle shards cover the corpus") {
+    import org.apache.spark.sql.functions._
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    val mix = graft.operators.TextOps.mixtureSample(spark, dir).collect()
+    assert(mix.length == 20) // twenty sources in the fixture corpus
+    mix.foreach { r =>
+      val (n, rate, sampled) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      val expect = n * rate
+      assert(sampled <= n)
+      assert(math.abs(sampled - expect) <= math.max(10, expect), // loose Chernoff-ish bound
+        s"source ${r.getString(0)}: sampled $sampled vs expected $expect")
+    }
+    val shards = graft.operators.TextOps.shuffleShards(spark, dir).collect()
+    assert(shards.map(_.getLong(1)).sum == total, "shards must partition the corpus")
+    assert(shards.length > 8, "md5 prefix should populate most of the 16 shards")
   }
 
   test("minhash/decontam/lsh soundness checks are non-vacuous at a permissive threshold") {
