@@ -52,7 +52,8 @@ final class GraftApi(
     var catalog: Catalog,
     var edges: Dataset[PipelineTrigger],
     val engines: EngineManager,
-    cfg: GraftConfig = GraftConfig.default) {
+    cfg: GraftConfig = GraftConfig.default,
+    val cronProvider: CronProvider = new RegistryCronProvider) {
 
   // --- pipeline CRUD (facade.py:30-68) ---------------------------------
   /** GET /pipeline/list (stub in the reference; semantics = D2). */
@@ -69,18 +70,45 @@ final class GraftApi(
   /** GET /pipeline/downstream (D1) */
   def downstream(uuid: String): DataFrame = catalog.downstream(uuid, edges)
 
-  /** PUT /pipeline (D5) — upsert def + its trigger edges. */
+  /** PUT /pipeline (D5) — upsert def + its trigger edges, reconciling
+    * the external schedule registration (`data_provider.py:69-70` +
+    * `ext_sched.py:21-56`): a schedule registers/re-registers a cron
+    * job and stamps its tracking id; removing the schedule deregisters
+    * the previous registration. */
   def upsertPipeline(d: PipelineDef, triggers: Seq[PipelineTrigger]): Unit = {
-    catalog = catalog.upsert(d, triggers)
+    val prev = catalog.describe(d.pipeline_uuid).collect().headOption // catalog metadata: bounded
+    val reconciled = d.schedule match {
+      case Some(sched) =>
+        d.copy(scheduler_tracking_id =
+          Some(cronProvider.createCronJob(sched, d.pipeline_uuid)))
+      case None =>
+        prev.flatMap(_.scheduler_tracking_id).foreach(cronProvider.deleteCronJob)
+        d.copy(scheduler_tracking_id = None)
+    }
+    try catalog = catalog.upsert(reconciled, triggers)
+    catch {
+      case e: Throwable =>
+        // roll the registration back to the previous def's state so a
+        // rejected upsert (D5 validation) leaves no stray cron job
+        reconciled.scheduler_tracking_id.foreach { jobName =>
+          prev.flatMap(p => p.schedule.map(s => (s, p))) match {
+            case Some((s, p)) => cronProvider.createCronJob(s, p.pipeline_uuid)
+            case None => cronProvider.deleteCronJob(jobName)
+          }
+        }
+        throw e
+    }
     val others = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= d.pipeline_uuid)
     edges = others.unionByName(
       spark.createDataset(triggers)(Encoders.product[PipelineTrigger]))
   }
 
-  /** DELETE /pipeline (D6). */
+  /** DELETE /pipeline (D6) — also deregisters any external schedule. */
   def deletePipeline(uuid: String, safeDelete: Boolean = true): Unit = {
+    val tracking = catalog.describe(uuid).collect().headOption.flatMap(_.scheduler_tracking_id)
     catalog = catalog.delete(uuid, edges, safeDelete)
     edges = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= uuid)
+    tracking.foreach(cronProvider.deleteCronJob)
   }
 
   /** DELETE /pipeline/flush (D7). Flush bypasses the D6 per-pipeline

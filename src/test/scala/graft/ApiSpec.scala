@@ -137,6 +137,45 @@ class ApiSpec extends AnyFunSuite {
     assert(new graft.plans.GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("cron provider: schedule lifecycle reconciles external registrations (ext_sched.py)") {
+    import graft.model.PipelineTrigger
+    import graft.orchestration.RegistryCronProvider
+    val provider = new RegistryCronProvider
+    val a = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      cronProvider = provider)
+    val base = Fixtures.defs.head.copy(pipeline_uuid = "cron-new",
+      schedule = Some("0 5 * * *"), scheduler_tracking_id = None)
+
+    // schedule -> registered + tracking id stamped (data_provider.py:69-70)
+    a.upsertPipeline(base, Seq.empty)
+    assert(provider.listCronJobs() == Map("graft-cron-cron-new" -> "0 5 * * *"))
+    assert(a.describePipeline("cron-new").collect().head.scheduler_tracking_id
+      .contains("graft-cron-cron-new"))
+    // re-upsert with a new schedule -> re-created, not duplicated (409 path)
+    a.upsertPipeline(base.copy(schedule = Some("30 6 * * *")), Seq.empty)
+    assert(provider.listCronJobs() == Map("graft-cron-cron-new" -> "30 6 * * *"))
+    // schedule removed -> deregistered, tracking id cleared
+    a.upsertPipeline(base.copy(schedule = None), Seq.empty)
+    assert(provider.listCronJobs().isEmpty)
+    assert(a.describePipeline("cron-new").collect().head.scheduler_tracking_id.isEmpty)
+    // rejected upsert (unknown trigger) leaves no stray registration
+    intercept[IllegalArgumentException] {
+      a.upsertPipeline(base, Seq(PipelineTrigger("cron-new", "no-such-parent", "all")))
+    }
+    assert(provider.listCronJobs().isEmpty)
+    // delete deregisters; double-delete of the job is tolerated (404 path)
+    a.upsertPipeline(base, Seq.empty)
+    a.deletePipeline("cron-new")
+    assert(provider.listCronJobs().isEmpty)
+    provider.deleteCronJob("graft-cron-cron-new") // long gone -> no throw
+    // malformed schedule never registers
+    intercept[IllegalArgumentException] {
+      a.upsertPipeline(base.copy(schedule = Some("not a cron")), Seq.empty)
+    }
+    assert(provider.listCronJobs().isEmpty)
+  }
+
   test("auth: role gate admits/denies per the facade's verb table (auth.py:13-43)") {
     import graft.api.{Auth, SecuredGraftApi}
     val verifier = new Auth.StaticTokenVerifier(Map(

@@ -57,6 +57,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must not rank all Q·N pairs through a window sort:\n$p")
   }
 
+  test("ns_text_pack: cumsum windows partition by (lang, chunk), never lang alone") {
+    val p = plan(graft.operators.TextOps.pack.run(spark, dir))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window specs in pack plan:\n$p")
+    // every data-plane window must include the chunk key; a lang-only
+    // window is the single-reducer-per-language scale killer (round 2)
+    val langOnly = specs.filter(s => s.contains("lang#") && !s.contains("chunk#"))
+    assert(langOnly.isEmpty, s"lang-only window spec(s) found: $langOnly")
+  }
+
+  test("ns_text_mixture: rate table broadcasts; no shuffle join on the corpus side") {
+    val p = plan(graft.operators.TextOps.mixture.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the per-source rate table to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge against a tiny rate table:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
