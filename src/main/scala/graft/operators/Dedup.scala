@@ -396,6 +396,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // labels are localCheckpointed (materialized), so the edge cache can
+    // go immediately — keeps repeat invocations from piling up cache
+    // entries (and "already cached" warnings) in long sessions
+    und.unpersist()
     labels.orderBy("doc_id")
   }
 

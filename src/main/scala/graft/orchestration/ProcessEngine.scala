@@ -104,27 +104,21 @@ final class ProcessEngine extends EngineBackend {
 object ProcessEngine {
   /** The reference's engine-args unmarshalling (`marshall_k8s_pod`,
     * `engine.py:110-118`): `pipeline_command` + `pipeline_args` from the
-    * pipeline's `engine_args` JSON, with defaults when absent. */
+    * pipeline's `engine_args` JSON, with defaults when absent. Parsed
+    * with Jackson (already on Spark's classpath) — driver-side, one
+    * tiny document; the data plane parses engine_args with `from_json`. */
   def commandFromEngineArgs(engineArgsJson: String,
                             defaultCommand: Seq[String] = Seq("/bin/sh", "-c"),
                             defaultArgs: Seq[String] = Nil): EngineJob.Command = {
+    import scala.jdk.CollectionConverters._
     import scala.util.Try
-    val parsed = Try(ujsonLite(engineArgsJson)).getOrElse(Map.empty[String, Seq[String]])
-    val command = parsed.getOrElse("pipeline_command", defaultCommand)
-    val args = parsed.getOrElse("pipeline_args", defaultArgs)
+    val root = Try(new com.fasterxml.jackson.databind.ObjectMapper().readTree(engineArgsJson))
+    def arr(key: String): Option[Seq[String]] = root.toOption
+      .flatMap(n => Option(n.get(key)))
+      .filter(_.isArray)
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+    val command = arr("pipeline_command").getOrElse(defaultCommand)
+    val args = arr("pipeline_args").getOrElse(defaultArgs)
     EngineJob.Command(command ++ args)
-  }
-
-  /** Minimal JSON reader for the two string-array keys we need (no JSON
-    * library on the offline classpath beyond Spark's internals; the
-    * dispatcher parses rich engine_args with `from_json` on the data
-    * plane — this is a driver-side convenience for one tiny doc). */
-  private def ujsonLite(json: String): Map[String, Seq[String]] = {
-    def arr(key: String): Option[Seq[String]] = {
-      val m = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
-      m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty))
-    }
-    Seq("pipeline_command", "pipeline_args").flatMap(k => arr(k).map(k -> _)).toMap
   }
 }
