@@ -74,6 +74,7 @@ object Auth {
     "upsert" -> "admin",       // create_or_replace, facade.py:53
     "downstream" -> "read",    // facade.py:61
     "runByPipelineUuid" -> "admin", // facade.py:72
+    "runSingleUse" -> "admin", // facade.py:80
     "running" -> "read",       // facade.py:85
     "logs" -> "admin",         // facade.py:90
     "abort" -> "admin",        // facade.py:95

@@ -168,4 +168,43 @@ final class GraftApi(
   /** One cron tick: synthetic origination events for due schedules. */
   def cronTick(now: Timestamp): Dataset[LifecycleEvent] =
     Cron.tick(spark, catalog.defs, now)
+
+  // --- single-use runs, incubation point ops, sys config ---------------
+  /** POST /pipeline/dispatcher/run_single_use (`facade.py:80-83`) —
+    * submit an UNREGISTERED definition straight to its engine: no
+    * catalog write, exec uuid minted here, source tagged 'singleuse'.
+    * Returns the exec uuid for status/log/abort follow-ups. */
+  def runSingleUse(d: PipelineDef, job: EngineJob,
+                   now: Timestamp = new Timestamp(System.currentTimeMillis())): String = {
+    val execUuid = s"exec-${d.pipeline_uuid}-singleuse-${now.getTime}"
+    engines.submit(d.engine, Submission(d.pipeline_uuid, execUuid,
+      Map("requestor" -> "singleuse"), 0), job)
+    execUuid
+  }
+
+  /** GET /pipeline/incubation/update (D15, `facade.py:109-114`) —
+    * point-update one incubating row's waiting slots; an absent obj_id
+    * is the reference's 404 path. Metadata-plane point op: the
+    * existence probe is a bounded lookup, the rewrite is distributed. */
+  def updateIncubating(incubating: Dataset[IncubRow], objId: String,
+                       updates: Map[String, String]): Dataset[IncubRow] = {
+    import org.apache.spark.sql.functions.col
+    require(incubating.where(col("obj_id") === objId).limit(1).count() == 1,
+      s"Could not update entry for id=$objId") // facade.py:113
+    incubating.map(r =>
+      if (r.obj_id == objId) r.copy(triggers = r.triggers ++ updates) else r)(
+      Encoders.product[IncubRow])
+  }
+
+  /** DELETE /pipeline/incubation/delete (D16, `facade.py:116-118`). */
+  def deleteIncubating(incubating: Dataset[IncubRow], objId: String): Dataset[IncubRow] =
+    incubating.where(org.apache.spark.sql.functions.col("obj_id") =!= objId)
+
+  /** DELETE /pipeline_incubation/flush (D17, `facade.py:120-122`). */
+  def flushIncubating(): Dataset[IncubRow] =
+    spark.emptyDataset[IncubRow](Encoders.product[IncubRow])
+
+  /** GET /sys/config (`facade.py:124-126`) — the config as a dict. */
+  def sysConfig: Map[String, String] =
+    cfg.productElementNames.zip(cfg.productIterator.map(String.valueOf)).toMap
 }

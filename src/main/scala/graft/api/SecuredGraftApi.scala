@@ -63,5 +63,19 @@ final class SecuredGraftApi(val api: GraftApi, policy: Auth.Policy) {
     def cronTick(now: Timestamp): Dataset[LifecycleEvent] = {
       gate("cronTick"); api.cronTick(now)
     }
+    def runSingleUse(d: PipelineDef, job: graft.orchestration.EngineJob): String = {
+      gate("runSingleUse"); api.runSingleUse(d, job)
+    }
+    def updateIncubating(incubating: Dataset[IncubRow], objId: String,
+                         updates: Map[String, String]): Dataset[IncubRow] = {
+      gate("incubationUpdate"); api.updateIncubating(incubating, objId, updates)
+    }
+    def deleteIncubating(incubating: Dataset[IncubRow], objId: String): Dataset[IncubRow] = {
+      gate("incubationDelete"); api.deleteIncubating(incubating, objId)
+    }
+    def flushIncubating(): Dataset[IncubRow] = {
+      gate("incubationFlush"); api.flushIncubating()
+    }
+    def sysConfig: Map[String, String] = { gate("sysConfig"); api.sysConfig }
   }
 }

@@ -59,8 +59,17 @@ final class ProcessEngine extends EngineBackend {
     runs.put(sub.exec_uuid, RunState(sub, "running",
       new Timestamp(System.currentTimeMillis()), None, log, Some(proc), trackingId))
     Future {
+      // retention cap: keep the newest ~1 MiB per run so a chatty
+      // process cannot grow the driver-side buffer unboundedly (E5 only
+      // ever serves a byte-capped tail anyway)
+      val retain = 1 << 20
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
-      try out.getLines().foreach { l => log.synchronized { log.append(l).append('\n') } }
+      try out.getLines().foreach { l =>
+        log.synchronized {
+          log.append(l).append('\n')
+          if (log.length > retain) log.delete(0, log.length - retain)
+        }
+      }
       finally out.close()
       val code = proc.waitFor()
       val st = runs.get(sub.exec_uuid)

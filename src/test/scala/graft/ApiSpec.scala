@@ -137,6 +137,44 @@ class ApiSpec extends AnyFunSuite {
     assert(new graft.plans.GraftExtensions().isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("run_single_use + incubation point ops + sys config (facade.py:80,109-124)") {
+    import java.sql.Timestamp
+    import graft.orchestration.{EngineJob, EngineManager, ProcessEngine}
+    import graft.orchestration.Dispatcher.IncubRow
+    val proc = new ProcessEngine
+    val a = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark), proc)))
+
+    // single-use: unregistered def runs on its engine, no catalog write
+    val adhoc = Fixtures.defs.head.copy(pipeline_uuid = "one-shot", engine = "process",
+      schedule = None, scheduler_tracking_id = None)
+    val exec = a.runSingleUse(adhoc, EngineJob.Command(Seq("/bin/sh", "-c", "echo one $EXEC_UUID")))
+    assert(exec.startsWith("exec-one-shot-singleuse-"))
+    val deadline = System.currentTimeMillis() + 30000
+    def st() = proc.jobs(spark).collect().find(_.exec_uuid == exec).get.engine_status
+    while (System.currentTimeMillis() < deadline && st() == "running") Thread.sleep(50)
+    assert(st() == "success")
+    assert(proc.logs(exec).contains(s"one $exec"))
+    assert(a.describePipeline("one-shot").count() == 0) // never registered
+
+    // incubation point ops over a metadata-scale dataset
+    val inc = spark.createDataset(Seq(
+      IncubRow("p-a", "obj-1", new Timestamp(1000L), None, "dependencies", 0,
+        Map("dep-x" -> "waiting", "dep-y" -> "waiting")),
+      IncubRow("p-b", "obj-2", new Timestamp(2000L), None, "concurrency", 1, Map.empty)))(
+      org.apache.spark.sql.Encoders.product[IncubRow])
+    val updated = a.updateIncubating(inc, "obj-1", Map("dep-x" -> "exec-42"))
+    val row = updated.collect().find(_.obj_id == "obj-1").get
+    assert(row.triggers == Map("dep-x" -> "exec-42", "dep-y" -> "waiting"))
+    intercept[IllegalArgumentException] { a.updateIncubating(inc, "no-such", Map.empty) } // 404
+    assert(a.deleteIncubating(inc, "obj-2").collect().map(_.obj_id).toSeq == Seq("obj-1"))
+    assert(a.flushIncubating().count() == 0)
+
+    // sys config surfaces every config key
+    val cfgMap = a.sysConfig
+    assert(cfgMap("metaProvider") == "parquet" && cfgMap.size >= 15)
+  }
+
   test("cron provider: schedule lifecycle reconciles external registrations (ext_sched.py)") {
     import graft.model.PipelineTrigger
     import graft.orchestration.RegistryCronProvider
@@ -203,6 +241,13 @@ class ApiSpec extends AnyFunSuite {
     assert(root.listPipelines(Some("auth-new")).count() == 0)
     // unknown token: the expired/unrecognized-schema path (auth.py:38)
     intercept[Auth.AuthError] { secured.as("garbage").listPipelines() }
+    // the late-added verbs gate too: sys/config is read, run_single_use is admin
+    assert(secured.as("tok-read").sysConfig.nonEmpty)
+    intercept[Auth.AuthError] {
+      secured.as("tok-read").runSingleUse(Fixtures.defs.head,
+        graft.orchestration.EngineJob.Command(Seq("/bin/true")))
+    }
+    intercept[Auth.AuthError] { secured.as("tok-none").flushIncubating() }
     // delete is read-gated — mirrored reference behavior (facade.py:41)
     assert(Auth.VerbRoles("delete") == "read" && Auth.VerbRoles("upsert") == "admin")
   }
