@@ -132,7 +132,14 @@ object Dedup {
     * hashed shingles → 64 minhashes → 16 bands → band-bucket self-join →
     * exact Jaccard ≥ threshold on candidates only (shingle arrays joined
     * back by doc_id, so the wide arrays never ride through the bands). */
-  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    memoCached(spark, dir, s"minhash-pairs-$threshold")(minhashPairsUncached(spark, dir, threshold))
+
+  /** Uncached body of [[minhashPairs]] — the emitter is memoized because
+    * the soundness query re-reads the emitted pairs in the same session
+    * (emit + verify share one DAG, exactly as a production pipeline
+    * would stage them). */
+  private def minhashPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val docs = shingledDocs(spark, dir)
     val bands = minhashBands(minhashSignatures(docs))
     val a = bands.toDF("doc_a", "band_idx", "band_hash")
@@ -215,12 +222,18 @@ object Dedup {
 
   /** Decontamination query over the shared corpus: every 10th doc plays
     * the held-out benchmark set; the rest is the training corpus. */
-  val decontam: GraftQuery = GraftQuery.rowsOnly("ns_dedup_decontam") { (spark, dir) =>
-    val docs = shingledDocs(spark, dir)
-    val probe = docs.where(col("doc_id") % 10 === 0)
-    val corpus = docs.where(col("doc_id") % 10 =!= 0)
-    minhashPairsAcross(corpus, probe, threshold = 0.3)
-  }
+  /** Shared emitter of the decontamination pair set (memoized: the
+    * rows-only query and its soundness companion read the same frame). */
+  private def decontamPairs(spark: SparkSession, dir: String): DataFrame =
+    memoCached(spark, dir, "decontam-pairs") {
+      val docs = shingledDocs(spark, dir)
+      val probe = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      minhashPairsAcross(corpus, probe, threshold = 0.3)
+    }
+
+  val decontam: GraftQuery =
+    GraftQuery.rowsOnly("ns_dedup_decontam")((s, d) => decontamPairs(s, d))
 
   /** Soundness check for [[decontam]], same construction as
     * [[minhashViolations]]: emitted (probe, corpus) contamination pairs
@@ -229,10 +242,7 @@ object Dedup {
     * (probe ids ≡ 0 mod 10, corpus ids not). */
   def decontamViolations(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val shingled = shingledDocs(spark, dir)
-    val emitted = minhashPairsAcross(
-      shingled.where(col("doc_id") % 10 =!= 0),
-      shingled.where(col("doc_id") % 10 === 0), threshold)
+    val emitted = decontamPairs(spark, dir)
     emitted
       .join(docs.toDF("probe_id", "text_p"), "probe_id")
       .join(docs.toDF("corpus_id", "text_c"), "corpus_id")
