@@ -384,10 +384,18 @@ object Dedup {
     * per-round convergence scalar and the loop itself;
     * `localCheckpoint` truncates lineage so plans stay flat. */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                    maxIters: Int = 50): DataFrame = {
-    val e = ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b")
-    val und = e.unionByName(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
+                    maxIters: Int = 50): DataFrame =
+    connectedComponents(ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b"),
+      maxIters)
+
+  /** Distributed connected components over an undirected edge list
+    * `(doc_a, doc_b)` — the generic core of [[dedupClusters]], also
+    * weak-scaled standalone on synthetic graphs by
+    * [[graft.tools.PackScaleProbe]]. Returns `(doc_id, cluster_id)`
+    * for every node appearing in an edge, cluster id = min member. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val und = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     var labels = und.select(col("doc_a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)

@@ -79,6 +79,24 @@ object PackScaleProbe {
     bench("5-lang 10x (20M)", x10)
     bench("1-lang 1x (2M)", mono1)
     bench("1-lang 10x (20M)", mono10)
+
+    // --- connected-components weak scaling -----------------------------
+    // synthetic near-dup graph: chains of 4 (nodes 4k..4k+3) — every
+    // round is one shuffle join; rounds track chain diameter, not corpus
+    // size, so 10x nodes should cost ~1x rounds x 10x per-round work
+    def chainEdges(nNodes: Long): DataFrame =
+      spark.range(nNodes).where(col("id") % 4 =!= 3)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+        .repartition(32).cache()
+    for (n <- Seq(1L * 1000 * 1000, 10L * 1000 * 1000)) {
+      val edges = chainEdges(n); edges.count()
+      val t0 = System.nanoTime()
+      val nClusters = graft.operators.Dedup.connectedComponents(edges)
+        .select("cluster_id").distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] cc ${n / 1000000}%2dM nodes     clusters=$nClusters%8d  time=$secs%6.2fs")
+      edges.unpersist()
+    }
     spark.stop()
   }
 }
