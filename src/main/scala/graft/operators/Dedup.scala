@@ -372,6 +372,56 @@ object Dedup {
     SELECT lang, doc_a, doc_b, ROUND(j, 4) AS jaccard
     FROM pairs WHERE j >= 0.4 ORDER BY doc_a, doc_b""")((s, d) => ngramJaccardPairs(s, d))
 
+  /** Exact n-gram-overlap DECONTAMINATION — the complement of the
+    * similarity-based [[decontam]]: a probe (eval) document is
+    * contaminated if any of its word 8-grams appears verbatim anywhere
+    * in the training corpus (the standard "n-gram overlap" eval-leak
+    * check). Pure inverted-index shape: corpus grams are DISTINCT
+    * hashed 8-grams (one explode + distinct — no pairs, no bands), the
+    * probe side semi-joins into them and aggregates per probe doc.
+    * At 100 TB the corpus gram set shards by hash; the probe side
+    * (an eval suite) is tiny. */
+  def ngramDecontam(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
+      .where(size(col("sh")) > 0)
+    val corpusGrams = docs.where(col("doc_id") % 10 =!= 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val probe = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("probe_id"), col("sh"))
+    val hits = probe.select(col("probe_id"), explode(col("sh")).as("g"))
+      .join(corpusGrams, "g") // inner: only grams present in the corpus
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit_ngrams"))
+    probe.select(col("probe_id"), size(col("sh")).cast("long").as("total_ngrams"))
+      .join(hits, "probe_id") // contaminated probe docs only
+      .select(col("probe_id"), col("n_hit_ngrams"), col("total_ngrams"),
+        dround(col("n_hit_ngrams") / col("total_ngrams"), 4).as("hit_frac"))
+      .orderBy("probe_id")
+  }
+
+  /** Oracle: the same inverted-index shape over string 8-grams. */
+  val ngramDecontamQ: GraftQuery = GraftQuery.checked("ns_dedup_decontam_ngram",
+    """WITH docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 8),
+    corpus_grams AS (
+      SELECT DISTINCT unnest(sh) AS g FROM docs WHERE doc_id % 10 <> 0),
+    probe_grams AS (
+      SELECT doc_id AS probe_id, unnest(sh) AS g FROM docs WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+      FROM probe_grams JOIN corpus_grams USING (g) GROUP BY probe_id)
+    SELECT p.doc_id AS probe_id, h.n_hit_ngrams,
+           CAST(len(p.sh) AS BIGINT) AS total_ngrams,
+           ROUND(CAST(h.n_hit_ngrams AS DOUBLE) / len(p.sh), 4) AS hit_frac
+    FROM docs p JOIN hits h ON p.doc_id = h.probe_id
+    WHERE p.doc_id % 10 = 0
+    ORDER BY probe_id""")((s, d) => ngramDecontam(s, d))
+
   /** Near-duplicate CLUSTERS via connected components over the verified
     * pair graph — the keep-one-per-cluster step an actual dedup pipeline
     * ends with (pairs alone over-delete: a~b, b~c must collapse to ONE
@@ -446,5 +496,5 @@ object Dedup {
     FROM reach GROUP BY a ORDER BY doc_id""")((s, d) => dedupClusters(s, d))
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
-    ngramNearDups, decontam, decontamSound, clusters)
+    ngramNearDups, decontam, decontamSound, ngramDecontamQ, clusters)
 }

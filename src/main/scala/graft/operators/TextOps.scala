@@ -179,6 +179,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition metrics — the Gopher-style "repetitious document"
+    * quality signal: the fraction of a doc's word 3-grams that are
+    * duplicates (1 − distinct/total). High values flag boilerplate /
+    * degenerate generations before they reach a training mix. Pure
+    * per-row column algebra over the one-pass native shingle kernel —
+    * no shuffle until the final order. */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val total = (toks - 2).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), total.as("total_3grams"),
+        size(graft.operators.Dedup.hashedShingles(col("text"), 3)).cast("long")
+          .as("distinct_3grams"))
+      .where(col("total_3grams") > 0)
+      .select(col("doc_id"), col("lang"), col("total_3grams"), col("distinct_3grams"),
+        dround(lit(1.0) - col("distinct_3grams") / col("total_3grams"), 4).as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetition: GraftQuery = GraftQuery.checked("ns_text_repetition",
+    """WITH t AS (
+      SELECT doc_id, lang, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) - 2 AS BIGINT) AS total_3grams,
+           CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT) AS distinct_3grams,
+           ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2), 4) AS rep_frac
+    FROM t WHERE len(toks) - 2 > 0
+    ORDER BY doc_id""")((s, d) => repetitionMetrics(s, d))
+
   /** Domain-MIXTURE sampling — the "hit a target mixture across
     * sources" step of corpus assembly: a per-source quota yields a
     * per-source Bernoulli rate, and each doc is accepted iff a uniform
@@ -316,5 +348,5 @@ object TextOps {
   }
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
-    redact, hashSample, mixture, shuffle, pack)
+    redact, hashSample, mixture, shuffle, repetition, pack)
 }

@@ -14,7 +14,8 @@ class QueriesSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("k09_unknown_origin", "k10_history_page",
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
     "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
-    "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster")
+    "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster",
+    "ns_dedup_decontam_ngram")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
