@@ -435,8 +435,12 @@ object Dedup {
     * `localCheckpoint` truncates lineage so plans stay flat. */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
                     maxIters: Int = 50): DataFrame =
-    connectedComponents(ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b"),
-      maxIters)
+    // memoized: the cluster query and the survivors anti-join share the
+    // converged label frame (already materialized via localCheckpoint)
+    memoCached(spark, dir, s"clusters-$threshold") {
+      connectedComponents(ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b"),
+        maxIters)
+    }
 
   /** Distributed connected components over an undirected edge list
     * `(doc_a, doc_b)` — the generic core of [[dedupClusters]], also
@@ -495,6 +499,44 @@ object Dedup {
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a ORDER BY doc_id""")((s, d) => dedupClusters(s, d))
 
+  /** The dedup OUTPUT: every doc except non-minimal members of a
+    * near-dup cluster (singletons survive untouched; each cluster keeps
+    * its min doc_id). One anti-join against the (tiny relative to the
+    * corpus) clustered-doc set. */
+  def dedupSurvivors(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val dropped = dedupClusters(spark, dir, threshold)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val survivors: GraftQuery = GraftQuery.checked("ns_dedup_survivors",
+    """WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ORDER BY d.doc_id""")((s, d) => dedupSurvivors(s, d))
+
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
-    ngramNearDups, decontam, decontamSound, ngramDecontamQ, clusters)
+    ngramNearDups, decontam, decontamSound, ngramDecontamQ, clusters, survivors)
 }
