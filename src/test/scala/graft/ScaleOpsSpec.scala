@@ -79,6 +79,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 refine-and-rerank recall too low: $recall")
   }
 
+  test("connectedComponents: chain, triangle and pair resolve to min-label clusters") {
+    // components: chain 1-2-3-4-5, triangle 10-11-12 (with a redundant
+    // edge), isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("TopKAggregator top-k == window-ranking top-k") {
     val win = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
