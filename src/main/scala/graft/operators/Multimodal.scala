@@ -52,9 +52,12 @@ object Multimodal {
       i += 1
     }
     val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    // floor(x*100+0.5)/100, not rint: identical in every engine (rint is
+    // HALF_EVEN on binary doubles; DuckDB ROUND is not) — keeps the
+    // feature soundness oracle exact
     // fake dimensions derived from content (a real decoder reads headers)
     MediaFeatures(row.doc_id, row.media_type, bytes.length, checksum,
-      math.rint(mean * 100) / 100, 16 + (checksum & 0x3f).toInt, 16 + ((checksum >> 6) & 0x3f).toInt)
+      math.floor(mean * 100 + 0.5) / 100, 16 + (checksum & 0x3f).toInt, 16 + ((checksum >> 6) & 0x3f).toInt)
   }
 
   /** Decode + feature-extract, batched per partition. */
@@ -69,6 +72,26 @@ object Multimodal {
   /** Feature table over the synthesized media column, per-type stats. */
   val features: GraftQuery = GraftQuery.rowsOnly("ns_mm_features") { (spark, dir) =>
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+  }
+
+  /** The decode stub's CHECKABLE projection: everything except the
+    * synthetic checksum-derived fields (n_bytes and the per-byte mean)
+    * re-derived in DuckDB from the raw text — so the typed-Dataset
+    * `mapPartitions` decode path is cross-checked against a pure SQL
+    * recomputation (JVM loop vs list algebra). The ASCII corpus makes
+    * bytes == chars == ascii codes on both sides. */
+  val featuresSound: GraftQuery = GraftQuery.checked("ns_mm_features_sound",
+    """SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           FLOOR(list_sum(list_transform(range(1, strlen(text) + 1),
+             i -> ascii(text[i:i]))) / strlen(text) * 100 + 0.5) / 100 AS feat_mean
+    FROM documents WHERE strlen(text) > 0 ORDER BY doc_id""") { (spark, dir) =>
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .where(col("n_bytes") > 0)
+      .select("doc_id", "media_type", "n_bytes", "feat_mean")
+      .orderBy("doc_id")
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
@@ -128,5 +151,5 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(features, frames, typeSummary)
+  val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, typeSummary)
 }
