@@ -138,6 +138,21 @@ object Multimodal {
     sampleFrames(mediaTable(spark, dir)).toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** The frame sampler's CHECKABLE projection — the chunking arithmetic
+    * (which docs are video, how many frames, each frame's byte span)
+    * re-derived in DuckDB; only the fake checksum stays Spark-only. */
+  val framesSound: GraftQuery = GraftQuery.checked("ns_mm_frames_sound",
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(LEAST(i * 64 + 64, strlen(text)) - i * 64 AS INTEGER) AS n_bytes
+    FROM (SELECT doc_id, text,
+            unnest(range(0, GREATEST(1, CAST(floor(strlen(text) / 64.0) AS BIGINT)), 4)) AS i
+          FROM documents WHERE doc_id % 3 = 2)
+    ORDER BY doc_id, frame_idx""") { (spark, dir) =>
+    sampleFrames(mediaTable(spark, dir)).toDF()
+      .select("doc_id", "frame_idx", "n_bytes")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Aggregated per-media-type feature summary — oracle-checkable
     * because n_bytes == n_chars (payload is the utf-8 text) and the
     * type assignment is pure column algebra. */
@@ -151,5 +166,5 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, typeSummary)
+  val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary)
 }
