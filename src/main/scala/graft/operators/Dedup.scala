@@ -68,15 +68,12 @@ object Dedup {
     * ([[graft.functions.JaccardSortedLongs]]). */
   def hashedShingles(text: Column, w: Int): Column = shingleHashes(text, w)
 
-  /** Memoized `.cache()` handles: several dedup queries (and warm bench
-    * re-runs) share the shingled frames; calling `.cache()` twice on an
-    * equivalent plan is harmless but floods the log with CacheManager
-    * "already cached" warnings (round-2 verdict item 5). */
-  private val cacheMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Memoized `.cache()` handles via the shared evicting [[OpMemo]]:
+    * several dedup queries (and warm bench re-runs) share the shingled
+    * frames. */
   private def memoCached(spark: SparkSession, dir: String, key: String)
                         (build: => DataFrame): DataFrame =
-    cacheMemo.getOrElseUpdate((spark, dir, key), build.cache())
+    OpMemo.cached(spark, dir, s"dedup:$key")(build)
 
   /** (doc_id, sh) with hashed 3-shingles, empty docs dropped; cached
     * (shared by the minhash + decontamination queries). */
@@ -472,6 +469,13 @@ object Dedup {
     // go immediately — keeps repeat invocations from piling up cache
     // entries (and "already cached" warnings) in long sessions
     und.unpersist()
+    // partially-propagated labels would silently mis-cluster (and then
+    // mis-delete, via dedupSurvivors) — fail loudly instead; callers with
+    // adversarially deep chains raise maxIters (rounds needed = diameter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters rounds — " +
+        s"component diameter exceeds maxIters; raise maxIters")
     labels.orderBy("doc_id")
   }
 

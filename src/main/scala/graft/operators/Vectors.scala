@@ -277,13 +277,12 @@ object Vectors {
   /** Embedding near-duplicate pairs: cosine above threshold via LSH
     * bucket self-join + exact verify (the embedding analog of minhash
     * dedup). */
-  /** Memoized emitted-pair frames: the rows-only emitters and their
-    * soundness companions (and warm bench re-runs) share plans. */
-  private val cacheMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Memoized emitted-pair frames via the shared evicting [[OpMemo]]:
+    * the rows-only emitters and their soundness companions (and warm
+    * bench re-runs) share plans. */
   private def memoCached(spark: SparkSession, dir: String, key: String)
                         (build: => DataFrame): DataFrame =
-    cacheMemo.getOrElseUpdate((spark, dir, key), build.cache())
+    OpMemo.cached(spark, dir, s"vec:$key")(build)
 
   def cosineNearDups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
     memoCached(spark, dir, s"near-dups-$threshold")(cosineNearDupsUncached(spark, dir, threshold))
@@ -336,8 +335,11 @@ object Vectors {
     * evaluation path than the native expression the emitter uses), must
     * not pair a query with itself, and no query may exceed k rows. The
     * oracle is the empty violation set. */
-  def lshTopKViolations(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emitted = lshTopK(spark, dir)
+  def lshTopKViolations(spark: SparkSession, dir: String,
+                        nQueries: Int = 5, k: Int = 5): DataFrame = {
+    // k and nQueries flow through to the emitter — a non-default k must
+    // check the set it actually bounds (round-3 advice)
+    val emitted = lshTopK(spark, dir, nQueries, k)
     val emb = Tables.embeddings(spark, dir)
     val valueViol = emitted
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")

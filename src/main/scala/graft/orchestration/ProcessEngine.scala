@@ -72,26 +72,33 @@ final class ProcessEngine extends EngineBackend {
       }
       finally out.close()
       val code = proc.waitFor()
-      val st = runs.get(sub.exec_uuid)
-      // abort() may have already stamped 'aborted' — keep that verdict
-      if (st.status == "running") {
-        val status = if (code == 0) "success" else "failed"
-        log.synchronized { log.append(s"run ${sub.exec_uuid} exited code=$code\n") }
-        runs.put(sub.exec_uuid, st.copy(status = status,
-          end = Some(new Timestamp(System.currentTimeMillis())), proc = None))
-      }
+      // atomic running→terminal transition (ConcurrentHashMap bin lock):
+      // an abort() landing between a plain get and put would otherwise be
+      // overwritten by the natural exit stamping 'failed'/'success'
+      runs.computeIfPresent(sub.exec_uuid, (_, st) =>
+        if (st.status == "running") {
+          val status = if (code == 0) "success" else "failed"
+          log.synchronized { log.append(s"run ${sub.exec_uuid} exited code=$code\n") }
+          st.copy(status = status,
+            end = Some(new Timestamp(System.currentTimeMillis())), proc = None)
+        } else st)
+      ()
     }
     ()
   }
 
-  def abort(execUuid: String): Unit =
-    Option(runs.get(execUuid)).foreach { st =>
+  def abort(execUuid: String): Unit = {
+    // same atomic transition on the abort side; the kill happens outside
+    // the map lock (destroyForcibly is idempotent on an exited process)
+    var toKill: Option[Process] = None
+    runs.computeIfPresent(execUuid, (_, st) =>
       if (st.status == "running") {
-        runs.put(execUuid, st.copy(status = "aborted",
-          end = Some(new Timestamp(System.currentTimeMillis())), proc = None))
-        st.proc.foreach(_.destroyForcibly())
-      }
-    }
+        toKill = st.proc
+        st.copy(status = "aborted",
+          end = Some(new Timestamp(System.currentTimeMillis())), proc = None)
+      } else st)
+    toKill.foreach(_.destroyForcibly())
+  }
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._

@@ -202,6 +202,19 @@ class ApiSpec extends AnyFunSuite {
       a.upsertPipeline(base, Seq(PipelineTrigger("cron-new", "no-such-parent", "all")))
     }
     assert(provider.listCronJobs().isEmpty)
+    // rejected upsert that REMOVES the schedule must keep the previous
+    // registration alive — deregister-before-upsert would leave the old
+    // scheduled def in the catalog but silently never firing (ADVICE r3)
+    a.upsertPipeline(base, Seq.empty)
+    intercept[IllegalArgumentException] {
+      a.upsertPipeline(base.copy(schedule = None),
+        Seq(PipelineTrigger("cron-new", "no-such-parent", "all")))
+    }
+    assert(provider.listCronJobs() == Map("graft-cron-cron-new" -> "0 5 * * *"))
+    assert(a.describePipeline("cron-new").collect().head.scheduler_tracking_id
+      .contains("graft-cron-cron-new"))
+    a.upsertPipeline(base.copy(schedule = None), Seq.empty) // clean up for the next block
+    assert(provider.listCronJobs().isEmpty)
     // delete deregisters; double-delete of the job is tolerated (404 path)
     a.upsertPipeline(base, Seq.empty)
     a.deletePipeline("cron-new")
@@ -248,8 +261,11 @@ class ApiSpec extends AnyFunSuite {
         graft.orchestration.EngineJob.Command(Seq("/bin/true")))
     }
     intercept[Auth.AuthError] { secured.as("tok-none").flushIncubating() }
-    // delete is read-gated — mirrored reference behavior (facade.py:41)
-    assert(Auth.VerbRoles("delete") == "read" && Auth.VerbRoles("upsert") == "admin")
+    // delete is admin-gated — deliberate deviation from facade.py:41's
+    // read-gating slip (destructive verb behind the weakest role)
+    assert(Auth.VerbRoles("delete") == "admin" && Auth.VerbRoles("upsert") == "admin")
+    intercept[Auth.AuthError] { secured.as("tok-read").deletePipeline("report-daily") }
+    assert(api.describePipeline("report-daily").count() == 1) // denied = untouched
   }
 
   test("CLI create pipeline <file> round-trips through upsert (kaly/Readme.md:1-2)") {

@@ -299,6 +299,38 @@ class OrchestrationSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("process engine: terminal statuses are never overwritten (ADVICE r3 race)") {
+    val engine = new ProcessEngine
+    // completion-then-abort: abort on an already-terminal run is a no-op
+    engine.submit(Submission("adhoc-task-00", "exec-race-1", Map.empty, 0),
+      EngineJob.Command(Seq("/bin/true")))
+    val d1 = System.currentTimeMillis() + 30000
+    def st(id: String) = engine.jobs(spark).collect().find(_.exec_uuid == id).get.engine_status
+    while (System.currentTimeMillis() < d1 && st("exec-race-1") == "running") Thread.sleep(50)
+    assert(st("exec-race-1") == "success")
+    engine.abort("exec-race-1")
+    assert(st("exec-race-1") == "success") // abort after natural exit: kept
+    // abort-then-completion: the natural exit of the killed process must
+    // not stamp 'failed' over 'aborted' (the get/put race this pins)
+    engine.submit(Submission("adhoc-task-00", "exec-race-2", Map.empty, 0),
+      EngineJob.Command(Seq("/bin/sh", "-c", "sleep 30")))
+    Thread.sleep(200)
+    engine.abort("exec-race-2")
+    Thread.sleep(1500) // give the reaper Future time to observe the kill exit code
+    assert(st("exec-race-2") == "aborted")
+    // hammer: many short-lived runs aborted mid-flight land terminal exactly once
+    val ids = (1 to 8).map(i => s"exec-race-h$i")
+    ids.foreach(id => engine.submit(Submission("adhoc-task-00", id, Map.empty, 0),
+      EngineJob.Command(Seq("/bin/sh", "-c", "sleep 0.05"))))
+    ids.foreach(engine.abort)
+    val d2 = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < d2 && ids.exists(st(_) == "running")) Thread.sleep(50)
+    val finals = ids.map(st)
+    assert(finals.forall(s => s == "aborted" || s == "success" || s == "failed"))
+    Thread.sleep(500) // any late reaper write would flip a status now
+    assert(ids.map(st) == finals, "a terminal status was overwritten after the fact")
+  }
+
   test("process engine: command unmarshalled from engine_args JSON (engine.py:110-118)") {
     val c = ProcessEngine.commandFromEngineArgs(
       """{"pipeline_command": ["/bin/echo"], "pipeline_args": ["hello", "world"], "cpu_count": "2"}""")

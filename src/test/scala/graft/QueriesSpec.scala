@@ -144,6 +144,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.minhashViolations(spark, dir, 0.2).count() == 0)
     assert(graft.operators.Vectors.lshTopK(spark, dir).count() > 0)
     assert(graft.operators.Vectors.lshTopKViolations(spark, dir).count() == 0)
+    // non-default k/nQueries check the set they actually bound (ADVICE r3):
+    // with k=2 the emitter may return at most 2 rows per query, and the
+    // violation set over THAT emission is still empty
+    val k2 = graft.operators.Vectors.lshTopK(spark, dir, nQueries = 3, k = 2)
+      .groupBy("query_id").count().collect()
+    assert(k2.nonEmpty && k2.forall(_.getLong(1) <= 2))
+    assert(graft.operators.Vectors.lshTopKViolations(spark, dir, nQueries = 3, k = 2).count() == 0)
+  }
+
+  test("OpMemo: invalidate unpersists and evicts per (session, dir) (ADVICE r3)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OpMemo
+    var builds = 0
+    def build() = { builds += 1; spark.range(10).withColumn("x", lit(1)) }
+    val a = OpMemo.cached(spark, "/tmp/memoA", "t")(build())
+    OpMemo.cached(spark, "/tmp/memoA", "t")(build()) // memo hit
+    OpMemo.cached(spark, "/tmp/memoB", "t")(build())
+    assert(builds == 2 && a.storageLevel.useMemory)
+    OpMemo.invalidate(spark, Some("/tmp/memoA")) // dir slice only
+    assert(!a.storageLevel.useMemory, "invalidate must unpersist the cached frame")
+    OpMemo.cached(spark, "/tmp/memoA", "t")(build()) // rebuilt after eviction
+    assert(builds == 3)
+    OpMemo.invalidate(spark) // whole session
+    assert(OpMemo.size(spark) == 0)
   }
 
   test("decontamination: found pairs verify exactly; high-similarity pairs are found") {

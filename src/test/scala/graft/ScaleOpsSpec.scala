@@ -90,6 +90,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents refuses to emit partially-propagated labels (ADVICE r3)") {
+    // chain of diameter 9 with maxIters=3: min-label propagation cannot
+    // finish — must throw, never return wrong clusters silently
+    val chain = (1L to 9L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the same graph converges fine when maxIters covers the diameter
+    val ok = graft.operators.Dedup.connectedComponents(chain, maxIters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ok == (1L to 10L).map(_ -> 1L).toMap)
+  }
+
   test("TopKAggregator top-k == window-ranking top-k") {
     val win = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
