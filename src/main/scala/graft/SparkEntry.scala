@@ -10,8 +10,8 @@ object SparkEntry {
   /** Every implemented operator, each a named deterministic query. */
   val registry: Seq[GraftQuery] =
     Analytics.all ++ MetaQueries.all ++ TextOps.all ++ Dedup.all ++
-      Vectors.all ++ VectorsIvf.all ++ Multimodal.all ++ Analytics2.all ++
-      Curation.all
+      Vectors.all ++ VectorsIvf.all ++ VectorsKmeans.all ++ Multimodal.all ++
+      Analytics2.all ++ Curation.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

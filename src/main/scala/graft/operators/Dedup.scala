@@ -396,8 +396,9 @@ object Dedup {
       .orderBy("probe_id")
   }
 
-  /** Oracle: the same inverted-index shape over string 8-grams. */
-  val ngramDecontamQ: GraftQuery = GraftQuery.checked("ns_dedup_decontam_ngram",
+  /** Oracle for both exact-n-gram decontamination paths: the same
+    * inverted-index shape over string 8-grams. */
+  private val ngramDecontamOracle: String =
     """WITH docs AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(t) - 6),
@@ -417,7 +418,75 @@ object Dedup {
            ROUND(CAST(h.n_hit_ngrams AS DOUBLE) / len(p.sh), 4) AS hit_frac
     FROM docs p JOIN hits h ON p.doc_id = h.probe_id
     WHERE p.doc_id % 10 = 0
-    ORDER BY probe_id""")((s, d) => ngramDecontam(s, d))
+    ORDER BY probe_id"""
+
+  val ngramDecontamQ: GraftQuery =
+    GraftQuery.checked("ns_dedup_decontam_ngram", ngramDecontamOracle)((s, d) => ngramDecontam(s, d))
+
+  /** Bloom-prefiltered exact n-gram decontamination — byte-identical
+    * results to [[ngramDecontam]] (it shares that query's oracle), with
+    * the scale bottleneck removed: the exact formulation DISTINCTs every
+    * gram of the training corpus (a corpus-sized shuffle at 100 TB)
+    * before the probe join, while here a Bloom filter built from the
+    * probe side's gram hashes rides the corpus scan as a literal —
+    * corpus grams that cannot be probe grams die inside the map stage,
+    * so the distinct and the join touch only the grams that might
+    * overlap the probe set. Bloom false positives survive the prefilter
+    * but are dropped by the exact inner join: the prune is lossless.
+    *
+    * The probe side is the EVAL SUITE — tiny and bounded by design —
+    * so collecting its distinct gram hashes to build the filter is a
+    * model-sized driver transfer (same class as the IVF centroid
+    * sample), never corpus rows. Probe indices are 3 disjoint bit
+    * slices of the already-xxhash64-uniform gram hash: plain
+    * shift/mask column algebra, identical on the driver build side and
+    * the executor test side, with no overflow-prone arithmetic. */
+  def ngramDecontamBloom(spark: SparkSession, dir: String, w: Int = 8,
+                         bitsPerGram: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
+      .where(size(col("sh")) > 0)
+    val probe = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("probe_id"), col("sh"))
+    val probeGramHashes: Array[Long] = probe
+      .select(explode(col("sh")).as("g")).distinct()
+      .collect().map(_.getLong(0))
+    // bits = next pow2 >= grams·bitsPerGram, clamped to [2^10, 2^21]
+    // (2^21 bits = 32 K longs ≈ 256 KB literal — bounded plan size; at
+    // that load k=3 keeps the false-positive rate well under 1%)
+    val want = probeGramHashes.length.toLong * bitsPerGram
+    val mBits = math.min(1L << 21, math.max(1L << 10,
+      java.lang.Long.highestOneBit(math.max(1L, want - 1)) * 2)).toInt
+    val words = new Array[Long](mBits / 64)
+    for (g <- probeGramHashes; i <- 0 until 3) {
+      val idx = ((g >>> (i * 21)) & (mBits - 1)).toInt
+      words(idx >> 6) |= 1L << (idx & 63)
+    }
+    val wordsLit = typedLit(words.toSeq)
+    def mightContain(g: Column): Column =
+      (0 until 3).map { i =>
+        val idx = shiftrightunsigned(g, i * 21).bitwiseAND(lit((mBits - 1).toLong))
+        val word = element_at(wordsLit, shiftrightunsigned(idx, 6).cast("int") + 1)
+        call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    val corpusGrams = docs.where(col("doc_id") % 10 =!= 0)
+      .select(explode(col("sh")).as("g"))
+      .where(mightContain(col("g")))
+      .distinct()
+    val hits = probe.select(col("probe_id"), explode(col("sh")).as("g"))
+      .join(corpusGrams, "g")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit_ngrams"))
+    probe.select(col("probe_id"), size(col("sh")).cast("long").as("total_ngrams"))
+      .join(hits, "probe_id")
+      .select(col("probe_id"), col("n_hit_ngrams"), col("total_ngrams"),
+        dround(col("n_hit_ngrams") / col("total_ngrams"), 4).as("hit_frac"))
+      .orderBy("probe_id")
+  }
+
+  val ngramDecontamBloomQ: GraftQuery =
+    GraftQuery.checked("ns_dedup_decontam_bloom", ngramDecontamOracle)(
+      (s, d) => ngramDecontamBloom(s, d))
 
   /** Near-duplicate CLUSTERS via connected components over the verified
     * pair graph — the keep-one-per-cluster step an actual dedup pipeline
@@ -542,5 +611,6 @@ object Dedup {
     ORDER BY d.doc_id""")((s, d) => dedupSurvivors(s, d))
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
-    ngramNearDups, decontam, decontamSound, ngramDecontamQ, clusters, survivors)
+    ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
+    clusters, survivors)
 }

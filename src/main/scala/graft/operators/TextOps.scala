@@ -347,6 +347,101 @@ object TextOps {
       .orderBy("lang", "bin")
   }
 
+  /** Corpus HEAVY HITTERS — top-N tokens by frequency, computed through
+    * the bounded [[graft.functions.MisraGriesAggregator]] rather than
+    * `explode + groupBy(token)`: the naive plan shuffles one row per
+    * token occurrence keyed by token (maximally Zipf-skewed — the
+    * busiest reducer receives count("the")), while the sketch reduces
+    * per-partition into a `capacity`-bounded counter map and merges
+    * maps, so only sketch-sized states cross the wire.
+    *
+    * At test capacity the vocabulary fits, `decrements` stays 0 and MG
+    * estimates are EXACT (guarantee in the sketch's doc), so the query
+    * hash-matches the exact SQL oracle while running the real sketch
+    * path; the `assert_true` guard turns any silent eviction into a
+    * loud failure instead of an approximate-but-unflagged answer. The
+    * eviction/error-bound behavior above capacity is pinned in
+    * ScaleOpsSpec. */
+  def heavyHitters(spark: SparkSession, dir: String, topN: Int = 20,
+                   capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(capacity).toColumn
+    Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks")).as[Seq[String]]
+      // single logical group: the typed agg still reduces map-side per
+      // partition, so only capacity-bounded sketches reach the merge
+      .groupByKey(_ => 0)
+      .agg(agg.name("sk"))
+      .flatMap { case (_, sk) =>
+        // exactness guard: a silent eviction must fail loudly, not
+        // return approximate counts to a query contracted as exact
+        require(sk.decrements == 0,
+          "MisraGries evicted counters — raise capacity for exact counts")
+        sk.counts.toSeq
+      }
+      .toDF("token", "n")
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+  }
+
+  val heavyHittersQ: GraftQuery = GraftQuery.checked("ns_text_heavy_hitters",
+    """SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t ORDER BY n DESC, t LIMIT 20""")((s, d) => heavyHitters(s, d))
+
+  /** Composite QUALITY FILTER — the Gopher-style keep/drop verdict that
+    * gates documents into a training mix: minimum length, mean-word-
+    * length band, function-word (stopword) floor, repetition ceiling.
+    * Rules evaluate in a fixed order and the first failure names the
+    * drop reason — pure column algebra over signals this module already
+    * computes, one codegen'd map stage over the scan. */
+  val qualityFilter: GraftQuery = GraftQuery.checked("ns_text_quality_filter",
+    s"""WITH b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) AS awl,
+             CAST(len(list_filter(toks, w -> w IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+             CASE WHEN len(toks) > 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+                  ELSE 1.0 END AS rep_frac
+      FROM (SELECT doc_id, n_chars,
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+            FROM documents))
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens < 40 THEN 'too_short'
+                WHEN awl < 3.0 OR awl > 10.0 THEN 'word_len'
+                WHEN stop_ratio < 0.01 THEN 'low_stopwords'
+                WHEN rep_frac > 0.2 THEN 'repetitive'
+                ELSE 'ok' END AS reason,
+           CASE WHEN n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
+                 AND stop_ratio >= 0.01 AND rep_frac <= 0.2
+                THEN 1 ELSE 0 END AS keep
+    FROM b ORDER BY doc_id""") { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        ((col("n_chars").cast("double") - size(toks) + 1) / size(toks)).as("awl"),
+        (size(filter(toks, w => array_contains(stopArr, w))).cast("double") / size(toks))
+          .as("stop_ratio"),
+        when(size(toks) > 2,
+          lit(1.0) - size(graft.operators.Dedup.hashedShingles(col("text"), 3)).cast("double") /
+            (size(toks) - 2))
+          .otherwise(lit(1.0)).as("rep_frac"))
+    base.select(col("doc_id"), col("n_tokens"),
+      when(col("n_tokens") < 40, "too_short")
+        .when(col("awl") < 3.0 || col("awl") > 10.0, "word_len")
+        .when(col("stop_ratio") < 0.01, "low_stopwords")
+        .when(col("rep_frac") > 0.2, "repetitive")
+        .otherwise("ok").as("reason"),
+      when(col("n_tokens") >= 40 && col("awl") >= 3.0 && col("awl") <= 10.0 &&
+        col("stop_ratio") >= 0.01 && col("rep_frac") <= 0.2, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
-    redact, hashSample, mixture, shuffle, repetition, pack)
+    redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter)
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Distributed k-means (Lloyd) over the embeddings table — the
+  * "production would run k-means refinement" step [[VectorsIvf]]'s
+  * coarse quantizer points at: the trained centroids drop into the same
+  * cell-assignment/probe plan, only the literals change.
+  *
+  * Scale design — each Lloyd iteration is exactly two stages:
+  *  1. ASSIGN: per-row argmin distance over K centroid literals,
+  *     rewritten as argmax (v·c − |c|²/2) so it reuses the dot kernel;
+  *     centroids ride the plan as literals → a pure map stage fused
+  *     into the scan, zero shuffle.
+  *  2. UPDATE: per-(cluster, dimension) sums via posexplode + partial-
+  *     aggregated groupBy — only K×dim tiny sums cross the wire, and
+  *     only K×dim longs land on the driver (bounded by model size, like
+  *     the IVF centroid sample — never corpus rows).
+  *
+  * Determinism (the oracle contract): the update sums
+  * floor(x·10⁶ + 0.5) as BIGINT — exact integer arithmetic, invariant
+  * to partitioning and summation order — then divides back to double.
+  * Floating sums would drift between engines by summation order;
+  * integer sums cannot, so the per-iteration centroids (and therefore
+  * every assignment) are bit-identical to the DuckDB oracle, which
+  * replays the same [[Iters]] iterations in SQL.
+  */
+object VectorsKmeans {
+
+  val K = 8
+  val Iters = 2
+  val Dim = 64
+  private val Scale = 1000000.0
+
+  /** Sequential-fold double dot of a float vector column against a
+    * double-literal centroid — same arithmetic as the oracle's
+    * `list_sum(list_transform(list_zip(...)))`. K×Dim multiplies per
+    * row at K=8 is cheap even interpreted; a 100 TB run would lift this
+    * into a native expression like [[graft.functions.FloatVecDot]]. */
+  private def dotLit(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Nearest-centroid id: argmax (v·c − |c|²/2) with the
+    * `greatest`-over-structs tie-break (score, then cid — mirrored in
+    * SQL as ORDER BY score DESC, cid DESC). `greatest`, not
+    * `array_max(array(...))`: with a lambda (the HOF dot) inside, the
+    * array element struct resolves its field names AFTER the lambda
+    * rule runs, so `getField` on the array_max result sees placeholder
+    * names (col1/col2) and analysis fails; `greatest` resolves the
+    * struct children directly (same idiom as TextOps.langId). */
+  private[graft] def assignCol(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    greatest(cents.map { case (cid, c) =>
+      struct((dotLit(v, c) - lit(c.map(x => x * x).sum / 2)).as("score"),
+        lit(cid).as("cid"))
+    }: _*).getField("cid")
+
+  /** Deterministic seed: the first K corpus vectors (same rule as the
+    * IVF centroid sample). */
+  private[graft] def initialCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < K)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])].collect()
+      .map { case (cid, v) => cid -> v.toSeq.map(_.toDouble) }
+      .sortBy(_._1).toSeq
+  }
+
+  /** One Lloyd update: assign under `cents`, re-center each non-empty
+    * cluster on the quantized-exact mean of its members. */
+  private[graft] def refined(spark: SparkSession, dir: String,
+                             cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    // two steps, not one select: a generator (posexplode) alongside the
+    // HOF-bearing struct getField trips the same analyzer ordering
+    // quirk assignCol's doc describes — resolve the assignment first
+    val sums = Tables.embeddings(spark, dir)
+      .withColumn("cluster", assignCol(col("embedding"), cents))
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum(floor(col("x").cast("double") * Scale + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .collect() // K×Dim rows — model-sized, never corpus-sized
+    sums.groupBy(_.getInt(0)).view.mapValues { rows =>
+      rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / (Scale * r.getLong(3))).toSeq
+    }.toSeq.sortBy(_._1).map { case (cid, c) => (cid, c) }
+  }
+
+  /** `Iters` Lloyd rounds from the deterministic seed. */
+  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    (0 until Iters).foldLeft(initialCentroids(spark, dir))((c, _) => refined(spark, dir, c))
+
+  /** Mean squared distance of every vector to its assigned centroid —
+    * the k-means objective (used by the monotone-descent spec; computed
+    * with the same quantized-exact summation trick). */
+  private[graft] def objective(spark: SparkSession, dir: String,
+                               cents: Seq[(Int, Seq[Double])]): Double = {
+    val sqDist = cents.map { case (cid, c) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dotLit(col("embedding"), c)).as("d2adj"),
+        lit(cid).as("cid"))
+    }
+    // ||v−c||² = |v|² + |c|² − 2v·c; |v|² is assignment-invariant, so
+    // argmin over (|c|² − 2v·c) matches assignCol's argmax tie-break
+    val row = Tables.embeddings(spark, dir)
+      .select((least(sqDist: _*).getField("d2adj") +
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, x) => a + x)).as("d2"))
+      .agg(avg("d2")).head()
+    row.getDouble(0)
+  }
+
+  /** Per-cluster summary under the trained centroids. */
+  def kmeansSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = train(spark, dir)
+    val counts = Tables.embeddings(spark, dir)
+      .select(assignCol(col("embedding"), cents).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val norms = cents.toDF("cluster_id", "cemb")
+      .select(col("cluster_id"),
+        dround(sqrt(aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("centroid_norm"))
+    counts.join(norms, "cluster_id").orderBy("cluster_id")
+  }
+
+  /** The oracle replays the identical pipeline in SQL: same seed, same
+    * argmax tie-break (ROW_NUMBER score DESC, cid DESC), same
+    * quantized-integer centroid update, same two iterations. */
+  private def iterSql(i: Int): String =
+    s"""score$i AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             - list_sum(list_transform(c.cemb, x -> x * x)) / 2 AS score
+      FROM embeddings e CROSS JOIN cents$i c),
+    assign$i AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM score$i) WHERE rn = 1),
+    cents${i + 1} AS (
+      SELECT cluster AS cid,
+             list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cemb
+      FROM (
+        SELECT a.cluster, t.i AS pos,
+               SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM assign$i a JOIN embeddings e USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) t(i)
+        GROUP BY a.cluster, t.i)
+      GROUP BY cluster)"""
+
+  val kmeans: GraftQuery = GraftQuery.checked("ns_vec_kmeans",
+    s"""WITH cents0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings WHERE vec_id < $K),
+    ${iterSql(0)},
+    ${iterSql(1)},
+    score2 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             - list_sum(list_transform(c.cemb, x -> x * x)) / 2 AS score
+      FROM embeddings e CROSS JOIN cents2 c),
+    assign2 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM score2) WHERE rn = 1),
+    counts AS (
+      SELECT cluster, COUNT(*) AS n_members FROM assign2 GROUP BY cluster)
+    SELECT co.cluster AS cluster_id, co.n_members,
+           ROUND(sqrt(list_sum(list_transform(c.cemb, x -> x * x))), 4) AS centroid_norm
+    FROM counts co JOIN cents2 c ON c.cid = co.cluster
+    ORDER BY cluster_id""")((s, d) => kmeansSummary(s, d))
+
+  val all: Seq[GraftQuery] = Seq(kmeans)
+}

@@ -177,4 +177,71 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.subsetOf(batch), s"streaming rows not found in batch: ${streamed -- batch}")
   }
+
+  test("MisraGries: exact when vocabulary fits; MG guarantees when it does not") {
+    import graft.functions.{FreqSketch, MisraGriesAggregator}
+    // zipf-ish synthetic stream: token t_i appears (100 - i) times
+    val docs: Seq[Seq[String]] = (0 until 100).map(i => Seq.fill(100 - i)(f"t$i%03d")).toSeq
+    val truth: Map[String, Long] =
+      docs.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val n = truth.values.sum
+    def runWith(capacity: Int): FreqSketch = {
+      val agg = new MisraGriesAggregator(capacity)
+      // fold in a few different groupings to exercise merge() paths
+      docs.grouped(7).map(g => g.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+    }
+    // capacity >= vocab: exact, zero decrements
+    val exact = runWith(128)
+    assert(exact.decrements == 0 && exact.counts == truth)
+    // capacity < vocab: (a) estimates never exceed truth, (b) truth never
+    // exceeds estimate + decrements, (c) decrements <= N/(capacity+1),
+    // (d) every heavy hitter above the decrement bound is present
+    val sk = runWith(20)
+    assert(sk.decrements > 0 && sk.counts.size <= 20)
+    sk.counts.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t over-estimated")
+      assert(truth(t) <= est + sk.decrements, s"$t beyond error bound")
+    }
+    assert(sk.decrements <= n / 21, s"decrements ${sk.decrements} above N/(m+1)")
+    truth.collect { case (t, c) if c > sk.decrements => t }
+      .foreach(t => assert(sk.counts.contains(t), s"heavy hitter $t evicted"))
+  }
+
+  test("heavy hitters query equals the naive explode+groupBy plan") {
+    val naive = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = graft.operators.TextOps.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch == naive)
+  }
+
+  test("kmeans: objective descends monotonically over Lloyd iterations") {
+    import graft.operators.VectorsKmeans
+    val c0 = VectorsKmeans.initialCentroids(spark, dir)
+    val c1 = VectorsKmeans.refined(spark, dir, c0)
+    val c2 = VectorsKmeans.refined(spark, dir, c1)
+    val o0 = VectorsKmeans.objective(spark, dir, c0)
+    val o1 = VectorsKmeans.objective(spark, dir, c1)
+    val o2 = VectorsKmeans.objective(spark, dir, c2)
+    assert(o1 <= o0 + 1e-9, s"first Lloyd step increased objective: $o0 -> $o1")
+    assert(o2 <= o1 + 1e-9, s"second Lloyd step increased objective: $o1 -> $o2")
+    // the quantized mean moves centroids off the seed = real refinement
+    assert(o1 < o0, "refinement did not move the objective at all")
+    // every vector keeps a cluster; cluster count stays <= K
+    assert(c2.size <= VectorsKmeans.K && c2.nonEmpty)
+  }
+
+  test("bloom-prefiltered decontamination is byte-identical to the exact plan") {
+    import graft.operators.Dedup
+    val exact = Dedup.ngramDecontam(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val bloom = Dedup.ngramDecontamBloom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(exact.nonEmpty, "decontamination fixture produced no contaminated probes")
+    assert(bloom == exact)
+  }
 }
