@@ -179,5 +179,90 @@ object VectorsKmeans {
     FROM counts co JOIN cents2 c ON c.cid = co.cluster
     ORDER BY cluster_id""")((s, d) => kmeansSummary(s, d))
 
-  val all: Seq[GraftQuery] = Seq(kmeans)
+  // --- IVF probe over TRAINED centroids ---------------------------------
+
+  /** IVF ANN with the k-means-refined coarse quantizer — the production
+    * combination [[VectorsIvf]]'s doc promises ("production would run
+    * k-means refinement"). Same probe plan, better cells.
+    *
+    * DataFrame formulation (vs the literal-array argmax of
+    * [[VectorsIvf.cellOf]]): centroids are a K-row broadcast frame and
+    * cell scores one narrow crossJoin — ranks mirror the oracle's
+    * ROW_NUMBER CTEs one-to-one, and no struct-field extraction sits
+    * near a generator (the analyzer quirk documented at [[assignCol]]).
+    * Because trained centroids are MEANS (not unit-norm like the
+    * sampled seed vectors), nearest-cell must be argmax (v·c − |c|²/2),
+    * not plain argmax dot. */
+  def ivfKmeansTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+                    nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = train(spark, dir)
+    val centsDf = broadcast(cents.toDF("cid", "cemb")
+      .select(col("cid"), col("cemb"),
+        (aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x) / 2).as("half_sq")))
+    val emb = Tables.embeddings(spark, dir)
+    val scored = emb.crossJoin(centsDf)
+      .select(col("vec_id"), col("cid"),
+        (aggregate(zip_with(col("embedding"), col("cemb"),
+          (x, y) => x.cast("double") * y), lit(0.0), (a, p) => a + p) - col("half_sq"))
+          .as("score"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score").desc, col("cid").desc)
+    val ranked = scored.withColumn("rn", row_number().over(wCell))
+    val cells = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.where(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val corpus = emb.join(cells, "vec_id")
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(probes, "query_id")
+    val pairs = corpus.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dround(Vectors.dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val ivfKmeans: GraftQuery = GraftQuery.checked("ns_vec_topk_ivf_kmeans",
+    s"""WITH cents0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings WHERE vec_id < $K),
+    ${iterSql(0)},
+    ${iterSql(1)},
+    score2 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             - list_sum(list_transform(c.cemb, x -> x * x)) / 2 AS score,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               list_sum(list_transform(list_zip(e.embedding, c.cemb),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               - list_sum(list_transform(c.cemb, x -> x * x)) / 2 DESC, c.cid DESC) AS rn
+      FROM embeddings e CROSS JOIN cents2 c),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM score2 WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM score2
+      WHERE vec_id < 5 AND rn <= 4),
+    pairs AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM probes p
+      JOIN cells ce ON ce.cell = p.cell
+      JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => ivfKmeansTopK(s, d))
+
+  val all: Seq[GraftQuery] = Seq(kmeans, ivfKmeans)
 }

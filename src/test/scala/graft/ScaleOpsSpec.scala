@@ -235,6 +235,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(c2.size <= VectorsKmeans.K && c2.nonEmpty)
   }
 
+  test("IVF over trained k-means centroids: sane recall, full probe recovers brute force") {
+    import graft.operators.VectorsKmeans
+    val bf = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorsKmeans.ivfKmeansTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"IVF-kmeans recall too low: $recall")
+    val full = VectorsKmeans.ivfKmeansTopK(spark, dir, nProbe = VectorsKmeans.K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf, "probing every trained cell must recover brute force exactly")
+  }
+
   test("bloom-prefiltered decontamination is byte-identical to the exact plan") {
     import graft.operators.Dedup
     val exact = Dedup.ngramDecontam(spark, dir)
