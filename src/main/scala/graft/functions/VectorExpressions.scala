@@ -68,6 +68,57 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]] variant for a float vector against a DOUBLE array
+  * (k-means centroids are quantized-exact means, carried as doubles so
+  * they stay bit-identical to the oracle's `list(double)`): float side
+  * widened, double side used as-is, left-to-right accumulation — the
+  * same arithmetic as the interpreted `zip_with`+`aggregate` form it
+  * replaces in the assignment hot path. */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot_fd requires (array<float>, array<double>) inputs, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) $a.getFloat($i)) * $b.getDouble($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity of two SORTED long arrays (set semantics assumed
   * upstream via `array_distinct` + `sort_array`): single merge pass,
   * no per-row hash-set allocation — replaces
@@ -131,6 +182,10 @@ object VectorExpressions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column =
     ColumnShim.column(FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[FloatDoubleVecDot]]. */
+  def vecDotFD(a: Column, b: Column): Column =
+    ColumnShim.column(FloatDoubleVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Column API for [[JaccardSortedLongs]]. */
   def jaccardSorted(a: Column, b: Column): Column =

@@ -378,10 +378,17 @@ object Dedup {
     * probe side semi-joins into them and aggregates per probe doc.
     * At 100 TB the corpus gram set shards by hash; the probe side
     * (an eval suite) is tiny. */
+  /** (doc_id, sh) with hashed w-shingles — memoized: the exact and the
+    * Bloom-prefiltered decontamination plans share this frame. */
+  private def decontamDocs(spark: SparkSession, dir: String, w: Int): DataFrame =
+    memoCached(spark, dir, s"decontam-docs-$w") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
+        .where(size(col("sh")) > 0)
+    }
+
   def ngramDecontam(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
-      .where(size(col("sh")) > 0)
+    val docs = decontamDocs(spark, dir, w)
     val corpusGrams = docs.where(col("doc_id") % 10 =!= 0)
       .select(explode(col("sh")).as("g")).distinct()
     val probe = docs.where(col("doc_id") % 10 === 0)
@@ -443,9 +450,7 @@ object Dedup {
     * the executor test side, with no overflow-prone arithmetic. */
   def ngramDecontamBloom(spark: SparkSession, dir: String, w: Int = 8,
                          bitsPerGram: Int = 16): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
-      .where(size(col("sh")) > 0)
+    val docs = decontamDocs(spark, dir, w)
     val probe = docs.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("probe_id"), col("sh"))
     val probeGramHashes: Array[Long] = probe

@@ -442,6 +442,95 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language VOCABULARY statistics — distinct token count (the
+    * "vocab size" curve every corpus report carries) plus totals.
+    * Exact `COUNT(DISTINCT)` here (oracle-checkable); the
+    * constant-memory scale path (`approx_count_distinct`, HLL++ —
+    * sketch-mergeable, no per-token shuffle) is pinned within 5% of
+    * this exact answer in ScaleOpsSpec. */
+  val vocab: GraftQuery = GraftQuery.checked("ns_text_vocab",
+    """SELECT lang, CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab,
+           COUNT(*) AS n_tokens
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY lang ORDER BY lang""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang")
+      .agg(count_distinct(col("t")).as("n_vocab"), count(lit(1)).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** TF-IDF top terms per document — the classic term-weighting pass
+    * (keyword extraction / relevance features for corpus curation).
+    * tf = in-doc occurrences, idf = ln((N+1)/(df+1)); top-3 terms per
+    * doc with deterministic (score DESC, token) ranking. Two partial-
+    * aggregated shuffles (doc-term counts, per-term doc frequency: the
+    * df side is vocabulary-sized → broadcast back); ROUNDed before the
+    * rank so both engines order identically. */
+  val tfidf: GraftQuery = GraftQuery.checked("ns_text_tfidf",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (
+      SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS token,
+             ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+    SELECT doc_id, token, tfidf FROM ranked
+    WHERE rn <= 3 AND doc_id < 100
+    ORDER BY doc_id, tfidf DESC, token""") { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val scored = tf.join(broadcast(df), "t")
+      .select(col("doc_id"), col("t").as("token"),
+        dround(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3 && col("doc_id") < 100)
+      .select("doc_id", "token", "tfidf")
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
+  /** STRATIFIED deterministic sampling — exactly `perLang` docs per
+    * language (vs [[mixtureSample]]'s rate-based expectation): rank
+    * inside each stratum by the content-independent md5(doc_id) and
+    * keep the first `perLang`. Reproducible across runs/partitionings;
+    * at 100 TB the per-stratum rank is the bounded-state aggregator
+    * shape ([[graft.functions.TopKAggregator]]), not a full sort — the
+    * window form here mirrors the oracle 1:1. */
+  def stratifiedSample(spark: SparkSession, dir: String, perLang: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("rk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perLang)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  val stratified: GraftQuery = GraftQuery.checked("ns_text_stratified",
+    """SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10 ORDER BY lang, rn""")((s, d) => stratifiedSample(s, d))
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
-    redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter)
+    redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
+    vocab, tfidf, stratified)
 }

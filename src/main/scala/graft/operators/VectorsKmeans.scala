@@ -37,12 +37,17 @@ object VectorsKmeans {
   val Dim = 64
   private val Scale = 1000000.0
 
-  /** Sequential-fold double dot of a float vector column against a
-    * double-literal centroid — same arithmetic as the oracle's
-    * `list_sum(list_transform(list_zip(...)))`. K×Dim multiplies per
-    * row at K=8 is cheap even interpreted; a 100 TB run would lift this
-    * into a native expression like [[graft.functions.FloatVecDot]]. */
+  /** Double dot of a float vector column against a double-literal
+    * centroid — the native codegen'd kernel
+    * ([[graft.functions.FloatDoubleVecDot]]); same sequential
+    * left-to-right arithmetic as the oracle's
+    * `list_sum(list_transform(list_zip(...)))` (equivalence vs the
+    * interpreted HOF form pinned in ScaleOpsSpec). */
   private def dotLit(v: Column, c: Seq[Double]): Column =
+    graft.functions.VectorExpressions.vecDotFD(v, array(c.map(lit): _*))
+
+  /** Interpreted HOF reference of [[dotLit]] (equivalence spec). */
+  private[graft] def dotLitRef(v: Column, c: Seq[Double]): Column =
     aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, p) => acc + p)
 
@@ -91,9 +96,23 @@ object VectorsKmeans {
     }.toSeq.sortBy(_._1).map { case (cid, c) => (cid, c) }
   }
 
-  /** `Iters` Lloyd rounds from the deterministic seed. */
-  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    (0 until Iters).foldLeft(initialCentroids(spark, dir))((c, _) => refined(spark, dir, c))
+  /** Trained-model memo: `ns_vec_kmeans` and `ns_vec_topk_ivf_kmeans`
+    * share one training run per (session, dir). Weak session keys so
+    * the memo never pins a retired SparkSession (the round-3 advice on
+    * cache memos); values are K×Dim doubles — model-sized. */
+  private val trained =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Seq[(Int, Seq[Double])]]]()
+
+  /** `Iters` Lloyd rounds from the deterministic seed (memoized). */
+  def train(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
+    val perSession = trained.synchronized {
+      var m = trained.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; trained.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate(dir,
+      (0 until Iters).foldLeft(initialCentroids(spark, dir))((c, _) => refined(spark, dir, c)))
+  }
 
   /** Mean squared distance of every vector to its assigned centroid —
     * the k-means objective (used by the monotone-descent spec; computed
@@ -203,9 +222,8 @@ object VectorsKmeans {
     val emb = Tables.embeddings(spark, dir)
     val scored = emb.crossJoin(centsDf)
       .select(col("vec_id"), col("cid"),
-        (aggregate(zip_with(col("embedding"), col("cemb"),
-          (x, y) => x.cast("double") * y), lit(0.0), (a, p) => a + p) - col("half_sq"))
-          .as("score"))
+        (graft.functions.VectorExpressions.vecDotFD(col("embedding"), col("cemb")) -
+          col("half_sq")).as("score"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("score").desc, col("cid").desc)
     val ranked = scored.withColumn("rn", row_number().over(wCell))

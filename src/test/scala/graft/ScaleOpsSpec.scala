@@ -219,6 +219,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sketch == naive)
   }
 
+  test("native float-double dot == interpreted HOF dot, bit for bit") {
+    import graft.operators.VectorsKmeans
+    val cents = VectorsKmeans.train(spark, dir)
+    val c0 = cents.head._2
+    val cmp = Tables.embeddings(spark, dir)
+      .select(
+        graft.functions.VectorExpressions.vecDotFD(col("embedding"),
+          array(c0.map(lit): _*)).as("native"),
+        VectorsKmeans.dotLitRef(col("embedding"), c0).as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(cmp.isEmpty, "native and HOF float-double dots diverged")
+  }
+
   test("kmeans: objective descends monotonically over Lloyd iterations") {
     import graft.operators.VectorsKmeans
     val c0 = VectorsKmeans.initialCentroids(spark, dir)
@@ -246,6 +259,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     val full = VectorsKmeans.ivfKmeansTopK(spark, dir, nProbe = VectorsKmeans.K)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == bf, "probing every trained cell must recover brute force exactly")
+  }
+
+  test("HLL approx vocabulary (constant-memory scale path) within 5% of exact") {
+    val exact = graft.operators.TextOps.vocab.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang").agg(approx_count_distinct(col("t"), 0.02).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, ex) =>
+      val rel = math.abs(approx(lang) - ex).toDouble / ex
+      assert(rel < 0.05, s"HLL for $lang off by ${rel * 100}%: ${approx(lang)} vs $ex")
+    }
   }
 
   test("bloom-prefiltered decontamination is byte-identical to the exact plan") {
