@@ -73,5 +73,120 @@ object Curation {
     curate(Tables.documents(spark, dir)).orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(curation)
+  /** Round-4 capstone: the FULL training-corpus assembly funnel as one
+    * declarative plan —
+    *
+    *   raw corpus → quality gate → near-dup dedup → eval decontamination
+    *
+    * reported as a per-language survival funnel (with the post-funnel
+    * token budget — the number a training run actually plans against).
+    * Probe docs (ids ≡ 0 mod 10) are the held-out eval suite: they are
+    * excluded from the corpus entirely, their 8-grams define the
+    * contamination test, and any corpus doc sharing one is dropped.
+    *
+    * Composition, not recomputation: the near-dup dropped set reuses
+    * the memoized cluster labels (`ns_dedup_cluster`), the gram frame
+    * reuses the decontamination docs memo, and the quality predicate is
+    * the same column [[TextOps.qualityKeep]] the filter query uses —
+    * at 100 TB each piece keeps exactly the plan shape its own query
+    * pinned (codegen quality map, banded candidate joins, inverted-
+    * index semi-join), and the funnel adds two model-sized left joins
+    * plus one final aggregate. */
+  def pipelineFunnel(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // near-dup non-survivors over the full corpus (memoized labels)
+    val dropped = Dedup.dedupClusters(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    // corpus docs sharing >= 1 hashed 8-gram with the eval (probe) set
+    val sh = Dedup.decontamDocs(spark, dir, 8)
+    val probeGrams = sh.where(col("doc_id") % 10 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val contaminated = sh.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(probeGrams, "g")
+      .select("doc_id").distinct()
+      .withColumn("is_contam", lit(true))
+    val pass = graft.operators.TextOps.qualityKeep(col("text"), col("n_chars"))
+    val clean = col("q") && col("is_dup").isNull && col("is_contam").isNull
+    docs.where(col("doc_id") % 10 =!= 0)
+      .withColumn("q", pass)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .join(dropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("q") && col("is_dup").isNull, 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(clean, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(clean, col("n_tokens")).otherwise(0L)).as("tokens_clean"))
+      .orderBy("lang")
+  }
+
+  val funnel: GraftQuery = GraftQuery.checked("ns_pipeline_funnel",
+    """WITH RECURSIVE docs3 AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs3 a JOIN docs3 b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    docs8 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], ' '))) AS sh
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 8),
+    probe_grams AS (
+      SELECT DISTINCT unnest(sh) AS g FROM docs8 WHERE doc_id % 10 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS g FROM docs8 WHERE doc_id % 10 <> 0) c
+      JOIN probe_grams USING (g)),
+    qual AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (len(toks) >= 40
+              AND (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) >= 3.0
+              AND (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) <= 10.0
+              AND CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE)
+                    / len(toks) >= 0.01
+              AND (CASE WHEN len(toks) > 2
+                        THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+                        ELSE 1.0 END) <= 0.2) AS q
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+            FROM documents)
+      WHERE doc_id % 10 <> 0)
+    SELECT lang,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN q AND doc_id NOT IN (SELECT doc_id FROM dropped)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           CAST(SUM(CASE WHEN q AND doc_id NOT IN (SELECT doc_id FROM dropped)
+                     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN q AND doc_id NOT IN (SELECT doc_id FROM dropped)
+                     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_clean
+    FROM qual
+    GROUP BY lang ORDER BY lang""")((s, d) => pipelineFunnel(s, d))
+
+  val all: Seq[GraftQuery] = Seq(curation, funnel)
 }

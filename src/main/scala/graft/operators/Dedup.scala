@@ -379,20 +379,31 @@ object Dedup {
     * At 100 TB the corpus gram set shards by hash; the probe side
     * (an eval suite) is tiny. */
   /** (doc_id, sh) with hashed w-shingles — memoized: the exact and the
-    * Bloom-prefiltered decontamination plans share this frame. */
-  private def decontamDocs(spark: SparkSession, dir: String, w: Int): DataFrame =
+    * Bloom-prefiltered decontamination plans (and the pipeline funnel's
+    * contamination stage) share this frame. */
+  private[operators] def decontamDocs(spark: SparkSession, dir: String, w: Int): DataFrame =
     memoCached(spark, dir, s"decontam-docs-$w") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), hashedShingles(col("text"), w).as("sh"))
         .where(size(col("sh")) > 0)
     }
 
-  def ngramDecontam(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
-    val docs = decontamDocs(spark, dir, w)
+  def ngramDecontam(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    ngramDecontamCore(decontamDocs(spark, dir, w))
+
+  /** Exact-decontamination core over an injected `(doc_id, sh)` frame
+    * (probe split: ids ≡ 0 mod 10) — also driven standalone by the
+    * weak-scaling probe ([[graft.tools.ScaleProbeR4]]). */
+  private[graft] def ngramDecontamCore(docs: DataFrame): DataFrame = {
     val corpusGrams = docs.where(col("doc_id") % 10 =!= 0)
       .select(explode(col("sh")).as("g")).distinct()
     val probe = docs.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("probe_id"), col("sh"))
+    decontamTail(probe, corpusGrams)
+  }
+
+  /** Shared hit-count/aggregate tail of both decontamination plans. */
+  private def decontamTail(probe: DataFrame, corpusGrams: DataFrame): DataFrame = {
     val hits = probe.select(col("probe_id"), explode(col("sh")).as("g"))
       .join(corpusGrams, "g") // inner: only grams present in the corpus
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit_ngrams"))
@@ -449,8 +460,12 @@ object Dedup {
     * shift/mask column algebra, identical on the driver build side and
     * the executor test side, with no overflow-prone arithmetic. */
   def ngramDecontamBloom(spark: SparkSession, dir: String, w: Int = 8,
-                         bitsPerGram: Int = 16): DataFrame = {
-    val docs = decontamDocs(spark, dir, w)
+                         bitsPerGram: Int = 16): DataFrame =
+    ngramDecontamBloomCore(decontamDocs(spark, dir, w), bitsPerGram)
+
+  /** Bloom-path core over an injected `(doc_id, sh)` frame. */
+  private[graft] def ngramDecontamBloomCore(docs: DataFrame,
+                                            bitsPerGram: Int = 16): DataFrame = {
     val probe = docs.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("probe_id"), col("sh"))
     val probeGramHashes: Array[Long] = probe
@@ -479,14 +494,7 @@ object Dedup {
       .select(explode(col("sh")).as("g"))
       .where(mightContain(col("g")))
       .distinct()
-    val hits = probe.select(col("probe_id"), explode(col("sh")).as("g"))
-      .join(corpusGrams, "g")
-      .groupBy("probe_id").agg(count(lit(1)).as("n_hit_ngrams"))
-    probe.select(col("probe_id"), size(col("sh")).cast("long").as("total_ngrams"))
-      .join(hits, "probe_id")
-      .select(col("probe_id"), col("n_hit_ngrams"), col("total_ngrams"),
-        dround(col("n_hit_ngrams") / col("total_ngrams"), 4).as("hit_frac"))
-      .orderBy("probe_id")
+    decontamTail(probe, corpusGrams)
   }
 
   val ngramDecontamBloomQ: GraftQuery =

@@ -389,6 +389,20 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
     GROUP BY t ORDER BY n DESC, t LIMIT 20""")((s, d) => heavyHitters(s, d))
 
+  /** The composite keep predicate of [[qualityFilter]] as a reusable
+    * column (also the quality stage of the round-4 pipeline funnel). */
+  def qualityKeep(text: Column, nChars: Column): Column = {
+    val toks = tokens(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks)
+    val awl = (nChars.cast("double") - nTok + 1) / nTok
+    val stopR = size(filter(toks, w => array_contains(stopArr, w))).cast("double") / nTok
+    val rep = when(nTok > 2,
+      lit(1.0) - size(graft.operators.Dedup.hashedShingles(text, 3)).cast("double") / (nTok - 2))
+      .otherwise(lit(1.0))
+    nTok >= 40 && awl >= 3.0 && awl <= 10.0 && stopR >= 0.01 && rep <= 0.2
+  }
+
   /** Composite QUALITY FILTER — the Gopher-style keep/drop verdict that
     * gates documents into a training mix: minimum length, mean-word-
     * length band, function-word (stopword) floor, repetition ceiling.

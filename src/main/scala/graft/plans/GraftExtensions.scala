@@ -61,7 +61,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => QuantizeInt8Expr(es(0))),
     ("int_vec_dot",
       info("int_vec_dot", "int_vec_dot(a, b) - exact integer dot of two int arrays"),
-      (es: Seq[Expression]) => IntVecDotExpr(es(0), es(1))))
+      (es: Seq[Expression]) => IntVecDotExpr(es(0), es(1))),
+    ("vec_dot_fd",
+      info("vec_dot_fd", "vec_dot_fd(a, b) - dot of a float array against a double array (k-means centroids)"),
+      (es: Seq[Expression]) => graft.functions.FloatDoubleVecDot(es(0), es(1))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -75,6 +75,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge against a tiny rate table:\n$p")
   }
 
+  test("ns_text_quality_filter: one map stage — no exchange except the output sort") {
+    val p = plan(graft.operators.TextOps.qualityFilter.run(spark, dir))
+    // the verdict itself must be computed scan-side: the only exchange
+    // is the output sort's range partitioning — a hash exchange before
+    // it would mean the signals stopped being per-row column algebra
+    assert(p.contains("rangepartitioning"), s"expected the output sort's range exchange:\n$p")
+    assert(!p.contains("hashpartitioning"), s"no hash exchange expected before the sort:\n$p")
+  }
+
+  test("ns_text_tfidf: vocabulary-sized df side broadcasts back to the corpus") {
+    val p = plan(graft.operators.TextOps.tfidf.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected df-side broadcast:\n$p")
+  }
+
+  test("ns_vec_topk_ivf_kmeans: centroid frame and probe side broadcast; corpus never SMJs") {
+    val p = plan(graft.operators.VectorsKmeans.ivfKmeansTopK(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against model-sized sides:\n$p")
+  }
+
+  test("ns_dedup_decontam_bloom: the bloom prefilter evaluates scan-side, before the distinct") {
+    val p = plan(graft.operators.Dedup.ngramDecontamBloom(spark, SparkSuite.sfDir))
+    // the literal filter must sit under the gram distinct (HashAggregate),
+    // i.e. appear as a Filter containing shiftright probes, not after
+    // any exchange of raw grams
+    assert(p.contains("shiftright"), s"expected bloom bit probes in the plan:\n$p")
+    val filterIdx = p.indexOf("shiftright")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0,
+      s"expected both bloom filter and distinct aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

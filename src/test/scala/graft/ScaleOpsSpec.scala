@@ -187,9 +187,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     val n = truth.values.sum
     def runWith(capacity: Int): FreqSketch = {
       val agg = new MisraGriesAggregator(capacity)
-      // fold in a few different groupings to exercise merge() paths
-      docs.grouped(7).map(g => g.foldLeft(agg.zero)(agg.reduce))
-        .reduce(agg.merge)
+      // fold in a few different groupings to exercise merge() paths,
+      // then the final finish() contraction (as Spark's agg path does)
+      agg.finish(docs.grouped(7).map(g => g.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge))
     }
     // capacity >= vocab: exact, zero decrements
     val exact = runWith(128)
@@ -259,6 +260,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     val full = VectorsKmeans.ivfKmeansTopK(spark, dir, nProbe = VectorsKmeans.K)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == bf, "probing every trained cell must recover brute force exactly")
+  }
+
+  test("streaming MG heavy hitters (complete mode) == batch sketch") {
+    import graft.functions.MisraGriesAggregator
+    val srcDir = java.nio.file.Files.createTempDirectory("mg-src").toString
+    Tables.documents(spark, dir).select(split(col("text"), " ").as("toks"))
+      .write.mode("overwrite").parquet(srcDir)
+    val batch = graft.operators.TextOps.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val agg = new MisraGriesAggregator(4096).toColumn
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))))
+      .parquet(srcDir)
+      .as[Seq[String]]
+      .groupByKey(_ => 0)
+      .agg(agg.name("sk"))
+    val q = stream.toDF("k", "sk")
+      .writeStream.format("memory").queryName("mg_out").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val sk = spark.table("mg_out").select(col("sk.counts")).head().getMap[String, Long](0)
+    val streamed = sk.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).toSet
+    assert(streamed == batch,
+      "the mergeable sketch must produce identical heavy hitters in streaming")
   }
 
   test("HLL approx vocabulary (constant-memory scale path) within 5% of exact") {
