@@ -82,11 +82,37 @@ object Cli {
       val (d, triggers) = parsePipelineFile(spark, path)
       api.upsertPipeline(d, triggers)
       println(s"created pipeline ${d.pipeline_uuid} with ${triggers.size} trigger(s)"); 0
+    case "delete" :: uuid :: rest if rest.isEmpty || rest == List("--force") =>
+      // D6 orphan guard stays on by default; --force = safe_delete=false
+      api.deletePipeline(uuid, safeDelete = rest.isEmpty)
+      println(s"deleted pipeline $uuid"); 0
+    case "flush" :: prefix :: Nil =>
+      // D7: bulk delete of the prefix's list result
+      api.flushPipelines(prefix)
+      println(s"flushed pipelines with prefix '$prefix'"); 0
+    case "run" :: uuid :: Nil =>
+      // facade run_by_pipeline_uuid: synthesize an origination event
+      // against the live running/incubating views
+      import org.apache.spark.sql.Encoders
+      val res = api.runByPipelineUuid(uuid,
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        // full running view (no page limit): the concurrency gate must
+        // see every live run, not the default 10-row page
+        api.runningJobs(limit = Int.MaxValue).as(Encoders.product[graft.model.RunningJob]),
+        spark.emptyDataset(Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
+      val subs = res.submissions.collect()
+      subs.foreach(s => println(s"submitted ${s.pipeline_uuid} exec=${s.exec_uuid}"))
+      if (subs.isEmpty) { System.err.println(s"no submission for $uuid (unknown or deferred)"); 1 }
+      else 0
+    case "abort" :: execUuid :: Nil =>
+      api.abort(execUuid)
+      println(s"abort requested for $execUuid"); 0
     case other =>
       System.err.println(s"unknown verb: ${other.mkString(" ")}")
       System.err.println(
         "usage: list [prefix] | describe <uuid> | downstream <uuid> | history <uuid> | " +
-        "running | cron-due '<yyyy-MM-dd HH:mm:ss>' | create pipeline <def.json>")
+        "running | cron-due '<yyyy-MM-dd HH:mm:ss>' | create pipeline <def.json> | " +
+        "delete <uuid> [--force] | flush <prefix> | run <uuid> | abort <exec_uuid>")
       2
   }
 

@@ -292,6 +292,33 @@ class ApiSpec extends AnyFunSuite {
     assert(Cli.run(a, spark, List("bogus")) == 2)
   }
 
+  test("CLI mutating verbs: run/delete/flush/abort drive the same API paths") {
+    import graft.api.Cli
+    val a = api
+    // run: a known root pipeline submits (origination -> engine submit)
+    assert(Cli.run(a, spark, List("run", "ingest-orders")) == 0)
+    // run: unknown pipeline produces no submission -> exit 1 (facade 404 analog)
+    assert(Cli.run(a, spark, List("run", "no-such-pipeline")) == 1)
+    // abort on a finished/unknown exec is a tolerated no-op (engine 404 path)
+    assert(Cli.run(a, spark, List("abort", "exec-nope")) == 0)
+    // delete: guard refuses a pipeline with downstream deps through the CLI too
+    intercept[IllegalArgumentException] { Cli.run(a, spark, List("delete", "ingest-orders")) }
+    // create a leaf, delete it via CLI
+    val f = java.nio.file.Files.createTempFile("leaf", ".json")
+    java.nio.file.Files.writeString(f, """{"pipeline_uuid": "cli-leaf"}""")
+    assert(Cli.run(a, spark, List("create", "pipeline", f.toString)) == 0)
+    assert(Cli.run(a, spark, List("delete", "cli-leaf")) == 0)
+    assert(a.describePipeline("cli-leaf").isEmpty)
+    // flush by prefix removes the whole family (D7 through the CLI)
+    Seq("fam-a", "fam-b").foreach { u =>
+      val g = java.nio.file.Files.createTempFile(u, ".json")
+      java.nio.file.Files.writeString(g, s"""{"pipeline_uuid": "$u"}""")
+      assert(Cli.run(a, spark, List("create", "pipeline", g.toString)) == 0)
+    }
+    assert(Cli.run(a, spark, List("flush", "fam-")) == 0)
+    assert(a.listPipelines(prefix = Some("fam-")).isEmpty)
+  }
+
   test("native dot == interpreted HOF dot, bit for bit") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).limit(50)
