@@ -165,6 +165,52 @@ object Analytics2 {
       .orderBy("l_returnflag")
   }
 
+  /** AS-OF JOIN — the time-series operator Spark has no primitive for
+    * (builder brief's canonical example): attach to every purchase the
+    * most recent view at-or-before it by the same user.
+    *
+    * Formulation: union both sides tagged, ONE shuffle on user_id, one
+    * sort by (ts, side, id), and a running `last(..., ignoreNulls)`
+    * window carries the latest view forward — the merge-sort as-of of
+    * kdb/Flink, not a per-row range subquery (which re-scans the build
+    * side per probe) and not an interval-explode join (which inflates
+    * rows by the window width). Ties: views sort before purchases at
+    * equal ts (`<=` semantics), and same-ts views collapse to the max
+    * event_id FIRST on both sides, so the pick is deterministic where
+    * native ASOF JOIN (the DuckDB oracle) leaves it unspecified.
+    *
+    * At 100 TB: both sides partition by user; state per row is O(1)
+    * (the running view id/ts) — the same shape the streaming path
+    * would run with `mapGroupsWithState`. */
+  val asofJoin: GraftQuery = checked("ns_asof_join",
+    """WITH views AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.ts AS view_ts
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.purchase_ts
+    ORDER BY p.purchase_id""") { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("id"))
+      .withColumn("side", lit(0))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("id"), lit(1).as("side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "side", "id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("view_id", last(when(col("side") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"))
+      .orderBy("purchase_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection,
-    profile)
+    profile, asofJoin)
 }

@@ -132,4 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == batchDistinct, "one surviving doc per distinct fingerprint")
     assert(out.select("fp").distinct().count() == out.count())
   }
+
+  test("streaming as-of join (O(1) state per user) == batch window as-of") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingAsof
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.Analytics2.asofJoin.run(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getTimestamp(4))))
+      .toSet
+    // tagged event stream = the batch plan's union input, replayed as
+    // one AvailableNow batch through the stateful fold
+    val srcDir = java.nio.file.Files.createTempDirectory("asof-src").toString
+    val ev = graft.sources.Tables.events(spark, dir)
+    ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id").as("id"))
+      .unionByName(ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id").as("id")))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, side INT, id BIGINT")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingAsof.AsofEvent])
+    val q = StreamingAsof.asofStream(stream)
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("asof_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.getTimestamp(4))))
+      .toSet
+    assert(streamed == batch,
+      s"streaming as-of diverged: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
 }
