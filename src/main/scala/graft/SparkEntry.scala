@@ -15,9 +15,13 @@ object SparkEntry {
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The round-4 capstone: the full corpus-assembly funnel
+    * (quality gate → near-dup dedup → eval decontamination → token
+    * budget per language) — the engine's own surface, not a TPC-H
+    * shape. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.revenueByNation.run(spark, "/root/testdata/sf0.001")
+    Curation.funnel.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

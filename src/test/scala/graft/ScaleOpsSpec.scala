@@ -209,6 +209,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       .foreach(t => assert(sk.counts.contains(t), s"heavy hitter $t evicted"))
   }
 
+  test("MisraGries property: bounds hold for arbitrary streams, groupings and capacities") {
+    import org.scalacheck.{Gen, rng}
+    import graft.functions.MisraGriesAggregator
+    val docGen = Gen.listOf(Gen.chooseNum(0, 60).map(i => f"w$i%02d"))
+    val streamGen = for {
+      docs <- Gen.listOfN(40, docGen)
+      capacity <- Gen.chooseNum(1, 30)
+      chunk <- Gen.chooseNum(1, 10)
+    } yield (docs.map(_.toSeq), capacity, chunk)
+    (0 until 150).foreach { seed =>
+      streamGen.apply(Gen.Parameters.default, rng.Seed(seed.toLong)).foreach {
+        case (docs, capacity, chunk) =>
+          val agg = new MisraGriesAggregator(capacity)
+          val sk = agg.finish(
+            docs.grouped(chunk).map(g => g.foldLeft(agg.zero)(agg.reduce))
+              .foldLeft(agg.zero)(agg.merge))
+          val truth = docs.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+          val n = truth.values.sum
+          assert(sk.counts.size <= capacity)
+          sk.counts.foreach { case (t, est) =>
+            assert(est <= truth(t), s"seed=$seed over-estimate on $t")
+            assert(truth(t) <= est + sk.decrements, s"seed=$seed error bound broken on $t")
+          }
+          assert(sk.decrements <= n / (capacity + 1), s"seed=$seed decrement bound broken")
+          truth.collect { case (t, c) if c > sk.decrements => t }
+            .foreach(t => assert(sk.counts.contains(t), s"seed=$seed heavy hitter $t evicted"))
+      }
+    }
+  }
+
   test("heavy hitters query equals the naive explode+groupBy plan") {
     val naive = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
