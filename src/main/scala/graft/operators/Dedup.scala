@@ -283,24 +283,37 @@ object Dedup {
     * recall for Hamming ≤ 3), exact Hamming via bit_count(xor).
     * 16-bit bands keep buckets sparse even on clustered corpora — the
     * 8-bit variant collided so heavily on the shared-vocabulary test
-    * corpus that the candidate join exploded. */
+    * corpus that the candidate join exploded.
+    *
+    * EMIT-ONCE instead of dropDuplicates: a near-dup pair collides in
+    * several of the 4 bands (a Hamming-0 pair in all of them), so the
+    * raw candidate set carries each pair up to 4×. Both full signatures
+    * already ride the joined row, so "is this the pair's FIRST
+    * colliding band" is a pure codegen'd filter (∀ j < band_idx:
+    * band_j(sig_a) ≠ band_j(sig_b)) — each pair survives exactly once
+    * and the two dropDuplicates shuffles of the inflated pair set
+    * disappear. (The minhash path cannot do this for free: its band
+    * values are hashes of signature SLICES, so recomputing them would
+    * mean carrying the 64-long signature through the band shuffle —
+    * there the post-join `distinct` on bare (a, b) ids stays cheaper.) */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(spark, dir)
+    def bandVal(sig: Column, j: Int): Column =
+      shiftright(sig, j * 16).bitwiseAND(0xFFFF)
     val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map { b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)
-      }: _*)).as(Seq("band_idx", "band_val")))
+      posexplode(array((0 until 4).map(bandVal(col("sig"), _)): _*))
+        .as(Seq("band_idx", "band_val")))
     val a = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    // hamming filter BEFORE the pair dedupe: bit_count is a codegen'd
-    // scalar, so evaluating it on raw band collisions is cheaper than
-    // shuffling them all through dropDuplicates
+    val firstCollision = (0 until 3).map { j =>
+      (lit(j) >= col("band_idx")) ||
+        (bandVal(col("sig_a"), j) =!= bandVal(col("sig_b"), j))
+    }.reduce(_ && _)
     a.join(b, Seq("band_idx", "band_val"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b") && firstCollision)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -279,6 +279,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(c2.size <= VectorsKmeans.K && c2.nonEmpty)
   }
 
+  test("simhash emit-once == dropDuplicates reference, and truly emits once") {
+    import graft.operators.Dedup
+    val emitted = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // no pair twice (the first-collision filter's whole point)
+    assert(emitted.map(p => (p._1, p._2)).distinct.length == emitted.length)
+    // equals the dropDuplicates formulation it replaced
+    val sigs = Dedup.simhashSignatures(spark, dir)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFF)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx"), col("band_val"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val ref = a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(emitted.toSet == ref.toSet)
+  }
+
   test("IVF over trained k-means centroids: sane recall, full probe recovers brute force") {
     import graft.operators.VectorsKmeans
     val bf = Vectors.bruteForceTopK(spark, dir)
