@@ -199,16 +199,22 @@ object Analytics2 {
       .withColumn("side", lit(0))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("id"), lit(1).as("side"))
+    asofCore(views.unionByName(purchases)).orderBy("purchase_id")
+  }
+
+  /** The as-of window core over a tagged `(user_id, ts, side, id)`
+    * union — also driven standalone by the weak-scaling probe
+    * ([[graft.tools.ScaleProbeR4]]). */
+  private[graft] def asofCore(tagged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "side", "id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    views.unionByName(purchases)
+    tagged
       .withColumn("view_id", last(when(col("side") === 0, col("id")), ignoreNulls = true).over(w))
       .withColumn("view_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
       .where(col("side") === 1)
       .select(col("id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("view_id"), col("view_ts"))
-      .orderBy("purchase_id")
   }
 
   val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection,

@@ -503,7 +503,10 @@ object TextOps {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("t").agg(count_distinct(col("doc_id")).as("df"))
+    // ONE token explode: tf already holds one row per (doc, term), so
+    // document frequency is a plain row count over tf — no second
+    // corpus-wide explode + COUNT(DISTINCT) shuffle
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).count()
     val scored = tf.join(broadcast(df), "t")
       .select(col("doc_id"), col("t").as("token"),

@@ -137,6 +137,28 @@ object ScaleProbeR4 {
       docs.unpersist()
     }
 
+    // --- as-of join: one shuffle + one sort, 1x/10x ----------------------
+    // synthetic tagged stream: 100k users, ~80% views / 20% purchases,
+    // timestamps spread over a year
+    def taggedEvents(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(xxhash64(col("id") + 7), lit(31536000000000L))).as("ts"),
+        when(pmod(xxhash64(col("id") + 13), lit(5)) === 0, 1).otherwise(0).as("side"),
+        col("id").as("id"))
+        .repartition(32).cache()
+
+    for ((n, tag) <- Seq((2000000L, "asof 1x (2M)"), (20000000L, "asof 10x (20M)"))) {
+      val ev = taggedEvents(n); ev.count()
+      // filter on the window's output so column pruning cannot drop the
+      // window itself (a bare count() optimizes the whole as-of away)
+      val secs = best2(graft.operators.Analytics2.asofCore(ev)
+        .where(col("view_id").isNotNull).count())
+      println(f"[probe] $tag%-20s asof=$secs%6.2fs")
+      ev.unpersist()
+    }
+
     spark.stop()
   }
 }
