@@ -282,5 +282,59 @@ object VectorsKmeans {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => ivfKmeansTopK(s, d))
 
-  val all: Seq[GraftQuery] = Seq(kmeans, ivfKmeans)
+  /** Per-label embedding OUTLIERS — the corpus-QC pass that surfaces
+    * mislabeled / anomalous vectors: distance of every embedding to its
+    * own label's centroid, top-N furthest. Centroids use the same
+    * quantized-exact BIGINT mean as the k-means update (order-invariant
+    * → oracle-identical); the scoring pass is one broadcast join of the
+    * label-count-sized centroid frame plus codegen'd per-row algebra
+    * (‖v‖² − 2·v·c + ‖c‖², clamped at 0 against fp negatives). */
+  def labelOutliers(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sums = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x").cast("double") * Scale + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .collect() // labels × Dim rows — model-sized
+    val cents: Seq[(Int, Seq[Double])] = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
+      rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / (Scale * r.getLong(3))).toSeq
+    }.toSeq.sortBy(_._1)
+    val centsDf = broadcast(cents.toDF("label", "cemb")
+      .select(col("label"), col("cemb"),
+        aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x).as("c2")))
+    val vNorm2 = aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, x) => a + x)
+    Tables.embeddings(spark, dir)
+      .join(centsDf, "label")
+      .select(col("vec_id"), col("label"),
+        dround(sqrt(greatest(
+          vNorm2 - lit(2.0) * graft.functions.VectorExpressions.vecDotFD(col("embedding"), col("cemb")) + col("c2"),
+          lit(0.0))), 4).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  val outliers: GraftQuery = GraftQuery.checked("ns_vec_label_outliers",
+    s"""WITH sums AS (
+      SELECT label, t.i AS pos,
+             SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+             COUNT(*) AS n
+      FROM embeddings CROSS JOIN range(1, ${Dim + 1}) t(i)
+      GROUP BY label, t.i),
+    cents AS (
+      SELECT label, list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS cemb
+      FROM sums GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(GREATEST(
+               list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               - 2.0 * list_sum(list_transform(list_zip(e.embedding, c.cemb),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               + list_sum(list_transform(c.cemb, x -> x * x)), 0.0)), 4) AS dist
+      FROM embeddings e JOIN cents c USING (label))
+    SELECT vec_id, label, dist FROM scored
+    ORDER BY dist DESC, vec_id LIMIT 20""")((s, d) => labelOutliers(s, d))
+
+  val all: Seq[GraftQuery] = Seq(kmeans, ivfKmeans, outliers)
 }

@@ -343,6 +343,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       "the mergeable sketch must produce identical heavy hitters in streaming")
   }
 
+  test("label outliers: descending distances, each beyond its label's median distance") {
+    import graft.operators.VectorsKmeans
+    val out = VectorsKmeans.labelOutliers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == 20)
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last), "distances must descend")
+    // an emitted outlier is genuinely atypical: farther from its label
+    // centroid than that label's median member (full-set recompute)
+    val all = VectorsKmeans.labelOutliers(spark, dir, topN = Int.MaxValue)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val medians = all.groupBy(_._1).map { case (l, xs) =>
+      val s = xs.map(_._2).sorted; l -> s(s.length / 2)
+    }
+    out.foreach { case (id, l, d) =>
+      assert(d >= medians(l), s"vec $id emitted as outlier but below label-$l median")
+    }
+  }
+
   test("HLL approx vocabulary (constant-memory scale path) within 5% of exact") {
     val exact = graft.operators.TextOps.vocab.run(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
