@@ -31,6 +31,12 @@ object ScaleProbeR4 {
   private def best2(f: => Long): Double = { time(f); math.min(time(f)._2, time(f)._2) }
 
   def main(args: Array[String]): Unit = {
+    // the 10x sections hold ~10M cached docs: below ~16 GB the heavy-
+    // hitters stage OOMs mid-probe (run/fork heap comes from
+    // SPARK_DRIVER_MEM, see build.sbt) — fail fast with the fix instead
+    val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
+    require(heapG >= 15,
+      s"probe needs a >=16g heap (have ${heapG}g) — run with SPARK_DRIVER_MEM=24g")
     val spark = SparkSession.builder().master("local[32]")
       .appName("scale-probe-r4")
       .config("spark.sql.shuffle.partitions", "32")
