@@ -336,5 +336,76 @@ object VectorsKmeans {
     SELECT vec_id, label, dist FROM scored
     ORDER BY dist DESC, vec_id LIMIT 20""")((s, d) => labelOutliers(s, d))
 
-  val all: Seq[GraftQuery] = Seq(kmeans, ivfKmeans, outliers)
+  /** SemDeDup — SEMANTIC deduplication (Abbas et al. 2023): embeddings
+    * are k-means-clustered, then near-duplicates are detected by
+    * pairwise cosine WITHIN each cluster only; a vector is dropped when
+    * a lower-id cluster-mate sits above the threshold (keep-first, the
+    * same survivor rule as `ns_dedup_survivors`). Output = the dropped
+    * set with its canonical representative.
+    *
+    * Scale design — this is the whole point of SemDeDup: the quadratic
+    * pair space shrinks from N² to Σ|cluster|², and clusters are
+    * equi-join buckets, so the pair generation is ONE shuffle on
+    * cluster id (no crossJoin). At 100 TB you raise K so E[|cluster|]
+    * stays bounded (K ≈ N/target²-ish) and sub-shard any cluster that
+    * still exceeds the cap — same guardrail as the LSH band joins.
+    * Threshold 0.35 sits at the ~99.9th percentile of the pair-cosine
+    * distribution of this synthetic corpus (uniform-ish vectors), so
+    * the output is non-vacuous at every SF.
+    *
+    * The oracle replays training (same CTEs as `ns_vec_kmeans`), the
+    * assignment, and the within-cluster pair scan in SQL — exact
+    * hash-match, because assignment is deterministic (quantized-exact
+    * centroids) and similarity is ROUNDed before thresholding. */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+    val cents = train(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("cluster_id", assignCol(col("embedding"), cents))
+    val keep = emb.select(col("cluster_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("k_emb"))
+    val cand = emb.select(col("cluster_id"), col("vec_id"), col("embedding"))
+    keep.join(cand, Seq("cluster_id"))
+      .where(col("keep_id") < col("vec_id"))
+      .select(col("cluster_id"), col("vec_id"), col("keep_id"),
+        dround(Vectors.dot(col("k_emb"), col("embedding")), 4).as("sim_r"))
+      .where(col("sim_r") >= tau)
+      .groupBy("vec_id", "cluster_id")
+      .agg(min("keep_id").as("dup_of"), count(lit(1)).as("n_dups"),
+        max("sim_r").as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  val semdedup: GraftQuery = GraftQuery.checked("ns_vec_semdedup",
+    s"""WITH cents0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings WHERE vec_id < $K),
+    ${iterSql(0)},
+    ${iterSql(1)},
+    score2 AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             - list_sum(list_transform(c.cemb, x -> x * x)) / 2 AS score
+      FROM embeddings e CROSS JOIN cents2 c),
+    assign2 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM score2) WHERE rn = 1),
+    pairs AS (
+      SELECT bb.vec_id, aa.cluster, aa.vec_id AS keep_id,
+             ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM assign2 aa JOIN assign2 bb
+        ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+      JOIN embeddings a ON a.vec_id = aa.vec_id
+      JOIN embeddings b ON b.vec_id = bb.vec_id)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster_id,
+           MIN(keep_id) AS dup_of, COUNT(*) AS n_dups, MAX(sim_r) AS max_sim
+    FROM pairs WHERE sim_r >= 0.35
+    GROUP BY vec_id, cluster
+    ORDER BY vec_id""")((s, d) => semDedup(s, d))
+
+  val all: Seq[GraftQuery] = Seq(kmeans, ivfKmeans, outliers, semdedup)
 }
