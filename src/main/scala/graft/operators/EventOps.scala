@@ -9,32 +9,40 @@ import graft.functions.dround
 import graft.sources.Tables
 
 /** Event-stream analytics beyond plain tumbling aggregation (K22) and
-  * sessionization (`ns_sessions`): a bounded-window RANGE JOIN
-  * (conversion attribution) and per-type daily ANOMALY detection —
-  * the monitoring surface a pipeline orchestrator wants over its own
-  * event log as much as over user events.
+  * sessionization (`ns_sessions`): bounded-window conversion
+  * attribution and per-type daily ANOMALY detection — the monitoring
+  * surface a pipeline orchestrator wants over its own event log as much
+  * as over user events.
   */
 object EventOps {
 
-  /** Conversion ATTRIBUTION via range join: for every purchase, how
-    * many same-user touch events (and clicks specifically) landed in
-    * the preceding hour. The classic bounded-interval join: equi-key
-    * (user_id) + a range predicate on event time.
+  /** Conversion ATTRIBUTION: for every purchase, how many same-user
+    * touch events (and clicks specifically) landed in the preceding
+    * hour.
     *
-    * Scale design — the equi-key carries the shuffle: Spark plans a
-    * sort-merge join on `user_id` with the time predicates evaluated
-    * inside each merged key group, so the pair space is bounded per
-    * user, never corpus × corpus. At 100 TB both sides are bucketed by
-    * user and sorted by ts (the layout `ScaleOps.bucketedWrite`
-    * demonstrates), making this a zero-shuffle per-bucket merge scan;
-    * whale users split via AQE skew handling. The 1-hour bound is what
-    * keeps per-key state finite — the same bound the streaming as-of
-    * twin ([[graft.streaming.StreamingAsof]]) turns into a watermark.
+    * Scale design — a MERGE SCAN, not a range join: the naive
+    * formulation (equi-join on user_id + two time-range predicates)
+    * sort-merges on the key and then evaluates the range conditions as
+    * post-match filters inside each key group, so a whale user with P
+    * purchases and T touches costs P×T pair evaluations — the per-key
+    * quadratic the as-of join deliberately avoids
+    * ([[Analytics2.asofCore]]; round-4 verdict #2). Here both sides
+    * union into ONE tagged stream, shuffle once on user_id, sort once
+    * by event time, and a 1-hour RANGE frame (`rangeBetween` over unix
+    * microseconds, upper bound −1 µs for the strict `< p_ts` edge)
+    * counts touches/clicks per purchase row. Spark's sliding range
+    * frame advances two monotone pointers per partition — each row
+    * enters and leaves the frame exactly once — so a whale user costs
+    * O(n log n) (the sort), with no pair-count growth term; the
+    * 10%-of-rows whale probe ([[graft.tools.ScaleProbeR4]]) measures
+    * exactly this. The 1-hour bound is what keeps frame state finite —
+    * the same bound the streaming twin turns into a watermark.
     *
-    * LEFT join so zero-touch purchases stay in the output (count of a
-    * nullable column counts matches only). Timestamps compare at
-    * microsecond precision on both engines (`Tables.events` truncates;
-    * the oracle CASTs ns → µs TIMESTAMP, as `ns_sessions` does).
+    * Zero-touch purchases keep their row with count 0 (COUNT of a
+    * conditional marker over an empty frame), matching the oracle's
+    * LEFT JOIN + COUNT(t.ts). Timestamps compare at microsecond
+    * precision on both engines (`Tables.events` truncates; the oracle
+    * CASTs ns → µs TIMESTAMP, as `ns_sessions` does).
     */
   val attribution: GraftQuery = checked("ns_events_attribution",
     """SELECT p.event_id AS purchase_id, p.user_id,
@@ -48,33 +56,48 @@ object EventOps {
     GROUP BY purchase_id, p.user_id
     ORDER BY purchase_id""") { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val touches = ev.where(col("event_type") =!= "purchase")
-      .select(col("user_id").as("t_user"), col("ts").as("t_ts"), col("event_type"))
-    purchases
-      .join(touches,
-        col("t_user") === col("user_id") &&
-          col("t_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("t_ts") < col("p_ts"),
-        "left")
-      .groupBy("purchase_id", "user_id")
-      .agg(count(col("t_ts")).as("n_touches"),
-        count(when(col("event_type") === "click", 1)).as("n_clicks"))
-      .orderBy("purchase_id")
+    val tagged = ev.select(col("user_id"), col("ts"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+      col("event_id").as("id"),
+      (col("event_type") === "click").as("is_click"))
+    attributionCore(tagged).orderBy("purchase_id")
+  }
+
+  /** The attribution window core over a tagged
+    * `(user_id, ts, side, id, is_click)` union (side 1 = purchase,
+    * 0 = touch) — also driven standalone by the whale-user skew probe
+    * ([[graft.tools.ScaleProbeR4]]). */
+  private[graft] def attributionCore(tagged: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600L * 1000000L, -1L)
+    tagged
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("n_touches", count(when(col("side") === 0, 1)).over(w))
+      .withColumn("n_clicks", count(when(col("side") === 0 && col("is_click"), 1)).over(w))
+      .where(col("side") === 1)
+      .select(col("id").as("purchase_id"), col("user_id"),
+        col("n_touches"), col("n_clicks"))
   }
 
   /** Per-type daily volume ANOMALIES: z-score of each day's event count
     * against that type's full-range mean/stddev, flagging |z| ≥ 2.
     *
     * Determinism contract (the k-means playbook): daily counts are
-    * integers, so Σn and Σn² are EXACT in 64-bit — both sides compute
-    * variance from the same closed formula (Q − S²/c)/(c−1) over exact
-    * sums instead of each engine's streaming variance kernel, whose
-    * accumulation order varies. One narrow aggregate (type × ~30 days)
-    * then a broadcast-sized join back — at 100 TB the only corpus-wide
-    * pass is the groupBy(type, day) count, which partial-aggregates
-    * map-side before the (tiny) shuffle.
+    * integers, so Σn and Σn² are EXACT — both sides compute variance
+    * from the same closed formula (Q − S²/c)/(c−1) over exact sums
+    * instead of each engine's streaming variance kernel, whose
+    * accumulation order varies. Q is summed as DECIMAL(38,0) on the
+    * Spark side and HUGEINT on the oracle side (round-4 advice: a
+    * BIGINT Σn² wraps silently in Spark once a daily count exceeds
+    * ~3·10⁹ — plausible at 100 TB — while DuckDB would error).
+    * Degenerate divisors are guarded to NULL identically on both
+    * engines (c = 1 → NULL sample variance; zero variance → NULL z),
+    * where unguarded arithmetic diverges: non-ANSI Spark yields NULL on
+    * x/0, DuckDB yields ±inf/nan. One narrow aggregate (type × ~30
+    * days) then a broadcast-sized join back — at 100 TB the only
+    * corpus-wide pass is the groupBy(type, day) count, which
+    * partial-aggregates map-side before the (tiny) shuffle.
     */
   val anomalies: GraftQuery = checked("ns_events_anomaly",
     """WITH daily AS (
@@ -82,22 +105,28 @@ object EventOps {
              COUNT(*) AS n
       FROM events GROUP BY event_type, day),
     stats AS (
-      SELECT event_type, COUNT(*) AS c, SUM(n) AS s, SUM(n * n) AS q
-      FROM daily GROUP BY event_type)
-    SELECT d.event_type, d.day, d.n,
-           ROUND((d.n - CAST(s AS DOUBLE) / c) /
-                 sqrt((q - CAST(s AS DOUBLE) * s / c) / (c - 1)), 4) AS z,
-           CAST(ABS((d.n - CAST(s AS DOUBLE) / c) /
-                 sqrt((q - CAST(s AS DOUBLE) * s / c) / (c - 1))) >= 2.0 AS BOOLEAN) AS is_anomaly
-    FROM daily d JOIN stats USING (event_type)
+      SELECT event_type, COUNT(*) AS c, SUM(n) AS s,
+             SUM(CAST(n AS HUGEINT) * n) AS q
+      FROM daily GROUP BY event_type),
+    scored AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.n - CAST(s AS DOUBLE) / c) /
+               NULLIF(sqrt((q - CAST(s AS DOUBLE) * s / c) / NULLIF(c - 1, 0)), 0) AS z0
+      FROM daily d JOIN stats USING (event_type))
+    SELECT event_type, day, n, ROUND(z0, 4) AS z,
+           CAST(ABS(z0) >= 2.0 AS BOOLEAN) AS is_anomaly
+    FROM scored
     ORDER BY event_type, day""") { (spark, dir) =>
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val stats = daily.groupBy("event_type")
-      .agg(count(lit(1)).as("c"), sum("n").as("s"), sum(col("n") * col("n")).as("q"))
-    val z = (col("n") - col("s").cast("double") / col("c")) /
-      sqrt((col("q") - col("s").cast("double") * col("s") / col("c")) / (col("c") - 1))
+      .agg(count(lit(1)).as("c"), sum("n").as("s"),
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("q"))
+    val c1 = when(col("c") > 1, (col("c") - 1).cast("double")) // NULL at c = 1
+    val sd = sqrt((col("q").cast("double") - col("s").cast("double") * col("s") / col("c")) / c1)
+    val sdN = when(sd =!= 0.0, sd) // NULL at zero variance (NULL stays NULL)
+    val z = (col("n") - col("s").cast("double") / col("c")) / sdN
     daily.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"), col("n"),
         dround(z, 4).as("z"), (abs(z) >= 2.0).as("is_anomaly"))

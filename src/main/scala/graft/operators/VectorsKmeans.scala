@@ -204,36 +204,39 @@ object VectorsKmeans {
     * combination [[VectorsIvf]]'s doc promises ("production would run
     * k-means refinement"). Same probe plan, better cells.
     *
-    * DataFrame formulation (vs the literal-array argmax of
-    * [[VectorsIvf.cellOf]]): centroids are a K-row broadcast frame and
-    * cell scores one narrow crossJoin — ranks mirror the oracle's
-    * ROW_NUMBER CTEs one-to-one, and no struct-field extraction sits
-    * near a generator (the analyzer quirk documented at [[assignCol]]).
-    * Because trained centroids are MEANS (not unit-norm like the
-    * sampled seed vectors), nearest-cell must be argmax (v·c − |c|²/2),
-    * not plain argmax dot. */
+    * Corpus cell assignment is the zero-shuffle [[assignCol]] codegen
+    * map fused into the scan — NOT a crossJoin + per-vec_id window,
+    * which would hash-exchange and sort K× the corpus to recompute what
+    * the argmax column already yields (round-4 verdict #1). assignCol's
+    * `greatest`-over-structs tie-break (max score, then max cid) is
+    * exactly the oracle's ROW_NUMBER (score DESC, cid DESC) rn=1 row.
+    * Only the nQueries probe slice — which genuinely needs the top-
+    * nProbe cells, not just the argmax — ranks through a window, over
+    * K×nQueries rows. Because trained centroids are MEANS (not
+    * unit-norm like the sampled seed vectors), nearest-cell must be
+    * argmax (v·c − |c|²/2), not plain argmax dot. */
   def ivfKmeansTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
                     nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val cents = train(spark, dir)
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        assignCol(col("embedding"), cents).as("cell"))
     val centsDf = broadcast(cents.toDF("cid", "cemb")
       .select(col("cid"), col("cemb"),
         (aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x) / 2).as("half_sq")))
-    val emb = Tables.embeddings(spark, dir)
-    val scored = emb.crossJoin(centsDf)
-      .select(col("vec_id"), col("cid"),
-        (graft.functions.VectorExpressions.vecDotFD(col("embedding"), col("cemb")) -
+    val qEmb = Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = qEmb.crossJoin(centsDf)
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        (graft.functions.VectorExpressions.vecDotFD(col("q_emb"), col("cemb")) -
           col("half_sq")).as("score"))
     val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("score").desc, col("cid").desc)
-    val ranked = scored.withColumn("rn", row_number().over(wCell))
-    val cells = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
-    val probes = ranked.where(col("vec_id") < nQueries && col("rn") <= nProbe)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-    val corpus = emb.join(cells, "vec_id")
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .join(probes, "query_id")
-    val pairs = corpus.join(broadcast(q), Seq("cell"))
+      .partitionBy("query_id").orderBy(col("score").desc, col("cid").desc)
+    val probes = scored.withColumn("rn", row_number().over(wCell))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cid").as("cell"))
+    val pairs = corpus.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dround(Vectors.dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
@@ -357,7 +360,13 @@ object VectorsKmeans {
     * assignment, and the within-cluster pair scan in SQL — exact
     * hash-match, because assignment is deterministic (quantized-exact
     * centroids) and similarity is ROUNDed before thresholding. */
-  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.35): DataFrame = {
+  /** Shared similarity threshold — interpolated into BOTH the DataFrame
+    * filter default and the oracle SQL, so the two can never drift
+    * (round-4 advice: a caller-supplied tau used to silently break the
+    * hard-coded oracle constant). */
+  private[graft] val Tau = 0.35
+
+  def semDedup(spark: SparkSession, dir: String, tau: Double = Tau): DataFrame = {
     val cents = train(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("cluster_id", assignCol(col("embedding"), cents))
@@ -403,7 +412,7 @@ object VectorsKmeans {
       JOIN embeddings b ON b.vec_id = bb.vec_id)
     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster_id,
            MIN(keep_id) AS dup_of, COUNT(*) AS n_dups, MAX(sim_r) AS max_sim
-    FROM pairs WHERE sim_r >= 0.35
+    FROM pairs WHERE sim_r >= $Tau
     GROUP BY vec_id, cluster
     ORDER BY vec_id""")((s, d) => semDedup(s, d))
 

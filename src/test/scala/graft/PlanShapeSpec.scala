@@ -95,6 +95,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected broadcast joins:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus must not sort-merge against model-sized sides:\n$p")
+    // cell assignment must be the assignCol codegen map fused into the
+    // scan, never a crossJoin + per-vec_id window over the full corpus
+    // (round-4 verdict #1): every window spec partitions on the
+    // nQueries-sized probe/result slice (query_id), none on vec_id
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected probe-ranking window specs:\n$p")
+    val corpusWide = specs.filter(s => s.contains("vec_id#"))
+    assert(corpusWide.isEmpty, s"corpus-wide window spec(s) found: $corpusWide")
   }
 
   test("ns_dedup_decontam_bloom: the bloom prefilter evaluates scan-side, before the distinct") {
