@@ -89,9 +89,35 @@ object Curation {
     * reuses the decontamination docs memo, and the quality predicate is
     * the same column [[TextOps.qualityKeep]] the filter query uses —
     * at 100 TB each piece keeps exactly the plan shape its own query
-    * pinned (codegen quality map, banded candidate joins, inverted-
-    * index semi-join), and the funnel adds two model-sized left joins
-    * plus one final aggregate. */
+    * pinned (codegen quality map, banded candidate joins, scan-side
+    * Bloom + broadcast gram join), and the funnel adds two model-sized
+    * left joins plus one final aggregate. */
+  /** Corpus doc ids sharing ≥ 1 hashed 8-gram with the eval (probe)
+    * set, over an injected `(doc_id, sh)` frame (probe split: ids ≡ 0
+    * mod 10) — the funnel's contamination stage, also weak-scaled
+    * standalone by [[graft.tools.ScaleProbeR4]].
+    *
+    * Same Bloom-prefilter shape as `ns_dedup_decontam_bloom` (round-4
+    * verdict #4): the probe side's distinct gram hashes are collected
+    * ONCE (eval-suite-sized, bounded by design), feed the scan-side
+    * Bloom literal that kills non-candidate corpus grams inside the map
+    * stage, and double as a broadcast-able exact join target — so the
+    * corpus-sized gram exchange of the naive shape (explode + shuffle
+    * join on every corpus gram) disappears entirely, and Bloom false
+    * positives die in the exact broadcast join: lossless. */
+  private[graft] def contaminatedIdsCore(spark: org.apache.spark.sql.SparkSession,
+                                         sh: DataFrame): DataFrame = {
+    import spark.implicits._
+    val probeHashes = Dedup.probeGramHashes(sh.where(col("doc_id") % 10 === 0))
+    val mightContain = Dedup.gramBloomPredicate(probeHashes)
+    val probeGrams = broadcast(probeHashes.toSeq.toDF("g"))
+    sh.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .where(mightContain(col("g")))
+      .join(probeGrams, "g")
+      .select("doc_id").distinct()
+  }
+
   def pipelineFunnel(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // near-dup non-survivors over the full corpus (memoized labels)
@@ -99,13 +125,7 @@ object Curation {
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(true).as("is_dup"))
     // corpus docs sharing >= 1 hashed 8-gram with the eval (probe) set
-    val sh = Dedup.decontamDocs(spark, dir, 8)
-    val probeGrams = sh.where(col("doc_id") % 10 === 0)
-      .select(explode(col("sh")).as("g")).distinct()
-    val contaminated = sh.where(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(probeGrams, "g")
-      .select("doc_id").distinct()
+    val contaminated = contaminatedIdsCore(spark, Dedup.decontamDocs(spark, dir, 8))
       .withColumn("is_contam", lit(true))
     val pass = graft.operators.TextOps.qualityKeep(col("text"), col("n_chars"))
     val clean = col("q") && col("is_dup").isNull && col("is_contam").isNull

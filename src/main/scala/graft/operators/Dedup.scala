@@ -296,7 +296,13 @@ object Dedup {
     * values are hashes of signature SLICES, so recomputing them would
     * mean carrying the 64-long signature through the band shuffle —
     * there the post-join `distinct` on bare (a, b) ids stays cheaper.) */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    // memoized: the soundness companion re-reads the emitted pairs in
+    // the same session (emit + verify share one DAG, like minhash)
+    memoCached(spark, dir, s"simhash-pairs-$maxHamming")(
+      simhashPairsUncached(spark, dir, maxHamming))
+
+  private def simhashPairsUncached(spark: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     val sigs = simhashSignatures(spark, dir)
     def bandVal(sig: Column, j: Int): Column =
       shiftright(sig, j * 16).bitwiseAND(0xFFFF)
@@ -319,6 +325,38 @@ object Dedup {
 
   val simhashNearDups: GraftQuery =
     GraftQuery.rowsOnly("ns_dedup_simhash")((s, d) => simhashPairs(s, d))
+
+  /** SOUNDNESS check for [[simhashPairs]], closing the last emitter
+    * family without a driver-visible oracle row (round-4 verdict #3):
+    * recall through the 4-band pigeonhole is structural (any pair with
+    * Hamming ≤ 3 shares an untouched 16-bit band), but every EMITTED
+    * pair must (a) reproduce its Hamming distance through the
+    * independent explode + 64-vote-sum aggregate formulation
+    * ([[simhashSignaturesAgg]] — different plan, same hash family),
+    * (b) respect the k-bound (≤ maxHamming), (c) be ordered/non-self
+    * (doc_a < doc_b), and (d) be emitted exactly ONCE (the first-
+    * colliding-band filter's whole job). Oracle = the empty violation
+    * set, exactly like `ns_dedup_minhash_sound`. */
+  def simhashViolations(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val emitted = simhashPairs(spark, dir, maxHamming)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_emits"), max("hamming").as("hamming"))
+    val sigs = simhashSignaturesAgg(spark, dir)
+    emitted
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_emits"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming_check"))
+      .where(col("hamming_check") =!= col("hamming") || col("hamming") > maxHamming ||
+        col("doc_a") >= col("doc_b") || col("n_emits") > 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashSound: GraftQuery = GraftQuery.checked("ns_dedup_simhash_sound",
+    """SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(NULL AS INTEGER) AS hamming, CAST(NULL AS BIGINT) AS n_emits,
+           CAST(NULL AS INTEGER) AS hamming_check
+    WHERE 1 = 0""")((s, d) => simhashViolations(s, d))
 
   /** Blocked exact n-gram Jaccard: block on (lang, length bucket), then
     * PPJoin-style PREFIX FILTERING inside blocks — for J(A,B) ≥ t two
@@ -476,33 +514,49 @@ object Dedup {
                          bitsPerGram: Int = 16): DataFrame =
     ngramDecontamBloomCore(decontamDocs(spark, dir, w), bitsPerGram)
 
-  /** Bloom-path core over an injected `(doc_id, sh)` frame. */
-  private[graft] def ngramDecontamBloomCore(docs: DataFrame,
-                                            bitsPerGram: Int = 16): DataFrame = {
-    val probe = docs.where(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("probe_id"), col("sh"))
-    val probeGramHashes: Array[Long] = probe
-      .select(explode(col("sh")).as("g")).distinct()
+  /** Collected distinct gram hashes of a `(…, sh)` probe frame. The
+    * probe side is an EVAL SUITE — tiny and bounded by design — so this
+    * is a model-sized driver transfer (same class as the IVF centroid
+    * sample), never corpus rows. */
+  private[graft] def probeGramHashes(probe: DataFrame): Array[Long] =
+    probe.select(explode(col("sh")).as("g")).distinct()
       .collect().map(_.getLong(0))
+
+  /** Bloom membership predicate over a collected gram-hash set, riding
+    * the corpus scan as a literal. Probe indices are 3 disjoint bit
+    * slices of the already-xxhash64-uniform gram hash: plain shift/mask
+    * column algebra, identical on the driver build side and the
+    * executor test side. Shared by the standalone Bloom decontamination
+    * plan and the pipeline funnel's contamination stage. */
+  private[graft] def gramBloomPredicate(hashes: Array[Long],
+                                        bitsPerGram: Int = 16): Column => Column = {
     // bits = next pow2 >= grams·bitsPerGram, clamped to [2^10, 2^21]
     // (2^21 bits = 32 K longs ≈ 256 KB literal — bounded plan size; at
     // that load k=3 keeps the false-positive rate well under 1%)
-    val want = probeGramHashes.length.toLong * bitsPerGram
+    val want = hashes.length.toLong * bitsPerGram
     val mBits = math.min(1L << 21, math.max(1L << 10,
       java.lang.Long.highestOneBit(math.max(1L, want - 1)) * 2)).toInt
     val words = new Array[Long](mBits / 64)
-    for (g <- probeGramHashes; i <- 0 until 3) {
+    for (g <- hashes; i <- 0 until 3) {
       val idx = ((g >>> (i * 21)) & (mBits - 1)).toInt
       words(idx >> 6) |= 1L << (idx & 63)
     }
     val wordsLit = typedLit(words.toSeq)
-    def mightContain(g: Column): Column =
+    (g: Column) =>
       (0 until 3).map { i =>
         val idx = shiftrightunsigned(g, i * 21).bitwiseAND(lit((mBits - 1).toLong))
         val word = element_at(wordsLit, shiftrightunsigned(idx, 6).cast("int") + 1)
         call_function("shiftright", word, idx.bitwiseAND(lit(63L)).cast("int"))
           .bitwiseAND(lit(1L)) === lit(1L)
       }.reduce(_ && _)
+  }
+
+  /** Bloom-path core over an injected `(doc_id, sh)` frame. */
+  private[graft] def ngramDecontamBloomCore(docs: DataFrame,
+                                            bitsPerGram: Int = 16): DataFrame = {
+    val probe = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("probe_id"), col("sh"))
+    val mightContain = gramBloomPredicate(probeGramHashes(probe), bitsPerGram)
     val corpusGrams = docs.where(col("doc_id") % 10 =!= 0)
       .select(explode(col("sh")).as("g"))
       .where(mightContain(col("g")))
@@ -637,6 +691,6 @@ object Dedup {
     ORDER BY d.doc_id""")((s, d) => dedupSurvivors(s, d))
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
-    ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
+    simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
     clusters, survivors)
 }

@@ -15,7 +15,7 @@ class QueriesSpec extends AnyFunSuite {
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
     "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
     "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster",
-    "ns_dedup_decontam_ngram")
+    "ns_dedup_decontam_ngram", "ns_dedup_simhash_sound")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -135,6 +135,15 @@ class QueriesSpec extends AnyFunSuite {
     val shards = graft.operators.TextOps.shuffleShards(spark, dir).collect()
     assert(shards.map(_.getLong(1)).sum == total, "shards must partition the corpus")
     assert(shards.length > 8, "md5 prefix should populate most of the 16 shards")
+  }
+
+  test("simhash soundness check is non-vacuous: pairs emitted at a loose bound, zero violations") {
+    // at sf0.001 Hamming <= 3 may emit nothing; widen until the emitter
+    // produces pairs, then assert the violation set there is empty too
+    val loose = 24
+    assert(graft.operators.Dedup.simhashPairs(spark, dir, loose).count() > 0,
+      s"Hamming <= $loose must emit pairs or the soundness query checks nothing")
+    assert(graft.operators.Dedup.simhashViolations(spark, dir, loose).count() == 0)
   }
 
   test("minhash/decontam/lsh soundness checks are non-vacuous at a permissive threshold") {
