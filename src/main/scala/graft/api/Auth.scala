@@ -11,10 +11,12 @@ package graft.api
   * 'Data-Default', `auth.py:13-14`).
   *
   * The Okta `AccessTokenVerifier` (`auth.py:34-40`) is behind
-  * [[TokenVerifier]]: the shipped [[StaticTokenVerifier]] maps tokens to
-  * groups directly (a JWT verifier would validate the signature and read
-  * the `groups` claim — network-identity infrastructure, not engine
-  * logic). Deviation noted: the reference's `verify` only ever grants on
+  * [[TokenVerifier]]: [[JwtVerifier]] is the signature-validating
+  * implementation (HS256/RS256, exp/nbf, `groups` claim, keys from a
+  * static JWKS document); [[StaticTokenVerifier]] remains the
+  * zero-crypto stand-in mapping tokens to groups directly (e.g. for
+  * tests/config-secret deployments). Deviation noted: the reference's
+  * `verify` only ever grants on
   * the admin path (`auth.py:41-43` sets `is_authenticated` solely when
   * `'admin' in allowed_roles`), leaving read endpoints reachable only by
   * API token — a bug per its own role taxonomy. We implement the

@@ -1,0 +1,107 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.security.spec.RSAPublicKeySpec
+import java.security.{KeyFactory, Signature}
+import java.util.Base64
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Signature-validating JWT [[Auth.TokenVerifier]] — the reference's
+  * Okta `AccessTokenVerifier` seam (`auth.py:29-43`) made real, minus
+  * the network: trusted keys are injected (e.g. parsed from a static
+  * JWKS document via [[JwtVerifier.fromJwks]]) and the clock is
+  * injected for testability. Verifies compact-serialization JWS
+  * (`header.payload.signature`, base64url), supports HS256
+  * (shared-secret HMAC) and RS256 (RSA PKCS#1 v1.5 / SHA-256 — the alg
+  * Okta issues), enforces `exp`/`nbf`, and surfaces the `groups` claim
+  * the role gate consumes.
+  *
+  * Every failure mode — malformed token, unknown `kid`, alg/key
+  * mismatch (incl. the classic alg-substitution attack: an HS256 token
+  * pointing at an RSA key never verifies, because the key TYPE is
+  * checked, not the attacker-controlled header), bad signature, expired
+  * or not-yet-valid — collapses to None, which [[Auth.RoleChecker]]
+  * maps to the reference's "expired or unrecognized schema" 403
+  * (`auth.py:35-38`). Nothing here touches Spark: it is request-plane
+  * identity, executed driver-side per API call.
+  */
+final class JwtVerifier(keys: Map[String, JwtVerifier.Key],
+                        nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L)
+    extends Auth.TokenVerifier {
+  import JwtVerifier._
+
+  def groups(token: String): Option[Seq[String]] =
+    try {
+      val parts = token.split('.')
+      if (parts.length != 3) return None
+      val header = mapper.readTree(b64(parts(0)))
+      val alg = text(header, "alg").getOrElse(return None)
+      val key = text(header, "kid").flatMap(keys.get).getOrElse(return None)
+      val signedBytes = s"${parts(0)}.${parts(1)}".getBytes(US_ASCII)
+      val sig = b64(parts(2))
+      val ok = (alg, key) match {
+        case ("HS256", HmacKey(secret)) =>
+          val mac = Mac.getInstance("HmacSHA256")
+          mac.init(new SecretKeySpec(secret, "HmacSHA256"))
+          java.security.MessageDigest.isEqual(mac.doFinal(signedBytes), sig)
+        case ("RS256", RsaKey(n, e)) =>
+          val pub = KeyFactory.getInstance("RSA")
+            .generatePublic(new RSAPublicKeySpec(n, e))
+          val v = Signature.getInstance("SHA256withRSA")
+          v.initVerify(pub)
+          v.update(signedBytes)
+          v.verify(sig)
+        case _ => false // alg/key-type mismatch (alg-substitution guard)
+      }
+      if (!ok) return None
+      val claims = mapper.readTree(b64(parts(1)))
+      val now = nowEpochSeconds()
+      if (num(claims, "exp").exists(_ <= now)) return None
+      if (num(claims, "nbf").exists(_ > now)) return None
+      Some(strings(claims, "groups"))
+    } catch { case _: Exception => None } // malformed base64/JSON/keys
+}
+
+object JwtVerifier {
+
+  sealed trait Key
+  /** HS256 shared secret (e.g. from secret storage). */
+  final case class HmacKey(secret: Array[Byte]) extends Key
+  /** RS256 public key as the JWKS (n, e) pair. */
+  final case class RsaKey(n: java.math.BigInteger, e: java.math.BigInteger) extends Key
+
+  private val mapper = new ObjectMapper()
+
+  private def b64(s: String): Array[Byte] = Base64.getUrlDecoder.decode(s)
+  private def text(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filter(_.isTextual).map(_.asText)
+  private def num(n: JsonNode, f: String): Option[Long] =
+    Option(n.get(f)).filter(_.isNumber).map(_.asLong)
+  private def strings(n: JsonNode, f: String): Seq[String] =
+    Option(n.get(f)).filter(_.isArray).toSeq
+      .flatMap(a => (0 until a.size).map(a.get(_).asText))
+
+  /** Parse the `keys` of a JWKS document (RFC 7517) into kid→key —
+    * RSA entries only (`kty: RSA`, base64url `n`/`e`), which is what an
+    * OIDC issuer's jwks_uri serves; HMAC secrets don't travel in JWKS
+    * and are injected directly. */
+  def fromJwks(jwksJson: String): Map[String, Key] = {
+    val root = mapper.readTree(jwksJson)
+    val arr = Option(root.get("keys")).filter(_.isArray).toSeq
+      .flatMap(a => (0 until a.size).map(a.get))
+    arr.flatMap { k =>
+      for {
+        kid <- text(k, "kid")
+        kty <- text(k, "kty") if kty == "RSA"
+        n <- text(k, "n")
+        e <- text(k, "e")
+      } yield kid -> (RsaKey(
+        new java.math.BigInteger(1, b64(n)),
+        new java.math.BigInteger(1, b64(e))): Key)
+    }.toMap
+  }
+}

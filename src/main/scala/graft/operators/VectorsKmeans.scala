@@ -349,12 +349,18 @@ object VectorsKmeans {
     * Scale design — this is the whole point of SemDeDup: the quadratic
     * pair space shrinks from N² to Σ|cluster|², and clusters are
     * equi-join buckets, so the pair generation is ONE shuffle on
-    * cluster id (no crossJoin). At 100 TB you raise K so E[|cluster|]
-    * stays bounded (K ≈ N/target²-ish) and sub-shard any cluster that
-    * still exceeds the cap — same guardrail as the LSH band joins.
-    * Threshold 0.35 sits at the ~99.9th percentile of the pair-cosine
-    * distribution of this synthetic corpus (uniform-ish vectors), so
-    * the output is non-vacuous at every SF.
+    * cluster id (no crossJoin). Two guardrails make that hold at
+    * 100 TB: you raise K so E[|cluster|] stays bounded (pairs then grow
+    * linearly with the corpus — measured by the scale probe), and any
+    * cluster that still exceeds [[MaxClusterRows]] is salt-split by
+    * [[semDedupCore]] into bounded shard-pair join tasks — a LOSSLESS
+    * skew decomposition (every within-cluster pair lands in exactly one
+    * task; equivalence spec pins sharded ≡ unsharded), so one whale
+    * cluster becomes S² executor-sized tasks instead of a single
+    * straggler holding |cluster|² pairs. Threshold [[Tau]] sits at the
+    * ~99.9th percentile of the pair-cosine distribution of this
+    * synthetic corpus (uniform-ish vectors), so the output is
+    * non-vacuous at every SF.
     *
     * The oracle replays training (same CTEs as `ns_vec_kmeans`), the
     * assignment, and the within-cluster pair scan in SQL — exact
@@ -366,16 +372,59 @@ object VectorsKmeans {
     * hard-coded oracle constant). */
   private[graft] val Tau = 0.35
 
+  /** Row cap above which a cluster is salt-split into shard-pair
+    * tasks. 64 K rows bound a task at ≈ 2·64 K joined rows and ≤ 64 K²
+    * pair evaluations — executor-sized. Test-scale clusters sit far
+    * below it, so the registered query's plan is the single-task one. */
+  val MaxClusterRows = 65536L
+
   def semDedup(spark: SparkSession, dir: String, tau: Double = Tau): DataFrame = {
     val cents = train(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
+    val assigned = Tables.embeddings(spark, dir)
       .withColumn("cluster_id", assignCol(col("embedding"), cents))
-    val keep = emb.select(col("cluster_id"), col("vec_id").as("keep_id"),
-      col("embedding").as("k_emb"))
-    val cand = emb.select(col("cluster_id"), col("vec_id"), col("embedding"))
-    keep.join(cand, Seq("cluster_id"))
-      .where(col("keep_id") < col("vec_id"))
-      .select(col("cluster_id"), col("vec_id"), col("keep_id"),
+      .select("cluster_id", "vec_id", "embedding")
+    semDedupCore(spark, assigned, tau, MaxClusterRows)
+  }
+
+  /** Within-cluster pair scan over an injected
+    * `(cluster_id, vec_id, embedding)` frame, with oversized clusters
+    * salt-split into bounded tasks — also driven standalone by the
+    * whale-cluster probe ([[graft.tools.ScaleProbeR4]]).
+    *
+    * Decomposition (lossless): a cluster with n > maxClusterRows rows
+    * gets S = ⌈n / maxClusterRows⌉ shards; each row salts to shard
+    * s = hash(vec_id) mod S, enters the A side of tasks (s, j ≥ s) and
+    * the B side of tasks (i ≤ s, s), and the join key becomes
+    * (cluster, task). A pair with shards (sx ≤ sy) meets in exactly
+    * task (sx, sy); same-shard tasks see both orientations, so those
+    * keep only keep_id < vec_id while cross-shard tasks normalise via
+    * least/greatest. Pair COUNT is unchanged — the split removes the
+    * single-reducer whale, not work (total work shrinks by raising K).
+    * Shard counts come from one model-sized (K-row) aggregate. */
+  private[graft] def semDedupCore(spark: SparkSession, assigned: DataFrame,
+                                  tau: Double, maxClusterRows: Long): DataFrame = {
+    import spark.implicits._
+    val nShards: Seq[(Int, Int)] = assigned
+      .groupBy("cluster_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) ->
+        (((r.getLong(1) + maxClusterRows - 1) / maxClusterRows) max 1L).toInt)
+      .toSeq
+    val sharded = assigned
+      .join(broadcast(nShards.toDF("cluster_id", "n_shards")), "cluster_id")
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), col("n_shards")).cast("int"))
+    val aSide = sharded
+      .withColumn("task_j", explode(sequence(col("shard"), col("n_shards") - 1)))
+      .select(col("cluster_id"), col("shard").as("task_i"), col("task_j"),
+        col("vec_id").as("keep_id"), col("embedding").as("k_emb"))
+    val bSide = sharded
+      .withColumn("task_i", explode(sequence(lit(0), col("shard"))))
+      .select(col("cluster_id"), col("task_i"), col("shard").as("task_j"),
+        col("vec_id"), col("embedding"))
+    aSide.join(bSide, Seq("cluster_id", "task_i", "task_j"))
+      .where(col("task_i") < col("task_j") || col("keep_id") < col("vec_id"))
+      .select(col("cluster_id"),
+        greatest(col("keep_id"), col("vec_id")).as("vec_id"),
+        least(col("keep_id"), col("vec_id")).as("keep_id"),
         dround(Vectors.dot(col("k_emb"), col("embedding")), 4).as("sim_r"))
       .where(col("sim_r") >= tau)
       .groupBy("vec_id", "cluster_id")

@@ -268,6 +268,89 @@ class ApiSpec extends AnyFunSuite {
     assert(api.describePipeline("report-daily").count() == 1) // denied = untouched
   }
 
+  test("auth: JwtVerifier validates HS256/RS256 signatures, exp/nbf, and the groups claim") {
+    import graft.api.{Auth, JwtVerifier, SecuredGraftApi}
+    import java.util.Base64
+    val enc = Base64.getUrlEncoder.withoutPadding
+    def b64(s: String) = enc.encodeToString(s.getBytes("UTF-8"))
+    val secret = "graft-test-secret".getBytes("UTF-8")
+    def hs256(header: String, payload: String, key: Array[Byte] = secret): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      val sp = s"${b64(header)}.${b64(payload)}"
+      s"$sp.${enc.encodeToString(mac.doFinal(sp.getBytes("US-ASCII")))}"
+    }
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val kp = kpg.generateKeyPair()
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def rs256(header: String, payload: String): String = {
+      val s = java.security.Signature.getInstance("SHA256withRSA")
+      s.initSign(kp.getPrivate)
+      val sp = s"${b64(header)}.${b64(payload)}"
+      s.update(sp.getBytes("US-ASCII"))
+      s"$sp.${enc.encodeToString(s.sign())}"
+    }
+    val now = 1700000000L
+    // static JWKS fixture — what an issuer's jwks_uri would serve
+    val jwks = s"""{"keys":[{"kty":"RSA","kid":"rk","alg":"RS256",
+      "n":"${enc.encodeToString(pub.getModulus.toByteArray)}",
+      "e":"${enc.encodeToString(pub.getPublicExponent.toByteArray)}"}]}"""
+    val verifier = new JwtVerifier(
+      JwtVerifier.fromJwks(jwks) + ("hk" -> JwtVerifier.HmacKey(secret)),
+      nowEpochSeconds = () => now)
+
+    val hsHdr = """{"alg":"HS256","kid":"hk","typ":"JWT"}"""
+    val rsHdr = """{"alg":"RS256","kid":"rk","typ":"JWT"}"""
+    def claims(groups: String, exp: Long = now + 3600): String =
+      s"""{"sub":"u1","exp":$exp,"groups":[$groups]}"""
+
+    // happy paths: both algs verify and surface the groups claim
+    assert(verifier.groups(hs256(hsHdr, claims("\"Data-Engineers\"")))
+      .contains(Seq("Data-Engineers")))
+    assert(verifier.groups(rs256(rsHdr, claims("\"Data-Analyst\",\"Extra\"")))
+      .contains(Seq("Data-Analyst", "Extra")))
+    // no exp claim = non-expiring token; absent groups = valid, no roles
+    assert(verifier.groups(hs256(hsHdr, """{"sub":"u1"}""")).contains(Seq.empty))
+    // expired / not-yet-valid / garbage / truncated
+    assert(verifier.groups(hs256(hsHdr, claims("\"Data-Engineers\"", exp = now - 1))).isEmpty)
+    assert(verifier.groups(
+      hs256(hsHdr, s"""{"nbf":${now + 60},"groups":["Data-Engineers"]}""")).isEmpty)
+    assert(verifier.groups("garbage").isEmpty)
+    assert(verifier.groups("not.a.jwt").isEmpty)
+    // tampered payload: signature over the original no longer matches
+    val good = hs256(hsHdr, claims("\"Data-Engineers\""))
+    val Array(h, _, s) = good.split('.')
+    assert(verifier.groups(s"$h.${b64(claims("\"Data-Admin\""))}.$s").isEmpty)
+    // wrong key / unknown kid / alg-substitution (HS256 header pointing
+    // at the RSA key must die on key-TYPE mismatch, not verify the HMAC)
+    assert(verifier.groups(hs256(hsHdr, claims("\"Data-Engineers\""),
+      key = "wrong-secret".getBytes("UTF-8"))).isEmpty)
+    assert(verifier.groups(hs256("""{"alg":"HS256","kid":"nope"}""",
+      claims("\"Data-Engineers\""))).isEmpty)
+    assert(verifier.groups(hs256("""{"alg":"HS256","kid":"rk"}""",
+      claims("\"Data-Engineers\""))).isEmpty)
+
+    // end-to-end through the secured facade: the reference's 403 paths
+    val backing = api
+    val policy = new Auth.Policy(verifier, apiTokens = Set.empty)
+    val secured = new SecuredGraftApi(backing, policy)
+    assert(secured.as(rs256(rsHdr, claims("\"Data-Analyst\"")))
+      .listPipelines(Some("report-")).count() == 3)
+    intercept[Auth.AuthError] { // read group cannot hit an admin verb
+      secured.as(rs256(rsHdr, claims("\"Data-Analyst\""))).deletePipeline("report-daily")
+    }
+    secured.as(hs256(hsHdr, claims("\"Data-Engineers\"")))
+      .upsertPipeline(Fixtures.defs.head.copy(pipeline_uuid = "jwt-new", schedule = None,
+        scheduler_tracking_id = None), Seq.empty)
+    assert(backing.describePipeline("jwt-new").count() == 1)
+    secured.as(hs256(hsHdr, claims("\"Data-Admin\""))).flushPipelines("jwt-new")
+    intercept[Auth.AuthError] { // expired admin token is just an invalid token
+      secured.as(hs256(hsHdr, claims("\"Data-Engineers\"", exp = now - 1)))
+        .listPipelines()
+    }
+  }
+
   test("CLI create pipeline <file> round-trips through upsert (kaly/Readme.md:1-2)") {
     import graft.api.Cli
     val a = api

@@ -146,6 +146,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.simhashViolations(spark, dir, loose).count() == 0)
   }
 
+  test("semDedup: salt-split shard-pair tasks are lossless (sharded ≡ unsharded)") {
+    import org.apache.spark.sql.functions._
+    val vk = graft.operators.VectorsKmeans
+    val cents = vk.train(spark, dir)
+    val assigned = graft.sources.Tables.embeddings(spark, dir)
+      .withColumn("cluster_id", vk.assignCol(col("embedding"), cents))
+      .select("cluster_id", "vec_id", "embedding")
+    // cap 4 forces real sharding at test scale (clusters are ~N/8 > 4)
+    val maxCluster = assigned.groupBy("cluster_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCluster > 4, "cap must actually trigger for a non-vacuous test")
+    val unsharded = vk.semDedup(spark, dir).collect().toSeq
+    val sharded = vk.semDedupCore(spark, assigned, vk.Tau, 4L).collect().toSeq
+    assert(unsharded.nonEmpty, "semdedup must emit rows at test scale")
+    assert(sharded == unsharded, "salt-split decomposition must be lossless")
+  }
+
   test("minhash/decontam/lsh soundness checks are non-vacuous at a permissive threshold") {
     // at sf0.001 the default thresholds may emit nothing; drop them until
     // the emitters produce pairs, then assert zero violations there too
