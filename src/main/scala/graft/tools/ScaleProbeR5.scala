@@ -1,0 +1,147 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weak-scaling + SKEW probes for the round-5 operators:
+  *
+  *  - WHALE-KEY skew over the merge-scan family (as-of, attribution,
+  *    sessions): one user holds 10% of all rows — the regime where the
+  *    old attribution range join went P×T quadratic (round-4 verdict
+  *    #2) and where any per-key operator shows its straggler. The
+  *    1×/10× pair quantifies the cost of the whale: a per-user window
+  *    serializes that key into one task, so the bound is O(w log w) for
+  *    whale size w — a sort, not a pair product. (AQE skew-split
+  *    applies to shuffle JOINS, not window partitions: there is no
+  *    free lunch for a single logical key — the fix the code takes is
+  *    keeping per-key work linear-log, which this section measures.)
+  *  - FUNNEL contamination stage, naive vs Bloom (round-4 verdict #4):
+  *    training corpus grows 10×, probe (eval suite) fixed. The naive
+  *    shape shuffles every corpus gram into the join; the Bloom path
+  *    kills non-candidate grams scan-side and broadcasts the exact
+  *    gram set.
+  *  - SEMDEDUP pair scan (round-4 verdict #5): (a) corpus AND K scale
+  *    10× together → E[|cluster|] fixed, pair work grows linearly —
+  *    the "raise K with the corpus" contract; (b) a whale cluster
+  *    holding half the corpus, unsharded vs salt-split into bounded
+  *    shard-pair tasks — same pair count, no single-reducer straggler.
+  *
+  * Synthetic inputs are content-independent across replicas (hash-
+  * derived), matching the round-2/round-4 probe methodology. Results
+  * go to BASELINE.md.
+  *
+  * Run: `SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.ScaleProbeR5"`
+  */
+object ScaleProbeR5 {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+  private def best2(f: => Long): Double = { time(f); math.min(time(f)._2, time(f)._2) }
+
+  def main(args: Array[String]): Unit = {
+    val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
+    require(heapG >= 15,
+      s"probe needs a >=16g heap (have ${heapG}g) — run with SPARK_DRIVER_MEM=24g")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("scale-probe-r5")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- whale-key skew: user 0 holds 10% of all rows --------------------
+    def skewedEvents(n: Long): DataFrame =
+      spark.range(n).select(
+        when(pmod(xxhash64(col("id") + 3), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("user_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(xxhash64(col("id") + 7), lit(31536000000000L))).as("ts"),
+        when(pmod(xxhash64(col("id") + 13), lit(5)) === 0, 1).otherwise(0).as("side"),
+        col("id").as("id"),
+        (pmod(xxhash64(col("id") + 17), lit(3)) === 0).as("is_click"))
+        .repartition(32).cache()
+
+    for ((n, tag) <- Seq((2000000L, "skew 1x (2M)"), (20000000L, "skew 10x (20M)"))) {
+      val ev = skewedEvents(n); ev.count()
+      val asof = best2(graft.operators.Analytics2.asofCore(ev)
+        .where(col("view_id").isNotNull).count())
+      val attr = best2(graft.operators.EventOps.attributionCore(ev)
+        .where(col("n_touches") > 0).count())
+      val sess = best2(ev
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")).count())
+      println(f"[probe] $tag%-22s asof=$asof%6.2fs attribution=$attr%6.2fs sessions=$sess%6.2fs")
+      ev.unpersist()
+    }
+
+    // --- funnel contamination: corpus grows 10x, probe fixed -------------
+    // same generator as ScaleProbeR4's decontam section: 60 hashed grams
+    // per doc; probe docs (id % 10 == 0) draw from replica-0's keyspace
+    def gramDocs(nDocs: Long, nReplicas: Int): DataFrame =
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        transform(sequence(lit(0), lit(59)),
+          i => when(col("id") % 10 === 0,
+            xxhash64(col("id") % 5000 * 60 + i))
+            .otherwise(
+              xxhash64(pmod(col("id"), lit(nReplicas)) * 1000000000L + col("id") * 60 + i)))
+          .as("sh"))
+        .repartition(32).cache()
+
+    def naiveContaminated(sh: DataFrame): DataFrame = {
+      val probeGrams = sh.where(col("doc_id") % 10 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      sh.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(probeGrams, "g").select("doc_id").distinct()
+    }
+
+    for ((n, reps, tag) <- Seq((200000L, 1, "contam 1x (200k)"),
+                               (2000000L, 10, "contam 10x (2M)"))) {
+      val docs = gramDocs(n, reps); docs.count()
+      val naive = best2(naiveContaminated(docs).count())
+      val bloom = best2(graft.operators.Curation.contaminatedIdsCore(spark, docs).count())
+      println(f"[probe] $tag%-22s naive=$naive%6.2fs bloom=$bloom%6.2fs")
+      docs.unpersist()
+    }
+
+    // --- semdedup: K scales with the corpus; whale cluster salt-split ----
+    def assignedEmb(n: Long, k: Int, whaleFrac: Int): DataFrame =
+      spark.range(n).select(
+        when(pmod(xxhash64(col("id") + 3), lit(whaleFrac)) =!= 0,
+          pmod(xxhash64(col("id") + 1), lit(k.toLong)).cast("int") + 1)
+          .otherwise(lit(0)).as("cluster_id"),
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (pmod(xxhash64(col("id") * 8 + i), lit(1000000L)).cast("double") / 1e6 - 0.5)
+            .cast("float")).as("embedding"))
+        .repartition(32).cache()
+
+    // (a) corpus 10x with K 10x: E[|cluster|] ~ 500 fixed -> linear pairs
+    for ((n, k, tag) <- Seq((200000L, 400, "semdedup 1x (200k,K=400)"),
+                            (2000000L, 4000, "semdedup 10x (2M,K=4k)"))) {
+      val emb = assignedEmb(n, k, whaleFrac = 1000000000); emb.count()
+      val secs = best2(graft.operators.VectorsKmeans
+        .semDedupCore(spark, emb, tau = 0.95, maxClusterRows = Long.MaxValue)
+        .count())
+      println(f"[probe] $tag%-26s pairs-scan=$secs%6.2fs")
+      emb.unpersist()
+    }
+
+    // (b) whale cluster: cluster 0 holds ~50% of 40k vectors
+    {
+      val emb = assignedEmb(40000L, 64, whaleFrac = 2); emb.count()
+      val mono = best2(graft.operators.VectorsKmeans
+        .semDedupCore(spark, emb, tau = 0.95, maxClusterRows = Long.MaxValue).count())
+      val shard = best2(graft.operators.VectorsKmeans
+        .semDedupCore(spark, emb, tau = 0.95, maxClusterRows = 4096L).count())
+      println(f"[probe] whale cluster (20k of 40k) unsharded=$mono%6.2fs sharded(cap 4k)=$shard%6.2fs")
+      emb.unpersist()
+    }
+
+    spark.stop()
+  }
+}
