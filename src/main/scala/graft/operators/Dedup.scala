@@ -268,8 +268,15 @@ object Dedup {
 
   /** The original explode + 64-vote-sum aggregate formulation, kept as
     * the equivalence reference for [[simhashSignatures]]. */
-  def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def simhashSignaturesAgg(spark: SparkSession, dir: String): DataFrame =
+    simhashSignaturesAggOf(Tables.documents(spark, dir))
+
+  /** [[simhashSignaturesAgg]] over an injected `(doc_id, text)` frame —
+    * the soundness companion recomputes signatures only for docs that
+    * appear in emitted pairs, so the verify pass scales with the OUTPUT
+    * (pair set), not the corpus. */
+  def simhashSignaturesAggOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
     val votes = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
@@ -341,7 +348,13 @@ object Dedup {
     val emitted = simhashPairs(spark, dir, maxHamming)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_emits"), max("hamming").as("hamming"))
-    val sigs = simhashSignaturesAgg(spark, dir)
+    // recompute through the independent aggregate plan, but only for
+    // docs that appear in emitted pairs (left-semi before the explode):
+    // the verify pass costs O(|pairs|), not a second corpus scan
+    val pairDocs = emitted.select(col("doc_a").as("doc_id"))
+      .unionByName(emitted.select(col("doc_b").as("doc_id"))).distinct()
+    val sigs = simhashSignaturesAggOf(
+      Tables.documents(spark, dir).join(pairDocs, Seq("doc_id"), "left_semi"))
     emitted
       .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
       .join(sigs.toDF("doc_b", "sig_b"), "doc_b")

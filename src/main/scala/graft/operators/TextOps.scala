@@ -547,7 +547,64 @@ object TextOps {
       FROM documents)
     WHERE rn <= 10 ORDER BY lang, rn""")((s, d) => stratifiedSample(s, d))
 
+  /** Corpus-trained BIGRAM language-model scoring — the CCNet/KenLM-
+    * style quality signal: documents whose word transitions are
+    * improbable under a model trained on the corpus itself score low
+    * (boilerplate/garbled text), high-likelihood text scores high. Per
+    * doc: the mean log P(w2|w1) over its bigrams, with
+    * P(w2|w1) = c(w1,w2) / c(w1·) from exact corpus counts (no
+    * smoothing needed — scoring the training corpus means every bigram
+    * was seen).
+    *
+    * Scale design: training is two partial-aggregated shuffles (bigram
+    * counts, then first-word marginals derived from them — the tf/df
+    * trick, no second corpus explode); scoring joins doc bigrams to the
+    * model on (w1, w2) — the SAME key the training shuffle used. The
+    * model is corpus-bigram-sized, so it shuffle-joins rather than
+    * broadcasting (unlike tfidf's vocab-sized df frame); at 100 TB you
+    * prune it to the top-M bigrams + a unigram backoff column, which
+    * changes the model CTE, not the plan shape. Determinism: counts are
+    * exact integers; per-bigram logp and the final mean are doubles
+    * ROUNDed to 4 — the k19 avg contract. */
+  val perplexity: GraftQuery = GraftQuery.checked("ns_text_perplexity",
+    """WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+      FROM toks WHERE len(t) >= 2),
+    bgf AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1),
+    model AS (
+      SELECT w1, w2, ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)) AS logp
+      FROM cnt2 JOIN cnt1 USING (w1))
+    SELECT b.doc_id, b.lang, COUNT(*) AS n_bigrams,
+           ROUND(AVG(m.logp), 4) AS avg_logp
+    FROM bgf b JOIN model m USING (w1, w2)
+    GROUP BY b.doc_id, b.lang
+    ORDER BY b.doc_id""") { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val bgf = toks.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1"), col("p.w2"))
+    val cnt2 = bgf.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cnt1 = cnt2.groupBy("w1").agg(sum("c2").as("c1"))
+    val model = cnt2.join(cnt1, "w1")
+      .select(col("w1"), col("w2"),
+        (log(col("c2").cast("double")) - log(col("c1").cast("double"))).as("logp"))
+    bgf.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), dround(avg("logp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, tfidf, stratified)
+    vocab, tfidf, stratified, perplexity)
 }

@@ -42,6 +42,10 @@ object ScaleProbeR5 {
   private def best2(f: => Long): Double = { time(f); math.min(time(f)._2, time(f)._2) }
 
   def main(args: Array[String]): Unit = {
+    // optional args: section names to run (skew, contam, semdedup,
+    // aqejoin); no args = all sections
+    val sections: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
     require(heapG >= 15,
       s"probe needs a >=16g heap (have ${heapG}g) — run with SPARK_DRIVER_MEM=24g")
@@ -65,7 +69,7 @@ object ScaleProbeR5 {
         (pmod(xxhash64(col("id") + 17), lit(3)) === 0).as("is_click"))
         .repartition(32).cache()
 
-    for ((n, tag) <- Seq((2000000L, "skew 1x (2M)"), (20000000L, "skew 10x (20M)"))) {
+    if (sections("skew")) for ((n, tag) <- Seq((2000000L, "skew 1x (2M)"), (20000000L, "skew 10x (20M)"))) {
       val ev = skewedEvents(n); ev.count()
       val asof = best2(graft.operators.Analytics2.asofCore(ev)
         .where(col("view_id").isNotNull).count())
@@ -99,7 +103,7 @@ object ScaleProbeR5 {
         .join(probeGrams, "g").select("doc_id").distinct()
     }
 
-    for ((n, reps, tag) <- Seq((200000L, 1, "contam 1x (200k)"),
+    if (sections("contam")) for ((n, reps, tag) <- Seq((200000L, 1, "contam 1x (200k)"),
                                (2000000L, 10, "contam 10x (2M)"))) {
       val docs = gramDocs(n, reps); docs.count()
       val naive = best2(naiveContaminated(docs).count())
@@ -121,7 +125,7 @@ object ScaleProbeR5 {
         .repartition(32).cache()
 
     // (a) corpus 10x with K 10x: E[|cluster|] ~ 500 fixed -> linear pairs
-    for ((n, k, tag) <- Seq((200000L, 400, "semdedup 1x (200k,K=400)"),
+    if (sections("semdedup")) for ((n, k, tag) <- Seq((200000L, 400, "semdedup 1x (200k,K=400)"),
                             (2000000L, 4000, "semdedup 10x (2M,K=4k)"))) {
       val emb = assignedEmb(n, k, whaleFrac = 1000000000); emb.count()
       val secs = best2(graft.operators.VectorsKmeans
@@ -132,7 +136,7 @@ object ScaleProbeR5 {
     }
 
     // (b) whale cluster: cluster 0 holds ~50% of 40k vectors
-    {
+    if (sections("semdedup")) {
       val emb = assignedEmb(40000L, 64, whaleFrac = 2); emb.count()
       val mono = best2(graft.operators.VectorsKmeans
         .semDedupCore(spark, emb, tau = 0.95, maxClusterRows = Long.MaxValue).count())
@@ -140,6 +144,50 @@ object ScaleProbeR5 {
         .semDedupCore(spark, emb, tau = 0.95, maxClusterRows = 4096L).count())
       println(f"[probe] whale cluster (20k of 40k) unsharded=$mono%6.2fs sharded(cap 4k)=$shard%6.2fs")
       emb.unpersist()
+    }
+
+    // --- AQE skew-join: the whale key through a shuffle JOIN -------------
+    // Window partitions cannot be split (see the skew section), but
+    // shuffle JOINS can: AQE's OptimizeSkewedJoin splits an oversized
+    // partition into chunks and replicates the matching build-side
+    // partition. Demonstrated on the enrichment join every event
+    // pipeline runs (events × per-user dim), whale user = 10% of rows;
+    // broadcast disabled so the join actually shuffles (at 100 TB the
+    // dim side may be too big to broadcast), thresholds lowered to
+    // match probe scale (defaults target 256 MB partitions).
+    if (sections("aqejoin")) {
+      // HALF of all rows on one user — the regime where the whale's
+      // single sort task IS the join's wall-clock; a payload column is
+      // aggregated on the far side so pruning can't slim the shuffle
+      val ev = spark.range(20000000L).select(
+        when(pmod(xxhash64(col("id") + 3), lit(2)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("user_id"),
+        xxhash64(col("id") + 7).as("payload"))
+        .repartition(32).cache()
+      ev.count()
+      val dim = spark.range(100000L).select(col("id").as("user_id"),
+        concat(lit("segment-"), pmod(col("id"), lit(37))).as("segment"))
+        .repartition(32).cache()
+      dim.count()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      def run(): Long = ev.join(dim, "user_id")
+        .agg(sum(hash(col("payload"), col("segment")))).head().getLong(0)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val off = best2(run())
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val on = best2(run())
+      println(f"[probe] aqe skew join (20M, 10M-row whale) off=$off%6.2fs on=$on%6.2fs")
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
+      ev.unpersist(); dim.unpersist()
     }
 
     spark.stop()

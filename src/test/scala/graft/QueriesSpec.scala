@@ -146,6 +146,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.simhashViolations(spark, dir, loose).count() == 0)
   }
 
+  test("perplexity: log-probs non-positive; per-doc bigram count = token count - 1") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextOps.perplexity.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) <= 0.0,
+      s"doc ${r.getLong(0)}: mean log-prob must be <= 0"))
+    val nb = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc bigram hits the corpus-trained model (no OOV when
+    // scoring the training corpus), so nothing drops in the model join
+    rows.foreach(r => assert(r.getLong(2) == nb(r.getLong(0)),
+      s"doc ${r.getLong(0)}: model join dropped bigrams"))
+  }
+
   test("semDedup: salt-split shard-pair tasks are lossless (sharded ≡ unsharded)") {
     import org.apache.spark.sql.functions._
     val vk = graft.operators.VectorsKmeans
