@@ -51,8 +51,12 @@ private[functions] object TokenHashing {
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
-  /** Sorted distinct hashes of w-shingles (combined token hashes). */
-  def shingleHashes(s: UTF8String, w: Int): Array[Long] = {
+  /** In-order (positional, NON-distinct) w-shingle hashes — index i of
+    * the result is the shingle starting at token i. The span-dedup
+    * operator posexplodes this directly: zero string allocation per
+    * gram (the concat_ws formulation allocates a ~50-byte string per
+    * position — 2×10⁸ allocations per pass at probe 10× scale). */
+  def positionalShingleHashes(s: UTF8String, w: Int): Array[Long] = {
     val toks = tokenHashes(s, distinct = false)
     if (toks.length < w) return Array.empty
     val out = new Array[Long](toks.length - w + 1)
@@ -67,7 +71,12 @@ private[functions] object TokenHashing {
       out(i) = h
       i += 1
     }
-    val dedup = out.distinct
+    out
+  }
+
+  /** Sorted distinct hashes of w-shingles (combined token hashes). */
+  def shingleHashes(s: UTF8String, w: Int): Array[Long] = {
+    val dedup = positionalShingleHashes(s, w).distinct
     java.util.Arrays.sort(dedup)
     dedup
   }
@@ -92,8 +101,21 @@ case class ShingleHashesExpr(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** In-order positional w-shingle hashes of a text column (index =
+  * starting token). */
+case class PositionalShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"shingle width must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TokenHashing.positionalShingleHashes(v.asInstanceOf[UTF8String], w))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def tokenHashes(c: Column): Column = ColumnShim.column(TokenHashesExpr(ColumnShim.expression(c)))
   def shingleHashes(c: Column, w: Int): Column =
     ColumnShim.column(ShingleHashesExpr(ColumnShim.expression(c), w))
+  def positionalShingleHashes(c: Column, w: Int): Column =
+    ColumnShim.column(PositionalShingleHashesExpr(ColumnShim.expression(c), w))
 }

@@ -581,6 +581,149 @@ object Dedup {
     GraftQuery.checked("ns_dedup_decontam_bloom", ngramDecontamOracle)(
       (s, d) => ngramDecontamBloom(s, d))
 
+  /** Verbatim duplicated-SPAN marker — the per-document form of exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove any span that appears
+    * verbatim elsewhere in the corpus). The paper's suffix array over
+    * the concatenated corpus is inherently single-machine; the
+    * Spark-native equivalent anchors on POSITIONAL word 8-grams:
+    *   1. every (doc, pos, gram-hash) — one map pass, row inflation =
+    *      tokens per doc (the same explode the decontamination plans run);
+    *   2. global occurrence count per gram (partial-agg shuffle on the
+    *      gram key — map-side combine absorbs hot boilerplate grams);
+    *      a position is duplicated iff its gram occurs >= 2 times
+    *      anywhere (another doc OR a repeat within the same doc);
+    *   3. per-doc gaps-and-islands (`pos - row_number` over the doc
+    *      window) merges consecutive duplicated positions into MAXIMAL
+    *      spans; a run of R grams covers R+w-1 tokens.
+    * NO doc-pair term exists in the plan: a boilerplate sentence shared
+    * by 1M documents costs 1M rows through the count and the join —
+    * never C(1M,2) pairs, the trap a pairwise span formulation hits —
+    * which is what makes removal-style span dedup viable at 100 TB.
+    * Deliberately groupBy+join rather than `count over (partition by g)`:
+    * window partitions cannot be AQE-skew-split (ScaleProbeR5's skew
+    * section measures exactly that), while the join back CAN, and the
+    * partial agg already collapses the hot key before its shuffle. The
+    * only window is per-doc (step 3), bounded by document length. */
+  def duplicatedSpans(spark: SparkSession, dir: String, w: Int = 8,
+                      minTokens: Int = 12): DataFrame =
+    islandsOf(dupPositions(spark, dir, w), w, minTokens)
+
+  /** `(doc_id, pos, occ)` of every duplicated gram position — memoized:
+    * the span query and the gram-fraction query share the corpus-sized
+    * count+join (the expensive stages); islands/fractions are cheap
+    * tails over this frame. */
+  private def dupPositions(spark: SparkSession, dir: String, w: Int): DataFrame =
+    memoCached(spark, dir, s"dup-pos-$w") {
+      dupPositionsOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")), w)
+    }
+
+  /** [[duplicatedSpans]] over an injected `(doc_id, text)` frame — also
+    * weak-scaled standalone (corpus 10×, whale-gram) by
+    * [[graft.tools.ScaleProbeR5]]. Positional gram hashes come from the
+    * native one-pass kernel ([[graft.functions.PositionalShingleHashesExpr]]):
+    * the equivalent `transform + concat_ws + xxhash64` column algebra
+    * allocates a string PER POSITION per pass — measured superlinear at
+    * probe 10× scale purely from allocation pressure. */
+  private[graft] def duplicatedSpansCore(docs: DataFrame, w: Int = 8,
+                                         minTokens: Int = 12): DataFrame =
+    islandsOf(dupPositionsOf(docs, w), w, minTokens)
+
+  /** Stages 1–2: positional gram hashes → global occurrence counts →
+    * the duplicated positions `(doc_id, pos, occ)`. */
+  private def dupPositionsOf(docs: DataFrame, w: Int): DataFrame = {
+    import graft.functions.TextExpressions.positionalShingleHashes
+    val grams = docs
+      .select(col("doc_id"), posexplode(positionalShingleHashes(col("text"), w)))
+      .toDF("doc_id", "p0", "g")
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+    grams.join(occ.where(col("occ") >= 2), "g")
+      .select("doc_id", "pos", "occ")
+  }
+
+  /** Stage 3: per-doc gaps-and-islands over duplicated positions →
+    * maximal spans. */
+  private def islandsOf(dup: DataFrame, w: Int, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("isl", col("pos") - row_number().over(perDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"),
+        (count(lit(1)) + (w - 1)).as("span_tokens"),
+        max("occ").as("max_occ"))
+      .where(col("span_tokens") >= minTokens)
+      .select("doc_id", "span_start", "span_tokens", "max_occ")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Oracle: identical logic over gram STRINGS (the Spark side hashes
+    * them — same 2^-64 collision argument as [[ngramNearDups]]). */
+  val duplicatedSpansQ: GraftQuery = GraftQuery.checked("ns_dedup_spans",
+    """WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+               i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
+      FROM t WHERE len(t) >= 8),
+    gf AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
+    cnt AS (SELECT g, COUNT(*) AS occ FROM gf GROUP BY g),
+    dup AS (SELECT doc_id, pos, occ FROM gf JOIN cnt USING (g) WHERE occ >= 2),
+    isl AS (SELECT doc_id, pos, occ,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM dup)
+    SELECT doc_id, MIN(pos) AS span_start,
+           COUNT(*) + 7 AS span_tokens, MAX(occ) AS max_occ
+    FROM isl GROUP BY doc_id, isl
+    HAVING COUNT(*) + 7 >= 12
+    ORDER BY doc_id, span_start""")((s, d) => duplicatedSpans(s, d))
+
+  /** CROSS-corpus duplicated-gram FRACTION per document — the removal
+    * signal paired with [[duplicatedSpans]] (a doc that is mostly
+    * verbatim-duplicated text gets dropped whole rather than
+    * span-trimmed). Complements `ns_text_repetition`, which measures
+    * WITHIN-doc gram repetition; this measures how much of the doc
+    * exists verbatim anywhere else. Shares the memoized duplicated-
+    * position frame with the span query (the corpus-sized stages run
+    * once per session); the tail here is a plain partial-agg count per
+    * doc joined back to a scan-side gram total — no window at all. */
+  def gramDupFraction(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import graft.functions.TextExpressions.positionalShingleHashes
+    val tot = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(positionalShingleHashes(col("text"), w)).cast("long").as("n_grams"))
+      .where(col("n_grams") >= 1)
+    val dup = dupPositions(spark, dir, w)
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_cnt"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_cnt"), lit(0L)).as("n_dup_grams"),
+        dround(coalesce(col("dup_cnt"), lit(0L)) / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val gramDupFractionQ: GraftQuery = GraftQuery.checked("ns_dedup_gram_frac",
+    """WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+               i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
+      FROM t WHERE len(t) >= 8),
+    gf AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
+    cnt AS (SELECT g, COUNT(*) AS occ FROM gf GROUP BY g),
+    dup AS (SELECT doc_id, COUNT(*) AS dup_cnt
+            FROM gf JOIN cnt USING (g) WHERE occ >= 2 GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(len(t) - 7 AS BIGINT) AS n_grams
+            FROM t WHERE len(t) >= 8)
+    SELECT tot.doc_id, tot.n_grams,
+           CAST(COALESCE(dup.dup_cnt, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(CAST(COALESCE(dup.dup_cnt, 0) AS DOUBLE) / tot.n_grams, 4) AS dup_frac
+    FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+    ORDER BY tot.doc_id""")((s, d) => gramDupFraction(s, d))
+
   /** Near-duplicate CLUSTERS via connected components over the verified
     * pair graph — the keep-one-per-cluster step an actual dedup pipeline
     * ends with (pairs alone over-delete: a~b, b~c must collapse to ONE
@@ -705,5 +848,5 @@ object Dedup {
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
     simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
-    clusters, survivors)
+    duplicatedSpansQ, gramDupFractionQ, clusters, survivors)
 }

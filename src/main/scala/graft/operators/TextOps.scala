@@ -474,6 +474,27 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** HLL-sketched vocabulary — the promised 100 TB swap for [[vocab]]:
+    * `COUNT(DISTINCT token)` shuffles every distinct token to its
+    * reducer (vocabulary-sized exchange, and Spark plans a two-phase
+    * expand for the mixed distinct/plain agg), while HyperLogLog++
+    * state is a fixed few-KB sketch per partition — the shuffle carries
+    * sketches, not tokens, no matter how large the corpus. rsd=0.02:
+    * ±2% standard error, guaranteed within ±6% (3σ) by the accuracy
+    * spec against the exact count. Rows-only by design: HLL estimates
+    * are implementation-specific (DuckDB's approx_count_distinct uses
+    * a different sketch), so the driver check is rows>0 and the REAL
+    * check is the in-Spark error-bound spec — same pattern as the
+    * minhash/simhash emitters with soundness companions. */
+  val vocabApprox: GraftQuery = GraftQuery.rowsOnly("ns_text_vocab_approx") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("t"), 0.02).as("n_vocab_approx"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** TF-IDF top terms per document — the classic term-weighting pass
     * (keyword extraction / relevance features for corpus curation).
     * tf = in-doc occurrences, idf = ln((N+1)/(df+1)); top-3 terms per
@@ -604,7 +625,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding token-WINDOW chunking — the context-window prep step every
+    * training/RAG pipeline runs between curation and tokenization:
+    * split each document into C-token chunks on an S-token stride
+    * (C=64, S=48 → 16-token overlap so no boundary loses context), last
+    * chunk short rather than dropped (every token lands in >= 1 chunk).
+    *
+    * Scale design: pure per-row column algebra — `sequence` over the
+    * chunk count, `slice` per chunk, one `posexplode` — a single
+    * codegen'd map stage with ZERO shuffle (row inflation = chunks per
+    * doc ~ len/S, the output's own size). No window, no join, no agg:
+    * this is the shape that runs at scan speed on 100 TB. Chunks are
+    * emitted as md5 digests + positions (the digest pins the exact
+    * string content against the oracle without shipping the text
+    * twice); a real pipeline would select the slice itself instead. */
+  val chunk: GraftQuery = GraftQuery.checked("ns_text_chunk",
+    """WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, len(t) AS n, t,
+             unnest(range(0, CASE WHEN len(t) <= 64 THEN 1
+               ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) END)) AS k
+      FROM t WHERE len(t) >= 1)
+    SELECT doc_id, lang, k AS chunk_idx, k * 48 + 1 AS start_tok,
+           LEAST(64, n - k * 48) AS n_tokens,
+           md5(array_to_string(t[(k*48+1):(k*48+64)], ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx""") { (spark, dir) =>
+    val C = 64; val S = 48
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .where(size(col("t")) >= 1)
+    val n = size(col("t"))
+    val nChunks = when(n <= C, lit(1))
+      .otherwise(lit(1) + ceil((n - C).cast("double") / S).cast("int"))
+    toks
+      .select(col("doc_id"), col("lang"), n.as("n"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          k => md5(concat_ws(" ", slice(col("t"), k * S + 1, lit(C)))))))
+      .toDF("doc_id", "lang", "n", "chunk_idx", "chunk_md5")
+      .select(col("doc_id"), col("lang"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * S + 1).cast("long").as("start_tok"),
+        least(lit(C), col("n") - col("chunk_idx") * S).cast("long").as("n_tokens"),
+        col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, tfidf, stratified, perplexity)
+    vocab, vocabApprox, tfidf, stratified, perplexity, chunk)
 }

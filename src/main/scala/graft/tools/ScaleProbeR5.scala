@@ -43,7 +43,7 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin); no args = all sections
+    // aqejoin, spans); no args = all sections
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -188,6 +188,47 @@ object ScaleProbeR5 {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
       ev.unpersist(); dim.unpersist()
+    }
+
+    // --- duplicated-span dedup: corpus 10× and a whale GRAM ---------------
+    // The pair-free claim under test: a boilerplate block carried by
+    // 50% of all documents costs rows linear in its occurrence count
+    // (through the partial-agg count and the join back), never
+    // C(occ, 2) pairs — the regime where a pairwise span formulation
+    // detonates. Docs are 200 random tokens from a 1e9 vocab (organic
+    // gram collisions ~0), with a fixed 32-token boilerplate block
+    // spliced into every 20th doc (1×/10×) or every 2nd doc (whale).
+    if (sections("spans")) {
+      val boiler = array((0 until 32).map(j => lit(s"boiler$j")): _*)
+      def spanDocs(n: Long, dupEvery: Int): DataFrame =
+        spark.range(n).select(col("id").as("doc_id"),
+          transform(sequence(lit(1), lit(200)),
+            i => concat(lit("w"), pmod(xxhash64(col("id") * 211 + i), lit(1000000000L)))).as("base"),
+          (pmod(xxhash64(col("id") + 5), lit(dupEvery)) === 0).as("dup"))
+          .select(col("doc_id"),
+            concat_ws(" ",
+              when(col("dup"),
+                concat(slice(col("base"), 1, 50), boiler, slice(col("base"), 51, 150)))
+                .otherwise(col("base"))).as("text"))
+          .repartition(32).cache()
+      // weak scaling = data AND reducers grow together: at 10× corpus
+      // the 193M-unique-gram count needs 10× the reducers to keep each
+      // task's hash-agg working set constant (fixed 32 spills: measured
+      // 148.5 s vs ~30 s reducer-scaled). A 1000-executor cluster gets
+      // this by sizing shuffle.partitions to the data — the repo-wide
+      // guidance; local[32] can only emulate it with more, smaller tasks.
+      for ((n, dupEvery, parts, tag) <- Seq(
+             (100000L, 20, 32, "spans 1x (100k)"),
+             (1000000L, 20, 32, "spans 10x (1M, reducers FIXED)"),
+             (1000000L, 20, 320, "spans 10x (1M, reducers 10x)"),
+             (1000000L, 2, 320, "spans whale-gram (1M, 50% dup)"))) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val docs = spanDocs(n, dupEvery); docs.count()
+        val secs = best2(graft.operators.Dedup.duplicatedSpansCore(docs).count())
+        println(f"[probe] $tag%-34s spans-scan=$secs%6.2fs")
+        docs.unpersist()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
 
     spark.stop()

@@ -118,6 +118,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected both bloom filter and distinct aggregate:\n$p")
   }
 
+  test("ns_dedup_spans: only the per-doc window, never a gram-keyed one") {
+    val p = plan(graft.operators.Dedup.duplicatedSpans(spark, dir))
+    // the occurrence count must be groupBy+join (partial-agg +
+    // AQE-skew-splittable), NOT `count over (partition by g)` — window
+    // partitions can't be skew-split; the only Window is the per-doc
+    // gaps-and-islands ordered by pos
+    val windows = p.linesIterator.filter(_.contains("Arguments: [row_number()")).toList
+    assert(windows.nonEmpty, s"expected the per-doc island window:\n$p")
+    assert(windows.forall(w => w.contains("doc_id#")),
+      s"island window must partition by doc_id:\n$windows")
+    assert(!p.linesIterator.exists(l => l.contains("windowspecdefinition(g#")),
+      s"gram-keyed window found (un-skew-splittable):\n$p")
+    assert(p.contains("HashAggregate"), s"expected partial-agg gram counts:\n$p")
+  }
+
+  test("ns_text_chunk: pure map stage — no join, no agg, no mid-plan exchange") {
+    val p = plan(graft.operators.TextOps.chunk.run(spark, dir))
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking must not aggregate:\n$p")
+    // one exchange allowed: the rangepartitioning of the final ORDER BY
+    val exchanges = "Exchange \\(".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking must be shuffle-free before the output sort:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

@@ -161,6 +161,67 @@ class QueriesSpec extends AnyFunSuite {
       s"doc ${r.getLong(0)}: model join dropped bigrams"))
   }
 
+  test("duplicated spans: in-bounds, maximal, span heads independently recounted >= 2") {
+    import org.apache.spark.sql.functions._
+    val spans = graft.operators.Dedup.duplicatedSpans(spark, dir).collect()
+    assert(spans.nonEmpty, "fixture corpus has exact dups; spans must not be empty")
+    val nTok = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spans.foreach { r =>
+      val (d, s, len) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(len >= 12, s"doc $d: span below minTokens")
+      assert(s >= 1 && s + len - 1 <= nTok(d), s"doc $d: span [$s,+$len) out of bounds")
+    }
+    // maximality: two spans of one doc can't be mergeable (gap in gram
+    // positions >= 2, i.e. next span_start > prev start + run + 1)
+    spans.groupBy(_.getLong(0)).values.foreach { ds =>
+      ds.sortBy(_.getLong(1)).sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        val runEndA = a.getLong(1) + (a.getLong(2) - 7) - 1 // last gram pos
+        assert(b.getLong(1) > runEndA + 1, s"doc ${a.getLong(0)}: spans not maximal")
+      }
+    }
+    // independent witness: the first 8-gram of each span really does
+    // occur >= 2 times in the corpus (string-level recount, no hashes)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val gramCounts = docs.values.toSeq
+      .flatMap(t => t.sliding(8).filter(_.size == 8).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size)
+    spans.take(20).foreach { r =>
+      val g = docs(r.getLong(0)).slice(r.getLong(1).toInt - 1, r.getLong(1).toInt + 7)
+        .mkString(" ")
+      assert(gramCounts(g) >= 2, s"doc ${r.getLong(0)}: span head gram occurs once")
+    }
+  }
+
+  test("chunking: contiguous ids, stride-aligned starts, full coverage, bounded sizes") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextOps.chunk.run(spark, dir).collect()
+    val nTok = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (0L until sorted.length).toSeq,
+        s"doc $d: chunk ids not contiguous")
+      sorted.foreach { r =>
+        assert(r.getLong(3) == r.getLong(2) * 48 + 1, s"doc $d: start not stride-aligned")
+        assert(r.getLong(4) >= 1 && r.getLong(4) <= 64, s"doc $d: chunk size out of bounds")
+      }
+      val last = sorted.last
+      assert(last.getLong(3) + last.getLong(4) - 1 == nTok(d),
+        s"doc $d: last chunk must end at the last token")
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == nTok.size,
+      "every non-empty doc must produce chunks")
+  }
+
   test("semDedup: salt-split shard-pair tasks are lossless (sharded ≡ unsharded)") {
     import org.apache.spark.sql.functions._
     val vk = graft.operators.VectorsKmeans

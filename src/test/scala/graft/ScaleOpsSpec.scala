@@ -361,17 +361,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("HLL approx vocabulary (constant-memory scale path) within 5% of exact") {
+  test("HLL approx vocabulary (registered ns_text_vocab_approx) within 5% of exact, totals exact") {
     val exact = graft.operators.TextOps.vocab.run(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Tables.documents(spark, dir)
-      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("lang").agg(approx_count_distinct(col("t"), 0.02).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.operators.TextOps.vocabApprox.run(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet == exact.keySet)
-    exact.foreach { case (lang, ex) =>
-      val rel = math.abs(approx(lang) - ex).toDouble / ex
-      assert(rel < 0.05, s"HLL for $lang off by ${rel * 100}%: ${approx(lang)} vs $ex")
+    exact.foreach { case (lang, (ev, et)) =>
+      val rel = math.abs(approx(lang)._1 - ev).toDouble / ev
+      assert(rel < 0.05, s"HLL for $lang off by ${rel * 100}%: ${approx(lang)._1} vs $ev")
+      assert(approx(lang)._2 == et, s"$lang: plain COUNT must stay exact")
     }
   }
 
