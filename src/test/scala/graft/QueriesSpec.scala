@@ -222,6 +222,18 @@ class QueriesSpec extends AnyFunSuite {
       "every non-empty doc must produce chunks")
   }
 
+  test("funnel2: stage counts are monotone and verbatim stage is non-vacuous") {
+    val rows = graft.operators.Curation.funnel2.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(raw, q, verb, dedup, clean) = (1 to 5).map(r.getLong)
+      assert(raw >= q && q >= verb && verb >= dedup && dedup >= clean,
+        s"lang ${r.getString(0)}: funnel must be monotone: $raw $q $verb $dedup $clean")
+    }
+    assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum > 0,
+      "verbatim stage must drop at least one doc on the dup-seeded fixtures")
+  }
+
   test("semDedup: salt-split shard-pair tasks are lossless (sharded ≡ unsharded)") {
     import org.apache.spark.sql.functions._
     val vk = graft.operators.VectorsKmeans
