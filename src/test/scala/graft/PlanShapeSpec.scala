@@ -142,6 +142,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"chunking must be shuffle-free before the output sort:\n$p")
   }
 
+  test("ns_text_perplexity: model shuffles keyed on long hashes, not word strings") {
+    val p = plan(graft.operators.TextOps.perplexity.run(spark, dir))
+    val keys = "hashpartitioning\\(([A-Za-z0-9_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.nonEmpty, s"expected hash exchanges in the perplexity plan:\n$p")
+    // every data-plane exchange rides an 8-byte kernel hash (h1/h2) or
+    // the output grouping key — never a word/bigram string
+    assert(keys.subsetOf(Set("h1", "h2", "doc_id")),
+      s"unexpected shuffle keys ${keys} — strings back in the exchanges?\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
