@@ -605,8 +605,14 @@ object Dedup {
     * section measures exactly that), while the join back CAN, and the
     * partial agg already collapses the hot key before its shuffle. The
     * only window is per-doc (step 3), bounded by document length. */
-  def duplicatedSpans(spark: SparkSession, dir: String, w: Int = 8,
-                      minTokens: Int = 12): DataFrame =
+  /** Shared by the Spark plans AND interpolated into the oracle SQL
+    * below, so a constant change cannot desynchronize them (the
+    * round-4 semDedup-tau advice, applied preemptively). */
+  private[graft] val SpanW = 8
+  private[graft] val SpanMinTokens = 12
+
+  def duplicatedSpans(spark: SparkSession, dir: String, w: Int = SpanW,
+                      minTokens: Int = SpanMinTokens): DataFrame =
     islandsOf(dupPositions(spark, dir, w), w, minTokens)
 
   /** `(doc_id, pos, occ)` of every duplicated gram position — memoized:
@@ -661,13 +667,13 @@ object Dedup {
   /** Oracle: identical logic over gram STRINGS (the Spark side hashes
     * them — same 2^-64 collision argument as [[ngramNearDups]]). */
   val duplicatedSpansQ: GraftQuery = GraftQuery.checked("ns_dedup_spans",
-    """WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+    s"""WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
       FROM documents),
     g AS (
-      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
-               i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
-      FROM t WHERE len(t) >= 8),
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SpanW - 2}),
+               i -> struct_pack(pos := i, g := array_to_string(t[i:i+${SpanW - 1}], ' ')))) AS pg
+      FROM t WHERE len(t) >= $SpanW),
     gf AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
     cnt AS (SELECT g, COUNT(*) AS occ FROM gf GROUP BY g),
     dup AS (SELECT doc_id, pos, occ FROM gf JOIN cnt USING (g) WHERE occ >= 2),
@@ -675,9 +681,9 @@ object Dedup {
               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
             FROM dup)
     SELECT doc_id, MIN(pos) AS span_start,
-           COUNT(*) + 7 AS span_tokens, MAX(occ) AS max_occ
+           COUNT(*) + ${SpanW - 1} AS span_tokens, MAX(occ) AS max_occ
     FROM isl GROUP BY doc_id, isl
-    HAVING COUNT(*) + 7 >= 12
+    HAVING COUNT(*) + ${SpanW - 1} >= $SpanMinTokens
     ORDER BY doc_id, span_start""")((s, d) => duplicatedSpans(s, d))
 
   /** CROSS-corpus duplicated-gram FRACTION per document — the removal
@@ -689,7 +695,7 @@ object Dedup {
     * position frame with the span query (the corpus-sized stages run
     * once per session); the tail here is a plain partial-agg count per
     * doc joined back to a scan-side gram total — no window at all. */
-  def gramDupFraction(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+  def gramDupFraction(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame = {
     import graft.functions.TextExpressions.positionalShingleHashes
     val tot = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -705,19 +711,19 @@ object Dedup {
   }
 
   val gramDupFractionQ: GraftQuery = GraftQuery.checked("ns_dedup_gram_frac",
-    """WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+    s"""WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
       FROM documents),
     g AS (
-      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
-               i -> struct_pack(pos := i, g := array_to_string(t[i:i+7], ' ')))) AS pg
-      FROM t WHERE len(t) >= 8),
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - ${SpanW - 2}),
+               i -> struct_pack(pos := i, g := array_to_string(t[i:i+${SpanW - 1}], ' ')))) AS pg
+      FROM t WHERE len(t) >= $SpanW),
     gf AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM g),
     cnt AS (SELECT g, COUNT(*) AS occ FROM gf GROUP BY g),
     dup AS (SELECT doc_id, COUNT(*) AS dup_cnt
             FROM gf JOIN cnt USING (g) WHERE occ >= 2 GROUP BY doc_id),
-    tot AS (SELECT doc_id, CAST(len(t) - 7 AS BIGINT) AS n_grams
-            FROM t WHERE len(t) >= 8)
+    tot AS (SELECT doc_id, CAST(len(t) - ${SpanW - 1} AS BIGINT) AS n_grams
+            FROM t WHERE len(t) >= $SpanW)
     SELECT tot.doc_id, tot.n_grams,
            CAST(COALESCE(dup.dup_cnt, 0) AS BIGINT) AS n_dup_grams,
            ROUND(CAST(COALESCE(dup.dup_cnt, 0) AS DOUBLE) / tot.n_grams, 4) AS dup_frac

@@ -650,21 +650,26 @@ object TextOps {
     * emitted as md5 digests + positions (the digest pins the exact
     * string content against the oracle without shipping the text
     * twice); a real pipeline would select the slice itself instead. */
+  /** Chunk size / stride shared by the Spark plan and the oracle SQL
+    * (interpolated — the semDedup-tau advice, applied preemptively). */
+  private val ChunkC = 64
+  private val ChunkS = 48
+
   val chunk: GraftQuery = GraftQuery.checked("ns_text_chunk",
-    """WITH t AS (
+    s"""WITH t AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
       FROM documents),
     c AS (
       SELECT doc_id, lang, len(t) AS n, t,
-             unnest(range(0, CASE WHEN len(t) <= 64 THEN 1
-               ELSE 1 + CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) END)) AS k
+             unnest(range(0, CASE WHEN len(t) <= $ChunkC THEN 1
+               ELSE 1 + CAST(ceil((len(t) - $ChunkC) / $ChunkS.0) AS BIGINT) END)) AS k
       FROM t WHERE len(t) >= 1)
-    SELECT doc_id, lang, k AS chunk_idx, k * 48 + 1 AS start_tok,
-           LEAST(64, n - k * 48) AS n_tokens,
-           md5(array_to_string(t[(k*48+1):(k*48+64)], ' ')) AS chunk_md5
+    SELECT doc_id, lang, k AS chunk_idx, k * $ChunkS + 1 AS start_tok,
+           LEAST($ChunkC, n - k * $ChunkS) AS n_tokens,
+           md5(array_to_string(t[(k*$ChunkS+1):(k*$ChunkS+$ChunkC)], ' ')) AS chunk_md5
     FROM c ORDER BY doc_id, chunk_idx""") { (spark, dir) =>
-    val C = 64; val S = 48
+    val C = ChunkC; val S = ChunkS
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
