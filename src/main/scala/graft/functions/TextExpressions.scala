@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `CodegenFallback` is acceptable here: the per-row cost is the loop
   * itself (the expression IS the kernel), not expression dispatch.
   */
-private[functions] object TokenHashing {
+private[graft] object TokenHashing {
   /** xxhash64 of each whitespace-separated token (in byte order). */
   def tokenHashes(s: UTF8String, distinct: Boolean): Array[Long] = {
     val bytes = s.getBytes

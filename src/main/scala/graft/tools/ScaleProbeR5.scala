@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   *    holding half the corpus, unsharded vs salt-split into bounded
   *    shard-pair tasks — same pair count, no single-reducer straggler.
   *
+  *  - AQE skew-join (`aqejoin`): the whale key through a shuffle JOIN,
+  *    where OptimizeSkewedJoin DOES split — measured off vs on.
+  *  - Duplicated-SPAN dedup (`spans`): corpus 10× with reducers fixed
+  *    vs scaled (the hash-agg working-set effect), plus a whale GRAM
+  *    (50% of docs share a boilerplate block) proving the pair-free
+  *    claim — occurrence-linear cost, no C(occ,2) term.
+  *
   * Synthetic inputs are content-independent across replicas (hash-
   * derived), matching the round-2/round-4 probe methodology. Results
   * go to BASELINE.md.

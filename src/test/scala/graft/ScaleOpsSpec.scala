@@ -239,6 +239,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("positional shingle kernel property: length law, per-position recompute, distinct+sort link") {
+    import org.scalacheck.{Gen, rng}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TokenHashing
+    val textGen = for {
+      n <- Gen.chooseNum(0, 40)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0, 25).map(i => s"t$i"))
+      sep <- Gen.oneOf(" ", "  ", " \t", "\n")
+    } yield (toks, toks.mkString(sep))
+    for (w <- Seq(1, 2, 3, 8); seed <- 0 until 100) {
+      textGen.apply(Gen.Parameters.default, rng.Seed(seed.toLong + w * 1000)).foreach {
+        case (toks, text) =>
+          val u = UTF8String.fromString(text)
+          val pos = TokenHashing.positionalShingleHashes(u, w)
+          assert(pos.length == math.max(0, toks.length - w + 1),
+            s"w=$w seed=$seed: length law broken for ${toks.length} tokens")
+          // each position recomputed independently from its own w-token
+          // sub-text must yield the same hash (prefix-freedom of the combine)
+          pos.zipWithIndex.foreach { case (h, i) =>
+            val sub = UTF8String.fromString(toks.slice(i, i + w).mkString(" "))
+            assert(TokenHashing.positionalShingleHashes(sub, w).head == h,
+              s"w=$w seed=$seed pos=$i: positional hash not position-local")
+          }
+          // the distinct+sorted kernel is exactly a view of the positional one
+          assert(TokenHashing.shingleHashes(u, w).toSeq == pos.distinct.sorted.toSeq,
+            s"w=$w seed=$seed: shingleHashes != positional.distinct.sorted")
+      }
+    }
+  }
+
   test("heavy hitters query equals the naive explode+groupBy plan") {
     val naive = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
