@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -133,5 +133,101 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
-  val all: Seq[GraftQuery] = Seq(attribution, anomalies)
+  private val HotValueMin = 200
+
+  /** INTERVAL-OVERLAP JOIN: user sessions × corpus-wide "hot windows"
+    * (±15 min around every high-value purchase) — count, per session,
+    * how many hot windows it overlaps. The general interval×interval
+    * theta-join Spark has no native operator for (as-of covers only
+    * nearest-predecessor; K22/sessions cover only fixed/gap windows).
+    *
+    * Scale design — BIN BUCKETIZATION turns the theta-join into an
+    * equi-join: written naively (`ON s.start <= w.end AND w.start <=
+    * s.end`, the oracle's formulation) Spark has no equi-key and plans
+    * BroadcastNestedLoopJoin — O(|S|·|W|) comparisons with the build
+    * side pinned in every executor's memory, a non-starter when both
+    * sides are corpus-sized. Instead each interval replicates into the
+    * 1-hour time bins it touches (`explode(sequence(bin(start),
+    * bin(end)))` — bounded fan-out: hot windows are 30 min wide so ≤ 2
+    * bins; sessions are gap-bounded) and the join becomes `ON s.bin =
+    * w.bin AND overlap` — hash-partitionable by bin, broadcast-able
+    * when one side is small (Catalyst picks BHJ here at test scale),
+    * AQE-skew-splittable when one hour is hot. A pair overlapping in
+    * several shared bins must count ONCE: the EMIT-ONCE predicate
+    * `w.bin = bin(greatest(s.start, w.start))` (the first shared bin —
+    * both intervals provably cover that instant) makes the join emit
+    * each true pair exactly once, with no post-join
+    * distinct/dropDuplicates exchange — the same dedup-free trick the
+    * SimHash band join uses. Zero-overlap sessions survive via LEFT
+    * join (their bin replicas match nothing; COUNT of the null probe
+    * key is 0 after the per-session regroup). Bin width is a tuning
+    * knob: W must be ≥ nothing in particular (correctness never
+    * depends on it) but replication is O(len/W) per interval while
+    * per-bin pair work grows with W — at 100 TB pick W from the
+    * interval-length distribution; 1 h here matches the 30-min gap
+    * bound on sessions.
+    */
+  val intervalJoin: GraftQuery = checked("ns_events_interval_join",
+    s"""WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, sid),
+    hot AS (
+      SELECT event_id AS hot_id,
+             CAST(ts AS TIMESTAMP) - INTERVAL 15 MINUTE AS w_start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS w_end
+      FROM events WHERE event_type = 'purchase' AND value >= $HotValueMin)
+    SELECT s.user_id, s.session_start, s.n_events,
+           COUNT(h.hot_id) AS n_hot_windows
+    FROM sessions s LEFT JOIN hot h
+      ON s.session_start <= h.w_end AND h.w_start <= s.session_end
+    GROUP BY s.user_id, s.session_start, s.n_events
+    ORDER BY s.user_id, s.session_start""") { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val sess = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+    val hot = ev
+      .filter(col("event_type") === "purchase" && col("value") >= HotValueMin)
+      .select(col("event_id").as("hot_id"),
+        (col("ts") - expr("INTERVAL 15 MINUTES")).as("w_start"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("w_end"))
+    intervalJoinCore(sess, hot)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** 1-hour time bins for [[intervalJoinCore]]. */
+  private val BinUs = 3600L * 1000000L
+
+  /** The bucketized interval-overlap core over `(user_id,
+    * session_start, session_end, n_events)` × `(hot_id, w_start,
+    * w_end)` — also driven standalone by the scale probe. */
+  private[graft] def intervalJoinCore(sess: DataFrame, hot: DataFrame): DataFrame = {
+    val bin = (c: Column) => floor(unix_micros(c).cast("double") / BinUs).cast("long")
+    val s = sess.withColumn("bin", explode(sequence(bin(col("session_start")), bin(col("session_end"))))).as("s")
+    val h = hot.withColumn("bin", explode(sequence(bin(col("w_start")), bin(col("w_end"))))).as("h")
+    s.join(h,
+        col("s.bin") === col("h.bin") &&
+          col("s.session_start") <= col("h.w_end") &&
+          col("h.w_start") <= col("s.session_end") &&
+          col("h.bin") === bin(greatest(col("s.session_start"), col("h.w_start"))),
+        "left")
+      .groupBy(col("s.user_id"), col("s.session_start"), col("s.n_events"))
+      .agg(count(col("h.hot_id")).as("n_hot_windows"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin)
 }

@@ -689,7 +689,143 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private val QPctP = 0.25
+  private val QPctRound = 4
+
+  /** PERCENTILE-THRESHOLD quality gate: instead of the fixed composite
+    * predicate ([[qualityFilter]]), drop each language's bottom
+    * quartile by quality score — the adaptive variant a real corpus
+    * pipeline prefers, because a fixed threshold calibrated on English
+    * silently over- or under-prunes other languages.
+    *
+    * Scale shape: pass 1 computes per-language thresholds — a groupBy
+    * whose result is languages-sized (tiny); pass 2 broadcast-joins
+    * the thresholds back and counts kept/dropped with map-side partial
+    * aggregation. No corpus-wide window (a `percent_rank() OVER
+    * (PARTITION BY lang)` formulation would shuffle and SORT the whole
+    * corpus into one partition per language — the skewed-reducer shape
+    * the pack operator's plan pin bans). Spark's exact `percentile`
+    * buffers each group's values on its reducer, fine for a
+    * thresholds pass at test scale; at 100 TB swap in
+    * `approx_percentile` (t-digest — mergeable map-side, bounded
+    * memory), the same documented swap as the median query
+    * ([[Analytics2]]). Cross-engine contract: Spark exact `percentile`
+    * and DuckDB `quantile_cont` share the same sort + linear
+    * interpolation definition; the threshold is ROUNDed to
+    * [[QPctRound]] dp on BOTH sides before the (unrounded,
+    * bit-identical) scores compare against it, so the kept/dropped
+    * split is engine-exact. */
+  val qualityPct: GraftQuery = GraftQuery.checked("ns_text_quality_pct",
+    s"""WITH base AS (
+      SELECT lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  w -> w IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS INTEGER) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT lang,
+             LEAST(1.0, n_tokens / 100.0) * (1 - CAST(n_stop AS DOUBLE) / n_tokens) AS q
+      FROM base),
+    thr AS (
+      SELECT lang, ROUND(quantile_cont(q, $QPctP), $QPctRound) AS q_thr
+      FROM scored GROUP BY lang)
+    SELECT s.lang, COUNT(*) AS n_docs, t.q_thr,
+           CAST(SUM(CASE WHEN s.q >= t.q_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.q < t.q_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM scored s JOIN thr t USING (lang)
+    GROUP BY s.lang, t.q_thr
+    ORDER BY s.lang""") { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(stopArr, w))).as("n_stop"))
+      .select(col("lang"),
+        (least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1) - col("n_stop").cast("double") / col("n_tokens"))).as("q"))
+    val thr = scored.groupBy("lang")
+      .agg(dround(expr(s"percentile(q, $QPctP)"), QPctRound).as("q_thr"))
+    scored.join(broadcast(thr), "lang")
+      .groupBy(col("lang"), col("q_thr"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("q_thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("q") < col("q_thr"), 1L).otherwise(0L)).as("n_dropped"))
+      .select("lang", "n_docs", "q_thr", "n_kept", "n_dropped")
+      .orderBy("lang")
+  }
+
+  /** Per-language LENGTH-MODEL diagnostics: Pearson correlation and
+    * least-squares slope of chars-vs-tokens — the drift monitor a
+    * corpus pipeline runs per ingest batch (a language whose
+    * chars-per-token regression shifts between snapshots signals a
+    * tokenizer or extraction regression upstream).
+    *
+    * Determinism contract (the k-means / anomaly playbook): both
+    * inputs are INTEGERS (n_chars from the table, n_tokens from the
+    * whitespace split), so all five moment sums Σx Σy Σx² Σy² Σxy are
+    * EXACT — accumulated as DECIMAL(38,0) on the Spark side and
+    * HUGEINT on the oracle side (BIGINT Σx² wraps silently in
+    * non-ANSI Spark once Σ n_chars² exceeds ~9.2e18, plausible at
+    * 100 TB). corr and slope are then CLOSED double formulas over
+    * those exact sums — no streaming `corr()` kernel on either
+    * engine, whose accumulation order varies run-to-run. Degenerate
+    * denominators (a language with constant length or a single doc)
+    * are guarded to NULL identically on both engines.
+    *
+    * Scale shape: one corpus pass, map-side partial aggregation into
+    * a languages-sized (tiny) shuffle — the cheapest possible plan
+    * for a full-corpus statistic; nothing downstream touches the
+    * corpus again.
+    */
+  val corrStats: GraftQuery = GraftQuery.checked("ns_text_corr",
+    """WITH t AS (
+      SELECT lang, n_chars,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             SUM(CAST(n_chars AS HUGEINT)) AS sx,
+             SUM(CAST(n_tokens AS HUGEINT)) AS sy,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+             SUM(CAST(n_tokens AS HUGEINT) * n_tokens) AS syy,
+             SUM(CAST(n_chars AS HUGEINT) * n_tokens) AS sxy
+      FROM t GROUP BY lang),
+    m AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y
+      FROM s)
+    SELECT lang, n_docs,
+           ROUND(cov_n / NULLIF(sqrt(var_x) * sqrt(var_y), 0), 4) AS corr_chars_tokens,
+           ROUND(cov_n / NULLIF(var_x, 0), 6) AS chars_per_token_slope
+    FROM m ORDER BY lang""") { (spark, dir) =>
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val s = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(d19(col("n_chars"))).as("sx"), sum(d19(col("n_tokens"))).as("sy"),
+        sum(d19(col("n_chars")) * d19(col("n_chars"))).as("sxx"),
+        sum(d19(col("n_tokens")) * d19(col("n_tokens"))).as("syy"),
+        sum(d19(col("n_chars")) * d19(col("n_tokens"))).as("sxy"))
+    val n = col("n_docs").cast("double")
+    val covN = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varX = n * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val varY = n * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    val denom = sqrt(varX) * sqrt(varY)
+    s.select(col("lang"), col("n_docs"),
+      dround(covN / when(denom =!= 0.0, denom), 4).as("corr_chars_tokens"),
+      dround(covN / when(varX =!= 0.0, varX), 6).as("chars_per_token_slope"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, vocabApprox, tfidf, stratified, perplexity, chunk)
+    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, corrStats, qualityPct)
 }

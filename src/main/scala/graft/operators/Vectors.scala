@@ -367,6 +367,105 @@ object Vectors {
            CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS DOUBLE) AS cosine_check
     WHERE 1 = 0""")((s, d) => nearDupViolations(s, d))
 
+  // --- random-projection (Johnson–Lindenstrauss) ANN ---------------------
+
+  private val RpDims = 16
+  private val RpDim = 64 // embeddings table contract (TESTDATA.md)
+
+  /** Fixed Rademacher (±1) projection matrix, generated once from a
+    * pinned seed and interpolated as a LITERAL into both the Spark
+    * plan and the oracle SQL — no engine RNG/hash in the algorithm, so
+    * the two sides are bit-identical by construction. */
+  private[graft] val rpMatrix: Array[Array[Double]] = {
+    val rng = new scala.util.Random(0x5eed)
+    Array.fill(RpDims)(Array.fill(RpDim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** JL projection of a float-vector column: d'=[[RpDims]] native dots
+    * against the fixed ±1 rows — codegen'd, zero shuffle, one corpus
+    * pass (at 100 TB you materialize this as a stored column beside
+    * the embedding, 8·16 = 128 B/row). */
+  def rpProject(v: Column): Column =
+    array(rpMatrix.map(row => graft.functions.VectorExpressions.vecDotFD(v, typedLit(row.toSeq))): _*)
+
+  /** Random-projection ANN: score all pairs with the d'=16 projected
+    * dot (⟨Pq,Pv⟩ is an unbiased estimator of ⟨q,v⟩ for Rademacher P),
+    * keep the top `refine` per query, exact-re-rank with the full
+    * double dot — the third ANN family beside LSH (hash buckets,
+    * probabilistic) and IVF (trained centroids): DATA-OBLIVIOUS (no
+    * training pass, no skew sensitivity) and fully deterministic, so
+    * unlike LSH it is oracle-checkable end to end (the oracle replays
+    * the same two-stage algorithm with the same literal matrix).
+    *
+    * Scale shape mirrors [[quantizedTopK]]: the scoring pass touches
+    * 16 doubles (128 B) per candidate instead of 64 floats (256 B) —
+    * 2× bandwidth, 4× FLOPs — and only (id, pdot) rides the ranking
+    * shuffle; float vectors are joined back for the `refine`
+    * candidates alone. Still a linear scan of the projected corpus per
+    * query batch (the constant-factor trade); compose with IVF cells
+    * for the asymptotic cut. Cross-engine determinism: the projection
+    * sums accumulate strictly left-to-right in float64 on both engines
+    * (verified bit-for-bit against DuckDB's sequential list_sum), so
+    * the pdot ranking — a double — agrees exactly; ties break on
+    * neighbor_id. */
+  def rpTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+             refine: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), rpProject(col("embedding")).as("p"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("p").as("q_p"))
+    val pdot = aggregate(
+      zip_with(col("q_p"), col("p"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pdot").desc, col("neighbor_id"))
+    val refinedIds = emb.join(broadcast(q.select("query_id", "q_p")), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), pdot.as("pdot"))
+      .withColumn("qrn", row_number().over(wq))
+      .where(col("qrn") <= refine)
+      .select("query_id", "neighbor_id")
+    val qv = q.select(col("query_id"), col("q_emb"))
+    val nv = Tables.embeddings(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    refinedIds
+      .join(broadcast(qv), "query_id")
+      .join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  private def rpMatSql: String =
+    rpMatrix.map(_.map(_.toInt).mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  val topKRp: GraftQuery = GraftQuery.checked("ns_vec_topk_rp",
+    s"""WITH m AS (SELECT $rpMatSql AS mat),
+    proj AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, ${RpDims + 1}), j ->
+               list_sum(list_transform(list_zip(embedding, mat[j]),
+                 x -> CAST(x[1] AS DOUBLE) * x[2]))) AS p
+      FROM embeddings, m),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.p, v.p), x -> x[1] * x[2])) AS pdot,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM proj q JOIN proj v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+    refined AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdot DESC, neighbor_id) AS qrn
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM refined WHERE qrn <= 20)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => rpTopK(s, d))
+
   val all: Seq[GraftQuery] =
-    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound)
+    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound, topKRp)
 }

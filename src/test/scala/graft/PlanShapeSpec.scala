@@ -153,6 +153,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected shuffle keys ${keys} — strings back in the exchanges?\n$p")
   }
 
+  test("ns_events_interval_join: bin bucketization yields an equi-join — no nested-loop theta join") {
+    val p = plan(graft.operators.EventOps.intervalJoin.run(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must join on the time-bin equi-key, not as a theta join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join on bin:\n$p")
+  }
+
+  test("ns_text_quality_pct: thresholds broadcast back; no corpus-wide per-lang window sort") {
+    val p = plan(graft.operators.TextOps.qualityPct.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"languages-sized threshold frame should broadcast:\n$p")
+    assert(!p.contains("Window ("),
+      s"percentile gate must not rank the corpus through a per-lang window:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
