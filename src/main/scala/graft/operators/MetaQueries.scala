@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,9 +265,76 @@ object MetaQueries {
       .orderBy("obj_id")
   }
 
+  /** DAG TRANSITIVE CLOSURE over the trigger graph: every (root,
+    * descendant) pair with its shortest trigger distance — the full
+    * reachability generalization of the 1-hop `head_downstream` (D1,
+    * `data_provider.py:36-37`). The question an operator of the
+    * reference actually asks before editing a pipeline: "what is the
+    * complete blast radius of this node, and how many trigger hops
+    * away is each member?"
+    *
+    * Distributed SEMI-NAIVE evaluation (the Datalog/BFS form): only
+    * the FRONTIER (pairs discovered last round) joins the edge list
+    * each round — settled pairs are never re-expanded — so total work
+    * is O(|closure| · avg-degree) joins, each a plain equi-join on the
+    * frontier node that partitions by key at any scale; level-by-level
+    * expansion makes first-arrival depth the minimum by construction
+    * (the left-anti against the reach set drops longer rediscoveries).
+    * The driver sees only the loop counter and per-round emptiness
+    * scalar (the [[graft.operators.Dedup.connectedComponents]]
+    * contract); `localCheckpoint` keeps plans flat across rounds. A
+    * frontier still alive past `maxDepth` throws loudly — in a trigger
+    * graph that means a CYCLE, which the reference's upsert validation
+    * treats as a definition error, and silently truncating the blast
+    * radius would mis-inform exactly the pre-delete audit this query
+    * serves. */
+  def dagClosure(spark: SparkSession, maxDepth: Int = 32): DataFrame = {
+    val edges = Fixtures.edgesDS(spark)
+      .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
+      .distinct().cache()
+    var reach: DataFrame = edges
+      .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
+      .localCheckpoint(true)
+    var frontier = reach
+    var depth = 1
+    while (!frontier.isEmpty && depth < maxDepth) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(frontier("root"), edges("dst").as("node"))
+        .distinct()
+        .join(reach.select("root", "node"), Seq("root", "node"), "left_anti")
+        .select(col("root"), col("node"), lit(depth + 1).as("depth"))
+        .localCheckpoint(true)
+      reach = reach.unionByName(next).localCheckpoint(true)
+      frontier = next
+      depth += 1
+    }
+    val unfinished = !frontier.isEmpty
+    edges.unpersist()
+    if (unfinished)
+      throw new IllegalStateException(
+        s"dagClosure frontier still alive after $maxDepth levels — the trigger " +
+        "graph has a cycle or exceeds the depth bound; a truncated closure would " +
+        "under-report the blast radius, so failing loudly")
+    reach.orderBy("root", "node")
+  }
+
+  // withCtes can't wrap a recursive query (one WITH clause per query),
+  // so this oracle assembles its own WITH RECURSIVE from the edge CTE
+  val dagClosureQ: GraftQuery = GraftQuery.checked("ns_dag_closure",
+    "WITH RECURSIVE\n" + Fixtures.edgesCte + """,
+    reach AS (
+      SELECT DISTINCT trigger_uuid AS root, pipeline_uuid AS node, 1 AS depth
+      FROM pipeline_triggers
+      UNION ALL
+      SELECT r.root, t.pipeline_uuid AS node, r.depth + 1 AS depth
+      FROM reach r JOIN pipeline_triggers t ON t.trigger_uuid = r.node)
+    SELECT root, node, MIN(depth) AS depth
+    FROM reach GROUP BY root, node
+    ORDER BY root, node""")((spark, _) => dagClosure(spark))
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied)
+    debounceExpired, depsSatisfied, dagClosureQ)
 }
