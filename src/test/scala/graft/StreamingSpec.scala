@@ -169,4 +169,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming as-of diverged: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
+
+  test("stream-stream time-interval join (watermark-bounded state) == batch range join") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sfDir
+    val ev = graft.sources.Tables.events(spark, dir)
+    val hotB = ev.where(col("event_type") === "purchase" && col("value") >= 200)
+      .select(col("event_id").as("hot_id"), col("ts").as("h_ts"))
+    // batch comparator: the same theta join at rest
+    val batch = ev.select(col("event_id"), col("ts")).join(hotB,
+        expr("""ts >= h_ts - INTERVAL 15 MINUTES AND
+                ts <= h_ts + INTERVAL 15 MINUTES AND
+                event_id <> hot_id"""))
+      .select("hot_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture should produce overlap pairs")
+    val evDir = java.nio.file.Files.createTempDirectory("sij-ev").toString
+    val hotDir = java.nio.file.Files.createTempDirectory("sij-hot").toString
+    ev.select("event_id", "ts").coalesce(1).write.mode("overwrite").parquet(evDir)
+    hotB.coalesce(1).write.mode("overwrite").parquet(hotDir)
+    val evS = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP").parquet(evDir)
+    val hotS = spark.readStream.schema("hot_id BIGINT, h_ts TIMESTAMP").parquet(hotDir)
+    val q = graft.streaming.StreamingIntervalJoin.hotWindowPairs(evS, hotS)
+      .writeStream.format("memory").queryName("sij_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("sij_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-stream interval join diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
+  }
 }
