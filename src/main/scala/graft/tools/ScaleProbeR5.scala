@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *
   *  - AQE skew-join (`aqejoin`): the whale key through a shuffle JOIN,
   *    where OptimizeSkewedJoin DOES split — measured off vs on.
+  *  - INTERVAL-overlap join (`ivjoin`): naive theta (nested-loop) vs
+  *    the 1-hour-bin equi-join of `ns_events_interval_join`, then the
+  *    bin plan weak-scaled 10× (both sides + time range together,
+  *    reducers scaled, broadcast off) — the shape that survives when
+  *    neither interval set fits an executor.
   *  - Duplicated-SPAN dedup (`spans`): corpus 10× with reducers fixed
   *    vs scaled (the hash-agg working-set effect), plus a whale GRAM
   *    (50% of docs share a boilerplate block) proving the pair-free
@@ -50,7 +55,7 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, spans); no args = all sections
+    // aqejoin, ivjoin, spans); no args = all sections
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -195,6 +200,62 @@ object ScaleProbeR5 {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
       ev.unpersist(); dim.unpersist()
+    }
+
+    // --- interval-overlap join: naive theta vs bin-bucketized ------------
+    // The ns_events_interval_join design under load: the naive
+    // theta-join (BroadcastNestedLoopJoin, |S|·|W| predicate evals with
+    // the build side pinned in every executor) against the 1-hour-bin
+    // equi-join, then the bin plan weak-scaled 10× — BOTH sides and the
+    // time range grow 10× (so true pair output grows ~10×, the honest
+    // weak-scaling frame for a density-preserving corpus), reducers
+    // scaled with the data, broadcast disabled so the equi-join
+    // actually shuffles (the 100 TB regime where neither side fits).
+    if (sections("ivjoin")) {
+      val base = 1704067200000000L
+      def synthIntervals(nS: Long, nW: Long, rangeUs: Long): (DataFrame, DataFrame) = {
+        val sess = spark.range(nS).select(
+          col("id").as("user_id"),
+          (lit(base) + pmod(xxhash64(col("id")), lit(rangeUs))).as("s_us"))
+          .select(col("user_id"), timestamp_micros(col("s_us")).as("session_start"),
+            timestamp_micros(col("s_us") + lit(60000000L) +
+              pmod(xxhash64(col("user_id") + 5), lit(1740000000L))).as("session_end"),
+            lit(1L).as("n_events"))
+        val hot = spark.range(nW).select(
+          col("id").as("hot_id"),
+          (lit(base) + pmod(xxhash64(col("id") + 11), lit(rangeUs))).as("w_us"))
+          .select(col("hot_id"), timestamp_micros(col("w_us")).as("w_start"),
+            timestamp_micros(col("w_us") + lit(1800000000L)).as("w_end"))
+        (sess.repartition(32).cache(), hot.repartition(32).cache())
+      }
+      // two sizes: |S|·|W| grows 25× while true output grows ~5× — the
+      // nested-loop cost tracks the PRODUCT, the bin join tracks the
+      // data + output
+      for ((nS, nW, tag) <- Seq((200000L, 5000L, "200k×5k"), (1000000L, 25000L, "1M×25k"))) {
+        val (s0, h0) = synthIntervals(nS, nW, 31536000000000L)
+        s0.count(); h0.count()
+        val naive = best2(s0.join(broadcast(h0),
+            col("session_start") <= col("w_end") && col("w_start") <= col("session_end"))
+          .groupBy("user_id").agg(count(lit(1))).count())
+        val bin0 = best2(graft.operators.EventOps.intervalJoinCore(s0, h0)
+          .where(col("n_hot_windows") > 0).count())
+        println(f"[probe] ivjoin naive-vs-bin ($tag%-8s) theta=$naive%7.2fs bin=$bin0%6.2fs")
+        s0.unpersist(); h0.unpersist()
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((nS, nW, range, sp, tag) <- Seq(
+          (1000000L, 100000L, 31536000000000L, "32", "ivjoin 1x (1M×100k)"),
+          (10000000L, 1000000L, 315360000000000L, "320", "ivjoin 10x (10M×1M)"))) {
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        val (s, h) = synthIntervals(nS, nW, range)
+        s.count(); h.count()
+        val t = best2(graft.operators.EventOps.intervalJoinCore(s, h)
+          .where(col("n_hot_windows") > 0).count())
+        println(f"[probe] $tag%-26s bin-join=$t%6.2fs")
+        s.unpersist(); h.unpersist()
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
 
     // --- duplicated-span dedup: corpus 10× and a whale GRAM ---------------
