@@ -852,7 +852,107 @@ object Dedup {
     WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
     ORDER BY d.doc_id""")((s, d) => dedupSurvivors(s, d))
 
+  private val IncNewSources = Seq("src16", "src17", "src18", "src19")
+  private val IncThreshold = 0.4
+
+  /** INCREMENTAL snapshot dedup — the daily-crawl regime every corpus
+    * pipeline actually runs: a NEW BATCH (sources [[IncNewSources]])
+    * arrives against an existing CORPUS (everything else), and each
+    * new doc is admitted only if it is neither a verbatim duplicate
+    * (whitespace-normalized fingerprint — the `ns_text_fingerprint`
+    * key) nor a near-duplicate (blocked 3-gram Jaccard ≥
+    * [[IncThreshold]], the `ns_dedup_ngram` verifier) of any corpus
+    * doc. Complements self-dedup (within one snapshot) and
+    * decontamination (vs eval suites): here the reference set is the
+    * corpus itself and the verdict is per NEW doc.
+    *
+    * Scale shape: the exact check is a fingerprint equi-join (corpus
+    * side shards by hash). The near check is the cross-set form of
+    * the PPJoin inverted index — prefix tokens of the new batch
+    * equi-join prefix tokens of the corpus under the same lossless
+    * prunes (prefix filter + size-ratio) as the self-join, so
+    * per-ingest cost scales with the BATCH × collision rate, not with
+    * corpus²; at 100 TB the corpus-side index is built once and
+    * persisted (bucketed by token), and each daily batch probes it —
+    * the amortization the incremental regime exists for. Docs too
+    * short to shingle produce no prefix tokens and simply can't
+    * near-match (the oracle guards the same pairs explicitly —
+    * DuckDB's NaN from a 0/0 Jaccard would otherwise sort HIGH and
+    * pass the threshold). Verdict columns (`dup_exact_of` = min matching
+    * corpus id, `n_near`, `keep`) rather than a filtered corpus, so
+    * the oracle checks the full decision surface including the docs
+    * that survive. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = memoCached(spark, dir, "incremental") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+          hashedShingles(col("text"), 3).as("sh"),
+          col("source").isin(IncNewSources: _*).as("is_new"))
+        .withColumn("sz", size(col("sh")))
+    }
+    val newD = base.where(col("is_new"))
+    val corp = base.where(!col("is_new"))
+    val exact = newD.select(col("doc_id"), col("fp"))
+      .join(corp.select(col("fp"), col("doc_id").as("c_id")), "fp")
+      .groupBy("doc_id").agg(min("c_id").as("dup_exact_of"))
+    val prefixLen = (floor(lit(1.0 - IncThreshold) * col("sz")) + 1).cast("int")
+    def pref(d: DataFrame, id: String, sz: String) =
+      d.select(col("lang"), col("len_bucket"), col("doc_id").as(id), col("sz").as(sz),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val cand = pref(newD, "doc_n", "sz_n")
+      .join(pref(corp, "doc_c", "sz_c"), Seq("lang", "len_bucket", "tok"))
+      .where(least(col("sz_n"), col("sz_c")).cast("double") /
+        greatest(col("sz_n"), col("sz_c")) >= IncThreshold)
+      .select("doc_n", "doc_c").distinct()
+    val near = cand
+      .join(newD.select(col("doc_id").as("doc_n"), col("sh").as("sh_n")), "doc_n")
+      .join(corp.select(col("doc_id").as("doc_c"), col("sh").as("sh_c")), "doc_c")
+      .where(jaccardSorted(col("sh_n"), col("sh_c")) >= IncThreshold)
+      .groupBy(col("doc_n")).agg(count(lit(1)).as("n_near"))
+      .withColumnRenamed("doc_n", "doc_id")
+    newD.select(col("doc_id"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("dup_exact_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (col("dup_exact_of").isNull && coalesce(col("n_near"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val incremental: GraftQuery = GraftQuery.checked("ns_dedup_incremental",
+    s"""WITH docs AS (
+      SELECT doc_id, source, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh,
+             source IN (${IncNewSources.map("'" + _ + "'").mkString(", ")}) AS is_new
+      FROM (SELECT doc_id, source, lang, n_chars, text,
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+            FROM documents)),
+    exact AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS dup_exact_of
+      FROM docs n JOIN docs c ON n.is_new AND NOT c.is_new AND n.fp = c.fp
+      GROUP BY n.doc_id),
+    near AS (
+      SELECT n.doc_id, COUNT(*) AS n_near
+      FROM docs n JOIN docs c
+        ON n.is_new AND NOT c.is_new
+       AND n.lang = c.lang AND n.len_bucket = c.len_bucket
+       AND len(n.sh) >= 1 AND len(c.sh) >= 1
+       AND CAST(len(list_intersect(n.sh, c.sh)) AS DOUBLE) /
+           (len(n.sh) + len(c.sh) - len(list_intersect(n.sh, c.sh))) >= $IncThreshold
+      GROUP BY n.doc_id)
+    SELECT d.doc_id, d.source, e.dup_exact_of,
+           COALESCE(nr.n_near, 0) AS n_near,
+           (e.dup_exact_of IS NULL AND COALESCE(nr.n_near, 0) = 0) AS keep
+    FROM docs d LEFT JOIN exact e ON d.doc_id = e.doc_id
+                LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.is_new
+    ORDER BY d.doc_id""")((s, d) => incrementalDedup(s, d))
+
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
     simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
-    duplicatedSpansQ, gramDupFractionQ, clusters, survivors)
+    duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental)
 }
