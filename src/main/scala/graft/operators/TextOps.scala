@@ -755,6 +755,56 @@ object TextOps {
       .orderBy("lang")
   }
 
+  private val QPctAcc = 10000
+
+  /** Soundness companion for the documented 100 TB swap of
+    * [[qualityPct]]: the exact `percentile` buffers each language's
+    * values on one reducer, so at scale the plan swaps in
+    * `approx_percentile` (Greenwald–Khanna sketch — mergeable
+    * map-side, bounded memory). This query PROVES the sketch's rank
+    * guarantee on this corpus instead of asserting it: per language it
+    * computes the approx threshold, counts the true rank INTERVAL of
+    * that threshold value (one corpus pass: `[count(q < v)+1,
+    * count(q ≤ v)]` — a duplicated score occupies a rank RUN, and the
+    * sketch only promises some rank in that run is close), and emits a
+    * violation row if the run misses p·n ± (n/accuracy + 2) — the GK
+    * ε = 1/accuracy relative-rank bound with integer-boundary slop.
+    * (The first formulation compared `count(≤ v)` alone and failed
+    * honestly at sf0.1: lang=en's quartile lands in a tie run of ~15
+    * equal scores, whose top is rank 526 vs bound 518.) The oracle is
+    * the EMPTY relation, the `*_sound` contract every probabilistic
+    * operator here follows. The sketch's element choice may vary with
+    * partition merge order; ANY correct run satisfies the bound, which
+    * is exactly why the check is rank-based, not value-based. */
+  val qualityPctSound: GraftQuery = GraftQuery.checked("ns_text_quality_pct_sound",
+    """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS rank_lo, CAST(NULL AS BIGINT) AS run_lo,
+           CAST(NULL AS BIGINT) AS run_hi, CAST(NULL AS BIGINT) AS rank_hi
+    WHERE 1 = 0""") { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(stopArr, w))).as("n_stop"))
+      .select(col("lang"),
+        (least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1) - col("n_stop").cast("double") / col("n_tokens"))).as("q"))
+    val agg = scored.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(q, $QPctP, $QPctAcc)").as("thr_a"))
+    scored.join(broadcast(agg), "lang")
+      .groupBy(col("lang"), col("n"), col("thr_a"))
+      .agg((sum(when(col("q") < col("thr_a"), 1L).otherwise(0L)) + 1L).as("run_lo"),
+        sum(when(col("q") <= col("thr_a"), 1L).otherwise(0L)).as("run_hi"))
+      .select(col("lang"), col("n").as("n_docs"),
+        (floor(col("n") * QPctP) - ceil(col("n").cast("double") / QPctAcc) - 2).cast("long").as("rank_lo"),
+        col("run_lo"), col("run_hi"),
+        (ceil(col("n") * QPctP) + ceil(col("n").cast("double") / QPctAcc) + 2).cast("long").as("rank_hi"))
+      .where(col("run_hi") < col("rank_lo") || col("run_lo") > col("rank_hi"))
+      .orderBy("lang")
+  }
+
   /** Per-language LENGTH-MODEL diagnostics: Pearson correlation and
     * least-squares slope of chars-vs-tokens — the drift monitor a
     * corpus pipeline runs per ingest batch (a language whose
@@ -827,5 +877,6 @@ object TextOps {
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, corrStats, qualityPct)
+    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, corrStats, qualityPct,
+    qualityPctSound)
 }
