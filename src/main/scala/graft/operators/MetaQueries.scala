@@ -292,19 +292,23 @@ object MetaQueries {
     val edges = Fixtures.edgesDS(spark)
       .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
       .distinct().cache()
-    var reach: DataFrame = edges
+    var frontier: DataFrame = edges
       .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
       .localCheckpoint(true)
-    var frontier = reach
+    // one materialization per round: the reach set is the UNION of the
+    // already-checkpointed frontiers (flat lineage, depth-bounded fan-in),
+    // so only the new frontier pays a localCheckpoint each level
+    var levels: List[DataFrame] = List(frontier)
     var depth = 1
     while (!frontier.isEmpty && depth < maxDepth) {
+      val seen = levels.map(_.select("root", "node")).reduce(_ unionByName _)
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(frontier("root"), edges("dst").as("node"))
         .distinct()
-        .join(reach.select("root", "node"), Seq("root", "node"), "left_anti")
+        .join(seen, Seq("root", "node"), "left_anti")
         .select(col("root"), col("node"), lit(depth + 1).as("depth"))
         .localCheckpoint(true)
-      reach = reach.unionByName(next).localCheckpoint(true)
+      levels ::= next
       frontier = next
       depth += 1
     }
@@ -315,7 +319,7 @@ object MetaQueries {
         s"dagClosure frontier still alive after $maxDepth levels — the trigger " +
         "graph has a cycle or exceeds the depth bound; a truncated closure would " +
         "under-report the blast radius, so failing loudly")
-    reach.orderBy("root", "node")
+    levels.reduce(_ unionByName _).orderBy("root", "node")
   }
 
   // withCtes can't wrap a recursive query (one WITH clause per query),
