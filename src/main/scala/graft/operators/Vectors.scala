@@ -371,6 +371,9 @@ object Vectors {
 
   private val RpDims = 16
   private val RpDim = 64 // embeddings table contract (TESTDATA.md)
+  private val RpNQ = 5
+  private val RpK = 5
+  private val RpRefine = 100 // shared Spark/oracle constant (ADVICE r4 lesson)
 
   /** Fixed Rademacher (±1) projection matrix, generated once from a
     * pinned seed and interpolated as a LITERAL into both the Spark
@@ -403,13 +406,19 @@ object Vectors {
     * shuffle; float vectors are joined back for the `refine`
     * candidates alone. Still a linear scan of the projected corpus per
     * query batch (the constant-factor trade); compose with IVF cells
-    * for the asymptotic cut. Cross-engine determinism: the projection
+    * for the asymptotic cut. Recall honesty: the synthetic embeddings
+    * are near-ISOTROPIC — the adversarial case for any
+    * locality-structure method (the LSH and IVF specs assert only
+    * >0.3 on the same data) — so `refine` defaults to [[RpRefine]]
+    * and the recall spec pins the measured floor; on real (clustered)
+    * embedding spaces the JL estimator separates far better.
+    * Cross-engine determinism: the projection
     * sums accumulate strictly left-to-right in float64 on both engines
     * (verified bit-for-bit against DuckDB's sequential list_sum), so
     * the pdot ranking — a double — agrees exactly; ties break on
     * neighbor_id. */
-  def rpTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
-             refine: Int = 20): DataFrame = {
+  def rpTopK(spark: SparkSession, dir: String, nQueries: Int = RpNQ, k: Int = RpK,
+             refine: Int = RpRefine): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), rpProject(col("embedding")).as("p"))
     val q = emb.where(col("vec_id") < nQueries)
@@ -454,7 +463,7 @@ object Vectors {
              list_sum(list_transform(list_zip(q.p, v.p), x -> x[1] * x[2])) AS pdot,
              ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
-      FROM proj q JOIN proj v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+      FROM proj q JOIN proj v ON q.vec_id < $RpNQ AND v.vec_id <> q.vec_id),
     refined AS (
       SELECT query_id, neighbor_id, sim_r,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdot DESC, neighbor_id) AS qrn
@@ -462,8 +471,8 @@ object Vectors {
     ranked AS (
       SELECT query_id, neighbor_id, sim_r,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
-      FROM refined WHERE qrn <= 20)
-    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+      FROM refined WHERE qrn <= $RpRefine)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= $RpK
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => rpTopK(s, d))
 
   val all: Seq[GraftQuery] =

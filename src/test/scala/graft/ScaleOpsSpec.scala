@@ -112,6 +112,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("RP projection via native dot == HOF zip_with/aggregate, bit for bit") {
+    val emb = Tables.embeddings(spark, dir).limit(200)
+    val hofProj = org.apache.spark.sql.functions.array(
+      graft.operators.Vectors.rpMatrix.map(row =>
+        graft.operators.Vectors.dotHof(col("embedding"),
+          org.apache.spark.sql.functions.typedLit(row.toSeq))): _*)
+    val diff = emb.select(
+      graft.operators.Vectors.rpProject(col("embedding")).as("native"),
+      hofProj.as("ref"))
+      .where(col("native") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("RP prefilter + exact re-rank: recall floor vs brute force (isotropic worst case)") {
+    // the synthetic embeddings are near-isotropic — the adversarial
+    // regime for ANY locality structure (LSH and IVF pin >0.3 here
+    // too); on clustered real embeddings the JL estimator separates
+    // far better. The floor documents measured behavior (0.52 at
+    // sf0.01) with slack for other SFs, and the oracle independently
+    // pins algorithm fidelity bit-for-bit.
+    val bf = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = Vectors.rpTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect rp).size.toDouble / bf.size
+    assert(recall >= 0.3, s"RP refine-and-rerank recall too low: $recall")
+  }
+
   test("native LSH buckets == column-algebra buckets, bit for bit") {
     val emb = Tables.embeddings(spark, dir).limit(200)
     val diff = emb.select(
