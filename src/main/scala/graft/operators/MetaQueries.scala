@@ -288,10 +288,16 @@ object MetaQueries {
     * treats as a definition error, and silently truncating the blast
     * radius would mis-inform exactly the pre-delete audit this query
     * serves. */
-  def dagClosure(spark: SparkSession, maxDepth: Int = 32): DataFrame = {
-    val edges = Fixtures.edgesDS(spark)
+  def dagClosure(spark: SparkSession, maxDepth: Int = 32): DataFrame =
+    dagClosureCore(Fixtures.edgesDS(spark)
       .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
-      .distinct().cache()
+      .distinct(), maxDepth)
+
+  /** The generic semi-naive closure core over a `(src, dst)` edge list
+    * — any id type; also weak-scaled standalone on synthetic layered
+    * DAGs by [[graft.tools.ScaleProbeR5]]. */
+  private[graft] def dagClosureCore(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val edges = edges0.cache()
     var frontier: DataFrame = edges
       .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
       .localCheckpoint(true)

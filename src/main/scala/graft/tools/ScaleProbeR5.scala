@@ -55,7 +55,7 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, ivjoin, spans); no args = all sections
+    // aqejoin, dag, ivjoin, spans); no args = all sections
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -200,6 +200,40 @@ object ScaleProbeR5 {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.enabled").foreach(spark.conf.unset)
       ev.unpersist(); dim.unpersist()
+    }
+
+    // --- DAG transitive closure: component count ×10, output ×10 ---------
+    // ns_dag_closure's semi-naive BFS on a synthetic forest of layered
+    // DAGs (W=50/layer, L=6 layers, out-degree 2): component count
+    // grows 10× so BOTH the edge input and the closure OUTPUT grow
+    // exactly 10× while round count (graph depth) stays constant — the
+    // honest weak-scaling frame for reachability (a single growing DAG
+    // would grow its closure quadratically and measure output size,
+    // not the machinery).
+    if (sections("dag")) {
+      def layeredDag(nComp: Long): DataFrame = {
+        val W = 50L; val L = 6L; val D = 2L
+        // one row per (component, layer<L-1, idx, child-slot)
+        spark.range(nComp * (L - 1) * W * D).select(
+          (col("id") / (D * W * (L - 1))).cast("long").as("comp"),
+          pmod(col("id") / (D * W), lit(L - 1)).cast("long").as("layer"),
+          pmod(col("id") / D, lit(W)).cast("long").as("idx"),
+          pmod(xxhash64(col("id")), lit(W)).as("cidx"))
+          .select(
+            (col("comp") * 1000000L + col("layer") * 1000L + col("idx")).as("src"),
+            (col("comp") * 1000000L + (col("layer") + 1) * 1000L + col("cidx")).as("dst"))
+          .distinct()
+      }
+      for ((nc, sp, tag) <- Seq((100L, "32", "dag 1x (100 comp)"),
+                                (1000L, "320", "dag 10x (1000 comp)"))) {
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+        val e = layeredDag(nc).repartition(32).cache(); e.count()
+        val (rows, t) = time(
+          graft.operators.MetaQueries.dagClosureCore(e, maxDepth = 10).count())
+        println(f"[probe] $tag%-24s closure=$rows%,d pairs in $t%6.2fs")
+        e.unpersist()
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
 
     // --- interval-overlap join: naive theta vs bin-bucketized ------------
