@@ -229,5 +229,60 @@ object EventOps {
       .agg(count(col("h.hot_id")).as("n_hot_windows"))
   }
 
-  val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin)
+  /** COHORT RETENTION matrix — the classic event-analytics surface:
+    * users grouped by first-seen week, each cell = how many of that
+    * cohort were active `week_offset` weeks later, with the retention
+    * ratio against cohort size.
+    *
+    * Scale shape: cohort assignment is one user-keyed aggregate
+    * (map-side partial MIN); the activity matrix joins events back to
+    * cohorts on the SAME user key (the shuffle partitioning is
+    * reusable across the two stages), then a DISTINCT on (cohort,
+    * offset, user) — one corpus-wide shuffle — collapses to a
+    * weeks×weeks matrix. Cohort sizes (weeks-sized, tiny) broadcast
+    * back. At 100 TB the documented swap is `approx_count_distinct`
+    * (HLL, mergeable map-side) per cell in place of the exact
+    * DISTINCT, the same trade `ns_text_vocab_approx` demonstrates
+    * with a verified error bound. Determinism: week_offset arithmetic
+    * stays integer-exact on both engines (both weeks are Monday
+    * truncations, so the day diff divides by 7 exactly; the oracle's
+    * double division is cast back loss-free). */
+  val retention: GraftQuery = checked("ns_events_retention",
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohorts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM ev GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_week),
+    active AS (
+      SELECT DISTINCT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INTEGER) AS week_offset,
+             e.user_id
+      FROM ev e JOIN cohorts c USING (user_id)),
+    agg AS (
+      SELECT cohort_week, week_offset, COUNT(*) AS n_active
+      FROM active GROUP BY cohort_week, week_offset)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 4) AS retention
+    FROM agg a JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset""") { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    val active = ev.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(to_date(date_trunc("week", col("ts"))), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        dround(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention)
 }
