@@ -776,11 +776,12 @@ object TextOps {
     * operator here follows. The sketch's element choice may vary with
     * partition merge order; ANY correct run satisfies the bound, which
     * is exactly why the check is rank-based, not value-based. */
-  val qualityPctSound: GraftQuery = GraftQuery.checked("ns_text_quality_pct_sound",
-    """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
-           CAST(NULL AS BIGINT) AS rank_lo, CAST(NULL AS BIGINT) AS run_lo,
-           CAST(NULL AS BIGINT) AS run_hi, CAST(NULL AS BIGINT) AS rank_hi
-    WHERE 1 = 0""") { (spark, dir) =>
+  /** Pre-filter frame behind [[qualityPctSound]]: one row per language
+    * with the sketch threshold's true rank run and the GK bound
+    * interval. Exposed so QueriesSpec can assert the check is
+    * non-vacuous (every language produces an interval row with
+    * run_lo <= run_hi) before the violation filter empties it. */
+  def qualityPctRankIntervals(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val scored = Tables.documents(spark, dir)
@@ -801,6 +802,14 @@ object TextOps {
         (floor(col("n") * QPctP) - ceil(col("n").cast("double") / QPctAcc) - 2).cast("long").as("rank_lo"),
         col("run_lo"), col("run_hi"),
         (ceil(col("n") * QPctP) + ceil(col("n").cast("double") / QPctAcc) + 2).cast("long").as("rank_hi"))
+  }
+
+  val qualityPctSound: GraftQuery = GraftQuery.checked("ns_text_quality_pct_sound",
+    """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS rank_lo, CAST(NULL AS BIGINT) AS run_lo,
+           CAST(NULL AS BIGINT) AS run_hi, CAST(NULL AS BIGINT) AS rank_hi
+    WHERE 1 = 0""") { (spark, dir) =>
+    qualityPctRankIntervals(spark, dir)
       .where(col("run_hi") < col("rank_lo") || col("run_lo") > col("rank_hi"))
       .orderBy("lang")
   }

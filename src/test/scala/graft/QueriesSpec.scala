@@ -15,7 +15,7 @@ class QueriesSpec extends AnyFunSuite {
     "ns_dedup_minhash", "ns_dedup_simhash", "ns_dedup_ngram", "ns_vec_near_dups",
     "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
     "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster",
-    "ns_dedup_decontam_ngram", "ns_dedup_simhash_sound")
+    "ns_dedup_decontam_ngram", "ns_dedup_simhash_sound", "ns_text_quality_pct_sound")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
@@ -306,6 +306,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(found.subsetOf(exactAll), "every emitted pair passes the exact verify")
     assert(exactHigh.subsetOf(found),
       s"high-sim contamination missed by LSH: ${exactHigh -- found}")
+  }
+
+  test("quality-pct soundness is non-vacuous: every language yields a sane rank interval") {
+    val rows = graft.operators.TextOps.qualityPctRankIntervals(spark, dir).collect()
+    assert(rows.length == 5, "fixture corpus has 5 languages; each must produce an interval")
+    rows.foreach { r =>
+      val (lang, n, rankLo, runLo, runHi, rankHi) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0 && runLo <= runHi, s"$lang: empty rank run")
+      assert(runLo >= 1 && runHi <= n, s"$lang: run [$runLo,$runHi] out of [1,$n]")
+      assert(rankLo < rankHi, s"$lang: degenerate GK bound interval")
+      // the violation predicate over these rows is what the registered
+      // query emits; recomputing it here pins the two formulations together
+      assert(!(runHi < rankLo || runLo > rankHi),
+        s"$lang: sketch rank run [$runLo,$runHi] misses bound [$rankLo,$rankHi]")
+    }
   }
 
   test("minhash pairs are symmetric-free and above threshold") {
