@@ -284,5 +284,86 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
-  val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention)
+  /** ORDERED FUNNEL — how many users progressed view → click →
+    * purchase in strict temporal order, each hop within a conversion
+    * deadline ([[FunnelHours]] after the previous stage's first
+    * qualifying event). The conversion surface every event pipeline
+    * reports, and semantically stricter than the unordered "did all
+    * three types occur" count.
+    *
+    * Scale design — ONE window chain, not three corpus joins: the
+    * textbook formulation (per-stage MIN(ts) aggregates, each joined
+    * back to events) re-shuffles the corpus per stage. Here the corpus
+    * shuffles/sorts ONCE on (user_id, ts), then two running-min
+    * conditional windows over the SAME spec — strictly-earlier rows
+    * via a range frame ending at −1 µs, the [[attributionCore]] edge —
+    * mark qualifying clicks (some view strictly before) and qualifying
+    * purchases (some qualifying click strictly before). Both Window
+    * nodes share the one exchange+sort (identical spec ⇒ the second
+    * reuses the child ordering), the per-user flag aggregate rides the
+    * same partitioning, and the final 3-row reshape is `stack` over a
+    * single-row global sum — no second corpus pass anywhere. A whale
+    * user costs O(n log n): running frames advance monotone pointers,
+    * no per-key pair product.
+    *
+    * Determinism: micros-exact strict comparisons on both engines
+    * (`Tables.events` truncates ns → µs; the oracle CASTs), integer
+    * flag sums — no floats anywhere. The oracle states the same
+    * semantics in its natural SQL form (stage-wise MIN-and-join CTEs);
+    * exact user counts make the two formulations bit-comparable. */
+  /** Conversion deadline for each funnel hop, interpolated into BOTH
+    * the DataFrame arithmetic and the oracle SQL (the shared-constant
+    * contract from ADVICE r4's semDedup tau finding). 24 h splits the
+    * synthetic corpus into a real funnel (150 → 60 → 25 users at
+    * sf0.01); unbounded hops all converge to the same count. */
+  private val FunnelHours = 24L
+  private val FunnelUs = FunnelHours * 3600L * 1000000L
+
+  val funnelSteps: GraftQuery = checked("ns_events_funnel_steps",
+    s"""WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL $FunnelHours HOUR GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL $FunnelHours HOUR GROUP BY e.user_id)
+    SELECT stage_ord, stage, n_users FROM (
+      SELECT 1 AS stage_ord, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
+    ORDER BY stage_ord""") { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+    // m_view for a row at ts equals the user's FIRST view timestamp
+    // whenever any view precedes ts — exactly the oracle's t1 (and
+    // likewise m_qclick = t2), so the deadline checks below compare
+    // the same values the CTE formulation does
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("m_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("qual_click_ts",
+        when(col("event_type") === "click" && col("m_view").isNotNull &&
+          col("ts_us") <= col("m_view") + FunnelUs, col("ts_us")))
+      .withColumn("m_qclick", min(col("qual_click_ts")).over(w))
+    val perUser = ev.groupBy("user_id").agg(
+      max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+      max(when(col("qual_click_ts").isNotNull, 1).otherwise(0)).as("s2"),
+      max(when(col("event_type") === "purchase" && col("m_qclick").isNotNull &&
+        col("ts_us") <= col("m_qclick") + FunnelUs, 1)
+        .otherwise(0)).as("s3"))
+    perUser
+      .agg(sum("s1").as("n1"), sum("s2").as("n2"), sum("s3").as("n3"))
+      .select(expr("stack(3, 1, 'view', n1, 2, 'click_after_view', n2, " +
+        "3, 'purchase_after_click', n3) as (stage_ord, stage, n_users)"))
+      .orderBy("stage_ord")
+  }
+
+  val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention,
+    funnelSteps)
 }

@@ -168,6 +168,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"percentile gate must not rank the corpus through a per-lang window:\n$p")
   }
 
+  test("ns_events_retention: cohort sizes broadcast; distinct keys the full cell triple") {
+    val p = plan(graft.operators.EventOps.retention.run(spark, dir))
+    // the weeks-sized cohort_size frame must broadcast back, never SMJ
+    // against the matrix; and nothing plans as a cartesian/theta join
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"retention must stay on equi-joins:\n$p")
+    // the corpus-wide DISTINCT must key on (cohort_week, week_offset,
+    // user_id) — a coarser (cohort-only) key would funnel each cohort's
+    // events through one reducer, the per-group scale killer
+    val distinctKeys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+      .filter(s => s.contains("cohort_week#") && s.contains("week_offset#"))
+    assert(distinctKeys.exists(_.contains("user_id#")),
+      s"distinct must include user_id in its shuffle key:\n$p")
+  }
+
+  test("ns_events_funnel_steps: one corpus shuffle — both windows and the flag agg share it") {
+    val p = plan(graft.operators.EventOps.funnelSteps.run(spark, dir))
+    // the design claim is a single user_id hash exchange feeding the
+    // window chain AND the per-user flag aggregate; a second corpus
+    // exchange means a window or agg stopped riding the shared
+    // partitioning (three-joins regression)
+    val corpusExchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq.filter(_.contains("user_id#"))
+    assert(corpusExchanges.nonEmpty, s"expected the user_id window exchange:\n$p")
+    assert(corpusExchanges.toSet.size == 1 && corpusExchanges.size <= 2,
+      s"corpus must shuffle on user_id once (shared by windows + agg), got $corpusExchanges\n$p")
+    assert(!p.contains("Join"), s"funnel must not plan per-stage joins:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
