@@ -336,6 +336,14 @@ object EventOps {
       UNION ALL
       SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
     ORDER BY stage_ord""") { (spark, dir) =>
+    funnelStepsCore(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us")))
+  }
+
+  /** The funnel window chain over `(user_id, event_type, ts_us)` —
+    * also driven standalone by the whale-user skew probe
+    * ([[graft.tools.ScaleProbeR5]]), like [[attributionCore]]. */
+  private[graft] def funnelStepsCore(ev0: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us")
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
@@ -343,8 +351,7 @@ object EventOps {
     // whenever any view precedes ts — exactly the oracle's t1 (and
     // likewise m_qclick = t2), so the deadline checks below compare
     // the same values the CTE formulation does
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val ev = ev0
       .withColumn("m_view",
         min(when(col("event_type") === "view", col("ts_us"))).over(w))
       .withColumn("qual_click_ts",

@@ -90,7 +90,15 @@ object ScaleProbeR5 {
       val sess = best2(ev
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events")).count())
-      println(f"[probe] $tag%-22s asof=$asof%6.2fs attribution=$attr%6.2fs sessions=$sess%6.2fs")
+      // the ordered funnel makes the same no-pair-product claim as
+      // attribution (running-min frames, not per-stage joins) — the
+      // whale user must cost a sort, not a cross product
+      val fun = best2(graft.operators.EventOps.funnelStepsCore(
+        ev.select(col("user_id"),
+          when(col("side") === 1, "purchase")
+            .when(col("is_click"), "click").otherwise("view").as("event_type"),
+          unix_micros(col("ts")).as("ts_us"))).count())
+      println(f"[probe] $tag%-22s asof=$asof%6.2fs attribution=$attr%6.2fs sessions=$sess%6.2fs funnel=$fun%6.2fs")
       ev.unpersist()
     }
 
