@@ -317,7 +317,7 @@ object EventOps {
     * synthetic corpus into a real funnel (150 → 60 → 25 users at
     * sf0.01); unbounded hops all converge to the same count. */
   private val FunnelHours = 24L
-  private val FunnelUs = FunnelHours * 3600L * 1000000L
+  private[graft] val FunnelUs = FunnelHours * 3600L * 1000000L
 
   val funnelSteps: GraftQuery = checked("ns_events_funnel_steps",
     s"""WITH ev AS (

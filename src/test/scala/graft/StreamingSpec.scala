@@ -170,6 +170,39 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming as-of diverged: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming ordered funnel (O(1) state per user) == batch funnel counts") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFunnel
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.EventOps.funnelSteps.run(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batch(1) > 0 && batch(2) > 0 && batch(3) > 0,
+      "fixture must populate every stage or the equivalence is vacuous")
+    val srcDir = java.nio.file.Files.createTempDirectory("funnel-src").toString
+    graft.sources.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingFunnel.FunnelEvent])
+    val q = StreamingFunnel.funnelStream(stream)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val out = spark.table("funnel_out")
+    // every transition emits exactly once per (user, stage)
+    assert(out.groupBy("user_id", "stage_ord").count()
+      .where(col("count") > 1).count() == 0, "duplicate stage transitions")
+    val streamed = out.groupBy("stage_ord")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to 3).forall(s => streamed.getOrElse(s, 0L) == batch(s)),
+      s"streaming funnel diverged: $streamed vs $batch")
+  }
+
   test("stream-stream time-interval join (watermark-bounded state) == batch range join") {
     import org.apache.spark.sql.functions._
     val dir = SparkSuite.sfDir
