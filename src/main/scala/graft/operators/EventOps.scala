@@ -371,6 +371,115 @@ object EventOps {
       .orderBy("stage_ord")
   }
 
+  /** MARKOV TRANSITION MATRIX over the per-user event stream: for every
+    * ordered pair of consecutive events by the same user, count the
+    * (src_type → dst_type) transition and derive the row-stochastic
+    * probability — the first-order behavioural model event pipelines
+    * feed into next-action prediction and bot detection.
+    *
+    * Scale shape: ONE corpus shuffle (the per-user `lag` window on
+    * (user_id, ts, event_id)), then a groupBy whose key space is
+    * |types|² — corpus-independent — so the count aggregate
+    * partial-combines map-side down to at most |types|² rows per task
+    * before the (tiny) exchange. The row-normalising total is a second
+    * window over the ALREADY-AGGREGATED |types|²-row frame, so its cost
+    * never grows with the corpus; at 100 TB nothing after the first
+    * window touches more than |types|² rows. Determinism: the lag order
+    * ties on event_id (same composite order both engines), counts are
+    * exact integers, and p divides the same two BIGINTs on both sides
+    * before the shared 4-digit round. */
+  val transitions: GraftQuery = checked("ns_events_transitions",
+    """WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM ev),
+    cnt AS (
+      SELECT src, dst, COUNT(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY src, dst),
+    tot AS (SELECT src, SUM(n) AS row_total FROM cnt GROUP BY src)
+    SELECT c.src, c.dst, c.n, t.row_total,
+           ROUND(CAST(c.n AS DOUBLE) / t.row_total, 4) AS p
+    FROM cnt c JOIN tot t USING (src)
+    ORDER BY src, dst""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("src", lag("event_type", 1).over(wLag))
+      .where(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy("src") // |types|²-row frame: post-aggregation
+    cnt.withColumn("row_total", sum("n").over(wTot))
+      .select(col("src"), col("dst"), col("n"), col("row_total"),
+        dround(col("n").cast("double") / col("row_total"), 4).as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** SCD TYPE-2 COMPRESSION of the per-user event-type timeline:
+    * collapse consecutive same-type events into validity intervals
+    * `[valid_from, valid_to)` with a current-row marker — the
+    * slowly-changing-dimension assembly every warehouse load performs
+    * on a change stream (here: event_type as the tracked state).
+    *
+    * Scale shape: the classic gaps-and-islands two-window chain —
+    * change detection (`lag`) and run numbering (running SUM) share ONE
+    * window spec, so the corpus shuffles and sorts exactly once on
+    * (user_id, ts, event_id); the per-run groupBy and the `lead` that
+    * closes each interval both ride the same user_id hash partitioning
+    * (the groupBy key prefix and the second window's partition key both
+    * match the first exchange). A whale user is O(n log n) — windows
+    * advance monotone pointers, no self-join pair product (contrast:
+    * the textbook SCD2 MERGE joins the change stream against the
+    * dimension per batch). Determinism: run_id is a running sum of
+    * integer change flags over an event_id-tied total order — both
+    * engines compute identical run numbers — and the `lead` orders by
+    * that run_id, so zero-duration runs (timestamp ties across a state
+    * change) cannot swap. interval_seq makes the sort key unique. */
+  val scd2: GraftQuery = checked("ns_events_scd2",
+    """WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    marked AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked),
+    intervals AS (
+      SELECT user_id, run_id, event_type AS state,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id, event_type)
+    SELECT user_id, CAST(run_id AS INTEGER) AS interval_seq, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
+           n_events
+    FROM intervals
+    ORDER BY user_id, interval_seq""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("chg",
+        when(col("event_type") <=> lag("event_type", 1).over(wOrd), 0).otherwise(1))
+      .withColumn("run_id", sum("chg").over(wRun))
+      .groupBy(col("user_id"), col("run_id"), col("event_type").as("state"))
+      .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    val wLead = Window.partitionBy("user_id").orderBy("run_id")
+    intervals
+      .withColumn("valid_to", lead("valid_from", 1).over(wLead))
+      .select(col("user_id"), col("run_id").cast("int").as("interval_seq"),
+        col("state"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "interval_seq")
+  }
+
   val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention,
-    funnelSteps)
+    funnelSteps, transitions, scd2)
 }
