@@ -11,7 +11,8 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     Analytics.all ++ MetaQueries.all ++ TextOps.all ++ Dedup.all ++
       Vectors.all ++ VectorsIvf.all ++ VectorsKmeans.all ++ Multimodal.all ++
-      Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all
+      Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all ++
+      VectorsPca.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.GraftQuery.checked
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Embedding COVARIANCE / GRAM MATRIX — the first step of PCA
+  * whitening and low-rank projection over an embedding corpus (the
+  * dimensionality-reduction sibling of the random-projection ANN in
+  * [[Vectors]]: RP uses a data-oblivious basis, PCA learns one).
+  *
+  * Scale design — a ZERO-JOIN outer-product aggregation: the textbook
+  * formulation (explode to (vec_id, i, q) and self-join on vec_id)
+  * shuffles the exploded corpus twice to reassemble pairs that were
+  * adjacent in the source row all along. Here each row emits its own
+  * upper-triangle outer product INLINE (sorted `transform`/`slice`
+  * over the quantized array — pure codegen, d(d+1)/2 entries per row),
+  * and the only exchange in the whole plan carries map-side partial
+  * sums bounded by d(d+1)/2 keys per task — model-sized, corpus-
+  * independent. At 100 TB this is a single embarrassingly-parallel
+  * corpus pass with a d²-row shuffle; the per-dimension mean vector
+  * rides the same pass shape (a d-key partial aggregate), broadcast
+  * back for centering. No skew surface exists: every row costs exactly
+  * d(d+1)/2 multiplications.
+  *
+  * Determinism contract (the k-means playbook, VectorsKmeans.scala:38):
+  * floats are quantized to integers FIRST ([[VectorsPca.Scale]], round-
+  * half-up floor on both engines), so Σq_iq_j and Σq_i are EXACT
+  * BIGINTs — order-invariant under any partitioning — and the final
+  * covariance double is the same closed formula (S_ij − S_iS_j/n)/(n−1)
+  * over the same integers on both sides, rounded via the shared 4-digit
+  * contract. Bounds: |e| < 1 ⇒ q² < Scale² = 1e8, so the BIGINT sum
+  * wraps only past ~9·10¹⁰ rows — past that, swap the sum to
+  * DECIMAL(38,0)/HUGEINT exactly as `ns_events_anomaly` does for Σn².
+  * The driver-side consumer ([[VectorsPca.topEigen]], used by the spec)
+  * power-iterates the d×d result — model-sized math, not a data-plane
+  * collect.
+  */
+object VectorsPca {
+
+  /** Quantization scale for the exact-integer gram sums — coarser than
+    * k-means' 1e6 ([[VectorsKmeans]]) because products square the
+    * scale: 1e4 keeps q² ≤ 1e8 and the corpus sum inside both BIGINT
+    * and double-exact range at every test SF. */
+  private[graft] val Scale = 10000.0
+
+  val gram: GraftQuery = checked("ns_vec_gram",
+    s"""WITH q AS (
+      SELECT vec_id, i, CAST(FLOOR(CAST(e AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    sums AS (SELECT i, SUM(q) AS s FROM q GROUP BY i),
+    gram AS (
+      SELECT a.i AS dim_i, b.i AS dim_j, SUM(a.q * b.q) AS s_ij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+    SELECT g.dim_i, g.dim_j, g.s_ij,
+           ROUND((CAST(g.s_ij AS DOUBLE) - CAST(sa.s AS DOUBLE) * sb.s / n.n)
+                 / (n.n - 1), 4) AS cov
+    FROM gram g
+    JOIN sums sa ON sa.i = g.dim_i
+    JOIN sums sb ON sb.i = g.dim_j
+    CROSS JOIN n
+    ORDER BY dim_i, dim_j""") { (spark, dir) =>
+    val q = Tables.embeddings(spark, dir).select(
+      expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $Scale + 0.5d) as bigint))")
+        .as("q"))
+    gramCore(q).orderBy("dim_i", "dim_j")
+  }
+
+  /** The zero-join gram core over a quantized `(q: array<bigint>)`
+    * frame — also driven standalone by the scale probe. Emits 1-based
+    * (dim_i ≤ dim_j) to match the oracle's `generate_subscripts`. */
+  private[graft] def gramCore(q: DataFrame): DataFrame = {
+    val gram = q
+      .select(explode(expr(
+        """flatten(transform(q, (x, i) ->
+          |  transform(slice(q, i + 1, size(q) - i),
+          |            (y, j) -> struct(i + 1 AS dim_i, i + j + 1 AS dim_j,
+          |                             x * y AS p))))""".stripMargin)).as("c"))
+      .groupBy(col("c.dim_i").as("dim_i"), col("c.dim_j").as("dim_j"))
+      .agg(sum(col("c.p")).as("s_ij"))
+    val sums = q
+      .select(posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy((col("pos") + 1).as("i"))
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+    gram
+      .join(broadcast(sums.select(col("i").as("dim_i"), col("s").as("s_a"))), "dim_i")
+      .join(broadcast(sums.select(col("i").as("dim_j"), col("s").as("s_b"), col("n"))), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("s_ij"),
+        dround((col("s_ij").cast("double") - col("s_a").cast("double") * col("s_b") / col("n"))
+          / (col("n") - 1), 4).as("cov"))
+  }
+
+  /** Driver-side power iteration over the d×d covariance from
+    * [[gram]] — the model-sized step that turns the distributed sums
+    * into a principal axis. Returns (eigenvalue, eigenvector). Used by
+    * the spec to close the PCA loop; callers would broadcast the
+    * resulting basis back for the projection pass. */
+  private[graft] def topEigen(cov: Array[Array[Double]], iters: Int = 200): (Double, Array[Double]) = {
+    val d = cov.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "power iteration collapsed: zero covariance matrix")
+      v = w.map(_ / norm)
+      lambda = norm
+    }
+    (lambda, v)
+  }
+
+  val all: Seq[GraftQuery] = Seq(gram)
+}
