@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Structural properties of the round-5 event operators that the
+  * value-hash oracle can't state: the transition matrix must be
+  * row-stochastic, and SCD2 intervals must tile each user's timeline
+  * exactly.
+  */
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+
+  test("transition matrix is row-stochastic: each src row's probabilities sum to 1") {
+    val bad = EventOps.transitions.run(spark, dir)
+      .groupBy("src").agg(org.apache.spark.sql.functions.sum("p").as("row_p"))
+      .where(org.apache.spark.sql.functions.abs(
+        org.apache.spark.sql.functions.col("row_p") - 1.0) > 1e-3)
+      .collect()
+    assert(bad.isEmpty, s"non-stochastic rows (4-digit rounding allows 1e-3): ${bad.mkString(",")}")
+  }
+
+  test("scd2 intervals tile the timeline: n_events sums back to each user's event count") {
+    import org.apache.spark.sql.functions._
+    val fromIntervals = EventOps.scd2.run(spark, dir)
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+    val fromEvents = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(fromIntervals.except(fromEvents).isEmpty && fromEvents.except(fromIntervals).isEmpty,
+      "interval event counts must partition the per-user event stream")
+  }
+
+  test("scd2 intervals chain: every non-current valid_to equals the next valid_from") {
+    import org.apache.spark.sql.functions._
+    val iv = EventOps.scd2.run(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("interval_seq")
+    val broken = iv
+      .withColumn("next_from", lead("valid_from", 1).over(w))
+      .where((col("is_current") && col("next_from").isNotNull) ||
+        (!col("is_current") && !(col("valid_to") <=> col("next_from"))))
+      .count()
+    assert(broken == 0, s"$broken intervals break the valid_to chain")
+  }
+}

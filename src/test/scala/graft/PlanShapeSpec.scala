@@ -199,6 +199,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"funnel must not plan per-stage joins:\n$p")
   }
 
+  test("ns_vec_gram: zero-join outer product — corpus never shuffles on vec_id") {
+    val p = plan(graft.operators.VectorsPca.gram.run(spark, dir))
+    // the self-join formulation reassembles (vec_id, i, q) pairs with a
+    // vec_id-keyed shuffle join; the inline expansion must plan neither
+    assert(!p.contains("SortMergeJoin"), s"gram must not shuffle-join:\n$p")
+    assert(!"hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).exists(_.contains("vec_id#")),
+      s"no exchange may key on vec_id — pair sums partial-aggregate map-side:\n$p")
+  }
+
+  test("ns_text_pmi: vocab via top-V take, pairs inline — corpus never shuffles on doc_id") {
+    val p = plan(graft.operators.TextPmi.pmi.run(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocabulary cut must plan TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"pmi must not shuffle-join:\n$p")
+    assert(!"hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).exists(_.contains("doc_id#")),
+      s"no exchange may key on doc_id — the token self-join regression:\n$p")
+  }
+
+  test("ns_events_scd2: one corpus shuffle — both windows and the run agg share user_id") {
+    val p = plan(graft.operators.EventOps.scd2.run(spark, dir))
+    // lag/run-sum windows, the per-run groupBy (key prefix user_id) and
+    // the lead window must all ride ONE user_id hash exchange
+    val corpusExchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq.filter(_.contains("user_id#"))
+    assert(corpusExchanges.nonEmpty, s"expected the user_id window exchange:\n$p")
+    assert(corpusExchanges.toSet.size == 1,
+      s"corpus must shuffle on user_id once, got $corpusExchanges\n$p")
+    assert(!p.contains("Join"), s"scd2 must not plan joins:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
