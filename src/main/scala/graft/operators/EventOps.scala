@@ -480,6 +480,74 @@ object EventOps {
       .orderBy("user_id", "interval_seq")
   }
 
+  /** Daily event-type PIVOT — the wide activity matrix (one row per
+    * day, one column per event type) that dashboards and downstream
+    * feature joins consume. Spark's `pivot` with EXPLICIT values: the
+    * two-phase auto-pivot (a distinct scan to discover values, then
+    * the pivot pass) reads the corpus twice and bakes a runtime value
+    * set into the schema — a non-deterministic contract at 100 TB;
+    * the explicit list keeps one corpus pass and a stable schema, and
+    * partial-aggregates map-side down to |days| rows per task before
+    * the (tiny) exchange. The column set is the pipeline's event
+    * vocabulary ([[PivotTypes]]), interpolated into both sides.
+    * Integer counts only — bit-comparable. */
+  private[graft] val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val pivot: GraftQuery = checked("ns_events_pivot",
+    s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           ${PivotTypes.map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t")
+             .mkString(",\n           ")},
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY day
+    ORDER BY day""") { (spark, dir) =>
+    val perType = PivotTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(perType.head, perType.tail :+ count(lit(1)).as("n_total"): _*)
+      .orderBy("day")
+  }
+
+  /** TRAILING MOVING AVERAGE of daily purchase revenue with
+    * week-over-week delta — the smoothing/trend surface of every
+    * metrics pipeline. Scale shape: the corpus collapses FIRST to one
+    * row per (type-filtered) day — a map-side-combined aggregate whose
+    * key space is the calendar — and the 7-day RANGE frame plus the
+    * 7-day lag run over that days-sized frame, so the window cost is
+    * corpus-independent (same post-aggregation argument as
+    * [[transitions]]' row totals). Determinism: revenue sums are
+    * DOUBLEs whose addition order varies, so daily sums round to 4
+    * digits BEFORE the window math on BOTH engines (the established
+    * float contract), making the moving average an exact function of
+    * already-deterministic inputs; the final round matches too. */
+  val movingAvg: GraftQuery = checked("ns_events_moving_avg",
+    """WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             ROUND(SUM(value), 4) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY day)
+    SELECT day, revenue,
+           ROUND(AVG(revenue) OVER (ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS ma7,
+           ROUND(revenue - lag(revenue, 7) OVER (ORDER BY day), 4) AS wow_delta
+    FROM daily
+    ORDER BY day""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dround(sum("value"), 4).as("revenue"))
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01")))
+    val wMa = Window.orderBy("day_n").rangeBetween(-6, 0)
+    val wLag = Window.orderBy("day_n")
+    daily
+      .select(col("day"), col("revenue"),
+        dround(avg("revenue").over(wMa), 4).as("ma7"),
+        dround(col("revenue") - lag("revenue", 7).over(wLag), 4).as("wow_delta"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention,
-    funnelSteps, transitions, scd2)
+    funnelSteps, transitions, scd2, pivot, movingAvg)
 }
