@@ -48,4 +48,28 @@ object ScaleOps {
       .bucketBy(buckets, key).sortBy(key)
       .option("path", s"spark-warehouse/$table")
       .saveAsTable(table)
+
+  /** CURATED-CORPUS SINK: the layout contract for the training-data
+    * output of the curation funnel. Hive-partitioned by `partCol`
+    * (readers prune whole languages/sources from the path alone),
+    * each file internally sorted by `sortCol` so parquet row-group
+    * min/max zone maps make id-range scans sub-file-selective, and
+    * `maxRecordsPerFile` caps file size so a whale partition splits
+    * into bounded files instead of one unsplittable giant.
+    *
+    * Shuffle shape: ONE repartition on `partCol` (so each partition
+    * value lands contiguously instead of every task writing a sliver
+    * into every partition directory — the small-files explosion), then
+    * an in-partition sort — no global sort, no driver involvement. At
+    * 100 TB the repartition is the one unavoidable exchange; a skewed
+    * partition value is handled by the file cap, not a straggler sort,
+    * because sortWithinPartitions spills. */
+  def writeCurated(df: DataFrame, path: String, partCol: String, sortCol: String,
+                   maxRecordsPerFile: Int = 1000000): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(partCol, sortCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partCol)
+      .parquet(path)
 }

@@ -48,6 +48,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("writeCurated: hive partition dirs, in-file sort order, partition pruning on read") {
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val docs = Tables.documents(spark, dir)
+    ScaleOps.writeCurated(docs, out, partCol = "lang", sortCol = "doc_id")
+    // layout: one lang=<v> dir per language, nothing at the root
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == langs.map(l => s"lang=$l"), s"expected hive dirs for $langs, got $dirs")
+    // round trip: same rows (partition column survives as a read column)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    // in-file ordering: doc_id must arrive sorted WITHIN each file —
+    // the zone-map contract (each file's min/max ranges are tight); a
+    // read split may concatenate several files, so order resets at
+    // file boundaries
+    val unsorted = back.select(input_file_name().as("f"), col("doc_id"))
+      .mapPartitions { it =>
+        var prevFile = ""; var prev = Long.MinValue; var bad = 0L
+        it.foreach { r =>
+          val (f, v) = (r.getString(0), r.getLong(1))
+          if (f != prevFile) { prevFile = f; prev = Long.MinValue }
+          if (v < prev) bad += 1
+          prev = v
+        }
+        Iterator.single(bad)
+      }.collect().sum
+    assert(unsorted == 0, s"$unsorted rows out of doc_id order within files")
+    // partition pruning: a lang filter must reach the scan as a
+    // partition filter, not a post-scan predicate
+    val one = langs.head
+    val p = back.where(col("lang") === one)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains(s"lang#"),
+      s"lang filter must prune partitions:\n$p")
+  }
+
   test("IVF topk: recall@5 vs brute force is reasonable, probes bound candidates") {
     val bf = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
