@@ -203,6 +203,35 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming funnel diverged: $streamed vs $batch")
   }
 
+  test("streaming transitions (O(1) last-event state per user) == batch transition counts") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingTransitions
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.EventOps.transitions.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty && batch.values.sum > 0, "fixture must produce transitions")
+    val srcDir = java.nio.file.Files.createTempDirectory("trans-src").toString
+    graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingTransitions.TransitionEvent])
+    val q = StreamingTransitions.transitionStream(stream)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("trans_out")
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streaming transitions diverged: +${(streamed.toSet diff batch.toSet).take(3)} " +
+        s"-${(batch.toSet diff streamed.toSet).take(3)}")
+  }
+
   test("stream-stream time-interval join (watermark-bounded state) == batch range join") {
     import org.apache.spark.sql.functions._
     val dir = SparkSuite.sfDir
