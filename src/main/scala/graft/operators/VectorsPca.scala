@@ -71,8 +71,12 @@ object VectorsPca {
     val q = Tables.embeddings(spark, dir).select(
       expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $Scale + 0.5d) as bigint))")
         .as("q"))
-    gramCore(q).orderBy("dim_i", "dim_j")
+    gramAggCore(spark, q, Dim).orderBy("dim_i", "dim_j")
   }
+
+  /** Embedding dimensionality of the corpus table — [[GramAggregator]]
+    * `require`s every row matches, so a schema drift fails loudly. */
+  private[graft] val Dim = 64
 
   /** The zero-join gram core over a quantized `(q: array<bigint>)`
     * frame — also driven standalone by the scale probe. Emits 1-based
@@ -93,6 +97,34 @@ object VectorsPca {
     gram
       .join(broadcast(sums.select(col("i").as("dim_i"), col("s").as("s_a"))), "dim_i")
       .join(broadcast(sums.select(col("i").as("dim_j"), col("s").as("s_b"), col("n"))), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("s_ij"),
+        dround((col("s_ij").cast("double") - col("s_a").cast("double") * col("s_b") / col("n"))
+          / (col("n") - 1), 4).as("cov"))
+  }
+
+  /** The one-pass aggregator gram core — PRIMARY path for [[gram]].
+    * One `GramAggregator` fold (see its scaladoc for the buffer
+    * layout and why it beats the explode plan) produces a single
+    * model-sized row: d(d+1)/2 pair sums + d dimension sums + n,
+    * ~17 KB at d = 64 — collected to the driver exactly like the
+    * k-means centroid update (model-sized state, bound documented,
+    * never data-plane rows). The 2080-cell reshape then runs through
+    * the SAME `dround` covariance select as [[gramCore]], so the two
+    * plans and the oracle stay bit-identical. */
+  private[graft] def gramAggCore(spark: SparkSession, q: DataFrame, d: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.GramAggregator(d).toColumn
+    val buf = q.as[Seq[Long]].select(agg).head() // one row: T + d + 1 longs
+    val t0 = d * (d + 1) / 2
+    val n = buf(t0 + d)
+    val cells = (for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val t = i * d - i * (i - 1) / 2 + (j - i)
+      (i + 1, j + 1, buf(t), buf(t0 + i), buf(t0 + j), n)
+    }).toSeq
+    cells.toDF("dim_i", "dim_j", "s_ij", "s_a", "s_b", "n")
       .select(col("dim_i"), col("dim_j"), col("s_ij"),
         dround((col("s_ij").cast("double") - col("s_a").cast("double") * col("s_b") / col("n"))
           / (col("n") - 1), 4).as("cov"))

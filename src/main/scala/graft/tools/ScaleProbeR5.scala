@@ -55,7 +55,7 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, dag, ivjoin, spans); no args = all sections
+    // aqejoin, dag, ivjoin, spans, gram, pmi); no args = all sections
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -339,6 +339,56 @@ object ScaleProbeR5 {
         docs.unpersist()
       }
       spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+
+    // --- gram matrix: corpus 10×, output FIXED at d(d+1)/2 cells ----------
+    // Two claims under test. (1) zero-join: neither plan ever
+    // shuffles on vec_id — wall time tracks the corpus scan,
+    // linearly. (2) the aggregator buffer beats the explode plan by
+    // an order of magnitude: explode emits d(d+1)/2 struct ROWS per
+    // input row (measured 24.7 s / 204.6 s at 1×/10× — linear but
+    // 40 µs/row), the flat-buffer fold does the same multiply-adds
+    // with zero row churn. d = 64 quantized dims, matching
+    // ns_vec_gram.
+    if (sections("gram")) {
+      def qVecs(n: Long): DataFrame =
+        spark.range(n).select(
+          transform(sequence(lit(0), lit(63)),
+            i => pmod(xxhash64(col("id") * 67 + i), lit(10000L)) - 5000L).as("q"))
+          .repartition(32).cache()
+      for ((n, tag) <- Seq((500000L, "gram 1x (500k x 64d)"),
+                           (5000000L, "gram 10x (5M x 64d)"))) {
+        val q = qVecs(n); q.count()
+        val secs = best2(
+          graft.operators.VectorsPca.gramAggCore(spark, q, 64).count())
+        println(f"[probe] $tag%-34s gram-agg=$secs%6.2fs")
+        q.unpersist()
+      }
+    }
+
+    // --- PMI: corpus 10×, pair space FIXED at V(V-1)/2 --------------------
+    // The broadcast-vocab claim under test: pair generation is inline
+    // codegen (≤ V²/2 emissions per doc) and the pair exchange is
+    // V²-bounded, so wall time must track the corpus scan — no doc_id
+    // shuffle, no token self-join. 24 distinct tokens per doc from a
+    // 50-token vocabulary, V = 20 cut, matching ns_text_pmi's shape.
+    if (sections("pmi")) {
+      def pmiDocs(n: Long): DataFrame =
+        spark.range(n).select(
+          array_distinct(transform(sequence(lit(0), lit(23)),
+            i => concat(lit("t"), pmod(xxhash64(col("id") * 31 + i), lit(50L)))))
+            .as("toks"))
+          .repartition(32).cache()
+      for ((n, tag) <- Seq((1000000L, "pmi 1x (1M docs)"),
+                           (10000000L, "pmi 10x (10M docs)"))) {
+        val toks = pmiDocs(n); toks.count()
+        val vocab = toks.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok")).limit(20)
+        val secs = best2(graft.operators.TextPmi.pmiCore(toks, vocab, n).count())
+        println(f"[probe] $tag%-34s pmi=$secs%6.2fs")
+        toks.unpersist()
+      }
     }
 
     spark.stop()

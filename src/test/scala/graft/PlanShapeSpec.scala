@@ -199,8 +199,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"funnel must not plan per-stage joins:\n$p")
   }
 
-  test("ns_vec_gram: zero-join outer product — corpus never shuffles on vec_id") {
-    val p = plan(graft.operators.VectorsPca.gram.run(spark, dir))
+  test("ns_vec_gram reference plan: zero-join outer product — corpus never shuffles on vec_id") {
+    // the aggregator primary path reduces to one model-sized row (its
+    // printed plan is the trivial local reshape), so the zero-join
+    // claim is pinned on the distributed explode REFERENCE plan the
+    // equivalence spec ties it to
+    val q = graft.sources.Tables.embeddings(spark, dir).select(
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 10000.0 + 0.5d) as bigint))").as("q"))
+    val p = plan(graft.operators.VectorsPca.gramCore(q))
     // the self-join formulation reassembles (vec_id, i, q) pairs with a
     // vec_id-keyed shuffle join; the inline expansion must plan neither
     assert(!p.contains("SortMergeJoin"), s"gram must not shuffle-join:\n$p")

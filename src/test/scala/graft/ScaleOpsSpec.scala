@@ -345,6 +345,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sketch == naive)
   }
 
+  test("gram aggregator == explode reference plan, bit for bit") {
+    import graft.operators.VectorsPca
+    val q = Tables.embeddings(spark, dir).select(
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 10000.0 + 0.5d) as bigint))")
+        .as("q"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))
+    val viaAgg = VectorsPca.gramAggCore(spark, q, 64).collect().map(key).toMap
+    val viaExplode = VectorsPca.gramCore(q).collect().map(key).toMap
+    assert(viaAgg == viaExplode, "aggregator and explode gram plans must be bit-identical")
+  }
+
   test("native float-double dot == interpreted HOF dot, bit for bit") {
     import graft.operators.VectorsKmeans
     val cents = VectorsKmeans.train(spark, dir)
