@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.GraftQuery.checked
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Distribution-drift and behaviour statistics over the event stream —
+  * the monitoring ops a data pipeline runs CONTINUOUSLY: has the value
+  * distribution shifted since the reference window (PSI, the standard
+  * model-monitoring metric), and which actors have pathological timing
+  * signatures (burstiness, the bot/abuse screen).
+  */
+object EventStats {
+
+  /** Reference/current split point and value-bucket width for [[psi]],
+    * interpolated into both sides (shared-constant contract). The
+    * split halves the fixture's 30-day range; 10 fixed-width buckets
+    * cap at bin 9. */
+  private[graft] val SplitDate = "2024-01-16"
+  private[graft] val BinWidth = 25.0
+  private[graft] val NBins = 10
+
+  /** POPULATION STABILITY INDEX per event type: bucket `value` into
+    * fixed-width bins, compare the distribution before vs after
+    * [[SplitDate]], PSI = Σ (p−q)·ln(p/q) with add-one (Laplace)
+    * smoothing so empty-on-one-side bins stay finite. The sum runs
+    * over OBSERVED (type, bin) cells — a bin empty on BOTH sides is
+    * absent identically on both engines, so the value is deterministic
+    * (documented semantics; the smoothed prior contributes only where
+    * at least one side saw data).
+    *
+    * Scale shape: ONE corpus pass — a (type, bin)-keyed count with
+    * conditional sums, partial-aggregated map-side down to
+    * |types|×[[NBins]] rows per task before a tiny exchange;
+    * everything after (per-type totals window, the PSI fold) runs on
+    * that model-sized frame. No join, no window over corpus rows, no
+    * skew surface. Determinism: counts are exact BIGINTs; p, q and the
+    * log ratio derive from the same integers via the same closed
+    * formula on both engines, rounded via the shared 4-digit
+    * contract. */
+  val psi: GraftQuery = checked("ns_events_psi",
+    s"""WITH binned AS (
+      SELECT event_type,
+             LEAST(${NBins - 1}, CAST(FLOOR(value / $BinWidth) AS INTEGER)) AS bin,
+             COUNT(CASE WHEN CAST(ts AS TIMESTAMP) <  TIMESTAMP '$SplitDate' THEN 1 END) AS c_ref,
+             COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '$SplitDate' THEN 1 END) AS c_cur
+      FROM events
+      GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type, bin, c_ref, c_cur,
+             SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+             SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+      FROM binned),
+    terms AS (
+      SELECT event_type, n_ref, n_cur,
+             ((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) -
+              (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))) *
+             ln((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) /
+                (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))) AS term
+      FROM tot)
+    SELECT event_type, CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+           ROUND(SUM(term), 4) AS psi
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        least(lit(NBins - 1), floor(col("value") / BinWidth).cast("int")).as("bin"))
+      .agg(count(when(col("ts") < lit(SplitDate).cast("timestamp"), 1)).as("c_ref"),
+        count(when(col("ts") >= lit(SplitDate).cast("timestamp"), 1)).as("c_cur"))
+    val wType = Window.partitionBy("event_type") // |types|x|bins| frame: post-aggregation
+    val p = (col("c_ref") + 1).cast("double") / (col("n_ref") + NBins)
+    val q = (col("c_cur") + 1).cast("double") / (col("n_cur") + NBins)
+    binned
+      .withColumn("n_ref", sum("c_ref").over(wType))
+      .withColumn("n_cur", sum("c_cur").over(wType))
+      .withColumn("term", (p - q) * log(p / q))
+      .groupBy("event_type")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        dround(sum("term"), 4).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** Top-N output size for [[burstiness]], shared with the oracle. */
+  private[graft] val BurstTopN = 20
+
+  /** BURSTINESS screen: per-user inter-event-gap statistics, ranked by
+    * the Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) — B → 1
+    * flags burst-then-silence actors (bots, scrapers), B ≈ −1 metronomic
+    * schedulers. Top [[BurstTopN]] via `TakeOrderedAndProject`, ties on
+    * user_id.
+    *
+    * Scale shape: the [[EventOps.scd2]] pattern — ONE user-keyed
+    * shuffle feeds the lag window, and the per-user aggregate rides
+    * the same partitioning (key prefix); the corpus never shuffles
+    * again and the rank is a bounded top-N, not a global sort.
+    * Determinism contract (the anomaly playbook): gaps are exact
+    * integer microseconds; Σg² is summed as DECIMAL(38,0) on the
+    * Spark side and HUGEINT on the oracle side because a 30-day gap
+    * squared is ~7·10²⁴ — past BIGINT — and μ/σ/B then derive from
+    * the same exact sums via the same closed formulas (population σ).
+    * Degenerate rows are guarded identically: users with < 2 gaps are
+    * dropped (no variance), σ+μ = 0 cannot occur for survivors
+    * (σ+μ ≥ μ > 0 unless ALL gaps are zero, which the c ≥ 2 filter
+    * plus strictly-increasing tiebreak order makes a measure-zero
+    * duplicate-timestamp corner — guarded to NULL on both engines
+    * anyway). */
+  val burstiness: GraftQuery = checked("ns_events_burstiness",
+    s"""WITH gaps AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) -
+               lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    stats AS (
+      SELECT user_id, COUNT(gap_us) AS c,
+             SUM(gap_us) AS s,
+             SUM(CAST(gap_us AS HUGEINT) * gap_us) AS q
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      HAVING COUNT(gap_us) >= 2),
+    scored AS (
+      SELECT user_id, c,
+             CAST(s AS DOUBLE) / c AS mu,
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / c) AS sigma
+      FROM stats)
+    SELECT user_id, c AS n_gaps, ROUND(mu / 1e6, 4) AS mean_gap_s,
+           ROUND((sigma - mu) / NULLIF(sigma + mu, 0), 4) AS b
+    FROM scored
+    ORDER BY b DESC NULLS LAST, user_id
+    LIMIT $BurstTopN""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(wLag))
+      .where(col("gap_us").isNotNull)
+    val stats = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("c"), sum("gap_us").as("s"),
+        sum(col("gap_us").cast("decimal(19,0)") * col("gap_us").cast("decimal(19,0)")).as("q"))
+      .where(col("c") >= 2)
+    val mu = col("s").cast("double") / col("c")
+    val sigma = sqrt((col("q").cast("double") - col("s").cast("double") * col("s") / col("c")) / col("c"))
+    val denom = when(sigma + mu =!= 0.0, sigma + mu) // NULL at the all-zero-gap corner
+    stats
+      .select(col("user_id"), col("c").as("n_gaps"),
+        dround(mu / 1e6, 4).as("mean_gap_s"),
+        dround((sigma - mu) / denom, 4).as("b"))
+      .orderBy(col("b").desc_nulls_last, col("user_id"))
+      .limit(BurstTopN)
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness)
+}
