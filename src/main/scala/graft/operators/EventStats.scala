@@ -158,5 +158,81 @@ object EventStats {
       .limit(BurstTopN)
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness)
+  /** Per-user EVENT-TYPE ENTROPY — the predictability screen that
+    * complements [[burstiness]] (timing) with content: H = −Σ p·ln p
+    * over a user's event-type mix. Low entropy = single-purpose
+    * actors (pure scrapers fire one type); max entropy = uniform
+    * mixing. Top [[BurstTopN]] most-entropic users, ties on user_id.
+    *
+    * Scale shape: one (user, type)-keyed count — map-side partials,
+    * key space |users|×|types| — then a per-user fold over ≤ |types|
+    * rows riding the same user partitioning (key prefix, the
+    * [[EventOps.scd2]] argument); the rank is a bounded
+    * `TakeOrderedAndProject`. Determinism: H derives from exact
+    * integer counts via the same closed formula both sides (ln of
+    * integer ratios), shared 4-digit round. */
+  val entropy: GraftQuery = checked("ns_events_entropy",
+    s"""WITH tc AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    tot AS (
+      SELECT user_id, event_type, c, SUM(c) OVER (PARTITION BY user_id) AS n
+      FROM tc)
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_types,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4) AS h
+    FROM tot
+    GROUP BY user_id
+    ORDER BY h DESC, user_id
+    LIMIT $BurstTopN""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val wUser = Window.partitionBy("user_id") // <= |types| rows per user: post-aggregation
+    val pr = col("c").cast("double") / col("n")
+    tc.withColumn("n", sum("c").over(wUser))
+      .withColumn("term", pr * log(pr))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"), count(lit(1)).as("n_types"),
+        dround(-sum("term"), 4).as("h"))
+      .orderBy(col("h").desc, col("user_id"))
+      .limit(BurstTopN)
+  }
+
+  /** Top journey TRIGRAMS — the path-analysis surface ("what do users
+    * actually do?"): every 3-step event-type sequence by the same
+    * user in time order, counted corpus-wide, top [[BurstTopN]] with
+    * deterministic ties. The sequence-mining sibling of
+    * [[EventOps.transitions]] (order 2 instead of 1).
+    *
+    * Scale shape: the SAME single user-keyed shuffle — two `lag`s
+    * over one window spec — then a groupBy whose key space is
+    * |types|³ (≤ 125 here), partial-aggregated map-side; the rank is
+    * a bounded `TakeOrderedAndProject`. Pure integers. */
+  val trigrams: GraftQuery = checked("ns_events_trigrams",
+    s"""WITH seq AS (
+      SELECT lag(event_type, 2) OVER w AS s1,
+             lag(event_type, 1) OVER w AS s2,
+             event_type AS s3
+      FROM (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT s1, s2, s3, COUNT(*) AS n
+    FROM seq WHERE s1 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT $BurstTopN""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("s1", lag("event_type", 2).over(w))
+      .withColumn("s2", lag("event_type", 1).over(w))
+      .where(col("s1").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("event_type").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(BurstTopN)
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams)
 }

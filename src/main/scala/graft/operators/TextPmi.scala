@@ -110,5 +110,60 @@ object TextPmi {
           (col("df1").cast("double") * col("df2"))), 4).as("pmi"))
   }
 
-  val all: Seq[GraftQuery] = Seq(pmi)
+  /** ZIPF rank-frequency fit per language: regress ln(freq) on
+    * ln(rank) over the token frequency table — the corpus-health
+    * diagnostic (natural language tracks slope ≈ −1; generated or
+    * templated text flattens or cliffs). Least-squares slope via the
+    * closed moment formula, SAME parenthesization both engines.
+    *
+    * Scale shape: one corpus-wide (lang, token) count — map-side
+    * partials, vocabulary-sized key space — then ranking and moment
+    * sums over the VOCABULARY frame (corpus-independent; the rank
+    * window partitions by lang over ≤|vocab| rows). Float caveat,
+    * documented: the ln-moment sums are double accumulations over the
+    * vocabulary, so the two engines can differ by O(vocab·ulp) —
+    * ~1e-14 here, nine orders below the shared 4-digit round; the
+    * exact-integer trick doesn't apply to logs, and a vocabulary is
+    * model-sized, not corpus-sized, so the exposure does not grow
+    * with data. */
+  val zipf: GraftQuery = checked("ns_text_zipf",
+    """WITH tf AS (
+      SELECT lang, tok, COUNT(*) AS freq
+      FROM (SELECT lang,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> w <> '')) AS tok
+            FROM documents)
+      GROUP BY lang, tok),
+    ranked AS (
+      SELECT lang, ln(CAST(row_number() OVER (PARTITION BY lang
+                             ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM tf),
+    m AS (
+      SELECT lang, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ranked GROUP BY lang)
+    SELECT lang, k AS vocab_size,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+    FROM m
+    ORDER BY lang""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+    val wRank = Window.partitionBy("lang").orderBy(col("freq").desc, col("tok"))
+    val ranked = tf
+      .withColumn("x", log(row_number().over(wRank).cast("double")))
+      .withColumn("y", log(col("freq").cast("double")))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("k").as("vocab_size"),
+        dround((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[GraftQuery] = Seq(pmi, zipf)
 }
