@@ -342,9 +342,90 @@ object MetaQueries {
     FROM reach GROUP BY root, node
     ORDER BY root, node""")((spark, _) => dagClosure(spark))
 
+  /** Damping factor and fixed iteration count for [[pageRank]],
+    * interpolated into both sides (shared-constant contract). */
+  private[graft] val PrDamping = 0.85
+  private[graft] val PrIters = 10
+
+  /** PAGERANK over the trigger graph — which pipelines are the
+    * structural hubs of the DAG (the prioritization signal for the
+    * pre-delete audit [[dagClosureQ]] serves: high-rank nodes are the
+    * ones whose failure cascades matter). Simplified PageRank with
+    * fixed [[PrIters]] power iterations and no dangling-mass
+    * redistribution (mass leaks at sinks — documented; rank ORDER is
+    * unaffected for audit purposes and the formula mirrors exactly in
+    * SQL, where redistribution would need a per-iteration global
+    * aggregate).
+    *
+    * Scale shape: each iteration is ONE equi-join of the edge list
+    * against the current rank vector on the source key plus a
+    * dst-keyed sum — both hash-partition at any scale — with the
+    * driver seeing only the loop counter (the [[dagClosureCore]]
+    * contract; `localCheckpoint` keeps lineage flat). The trigger
+    * graph is catalog-sized here, but the plan is the one you'd run
+    * on a billion-edge graph. The oracle UNROLLS the same ten
+    * iterations as chained CTEs — a recursive CTE cannot aggregate in
+    * its recursive term — so both engines compute the identical
+    * fixed-point prefix. Float caveat: per-node contribution sums are
+    * double accumulations over in-degrees (order-varying, ~1e-15);
+    * ten iterations keep the divergence ~1e-13, six orders below the
+    * 6-digit round. */
+  def pageRank(spark: SparkSession): DataFrame = {
+    val edges = Fixtures.edgesDS(spark)
+      .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
+      .distinct().cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count() // catalog-sized metadata, like Catalog's collects
+    val degs = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr, edges("src") === pr("node"))
+        .join(degs, edges("src") === degs("node"))
+        .select(edges("dst").as("node"), (pr("pr") / degs("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("cin"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - PrDamping) / n) + lit(PrDamping) * coalesce(col("cin"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); nodes.unpersist()
+    pr.select(col("node"), graft.functions.dround(col("pr"), 6).as("pr"))
+      .orderBy("node")
+  }
+
+  val pageRankQ: GraftQuery = {
+    val base = s"""nodes AS (
+      SELECT DISTINCT trigger_uuid AS node FROM pipeline_triggers
+      UNION
+      SELECT DISTINCT pipeline_uuid AS node FROM pipeline_triggers),
+    edges AS (SELECT DISTINCT trigger_uuid AS src, pipeline_uuid AS dst
+              FROM pipeline_triggers),
+    degs AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS pr FROM nodes)"""
+    val iters = (1 to PrIters).map { t =>
+      s"""pr$t AS (
+      SELECT n.node,
+             (1 - $PrDamping) / (SELECT COUNT(*) FROM nodes) +
+             $PrDamping * COALESCE(SUM(pp.pr / dg.deg), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN pr${t - 1} pp ON pp.node = e.src
+      LEFT JOIN degs dg ON dg.node = e.src
+      GROUP BY n.node)"""
+    }.mkString(",\n    ")
+    GraftQuery.checked("ns_dag_pagerank",
+      "WITH " + Fixtures.edgesCte + s""",
+    $base,
+    $iters
+    SELECT node, ROUND(pr, 6) AS pr FROM pr$PrIters ORDER BY node""")(
+      (spark, _) => pageRank(spark))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied, dagClosureQ)
+    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ)
 }
