@@ -165,10 +165,13 @@ object EventStats {
     * mixing. Top [[BurstTopN]] most-entropic users, ties on user_id.
     *
     * Scale shape: one (user, type)-keyed count — map-side partials,
-    * key space |users|×|types| — then a per-user fold over ≤ |types|
-    * rows riding the same user partitioning (key prefix, the
-    * [[EventOps.scd2]] argument); the rank is a bounded
-    * `TakeOrderedAndProject`. Determinism: H derives from exact
+    * key space |users|×|types| — then the per-user total window and
+    * fold. The window DOES re-exchange, but on the already-aggregated
+    * frame (≤ |types| rows per user, ~|types|× smaller than the
+    * corpus; the (user,type) hash partitioning can't serve a
+    * user-only clustering, the reverse of the [[EventOps.scd2]]
+    * subset direction) — the corpus itself is touched once. The rank
+    * is a bounded `TakeOrderedAndProject`. Determinism: H derives from exact
     * integer counts via the same closed formula both sides (ln of
     * integer ratios), shared 4-digit round. */
   val entropy: GraftQuery = checked("ns_events_entropy",

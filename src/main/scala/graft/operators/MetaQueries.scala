@@ -377,19 +377,29 @@ object MetaQueries {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count() // catalog-sized metadata, like Catalog's collects
-    val degs = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr")).localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
-      val contrib = edges
-        .join(pr, edges("src") === pr("node"))
-        .join(degs, edges("src") === degs("node"))
-        .select(edges("dst").as("node"), (pr("pr") / degs("deg")).as("c"))
+    // (src, dst, deg) once, outside the loop; name-keyed joins below so
+    // the iteration never resolves an attribute into a frame that its
+    // own lineage already contains (the self-join ambiguity trap)
+    val weighted = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .select(col("src"), col("dst"), col("deg")).cache()
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (t <- 1 to PrIters) {
+      val contrib = weighted
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("cin"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - PrDamping) / n) + lit(PrDamping) * coalesce(col("cin"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      // lineage grows one join layer per iteration (pr appears once in
+      // its successor), so a checkpoint every few rounds bounds plan
+      // depth without paying an eager materialization job per round —
+      // ten of which dominated wall time at catalog scale (4.6 s → one
+      // job); at billion-edge scale the cadence is the tuning knob
+      if (t % 4 == 0) pr = pr.localCheckpoint(true)
     }
+    weighted.unpersist()
     edges.unpersist(); nodes.unpersist()
     pr.select(col("node"), graft.functions.dround(col("pr"), 6).as("pr"))
       .orderBy("node")

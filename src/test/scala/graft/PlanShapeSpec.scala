@@ -238,6 +238,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"scd2 must not plan joins:\n$p")
   }
 
+  test("ns_events_burstiness: one corpus shuffle + bounded top-N, no global sort") {
+    val p = plan(graft.operators.EventStats.burstiness.run(spark, dir))
+    val corpusExchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq.filter(_.contains("user_id#"))
+    assert(corpusExchanges.nonEmpty, s"expected the user_id window exchange:\n$p")
+    assert(corpusExchanges.toSet.size == 1,
+      s"lag window and per-user agg must share one user_id exchange, got $corpusExchanges\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N rank must plan TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
