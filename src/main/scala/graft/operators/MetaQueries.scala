@@ -370,10 +370,17 @@ object MetaQueries {
     * double accumulations over in-degrees (order-varying, ~1e-15);
     * ten iterations keep the divergence ~1e-13, six orders below the
     * 6-digit round. */
-  def pageRank(spark: SparkSession): DataFrame = {
-    val edges = Fixtures.edgesDS(spark)
+  def pageRank(spark: SparkSession): DataFrame =
+    pageRankCore(Fixtures.edgesDS(spark)
       .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
-      .distinct().cache()
+      .distinct())
+
+  /** The generic power-method core over a `(src, dst)` edge list —
+    * any id type; also weak-scaled standalone on synthetic layered
+    * graphs by [[graft.tools.ScaleProbeR5]] (the [[dagClosureCore]]
+    * convention). */
+  private[graft] def pageRankCore(edges0: DataFrame): DataFrame = {
+    val edges = edges0.cache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count() // catalog-sized metadata, like Catalog's collects

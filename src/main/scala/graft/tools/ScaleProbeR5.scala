@@ -55,7 +55,7 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, dag, ivjoin, spans, gram, pmi); no args = all sections
+    // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank); no args = all
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -388,6 +388,33 @@ object ScaleProbeR5 {
         val secs = best2(graft.operators.TextPmi.pmiCore(toks, vocab, n).count())
         println(f"[probe] $tag%-34s pmi=$secs%6.2fs")
         toks.unpersist()
+      }
+    }
+
+    // --- pagerank: edges 10×, same ten power iterations -------------------
+    // The per-iteration claim under test: each round is one edge⋈rank
+    // equi-join + dst-keyed sum — hash-partitioned work linear in
+    // |edges| — so ten rounds at 10× the graph must cost ~10× the
+    // join work, never a per-node or per-iteration driver term.
+    // Skewed degrees by construction (hash-mod hub bias: node 0
+    // receives ~10% of edges), so the dst-keyed sum also exercises
+    // the partial-agg path under skew.
+    if (sections("pagerank")) {
+      def graph(nEdges: Long): DataFrame = {
+        val nNodes = nEdges / 10
+        spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          when(pmod(xxhash64(col("id") + 3), lit(10)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id") + 1), lit(nNodes))).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .repartition(32).cache()
+      }
+      for ((n, tag) <- Seq((1000000L, "pagerank 1x (1M edges)"),
+                           (10000000L, "pagerank 10x (10M edges)"))) {
+        val g = graph(n); g.count()
+        val secs = best2(graft.operators.MetaQueries.pageRankCore(g).count())
+        println(f"[probe] $tag%-34s pagerank=$secs%6.2fs")
+        g.unpersist()
       }
     }
 
