@@ -59,8 +59,10 @@ object TextBpe {
     * identical, only the loop count grows. */
   private[graft] val NumMerges = 8
 
-  /** One corpus pass: lowercased whitespace tokens → (word, freq). */
-  private def wordFreqs(spark: SparkSession, dir: String): DataFrame =
+  /** One corpus pass: lowercased whitespace tokens → (word, freq).
+    * Shared with [[TextFuzzy]] so the two vocabulary operators can't
+    * drift on tokenization. */
+  private[operators] def wordFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))

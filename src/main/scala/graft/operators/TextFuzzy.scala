@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.GraftQuery.checked
+
+/** FUZZY VOCABULARY MATCHING — find all word pairs within Levenshtein
+  * distance 2 (typo/spelling-variant clustering, the vocabulary-repair
+  * step of a corpus-cleaning pipeline; the reference runs such jobs as
+  * opaque engine submissions, /root/reference/src/kalytical/api.py).
+  *
+  * Scale shape — SYMMETRIC-DELETE blocking (the SymSpell scheme),
+  * never the all-pairs cross join:
+  *
+  *   1. One corpus word-count pass (the [[TextBpe.wordFreqs]] frame —
+  *      the only corpus-sized stage; everything after runs on the
+  *      vocabulary).
+  *   2. Each word emits its ≤2-deletion neighborhood (itself, every
+  *      1-char delete, every 2-char delete) — ≤ 1 + L + L(L−1)/2 keys
+  *      per word, generated inline by codegen `transform`s, no join.
+  *   3. The guarantee making this lossless: lev(a,b) ≤ 2 implies a
+  *      common string reachable by ≤2 deletions from each side, so
+  *      every true pair shares ≥1 delete key. Candidates meet in a
+  *      key-equi self-join (hash-partitionable at any vocabulary
+  *      size); per-key bucket width is bounded by the alphabet and
+  *      word length, not the vocabulary. A length-window predicate
+  *      (|len diff| ≤ 2, a lev lower bound) prunes inside the join.
+  *   4. Exact `levenshtein` verify runs ONLY on candidates, after
+  *      pair dedup (a pair can meet under several shared keys).
+  *
+  * The DuckDB oracle is the brute-force all-pairs filter — the
+  * correctness gate therefore proves the blocking misses nothing, the
+  * same sound-vs-fast contract as the n-gram PPJoin (Dedup.scala).
+  */
+object TextFuzzy {
+
+  /** Pairs within this Levenshtein distance are emitted — fixed at 2,
+    * the radius the ≤2-deletion neighborhood is lossless for (and the
+    * standard typo radius). Interpolated into both engines' SQL. */
+  private[graft] val MaxDist = 2
+
+  /** Blocking + verify over any `(word, freq)` vocabulary — exposed
+    * for the completeness spec. */
+  private[graft] def fuzzyPairsCore(words: DataFrame): DataFrame = {
+    // d1 first in its own projection so the d2 transform references it
+    // once (the TextBpe.mergeFold lesson: duplicated subtrees compound).
+    val keyed = words
+      .withColumn("d1", expr(
+        "transform(sequence(1, length(word)), i -> concat(substring(word, 1, i - 1), substring(word, i + 1)))"))
+      .withColumn("key", explode(expr(
+        """array_distinct(concat(
+          |  array(word), d1,
+          |  flatten(transform(d1, w -> transform(
+          |    sequence(1, length(w)), j -> concat(substring(w, 1, j - 1), substring(w, j + 1)))))))""".stripMargin)))
+      .select("key", "word", "freq")
+    val a = keyed.select(col("key"), col("word").as("w1"), col("freq").as("freq1"))
+    val b = keyed.select(col("key"), col("word").as("w2"), col("freq").as("freq2"))
+    a.join(b,
+        a("key") === b("key") && col("w1") < col("w2") &&
+          abs(length(col("w1")) - length(col("w2"))) <= MaxDist)
+      .select("w1", "w2", "freq1", "freq2")
+      .dropDuplicates("w1", "w2")
+      .withColumn("dist", levenshtein(col("w1"), col("w2")))
+      .where(col("dist") <= MaxDist)
+      .select("w1", "w2", "dist", "freq1", "freq2")
+  }
+
+  val fuzzyPairs: GraftQuery = checked("ns_text_fuzzy_pairs",
+    s"""WITH words AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+        FROM documents)
+      GROUP BY word)
+    SELECT a.word AS w1, b.word AS w2,
+           CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist,
+           CAST(a.freq AS BIGINT) AS freq1, CAST(b.freq AS BIGINT) AS freq2
+    FROM words a JOIN words b ON a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= $MaxDist
+    ORDER BY w1, w2""") { (spark, dir) =>
+    fuzzyPairsCore(TextBpe.wordFreqs(spark, dir)).orderBy("w1", "w2")
+  }
+
+  val all: Seq[GraftQuery] = Seq(fuzzyPairs)
+}
