@@ -237,5 +237,78 @@ object EventStats {
       .limit(BurstTopN)
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams)
+  /** Chunk width for [[giniRanks]]'s two-phase rank — any positive
+    * value is correct (equivalence spec varies it); at scale pick it
+    * from a coarse revenue histogram so bins stay balanced. */
+  private[graft] val GiniBinWidth = 16384L
+
+  /** Dense global ranks of users by (cents, user_id), WITHOUT a global
+    * single-partition window: the [[TextOps.distributedStartOffsets]]
+    * two-phase scan keyed on a monotone value chunk instead of a
+    * monotone id chunk — `bin = cents div width` preserves the sort
+    * order across bins (cents ≥ 0), so rank = exclusive prefix of bin
+    * counts + local row_number. The only partition-less window runs
+    * over the BIN-COUNT frame (value-range/width rows, model-sized);
+    * per-bin width is data-bounded, the salting knob is `binWidth`. */
+  private[graft] def giniRanks(rev: DataFrame, binWidth: Long = GiniBinWidth): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = rev.withColumn("bin", expr(s"cents div $binWidth"))
+    val wOff = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
+      .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
+      .select("bin", "bin_off")
+    val wLocal = Window.partitionBy("bin").orderBy("cents", "user_id")
+    binned.join(broadcast(offsets), Seq("bin"))
+      .withColumn("rk", col("bin_off") + row_number().over(wLocal))
+      .select("user_id", "cents", "rk")
+  }
+
+  /** REVENUE CONCENTRATION — exact Gini coefficient and top-decile
+    * share of per-user purchase revenue: the whale-dependence /
+    * inequality screen every marketplace health report carries (and,
+    * over token counts instead of cents, the corpus-concentration
+    * screen for training-data sources).
+    *
+    * Scale shape: the corpus collapses to the per-user frame FIRST
+    * (one user-keyed sum of integer cents); ranking is the two-phase
+    * [[giniRanks]] scan, never a global window; the closing aggregate
+    * is one pass with DECIMAL(38) Σ rk·cents (rank × total overflows
+    * BIGINT near 1e9 users — the [[burstiness]] HUGEINT discipline).
+    * Determinism: values quantized to cents via FLOOR(v·100 + 0.5)
+    * (no ROUND-tie semantics), all sums exact integers, the final
+    * ratios computed with identical parenthesization both engines. */
+  val gini: GraftQuery = checked("ns_events_gini",
+    """WITH rev AS (
+      SELECT user_id, SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS n, SUM(cents) AS tot_cents FROM rev),
+    ranked AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rk FROM rev)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(tot_cents AS BIGINT) AS total_cents,
+           ROUND(2.0 * SUM(CAST(rk AS HUGEINT) * cents) / (CAST(n AS DOUBLE) * tot_cents)
+                 - (n + 1.0) / n, 9) AS gini,
+           ROUND(SUM(CASE WHEN rk > n - CAST(FLOOR(n / 10.0) AS BIGINT) THEN cents ELSE 0 END)
+                 / (1.0 * tot_cents), 9) AS top10_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY n, tot_cents""") { (spark, dir) =>
+    val rev = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + 0.5)).as("cents"))
+    val ranked = giniRanks(rev)
+    val tot = ranked.agg(count(lit(1)).as("n"), sum("cents").as("tot_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n", "tot_cents")
+      .agg(
+        sum(col("rk").cast("decimal(38,0)") * col("cents")).as("s"),
+        sum(when(col("rk") > col("n") - floor(col("n") / 10.0).cast("long"), col("cents"))
+          .otherwise(0L)).as("top_cents"))
+      .select(
+        col("n").cast("long").as("n_users"),
+        col("tot_cents").cast("long").as("total_cents"),
+        dround(lit(2.0) * col("s").cast("double") / (col("n").cast("double") * col("tot_cents"))
+          - (col("n") + lit(1.0)) / col("n"), 9).as("gini"),
+        dround(col("top_cents") / (lit(1.0) * col("tot_cents")), 9).as("top10_share"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.EventOps
+import graft.operators.{EventOps, EventStats}
 import graft.sources.Tables
 
 /** Structural properties of the round-5 event operators that the
@@ -44,5 +44,36 @@ class EventOpsSpec extends AnyFunSuite {
         (!col("is_current") && !(col("valid_to") <=> col("next_from"))))
       .count()
     assert(broken == 0, s"$broken intervals break the valid_to chain")
+  }
+
+  test("giniRanks equals the global-window rank for every bin width") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rev = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(200000).toLong))
+      .toDF("user_id", "cents")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cents", "user_id")
+    val reference = rev.withColumn("rk", row_number().over(w))
+    for (width <- Seq(1L, 97L, 16384L, 1000000L)) {
+      val got = EventStats.giniRanks(rev, width).select("user_id", "cents", "rk")
+      assert(got.except(reference).isEmpty && reference.except(got).isEmpty,
+        s"two-phase ranks diverge from the global window at binWidth=$width")
+    }
+  }
+
+  test("gini closed-form corners: uniform revenue scores 0, a single whale scores (n-1)/n") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def giniOf(rev: Seq[(Long, Long)]): Double = {
+      val ranked = EventStats.giniRanks(rev.toDF("user_id", "cents"))
+      val Array(n, tot, s) = ranked
+        .agg(count(lit(1)).cast("double"), sum("cents").cast("double"),
+          sum(col("rk").cast("decimal(38,0)") * col("cents")).cast("double"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      2.0 * s / (n * tot) - (n + 1.0) / n
+    }
+    assert(math.abs(giniOf(Seq.tabulate(40)(i => (i.toLong, 500L)))) < 1e-12)
+    val whale = (0L, 100000L) +: Seq.tabulate(39)(i => (i + 1L, 0L))
+    assert(math.abs(giniOf(whale) - 39.0 / 40.0) < 1e-12)
   }
 }
