@@ -440,9 +440,90 @@ object MetaQueries {
       (spark, _) => pageRank(spark))
   }
 
+  /** TRIANGLE COUNT + local clustering coefficient over the
+    * undirected trigger graph — the "how clique-ish is each node's
+    * neighbourhood" complement to [[pageRankQ]]'s hub score (dense
+    * trigger clusters are where a single failure fans out AND feeds
+    * back).
+    *
+    * Scale shape — DEGREE-ORDERED node-iterator (compact-forward),
+    * never the naive 3-way id-join: orient every undirected edge from
+    * its lower (deg, node) endpoint to the higher; each triangle then
+    * has exactly ONE vertex with two out-edges, so wedges (two
+    * out-edges of one center) enumerate each triangle once, and the
+    * closing check is a canonical-pair equi-join back to the edge
+    * list. Wedge volume is Σ out-deg² with out-degrees bounded by
+    * ~√m under this orientation — the whale-hub node whose id-ordered
+    * wedge set explodes quadratically becomes a wedge CENTER of last
+    * resort instead. All stages are hash equi-joins; the degree frame
+    * is node-sized and broadcast. The oracle is the brute-force
+    * id-ordered 3-way join — the gate proves orientation loses no
+    * triangle (the [[TextFuzzy]] sound-vs-fast contract). */
+  private[graft] def triangleCore(und0: DataFrame): DataFrame = {
+    val und = und0.cache()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(broadcast(deg.select(col("node").as("a"), col("deg").as("dega"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("deg").as("degb"))), Seq("b"))
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u") && col("o1.v") < col("o2.v"))
+      .select(col("o1.u").as("u"),
+        least(col("o1.v"), col("o2.v")).as("a"),
+        greatest(col("o1.v"), col("o2.v")).as("b"))
+    val tris = wedges.join(und, Seq("a", "b"))
+    val tcnt = tris
+      .select(explode(array(col("u"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(tcnt, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        graft.functions.dround(
+          lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            nullif(col("deg") * (col("deg") - lit(1.0)), lit(0.0)), 6).as("cc"))
+      .orderBy("node")
+  }
+
+  val trianglesQ: GraftQuery = GraftQuery.checked("ns_dag_triangles",
+    "WITH " + Fixtures.edgesCte + """,
+    und AS (
+      SELECT LEAST(trigger_uuid, pipeline_uuid) AS a,
+             GREATEST(trigger_uuid, pipeline_uuid) AS b
+      FROM pipeline_triggers WHERE trigger_uuid <> pipeline_uuid
+      GROUP BY 1, 2),
+    deg AS (SELECT node, COUNT(*) AS deg
+            FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+    tcnt AS (SELECT node, COUNT(*) AS tri
+             FROM (SELECT u AS node FROM tri
+                   UNION ALL SELECT v FROM tri
+                   UNION ALL SELECT w FROM tri)
+             GROUP BY node)
+    SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+           ROUND(2.0 * COALESCE(t.tri, 0) / NULLIF(d.deg * (d.deg - 1.0), 0), 6) AS cc
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    ORDER BY d.node""") { (spark, _) =>
+    triangleCore(Fixtures.edgesDS(spark)
+      .where(col("trigger_uuid") =!= col("pipeline_uuid"))
+      .select(least(col("trigger_uuid"), col("pipeline_uuid")).as("a"),
+        greatest(col("trigger_uuid"), col("pipeline_uuid")).as("b"))
+      .distinct())
+  }
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ)
+    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ)
 }
