@@ -250,17 +250,24 @@ object EventStats {
     * counts + local row_number. The only partition-less window runs
     * over the BIN-COUNT frame (value-range/width rows, model-sized);
     * per-bin width is data-bounded, the salting knob is `binWidth`. */
-  private[graft] def giniRanks(rev: DataFrame, binWidth: Long = GiniBinWidth): DataFrame = {
+  private[graft] def giniRanks(rev: DataFrame, binWidth: Long = GiniBinWidth): DataFrame =
+    valueRanks(rev, "cents", binWidth).select("user_id", "cents", "rk")
+
+  /** The generic form: append `rk` = dense 1-based rank of `(valueCol,
+    * user_id)` to any per-user frame, via the value-chunked two-phase
+    * scan described at [[giniRanks]]. `valueCol` must be a
+    * non-negative integral column (`div` chunking). */
+  private[graft] def valueRanks(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val binned = rev.withColumn("bin", expr(s"cents div $binWidth"))
+    val binned = df.withColumn("bin", expr(s"$valueCol div $binWidth"))
     val wOff = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
       .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
       .select("bin", "bin_off")
-    val wLocal = Window.partitionBy("bin").orderBy("cents", "user_id")
+    val wLocal = Window.partitionBy("bin").orderBy(valueCol, "user_id")
     binned.join(broadcast(offsets), Seq("bin"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))
-      .select("user_id", "cents", "rk")
+      .drop("bin", "bin_off")
   }
 
   /** REVENUE CONCENTRATION — exact Gini coefficient and top-decile
@@ -310,5 +317,68 @@ object EventStats {
         dround(col("top_cents") / (lit(1.0) * col("tot_cents")), 9).as("top10_share"))
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini)
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer grid (marketing's workhorse cohorting; over documents
+    * it's the freshness/volume/size grid for source triage): each
+    * purchasing user scores 1–4 per dimension by rank quartile
+    * (4 = most recent / most frequent / highest spend), and the
+    * output is the segment histogram with per-segment revenue.
+    *
+    * Scale shape: the corpus collapses to the per-user frame first;
+    * each dimension's quartile comes from a [[valueRanks]] two-phase
+    * rank (no global window, no NTILE), and the three ranked frames
+    * re-join on user_id — all users-sized. Determinism: quartile =
+    * CEIL(4·rk/n) on ROW_NUMBER ranks with (value, user_id) ties —
+    * exact integer arithmetic, no percentile interpolation to
+    * diverge on. */
+  val rfm: GraftQuery = checked("ns_events_rfm",
+    """WITH p AS (
+      SELECT user_id, MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_date,
+             COUNT(*) AS freq,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    mx AS (SELECT MAX(last_date) AS max_date FROM p),
+    base AS (
+      SELECT user_id, date_diff('day', last_date, max_date) AS r_days, freq, cents
+      FROM p CROSS JOIN mx),
+    rr AS (
+      SELECT cents,
+             CAST(5 - CEIL(4.0 * ROW_NUMBER() OVER (ORDER BY r_days, user_id)
+                           / COUNT(*) OVER ()) AS BIGINT) AS r,
+             CAST(CEIL(4.0 * ROW_NUMBER() OVER (ORDER BY freq, user_id)
+                       / COUNT(*) OVER ()) AS BIGINT) AS f,
+             CAST(CEIL(4.0 * ROW_NUMBER() OVER (ORDER BY cents, user_id)
+                       / COUNT(*) OVER ()) AS BIGINT) AS m
+      FROM base)
+    SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR) AS segment,
+           COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS seg_cents
+    FROM rr GROUP BY r, f, m ORDER BY segment""") { (spark, dir) =>
+    val p = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_date"), count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100 + 0.5)).as("cents"))
+    val base = p.crossJoin(broadcast(p.agg(max("last_date").as("max_date"))))
+      .select(col("user_id"), datediff(col("max_date"), col("last_date")).as("r_days"),
+        col("freq"), col("cents"))
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    def quartile(valueCol: String, binWidth: Long, invert: Boolean): DataFrame = {
+      val q = ceil(lit(4.0) * col("rk") / col("n"))
+      valueRanks(base.select("user_id", valueCol), valueCol, binWidth)
+        .crossJoin(n)
+        .select(col("user_id"),
+          (if (invert) lit(5) - q else q).cast("long").as(valueCol + "_q"))
+    }
+    base.select("user_id", "cents")
+      .join(quartile("r_days", 8L, invert = true), Seq("user_id"))
+      .join(quartile("freq", 8L, invert = false), Seq("user_id"))
+      .join(quartile("cents", GiniBinWidth, invert = false), Seq("user_id"))
+      .groupBy(col("r_days_q").as("r"), col("freq_q").as("f"), col("cents_q").as("m"))
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("seg_cents"))
+      .select(concat_ws("-", col("r"), col("f"), col("m")).as("segment"),
+        col("n_users"), col("seg_cents"))
+      .orderBy("segment")
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm)
 }
