@@ -952,7 +952,87 @@ object Dedup {
     WHERE d.is_new
     ORDER BY d.doc_id""")((s, d) => incrementalDedup(s, d))
 
+  /** Seed count for [[sourceOverlapQ]]'s minhash signatures —
+    * estimator stderr is √(J(1−J)/k) ≈ 0.06 at k=64. */
+  private[graft] val OverlapSeeds = 64
+
+  /** CROSS-SOURCE OVERLAP MATRIX — pairwise Jaccard similarity of the
+    * 8-gram shingle SETS of whole sources (the "which crawls/dumps
+    * duplicate each other" triage that decides what to dedup against
+    * what, run before any doc-level pass).
+    *
+    * Scale shape — minhash in AGGREGATE form, the one formulation
+    * that needs neither a DISTINCT nor a pair join over grams:
+    *
+    *   1. the gram stream (source, gram) is one explode, NEVER
+    *      deduplicated — MIN is insensitive to duplicates, so the
+    *      per-(source, seed) minimum over the raw stream equals the
+    *      minimum over the distinct set (the trick that kills the
+    *      corpus-sized DISTINCT the exact-Jaccard formulation needs);
+    *   2. signatures are [[OverlapSeeds]] MIN aggregates with
+    *      map-side partials — state is |sources|×k, model-sized, and
+    *      the only shuffle is that tiny frame keyed by source;
+    *   3. the pair matrix is the |sources|² signature self-join —
+    *      catalog-sized.
+    *
+    * Determinism: seeded md5 minima are exact strings, identical in
+    * both engines (the [[TextOps.shuffle]] md5 parity), so even the
+    * ESTIMATE is bit-reproducible and oracle-checked — no
+    * probabilistic rows-only carve-out. DedupSpec bounds the
+    * estimator against exact Jaccard at test scale. */
+  private[graft] def sourceSignatures(grams: DataFrame): DataFrame =
+    grams.groupBy("source").agg(
+      min(md5(concat(lit("0:"), col("g")).cast("binary"))).as("h0"),
+      (1 until OverlapSeeds).map(s =>
+        min(md5(concat(lit(s"$s:"), col("g")).cast("binary"))).as(s"h$s")): _*)
+
+  private[graft] def sourceOverlapCore(grams: DataFrame): DataFrame = {
+    val sigs = sourceSignatures(grams)
+    val a = sigs.toDF(sigs.columns.map(c => if (c == "source") "src_a" else c + "_a"): _*)
+    val b = sigs.toDF(sigs.columns.map(c => if (c == "source") "src_b" else c + "_b"): _*)
+    val nMatch = (0 until OverlapSeeds)
+      .map(s => when(col(s"h${s}_a") === col(s"h${s}_b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), nMatch.as("n_seed_matches"))
+      .withColumn("est_jaccard", dround(col("n_seed_matches") / lit(OverlapSeeds.toDouble), 4))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** The raw (source, 8-gram) stream — duplicates intact (see
+    * [[sourceOverlapCore]] step 1). */
+  private[graft] def sourceGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        filter(split(col("text"), "\\s+"), w => w =!= "").as("t"))
+      .where(size(col("t")) >= 8)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")).as("g"))
+
+  val sourceOverlapQ: GraftQuery = {
+    val mins = (0 until OverlapSeeds)
+      .map(s => s"MIN(md5('$s:' || g)) AS h$s").mkString(",\n             ")
+    val eq = (0 until OverlapSeeds)
+      .map(s => s"CAST(a.h$s = b.h$s AS INTEGER)").mkString(" + ")
+    GraftQuery.checked("ns_dedup_source_overlap",
+      s"""WITH grams AS (
+      SELECT source, unnest(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], ' '))) AS g
+      FROM (SELECT source, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 8),
+    sigs AS (
+      SELECT source,
+             $mins
+      FROM grams GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST($eq AS BIGINT) AS n_seed_matches,
+           ROUND(($eq) / $OverlapSeeds.0, 4) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    ORDER BY src_a, src_b""")((s, d) => sourceOverlapCore(sourceGrams(s, d)))
+  }
+
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
     simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
-    duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental)
+    duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental, sourceOverlapQ)
 }

@@ -55,7 +55,8 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank); no args = all
+    // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank, triangles);
+    // no args = all
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -414,6 +415,36 @@ object ScaleProbeR5 {
         val g = graph(n); g.count()
         val secs = best2(graft.operators.MetaQueries.pageRankCore(g).count())
         println(f"[probe] $tag%-34s pagerank=$secs%6.2fs")
+        g.unpersist()
+      }
+    }
+
+    // --- triangles: degree-oriented enumeration under a whale hub -------
+    // node 0 receives ~10% of all edges, so under ID-ordered wedge
+    // generation the hub alone would center ~(0.1·m)² pairs (5e9 at
+    // 1x — infeasible); degree orientation gives the max-degree hub
+    // out-degree ~0 (all its edges point INTO it), so wedge volume
+    // tracks Σ out-deg² over ordinary nodes and 10× edges should cost
+    // ~10-30× wall (pair volume grows with density), never the hub
+    // quadratic.
+    if (sections("triangles")) {
+      def und(nEdges: Long): DataFrame = {
+        val nNodes = nEdges / 10
+        spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+          when(pmod(xxhash64(col("id") + 3), lit(10)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id") + 1), lit(nNodes))).as("y"))
+          .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+          .repartition(32).cache()
+      }
+      for ((n, tag) <- Seq((1000000L, "triangles 1x (1M edges)"),
+                           (10000000L, "triangles 10x (10M edges)"))) {
+        val g = und(n); g.count()
+        val secs = best2(
+          graft.operators.MetaQueries.triangleCore(g)
+            .agg(sum("tri")).collect()(0).getLong(0))
+        println(f"[probe] $tag%-34s triangles=$secs%6.2fs")
         g.unpersist()
       }
     }
