@@ -380,5 +380,65 @@ object EventStats {
       .orderBy("segment")
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm)
+  /** ASSOCIATION RULES (market-basket lift) over hourly activity
+    * baskets — which event types co-occur beyond chance within a
+    * user-hour (the anomaly/affinity screen behind "users who error
+    * also churn"-style findings; over doc-level token sets it's the
+    * topic-affinity screen). Basket = (user, hour): user-lifetime
+    * baskets are degenerate here (every user eventually does
+    * everything — lift 1.0 across the board, measured), hourly windows
+    * restore contrast.
+    *
+    * Scale shape — the [[TextPmi]] inline-pair discipline: one
+    * distinct over (user, hr, type) (map-side partials), one
+    * basket-keyed collect_set whose payload is bounded by |types|,
+    * pairs emitted INLINE from each sorted set (≤ |types|²/2 per
+    * basket, pure codegen — no basket self-join), and a |types|²-key
+    * count. Type totals and the basket count are broadcast scalars.
+    * All counts exact integers; ratios double with shared
+    * parenthesization (1.0·a·b products stay in double — n_a·n_b as
+    * BIGINT would overflow near 1e10 baskets). */
+  val lift: GraftQuery = checked("ns_events_lift",
+    """WITH ut AS (
+      SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type
+      FROM events),
+    n AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, hr FROM ut)),
+    tc AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS t_a, b.event_type AS t_b, COUNT(*) AS n_ab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.hr = b.hr
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT t_a, t_b, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(n_ab / (1.0 * n_baskets), 4) AS support,
+           ROUND((1.0 * n_ab * n_baskets) / (1.0 * ca.n_t * cb.n_t), 4) AS lift
+    FROM pairs JOIN tc ca ON ca.event_type = t_a
+               JOIN tc cb ON cb.event_type = t_b
+               CROSS JOIN n
+    ORDER BY t_a, t_b""") { (spark, dir) =>
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .distinct()
+    val baskets = ut.groupBy("user_id", "hr")
+      .agg(sort_array(collect_set("event_type")).as("tset"))
+    val nB = broadcast(baskets.agg(count(lit(1)).as("n_baskets")))
+    val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(tset, (a, i) ->
+          |  transform(slice(tset, i + 2, size(tset)), b -> struct(a AS t_a, b AS t_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.t_a").as("t_a"), col("p.t_b").as("t_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("t_a"), col("n_t").as("n_a"))), Seq("t_a"))
+      .join(broadcast(tc.select(col("event_type").as("t_b"), col("n_t").as("n_b"))), Seq("t_b"))
+      .crossJoin(nB)
+      .select(col("t_a"), col("t_b"), col("n_ab"),
+        dround(col("n_ab") / (lit(1.0) * col("n_baskets")), 4).as("support"),
+        dround((lit(1.0) * col("n_ab") * col("n_baskets")) / (lit(1.0) * col("n_a") * col("n_b")), 4)
+          .as("lift"))
+      .orderBy("t_a", "t_b")
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift)
 }
