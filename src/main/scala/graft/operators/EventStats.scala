@@ -440,5 +440,44 @@ object EventStats {
       .orderBy("t_a", "t_b")
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift)
+  /** ROLLING WEEKLY ACTIVE USERS + DAU/WAU stickiness — the canonical
+    * engagement dashboard pair, computed EXACTLY over a sliding
+    * 7-day window.
+    *
+    * Scale shape: sliding-window COUNT DISTINCT can't ride a window
+    * function (distinct state isn't mergeable across frame slides), so
+    * each distinct (user, day) row is exploded into the ≤7 window-days
+    * it contributes to — row inflation bounded by the WINDOW LENGTH,
+    * not the data — then deduped and counted per window-day with
+    * map-side partials. The corpus touches one distinct + one
+    * bounded explode + one count; for month-scale windows (W ≫ 7) the
+    * documented swap is per-day HLL sketches merged across the window
+    * (mergeable state, no inflation), the [[TextOps.vocabApprox]]
+    * pattern. Day arithmetic is integer DATE + i in both engines. */
+  val wau: GraftQuery = checked("ns_events_wau",
+    """WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+    cal AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+    w AS (SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+          FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i)),
+    wau AS (SELECT wd AS d, COUNT(*) AS wau FROM w GROUP BY wd)
+    SELECT c.d AS day, CAST(c.dau AS BIGINT) AS dau, CAST(u.wau AS BIGINT) AS wau,
+           ROUND(c.dau / (1.0 * u.wau), 4) AS stickiness
+    FROM cal c JOIN wau u ON u.d = c.d
+    ORDER BY day""") { (spark, dir) =>
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cal = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wauDf = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
+      .distinct()
+      .groupBy(col("wd").as("d")).agg(count(lit(1)).as("wau"))
+    cal.join(wauDf, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        dround(col("dau") / (lit(1.0) * col("wau")), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift, wau)
 }

@@ -521,9 +521,41 @@ object MetaQueries {
       .distinct())
   }
 
+  /** CO-TRIGGER PROJECTION — the bipartite pipeline↔trigger relation
+    * projected onto pipelines: edge (p_a, p_b, n_shared) when two
+    * pipelines listen to n_shared common triggers. The "coupled
+    * consumers" view the blast-radius ops ([[downstream]],
+    * [[dagClosureQ]]) don't show: these pairs fire TOGETHER, so a
+    * burst on one trigger lands on both.
+    *
+    * Scale note: a trigger with fanout F contributes C(F,2) pairs —
+    * that term IS the projection's output (every pair is an emitted
+    * edge), so the plan is output-bound, not wasted work; the
+    * trigger-keyed equi-join hash-partitions, and a whale trigger
+    * that makes the OUTPUT itself unwanted (F ~ 10⁵ ⇒ 10¹⁰ edges) is
+    * excluded at the source by a fanout cap on the trigger frame —
+    * the standard projection-pruning knob, not implemented here
+    * because catalog fanout is definitionally bounded. */
+  val coTrigger: GraftQuery = GraftQuery.checked("ns_dag_cotrigger",
+    "WITH " + Fixtures.edgesCte + """,
+    e AS (SELECT DISTINCT trigger_uuid, pipeline_uuid FROM pipeline_triggers)
+    SELECT a.pipeline_uuid AS p_a, b.pipeline_uuid AS p_b, COUNT(*) AS n_shared
+    FROM e a JOIN e b ON a.trigger_uuid = b.trigger_uuid
+                     AND a.pipeline_uuid < b.pipeline_uuid
+    GROUP BY p_a, p_b
+    ORDER BY p_a, p_b""") { (spark, _) =>
+    val e = Fixtures.edgesDS(spark).select("trigger_uuid", "pipeline_uuid").distinct()
+    e.toDF("trigger_uuid", "p_a")
+      .join(e.toDF("trigger_uuid", "p_b"),
+        Seq("trigger_uuid"))
+      .where(col("p_a") < col("p_b"))
+      .groupBy("p_a", "p_b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("p_a", "p_b")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ)
+    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ, coTrigger)
 }
