@@ -263,4 +263,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream-stream interval join diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
   }
+
+  test("streaming heavy hitters (sketch-sized shard state) == batch Misra-Gries top-20") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingHeavyHitters
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.TextOps.heavyHitters(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val srcDir = Files.createTempDirectory("hh-src").toString
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+      .selectExpr("explode(split(text, ' ')) AS token")
+      .as(Encoders.STRING)
+    val q = StreamingHeavyHitters.sketchStream(stream)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // latest emission per shard, merged consumer-side
+    val perShard = spark.table("hh_out")
+      .collect().map(r => StreamingHeavyHitters.ShardSketch(
+        r.getInt(0), r.getMap[String, Long](1).toMap, r.getLong(2)))
+      .groupBy(_.shard).map(_._2.last).toSeq
+    val merged = StreamingHeavyHitters.mergeShards(perShard)
+    assert(merged.decrements == 0, "vocabulary must fit capacity for the exactness claim")
+    val streamedTop = merged.counts.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(20)
+    assert(streamedTop == batch,
+      s"streaming heavy hitters diverged: stream=${streamedTop.take(3)} batch=${batch.take(3)}")
+  }
 }
