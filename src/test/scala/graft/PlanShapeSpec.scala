@@ -249,6 +249,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-N rank must plan TakeOrderedAndProject, not a global sort:\n$p")
   }
 
+  test("ns_text_fuzzy_pairs: candidate generation is a key equi-join, never all-pairs") {
+    val p = plan(graft.operators.TextFuzzy.fuzzyPairs.run(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"fuzzy blocking must not degrade to a cross join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the delete-key join must keep its equi component:\n$p")
+  }
+
+  test("ns_dedup_source_overlap: signatures aggregate the raw gram stream with map-side partials") {
+    val p = plan(graft.operators.Dedup.sourceOverlapCore(
+      graft.operators.Dedup.sourceGrams(spark, dir)))
+    assert(p.contains("partial_min"),
+      s"signature MINs must partial-aggregate map-side:\n$p")
+    // a DISTINCT over grams would add a second hash exchange keyed by
+    // the gram column before the signature aggregate
+    val gramExchanges = "Exchange hashpartitioning\\(g#".r.findAllIn(p).size
+    assert(gramExchanges == 0,
+      s"the gram stream must never shuffle on the gram key (MIN needs no dedup):\n$p")
+  }
+
+  test("ns_events_gini: rank window partitions by the value bin; offsets broadcast back") {
+    val p = plan(graft.operators.EventStats.gini.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bin offsets and totals must broadcast, not shuffle the user frame:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-user cents must partial-aggregate map-side:\n$p")
+  }
+
+  test("ns_dag_triangles: orientation and closing joins stay equi — no cartesian wedge product") {
+    val p = plan(graft.operators.MetaQueries.trianglesQ.run(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"triangle enumeration must never cross-join:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
