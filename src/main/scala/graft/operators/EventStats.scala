@@ -479,5 +479,51 @@ object EventStats {
       .orderBy("day")
   }
 
-  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift, wau)
+  /** DAILY ERROR RATE with WILSON 95 % confidence bounds — the
+    * monitoring primitive behind every "is today's error rate actually
+    * elevated?" alert: the Wilson score interval stays honest at small
+    * n and at rates near 0, where the naive ±z√(p(1−p)/n) band
+    * collapses to zero width on a zero-error day.
+    *
+    * Scale shape: one (day)-keyed conditional count — map-side
+    * partials, calendar-sized key space — then closed-formula column
+    * algebra on the tiny daily frame. Determinism: counts are exact
+    * integers; z enters as the DOUBLE literal 1.96e0 on both sides
+    * (a bare 1.96 parses as DECIMAL in DuckDB and would thread
+    * decimal arithmetic through half the formula), and both engines
+    * evaluate the same parenthesization. */
+  val errorRate: GraftQuery = checked("ns_events_error_rate",
+    """WITH d AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+      FROM events GROUP BY day)
+    SELECT day, CAST(n AS BIGINT) AS n_events, CAST(e AS BIGINT) AS n_errors,
+           ROUND(e / (1.0 * n), 6) AS rate,
+           ROUND(((e / (1.0 * n)) + 1.96e0 * 1.96e0 / (2.0 * n)
+                  - 1.96e0 * sqrt((e / (1.0 * n)) * (1 - e / (1.0 * n)) / n
+                                  + 1.96e0 * 1.96e0 / (4.0 * n * n)))
+                 / (1 + 1.96e0 * 1.96e0 / n), 6) AS wilson_lo,
+           ROUND(((e / (1.0 * n)) + 1.96e0 * 1.96e0 / (2.0 * n)
+                  + 1.96e0 * sqrt((e / (1.0 * n)) * (1 - e / (1.0 * n)) / n
+                                  + 1.96e0 * 1.96e0 / (4.0 * n * n)))
+                 / (1 + 1.96e0 * 1.96e0 / n), 6) AS wilson_hi
+    FROM d ORDER BY day""") { (spark, dir) =>
+    val z = lit(1.96)
+    val d = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+    val phat = col("e") / (lit(1.0) * col("n"))
+    val half = z * sqrt(phat * (lit(1) - phat) / col("n") + z * z / (lit(4.0) * col("n") * col("n")))
+    val denom = lit(1) + z * z / col("n")
+    d.select(col("day"), col("n").as("n_events"), col("e").as("n_errors"),
+        dround(phat, 6).as("rate"),
+        dround((phat + z * z / (lit(2.0) * col("n")) - half) / denom, 6).as("wilson_lo"),
+        dround((phat + z * z / (lit(2.0) * col("n")) + half) / denom, 6).as("wilson_hi"))
+      .orderBy("day")
+  }
+
+  val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift, wau,
+    errorRate)
 }

@@ -475,6 +475,46 @@ object Vectors {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= $RpK
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => rpTopK(s, d))
 
+  /** PER-DIMENSION STANDARDIZATION STATS — the feature-scaling moments
+    * (μ, σ per embedding dimension) every whitening / z-score
+    * normalization step consumes, and the per-dim health check that
+    * catches dead or exploding dimensions after an encoder change.
+    *
+    * Scale shape: one posexplode (row inflation = dim count, bounded
+    * by the model not the corpus) into a dim-keyed aggregate — 64
+    * keys, map-side partials; the alternative zero-explode flat-buffer
+    * fold is [[graft.functions.GramAggregator]]'s diagonal (documented
+    * swap if the explode ever shows up in a profile). Determinism: the
+    * k-means/gram QUANTIZED-EXACT discipline — values become BIGINT
+    * micro-units via FLOOR(v·1e6 + 0.5), sums are exact integers
+    * (Σqv² in DECIMAL(38)/HUGEINT — BIGINT saturates near 1e10 rows),
+    * and both engines evaluate the same closed moment formula. */
+  val standardize: GraftQuery = GraftQuery.checked("ns_vec_standardize",
+    """WITH q AS (
+      SELECT i AS dim, CAST(FLOOR(embedding[i + 1] * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+      WHERE i < len(embedding))
+    SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+           ROUND(SUM(qv) / (1e6 * COUNT(*)), 6) AS mu,
+           ROUND(sqrt((SUM(CAST(qv AS HUGEINT) * qv) / 1e12
+                       - (SUM(qv) / 1e6) * (SUM(qv) / 1e6) / COUNT(*)) / COUNT(*)), 6) AS sigma
+    FROM q GROUP BY dim ORDER BY dim""") { (spark, dir) =>
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v") * 1000000 + 0.5).as("qv"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("qv").as("s"),
+        sum(col("qv").cast("decimal(38,0)") * col("qv")).as("q"))
+      .select(col("dim"), col("n"),
+        dround(col("s") / (lit(1e6) * col("n")), 6).as("mu"),
+        dround(sqrt((col("q") / lit(1e12)
+          - (col("s") / lit(1e6)) * (col("s") / lit(1e6)) / col("n")) / col("n")), 6).as("sigma"))
+      .orderBy("dim")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound, topKRp)
+    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound, topKRp,
+      standardize)
 }
