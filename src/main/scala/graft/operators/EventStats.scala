@@ -524,6 +524,47 @@ object EventStats {
       .orderBy("day")
   }
 
+  /** DAY-OF-WEEK SEASONALITY + chi-square uniformity screen — "does
+    * traffic actually have a weekly shape, or is this feed synthetic /
+    * broken?" (a flat χ² on human traffic is itself an anomaly signal;
+    * a huge one confirms the weekly cycle the capacity planner rides).
+    *
+    * Scale shape: one 7-key conditional count with map-side partials;
+    * everything after runs on 7 rows. Determinism: the χ² statistic
+    * against the uniform null reduces algebraically to
+    * (7·Σo² − n²)/n — EXACT integer arithmetic until one final
+    * division, immune to cross-engine double-summation order (Σo²
+    * in DECIMAL/HUGEINT: n² saturates BIGINT past ~3e9 events). The
+    * day index is ISO (Mon=1..Sun=7): Spark's `dayofweek` counts
+    * Sunday=1 but DuckDB's counts Sunday=0 — `weekday()+1` / `isodow`
+    * is the convention-stable pair. */
+  val dowProfile: GraftQuery = checked("ns_events_dow",
+    """WITH o AS (
+      SELECT isodow(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dow, COUNT(*) AS n
+      FROM events GROUP BY dow),
+    tot AS (SELECT SUM(n) AS total, SUM(CAST(n AS HUGEINT) * n) AS sq FROM o)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+           ROUND(n / (1.0 * total), 6) AS share,
+           ROUND((7.0e0 * CAST(sq AS DOUBLE)
+                  - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / CAST(total AS DOUBLE), 4) AS chi2_uniform
+    FROM o CROSS JOIN tot
+    ORDER BY dow""") { (spark, dir) =>
+    val o = Tables.events(spark, dir)
+      .groupBy((weekday(to_date(col("ts"))) + 1).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(o.agg(
+      sum("n").as("total"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).as("sq")))
+    o.crossJoin(tot)
+      .select(col("dow").cast("long").as("dow"), col("n"),
+        dround(col("n") / (lit(1.0) * col("total")), 6).as("share"),
+        dround((lit(7.0) * col("sq").cast("double")
+          - col("total").cast("double") * col("total").cast("double"))
+          / col("total").cast("double"), 4).as("chi2_uniform"))
+      .orderBy("dow")
+  }
+
   val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift, wau,
-    errorRate)
+    errorRate, dowProfile)
 }

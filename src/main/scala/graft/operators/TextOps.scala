@@ -884,8 +884,47 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Sample size for [[weightedSample]] (shared-constant contract). */
+  private[graft] val WSampleK = 20
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis A-ES)
+    * — draw [[WSampleK]] docs with inclusion probability proportional
+    * to length: the "sample a review set biased toward the documents
+    * that dominate the token budget" primitive ([[hashSample]] and
+    * [[stratified]] are its unweighted/per-stratum siblings).
+    *
+    * Scale shape: priority = u^(1/w) per row (pure map; u is the
+    * md5-of-doc_id uniform — the [[shuffle]] determinism device, 48
+    * hash bits → ~2.8e14 distinct levels) and the global top-k is a
+    * bounded `TakeOrderedAndProject` — no sort, no shuffle beyond the
+    * k-row final heap merge. Determinism note: selection depends only
+    * on priority ORDER; u and w are bit-identical across engines, and
+    * pow's sub-ulp libm differences can only matter if two priorities
+    * coincide to ~1e-16 relative — vanishing for hash-spread u, and
+    * the cross-engine gate would catch it loudly. */
+  val weightedSample: GraftQuery = GraftQuery.checked("ns_text_weighted_sample",
+    s"""WITH pri AS (
+      SELECT doc_id, n_chars,
+             pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                   / 281474976710656.0,
+                 1.0 / n_chars) AS priority
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(priority, 6) AS priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT $WSampleK""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pow(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+            .cast("long") / lit(281474976710656.0),
+          lit(1.0) / col("n_chars")).as("priority"))
+      .select(col("doc_id"), col("n_chars"), dround(col("priority"), 6).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WSampleK)
+  }
+
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
     vocab, vocabApprox, tfidf, stratified, perplexity, chunk, corrStats, qualityPct,
-    qualityPctSound)
+    qualityPctSound, weightedSample)
 }
