@@ -565,6 +565,53 @@ object EventStats {
       .orderBy("dow")
   }
 
+  /** Churn thresholds in days since the corpus frontier — calibrated
+    * to the fixture's event density (users average multiple events per
+    * DAY here, so "a full day silent" already marks risk; a weekly
+    * product would set 7/14). Shared-constant contract: interpolated
+    * into both engines' SQL. */
+  private[graft] val ChurnActiveDays = 0
+  private[graft] val ChurnAtRiskDays = 1
+
+  /** USER LIFECYCLE / CHURN BUCKETS — every user binned by recency of
+    * their last event relative to the corpus frontier (active =
+    * same-day, at_risk ≤ [[ChurnAtRiskDays]] d, churned beyond): the
+    * funnel-of-engagement summary a retention team reads daily, and
+    * the population denominator the [[rfm]] recency quartiles refine.
+    *
+    * Scale shape: one user-keyed MAX (map-side partials), a broadcast
+    * scalar frontier, a 3-key count. Pure integer day arithmetic. */
+  val churn: GraftQuery = checked("ns_events_churn",
+    s"""WITH lastd AS (
+      SELECT user_id, MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_date
+      FROM events GROUP BY user_id),
+    mx AS (SELECT MAX(last_date) AS max_date FROM lastd),
+    aged AS (
+      SELECT CASE WHEN date_diff('day', last_date, max_date) <= $ChurnActiveDays THEN 'active'
+                  WHEN date_diff('day', last_date, max_date) <= $ChurnAtRiskDays THEN 'at_risk'
+                  ELSE 'churned' END AS status
+      FROM lastd CROSS JOIN mx),
+    tot AS (SELECT COUNT(*) AS n_total FROM lastd)
+    SELECT status, COUNT(*) AS n_users,
+           ROUND(COUNT(*) / (1.0 * n_total), 6) AS share
+    FROM aged CROSS JOIN tot
+    GROUP BY status, n_total
+    ORDER BY status""") { (spark, dir) =>
+    val lastd = Tables.events(spark, dir)
+      .groupBy("user_id").agg(max(to_date(col("ts"))).as("last_date"))
+    val mx = broadcast(lastd.agg(max("last_date").as("max_date")))
+    val tot = broadcast(lastd.agg(count(lit(1)).as("n_total")))
+    val age = datediff(col("max_date"), col("last_date"))
+    lastd.crossJoin(mx)
+      .select(when(age <= ChurnActiveDays, "active").when(age <= ChurnAtRiskDays, "at_risk")
+        .otherwise("churned").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_users"))
+      .crossJoin(tot)
+      .select(col("status"), col("n_users"),
+        dround(col("n_users") / (lit(1.0) * col("n_total")), 6).as("share"))
+      .orderBy("status")
+  }
+
   val all: Seq[GraftQuery] = Seq(psi, burstiness, entropy, trigrams, gini, rfm, lift, wau,
-    errorRate, dowProfile)
+    errorRate, dowProfile, churn)
 }

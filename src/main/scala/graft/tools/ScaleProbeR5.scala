@@ -55,8 +55,8 @@ object ScaleProbeR5 {
 
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
-    // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank, triangles);
-    // no args = all
+    // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank, triangles,
+    // rank); no args = all
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -446,6 +446,29 @@ object ScaleProbeR5 {
             .agg(sum("tri")).collect()(0).getLong(0))
         println(f"[probe] $tag%-34s triangles=$secs%6.2fs")
         g.unpersist()
+      }
+    }
+
+    // --- valueRanks: the two-phase global rank behind gini/RFM ----------
+    // rank every row by (value, user_id) without a single-partition
+    // window: bin prefix + per-bin row_number. 10× rows must cost ~10×
+    // (per-bin width is data-bounded, the bin-offset frame stays
+    // value-range-sized); the global-window formulation would funnel
+    // all N rows through ONE reducer and is the anti-plan this core
+    // exists to avoid.
+    if (sections("rank")) {
+      def rev(n: Long): DataFrame =
+        spark.range(n).select(col("id").as("user_id"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("cents"))
+          .repartition(32).cache()
+      for ((n, tag) <- Seq((2000000L, "valueRanks 1x (2M users)"),
+                           (20000000L, "valueRanks 10x (20M users)"))) {
+        val r = rev(n); r.count()
+        val secs = best2(
+          graft.operators.EventStats.valueRanks(r, "cents", 4096L)
+            .agg(sum("rk")).collect()(0).getLong(0))
+        println(f"[probe] $tag%-34s rank=$secs%6.2fs")
+        r.unpersist()
       }
     }
 
