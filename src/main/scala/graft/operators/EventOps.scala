@@ -548,6 +548,33 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** SKEW-SALTED AGGREGATION, registered and oracle-gated: the
+    * [[ScaleOps.saltedSum]] two-phase plan (phase 1 groups on
+    * (key, salt) to spread a whale key over 16 reducers, phase 2
+    * merges partials) run over per-type event value totals, checked
+    * against the ORDINARY one-phase GROUP BY in DuckDB — the gate
+    * proves the salted decomposition is RESULT-TRANSPARENT, not just
+    * plan-pinned (ScaleOpsSpec covers the shape; this covers the
+    * algebra).
+    *
+    * Determinism: values quantized to cents (FLOOR(v·100 + 0.5) —
+    * Spark's floor yields LONG) BEFORE summing, so both the two
+    * Spark phases and DuckDB's single phase add exact integers in
+    * any order. A double sum would round differently under the
+    * salted regrouping and the oracle's order — the exact trap the
+    * [[EventStats]] cents convention exists for. */
+  val saltedAgg: GraftQuery = checked("ns_events_salted_sum",
+    """SELECT event_type,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).as("cents"))
+    ScaleOps.saltedSum(cents, "event_type", "cents", 16)
+      .select(col("event_type"), col("sum_cents"), col("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention,
-    funnelSteps, transitions, scd2, pivot, movingAvg)
+    funnelSteps, transitions, scd2, pivot, movingAvg, saltedAgg)
 }

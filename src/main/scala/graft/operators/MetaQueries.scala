@@ -553,9 +553,102 @@ object MetaQueries {
       .orderBy("p_a", "p_b")
   }
 
+  /** h-index propagation rounds for [[corenessQ]]. Convergence is
+    * NOT assumed — an extra fixpoint round after the loop throws
+    * loudly if any node would still move (the [[graft.operators.Dedup]]
+    * connectedComponents contract). Rounds-to-converge is the "core
+    * erosion depth" of the graph — small for clustered catalog DAGs,
+    * up to O(path length) on degenerate chains, which is what the
+    * check catches. */
+  private[graft] val CoreIters = 12
+
+  /** CORENESS (k-core decomposition) over the undirected trigger
+    * graph — the third centrality after [[pageRankQ]] (flow) and
+    * [[trianglesQ]] (local density): a node's core number is the
+    * largest k such that it survives in the subgraph where every node
+    * keeps ≥ k neighbours. High-core pipelines sit in densely
+    * interlocked trigger clusters — the "can't remove one without
+    * destabilizing the rest" set that pure degree misses (a hub with
+    * 50 leaf children has core 1).
+    *
+    * Scale shape — ITERATED H-INDEX, not sequential peeling: the
+    * classic O(m) peel removes the current-minimum-degree node one at
+    * a time, a global sequential frontier no distributed engine can
+    * partition. Instead each round replaces every node's value with
+    * the H-INDEX of its neighbours' values (h = max h such that ≥ h
+    * neighbours hold value ≥ h); Lü et al. 2016 prove this fixpoint
+    * IS the core number. Each round is one hash join (adjacency ×
+    * current values, partitioned on node) and one per-node window
+    * sort bounded by degree — O(m log dmax) work, no global order.
+    * The h-index depends only on the multiset of neighbour VALUES
+    * (ties in the sort permute equal values), so every round — and
+    * therefore the fixpoint — is deterministic and the DuckDB oracle
+    * replays the identical [[CoreIters]] rounds bit-for-bit as
+    * unrolled CTEs (the [[pageRankQ]] convention). Lineage is cut
+    * every 4th round by localCheckpoint, the [[pageRankCore]]
+    * cadence. */
+  private[graft] def corenessCore(und0: DataFrame): DataFrame = {
+    val und = und0.cache()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr"))).cache()
+    def hRound(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy("node").orderBy(col("ncv").desc)
+      adj.join(c.select(col("node").as("nbr"), col("cv").as("ncv")), Seq("nbr"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("node").agg(max(least(col("rn"), col("ncv"))).as("cv"))
+    }
+    var c = adj.groupBy("node").agg(count(lit(1)).as("cv"))
+    for (t <- 1 to CoreIters) {
+      c = hRound(c)
+      if (t % 4 == 0) c = c.localCheckpoint(true)
+    }
+    // a value that would still drop means the h-index cascade hasn't
+    // reached its fixpoint = core numbers are silently wrong — throw
+    val moved = hRound(c).join(c.withColumnRenamed("cv", "prev"), "node")
+      .where(col("cv") =!= col("prev"))
+    val notFixed = !moved.isEmpty
+    und.unpersist(); adj.unpersist()
+    if (notFixed)
+      throw new IllegalStateException(
+        s"coreness did not converge after $CoreIters h-index rounds — " +
+        s"core erosion depth exceeds CoreIters; raise CoreIters")
+    c.select(col("node"), col("cv").as("core")).orderBy("node")
+  }
+
+  val corenessQ: GraftQuery = {
+    val iters = (1 to CoreIters).map { t =>
+      s"""c$t AS (
+      SELECT node, MAX(LEAST(rn, ncv)) AS cv FROM (
+        SELECT a.node, p.cv AS ncv,
+               ROW_NUMBER() OVER (PARTITION BY a.node ORDER BY p.cv DESC) AS rn
+        FROM adj a JOIN c${t - 1} p ON p.node = a.nbr)
+      GROUP BY node)"""
+    }.mkString(",\n    ")
+    GraftQuery.checked("ns_dag_kcore",
+      "WITH " + Fixtures.edgesCte + s""",
+    und AS (
+      SELECT LEAST(trigger_uuid, pipeline_uuid) AS a,
+             GREATEST(trigger_uuid, pipeline_uuid) AS b
+      FROM pipeline_triggers WHERE trigger_uuid <> pipeline_uuid
+      GROUP BY 1, 2),
+    adj AS (SELECT a AS node, b AS nbr FROM und
+            UNION ALL SELECT b, a FROM und),
+    c0 AS (SELECT node, COUNT(*) AS cv FROM adj GROUP BY node),
+    $iters
+    SELECT node, CAST(cv AS BIGINT) AS core FROM c$CoreIters ORDER BY node""") {
+      (spark, _) =>
+        corenessCore(Fixtures.edgesDS(spark)
+          .where(col("trigger_uuid") =!= col("pipeline_uuid"))
+          .select(least(col("trigger_uuid"), col("pipeline_uuid")).as("a"),
+            greatest(col("trigger_uuid"), col("pipeline_uuid")).as("b"))
+          .distinct())
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ, coTrigger)
+    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ, coTrigger,
+    corenessQ)
 }

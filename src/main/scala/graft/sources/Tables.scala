@@ -41,10 +41,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** `events` with `ts` as microsecond TimestampType (see class doc). */
+  /** `events` with `ts` as microsecond TimestampType (see class doc).
+    *
+    * Handles BOTH physical encodings the driver has shipped:
+    * TIMESTAMP(NANOS) (read as LONG under `nanosAsLong`, truncated
+    * ns→µs) and plain TIMESTAMP(MICROS) (read natively — as
+    * TIMESTAMP_NTZ under `inferTimestampNTZ`, cast to the session-UTC
+    * TimestampType, a value-preserving reinterpretation since the
+    * session runs UTC — so downstream time arithmetic and the DuckDB
+    * oracle's naive timestamps agree either way). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

@@ -294,4 +294,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTop == batch,
       s"streaming heavy hitters diverged: stream=${streamedTop.take(3)} batch=${batch.take(3)}")
   }
+
+  test("streaming session_window == batch sessionization (all real sessions closed)") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sfDir
+    val ev = graft.sources.Tables.events(spark, dir).select("user_id", "ts")
+    val batch = graft.operators.Analytics2.sessions.run(spark, dir)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    // sentinel row one day past the last real event: after the batch,
+    // the watermark lands 30 min + delay beyond every real session's
+    // end, so append mode emits ALL real sessions (the final no-data
+    // micro-batch flushes them); only the sentinel's session stays open
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val sentinel = spark.sql(
+      s"SELECT CAST(-1 AS BIGINT) AS user_id, timestamp'$maxTs' + INTERVAL 1 DAY AS ts")
+    val srcDir = Files.createTempDirectory("sess-src").toString
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(srcDir)
+    val q = graft.streaming.StreamingSessions.userSessions(stream)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .where(col("user_id") =!= -1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streaming sessions diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
+  }
 }

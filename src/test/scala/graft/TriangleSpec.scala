@@ -48,4 +48,45 @@ class TriangleSpec extends AnyFunSuite {
     val total = MetaQueries.triangleCore(edges).agg(sum("tri")).collect()(0).getLong(0)
     assert(total === 3 * bruteTriangles(edges), "corner counts must be 3x the triangle count")
   }
+
+  /** Brute-force core numbers: the classic sequential peel (remove
+    * min-degree nodes at increasing k) — the algorithm the h-index
+    * iteration exists to avoid distributing. */
+  private def brutePeel(e: DataFrame): Map[String, Long] = {
+    val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    for (r <- e.collect(); (a, b) = (r.getString(0), r.getString(1))) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[String, Long]
+    var k = 0
+    while (adj.nonEmpty) {
+      val peel = adj.collect { case (n, ns) if ns.size <= k => n }.toSeq
+      if (peel.isEmpty) k += 1
+      else for (n <- peel) {
+        core(n) = k.toLong
+        adj(n).foreach(m => adj.get(m).foreach(_ -= n))
+        adj -= n
+      }
+    }
+    core.toMap
+  }
+
+  private def cores(e: DataFrame): Map[String, Long] =
+    MetaQueries.corenessCore(e).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("coreness: K4 is a 3-core, a path is a 1-core, a pendant hangs off a 2-core triangle") {
+    val k4 = und(for (x <- Seq("p", "q", "r", "s"); y <- Seq("p", "q", "r", "s"); if x < y) yield (x, y))
+    assert(cores(k4).values.toSet === Set(3L))
+    val path = und(Seq("1" -> "2", "2" -> "3", "3" -> "4"))
+    assert(cores(path).values.toSet === Set(1L))
+    val triPendant = und(Seq("a" -> "b", "b" -> "c", "a" -> "c", "a" -> "d"))
+    assert(cores(triPendant) === Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("h-index fixpoint equals the sequential peel on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = und(Seq.fill(300)((f"n${rnd.nextInt(40)}%s", f"n${rnd.nextInt(40)}%s"))).cache()
+    assert(cores(edges) === brutePeel(edges))
+  }
 }
