@@ -217,6 +217,41 @@ object Analytics2 {
         col("ts").as("purchase_ts"), col("view_id"), col("view_ts"))
   }
 
+  /** APPROX-PERCENTILE soundness gate: [[profile]] documents
+    * `percentile_approx` as its 100 TB swap; this query PROVES the
+    * swap's rank-error contract on this build instead of trusting the
+    * doc comment. Per group, the sketch median (accuracy A = 1000 ⇒
+    * rank error ≤ n/A) is audited against EXACT ranks: with
+    * cnt_lt = #{v < approx} and cnt_le = #{v ≤ approx}, soundness is
+    * cnt_lt ≤ n(½ + 1/A) + 1 and cnt_le ≥ n(½ − 1/A) − 1 (±1 for the
+    * returned-element-is-a-sample edge). Violating groups are emitted;
+    * the oracle is the empty relation (the `_sound` convention —
+    * DuckDB cannot replay the sketch, but it can agree nothing
+    * violated the bound).
+    *
+    * Scale: the sketch aggregation is mergeable map-side (that is the
+    * point of the swap); the audit pass joins the group-sized sketch
+    * frame back broadcast — two single-shuffle corpus passes, and the
+    * audit itself is droppable in production once gated here. */
+  val profileApproxSound: GraftQuery = checked("ns_profile_approx_sound",
+    """SELECT CAST(NULL AS VARCHAR) AS l_returnflag, CAST(NULL AS DOUBLE) AS approx_med,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS cnt_lt,
+           CAST(NULL AS BIGINT) AS cnt_le
+    WHERE 1 = 0""") { (spark, dir) =>
+    val acc = 1000
+    val li = Tables.lineitem(spark, dir)
+    val sk = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5D, $acc)").as("approx_med"),
+        count(lit(1)).as("n_rows"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("approx_med"), col("n_rows"))
+      .agg(sum(when(col("l_extendedprice") < col("approx_med"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("l_extendedprice") <= col("approx_med"), 1L).otherwise(0L)).as("cnt_le"))
+      .where(col("cnt_lt") > col("n_rows") * (0.5 + 1.0 / acc) + 1 ||
+        col("cnt_le") < col("n_rows") * (0.5 - 1.0 / acc) - 1)
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection,
-    profile, asofJoin)
+    profile, asofJoin, profileApproxSound)
 }

@@ -584,10 +584,11 @@ object MetaQueries {
     * (ties in the sort permute equal values), so every round — and
     * therefore the fixpoint — is deterministic and the DuckDB oracle
     * replays the identical [[CoreIters]] rounds bit-for-bit as
-    * unrolled CTEs (the [[pageRankQ]] convention). Lineage is cut
-    * every 4th round by localCheckpoint, the [[pageRankCore]]
-    * cadence. */
-  private[graft] def corenessCore(und0: DataFrame): DataFrame = {
+    * unrolled CTEs (the [[pageRankQ]] convention). Each round is
+    * localCheckpointed: the convergence probe and the next round both
+    * read it, and the checkpoint bounds lineage depth. */
+  private[graft] def corenessCore(und0: DataFrame,
+                                  maxIters: Int = CoreIters): DataFrame = {
     val und = und0.cache()
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .union(und.select(col("b").as("node"), col("a").as("nbr"))).cache()
@@ -597,21 +598,30 @@ object MetaQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy("node").agg(max(least(col("rn"), col("ncv"))).as("cv"))
     }
-    var c = adj.groupBy("node").agg(count(lit(1)).as("cv"))
-    for (t <- 1 to CoreIters) {
-      c = hRound(c)
-      if (t % 4 == 0) c = c.localCheckpoint(true)
+    // iterate UNTIL the fixpoint (checked every round — the
+    // connectedComponents convention), capped at CoreIters. The h
+    // operator is idempotent at its fixpoint, so stopping early still
+    // matches the oracle's full CoreIters unrolled rounds: rounds past
+    // convergence are the identity on both engines. Early exit cuts
+    // the fixture run from 12 rounds to its ~2-round erosion depth;
+    // at scale the per-round isEmpty is the standard convergence-probe
+    // cost, paid against never running wasted corpus-wide rounds.
+    var c = adj.groupBy("node").agg(count(lit(1)).as("cv")).localCheckpoint(true)
+    var converged = false
+    var t = 0
+    while (!converged && t < maxIters) {
+      val next = hRound(c).localCheckpoint(true)
+      converged = next.join(c.withColumnRenamed("cv", "prev"), "node")
+        .where(col("cv") =!= col("prev")).isEmpty
+      c = next; t += 1
     }
+    und.unpersist(); adj.unpersist()
     // a value that would still drop means the h-index cascade hasn't
     // reached its fixpoint = core numbers are silently wrong — throw
-    val moved = hRound(c).join(c.withColumnRenamed("cv", "prev"), "node")
-      .where(col("cv") =!= col("prev"))
-    val notFixed = !moved.isEmpty
-    und.unpersist(); adj.unpersist()
-    if (notFixed)
+    if (!converged)
       throw new IllegalStateException(
-        s"coreness did not converge after $CoreIters h-index rounds — " +
-        s"core erosion depth exceeds CoreIters; raise CoreIters")
+        s"coreness did not converge after $maxIters h-index rounds — " +
+        s"core erosion depth exceeds maxIters; raise maxIters")
     c.select(col("node"), col("cv").as("core")).orderBy("node")
   }
 

@@ -56,7 +56,7 @@ object ScaleProbeR5 {
   def main(args: Array[String]): Unit = {
     // optional args: section names to run (skew, contam, semdedup,
     // aqejoin, dag, ivjoin, spans, gram, pmi, pagerank, triangles,
-    // rank); no args = all
+    // kcore, rank); no args = all
     val sections: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val heapG = Runtime.getRuntime.maxMemory() / (1L << 30)
@@ -445,6 +445,37 @@ object ScaleProbeR5 {
           graft.operators.MetaQueries.triangleCore(g)
             .agg(sum("tri")).collect()(0).getLong(0))
         println(f"[probe] $tag%-34s triangles=$secs%6.2fs")
+        g.unpersist()
+      }
+    }
+
+    // --- kcore: h-index propagation, edges 10× ---------------------------
+    // per round: one adjacency⋈values hash join + a per-node window
+    // sort bounded by degree — O(m log dmax) hash-partitioned work, no
+    // global order. Rounds-to-fixpoint is a graph property (erosion
+    // depth), so 10× edges at the same density should cost ~10× per
+    // round × a similar round count — never a sequential peel. The
+    // whale hub (node 0, ~10% of edges) lands in one window partition;
+    // its sort is O(deg log deg), the same bound the skew section
+    // establishes for per-key windows.
+    if (sections("kcore")) {
+      def und(nEdges: Long): DataFrame = {
+        val nNodes = nEdges / 10
+        spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("x"),
+          when(pmod(xxhash64(col("id") + 3), lit(10)) === 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id") + 1), lit(nNodes))).as("y"))
+          .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+          .repartition(32).cache()
+      }
+      for ((n, tag) <- Seq((1000000L, "kcore 1x (1M edges)"),
+                           (10000000L, "kcore 10x (10M edges)"))) {
+        val g = und(n); g.count()
+        val secs = best2(
+          graft.operators.MetaQueries.corenessCore(g, maxIters = 64)
+            .agg(sum("core")).collect()(0).getLong(0))
+        println(f"[probe] $tag%-34s kcore=$secs%6.2fs")
         g.unpersist()
       }
     }
