@@ -12,7 +12,8 @@ object SparkEntry {
     Analytics.all ++ MetaQueries.all ++ TextOps.all ++ Dedup.all ++
       Vectors.all ++ VectorsIvf.all ++ VectorsKmeans.all ++ Multimodal.all ++
       Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all ++
-      VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all
+      VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all ++
+      VectorsPq.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 
