@@ -115,6 +115,39 @@ object VectorsPq {
     Tables.embeddings(spark, dir).select(col("vec_id") +: codeCols: _*)
   }
 
+  /** The shuffle-free candidate-scoring stage: scan -> encode projection
+    * -> per-query ADC explode. Exposed for the plan pin (PlanShapeSpec
+    * asserts it contains NO exchange — candidate generation must stay
+    * map-side; only the top-R selection afterwards shuffles, on
+    * query_id). */
+  private[graft] def adcScored(spark: SparkSession, dir: String,
+                               books: Seq[Seq[(Int, Seq[Double])]],
+                               perQuery: Seq[Column]): DataFrame =
+    encoded(spark, dir, books)
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("qs.approx").as("approx"))
+      .where(col("neighbor_id") =!= col("query_id"))
+
+  /** Per-query ADC score columns (LUT literals over the code columns);
+    * shared by [[pqTopK]] and the plan pin. */
+  private[graft] def adcPerQuery(books: Seq[Seq[(Int, Seq[Double])]],
+                                 queries: Seq[(Long, Seq[Double])]): Seq[Column] =
+    queries.map { case (qid, qv) =>
+      val score = (0 until M).map { s =>
+        val qSlice = qv.slice(s * SubDim, (s + 1) * SubDim)
+        // LUT indexed by cid POSITION (0..maxCid), zero-filled where a
+        // cluster emptied during training — assignCol never emits a
+        // missing cid, but element_at(cid+1) must still line up
+        val byCid = books(s).map { case (cid, c) =>
+          cid -> qSlice.zip(c).map { case (a, b) => a * b }.sum // left-to-right, = list_sum order
+        }.toMap
+        val lut = (0 to books(s).map(_._1).max).map(byCid.getOrElse(_, 0.0))
+        element_at(array(lut.map(lit): _*), col(s"c$s") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), score.as("approx"))
+    }
+
   /** ADC + exact re-rank top-k. `rerank >= corpus size` degrades to the
     * exact brute force (the spec's losslessness corner). */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = NQueries, k: Int = TopK,
@@ -130,25 +163,8 @@ object VectorsPq {
     // per-query ADC score as pure column algebra over the code columns:
     // element_at over a Ks-sized double-literal LUT per subspace, the
     // four terms added left-to-right (explicit, order-pinned)
-    val perQuery = queries.map { case (qid, qv) =>
-      val score = (0 until M).map { s =>
-        val qSlice = qv.slice(s * SubDim, (s + 1) * SubDim)
-        // LUT indexed by cid POSITION (0..maxCid), zero-filled where a
-        // cluster emptied during training — assignCol never emits a
-        // missing cid, but element_at(cid+1) must still line up
-        val byCid = books(s).map { case (cid, c) =>
-          cid -> qSlice.zip(c).map { case (a, b) => a * b }.sum // left-to-right, = list_sum order
-        }.toMap
-        val lut = (0 to books(s).map(_._1).max).map(byCid.getOrElse(_, 0.0))
-        element_at(array(lut.map(lit): _*), col(s"c$s") + 1)
-      }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), score.as("approx"))
-    }
-    val scored = encoded(spark, dir, books)
-      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
-      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        col("qs.approx").as("approx"))
-      .where(col("neighbor_id") =!= col("query_id"))
+    val perQuery = adcPerQuery(books, queries)
+    val scored = adcScored(spark, dir, books, perQuery)
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
     val cands = scored.withColumn("rn", row_number().over(wApprox))

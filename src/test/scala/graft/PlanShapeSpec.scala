@@ -57,6 +57,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must not rank all Q·N pairs through a window sort:\n$p")
   }
 
+  test("ns_vec_topk_pq: ADC candidate scoring is shuffle-free (scan -> encode -> LUT explode)") {
+    import org.apache.spark.sql.functions.col
+    val pq = graft.operators.VectorsPq
+    val books = pq.trainPq(spark, dir)
+    import spark.implicits._
+    val queries = graft.sources.Tables.embeddings(spark, dir)
+      .where(col("vec_id") < pq.NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (q, v) => q -> v.toSeq.map(_.toDouble) }.sortBy(_._1).toSeq
+    val p = plan(pq.adcScored(spark, dir, books, pq.adcPerQuery(books, queries)))
+    assert(!p.contains("Exchange"),
+      s"ADC candidate generation must be map-side only (codes + LUT literals):\n$p")
+    assert(!p.contains("Join"), s"ADC scoring must not join:\n$p")
+  }
+
   test("ns_text_pack: cumsum windows partition by (lang, chunk), never lang alone") {
     val p = plan(graft.operators.TextOps.pack.run(spark, dir))
     val specs = "windowspecdefinition\\(([^)]*)\\)".r
