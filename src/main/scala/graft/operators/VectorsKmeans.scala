@@ -150,7 +150,7 @@ object VectorsKmeans {
   /** The oracle replays the identical pipeline in SQL: same seed, same
     * argmax tie-break (ROW_NUMBER score DESC, cid DESC), same
     * quantized-integer centroid update, same two iterations. */
-  private def iterSql(i: Int): String =
+  private[graft] def iterSql(i: Int): String =
     s"""score$i AS (
       SELECT e.vec_id, c.cid,
              list_sum(list_transform(list_zip(e.embedding, c.cemb),

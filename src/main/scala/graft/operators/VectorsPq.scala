@@ -53,6 +53,7 @@ object VectorsPq {
   val PqIters = 2    // Lloyd rounds per subspace
   val Rerank = 50    // ADC candidates re-ranked exactly, per query
   val NQueries = 5   // probe-set size (shared with the oracle SQL)
+  val IvfNProbe = 4  // coarse cells probed per query (IVF-PQ)
   val TopK = 5       // final neighbors per query (shared with the oracle)
   private val Scale = 1000000.0
 
@@ -129,42 +130,60 @@ object VectorsPq {
         col("qs.approx").as("approx"))
       .where(col("neighbor_id") =!= col("query_id"))
 
+  /** One query's ADC score as a column over the code columns c0..c3:
+    * element_at over a Ks-sized double-literal LUT per subspace, the
+    * four terms added left-to-right (explicit, order-pinned). LUT is
+    * indexed by cid POSITION (0..maxCid), zero-filled where a cluster
+    * emptied during training — assignCol never emits a missing cid,
+    * but element_at(cid+1) must still line up. */
+  private[graft] def adcScoreCol(books: Seq[Seq[(Int, Seq[Double])]],
+                                 qv: Seq[Double]): Column =
+    (0 until M).map { s =>
+      val qSlice = qv.slice(s * SubDim, (s + 1) * SubDim)
+      val byCid = books(s).map { case (cid, c) =>
+        cid -> qSlice.zip(c).map { case (a, b) => a * b }.sum // left-to-right, = list_sum order
+      }.toMap
+      val lut = (0 to books(s).map(_._1).max).map(byCid.getOrElse(_, 0.0))
+      element_at(array(lut.map(lit): _*), col(s"c$s") + 1)
+    }.reduce(_ + _)
+
   /** Per-query ADC score columns (LUT literals over the code columns);
     * shared by [[pqTopK]] and the plan pin. */
   private[graft] def adcPerQuery(books: Seq[Seq[(Int, Seq[Double])]],
                                  queries: Seq[(Long, Seq[Double])]): Seq[Column] =
     queries.map { case (qid, qv) =>
-      val score = (0 until M).map { s =>
-        val qSlice = qv.slice(s * SubDim, (s + 1) * SubDim)
-        // LUT indexed by cid POSITION (0..maxCid), zero-filled where a
-        // cluster emptied during training — assignCol never emits a
-        // missing cid, but element_at(cid+1) must still line up
-        val byCid = books(s).map { case (cid, c) =>
-          cid -> qSlice.zip(c).map { case (a, b) => a * b }.sum // left-to-right, = list_sum order
-        }.toMap
-        val lut = (0 to books(s).map(_._1).max).map(byCid.getOrElse(_, 0.0))
-        element_at(array(lut.map(lit): _*), col(s"c$s") + 1)
-      }.reduce(_ + _)
-      struct(lit(qid).as("query_id"), score.as("approx"))
+      struct(lit(qid).as("query_id"), adcScoreCol(books, qv).as("approx"))
     }
 
   /** ADC + exact re-rank top-k. `rerank >= corpus size` degrades to the
     * exact brute force (the spec's losslessness corner). */
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = NQueries, k: Int = TopK,
              rerank: Int = Rerank): DataFrame = {
-    import spark.implicits._
     val books = trainPq(spark, dir)
-    val queries: Seq[(Long, Seq[Double])] = Tables.embeddings(spark, dir)
+    val queries = collectQueries(spark, dir, nQueries)
+    val scored = adcScored(spark, dir, books, adcPerQuery(books, queries))
+    rerankTail(spark, dir, scored, queries, k, rerank)
+  }
+
+  /** The probe set, collected driver-side (nQueries rows — the
+    * [[VectorsIvf]] collect contract), floats widened exactly. */
+  private def collectQueries(spark: SparkSession, dir: String,
+                             nQueries: Int): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
       .where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (qid, v) => qid -> v.toSeq.map(_.toDouble) }
-      .sortBy(_._1).toSeq // nQueries rows — probe-set collect, the IVF contract
-    // per-query ADC score as pure column algebra over the code columns:
-    // element_at over a Ks-sized double-literal LUT per subspace, the
-    // four terms added left-to-right (explicit, order-pinned)
-    val perQuery = adcPerQuery(books, queries)
-    val scored = adcScored(spark, dir, books, perQuery)
+      .sortBy(_._1).toSeq
+  }
+
+  /** Top-`rerank` by (approx DESC, id), exact dot on the candidates
+    * only, top-k by (sim DESC, id) — the shared tail of [[pqTopK]] and
+    * [[ivfPqTopK]]. */
+  private def rerankTail(spark: SparkSession, dir: String, scored: DataFrame,
+                         queries: Seq[(Long, Seq[Double])], k: Int, rerank: Int): DataFrame = {
+    import spark.implicits._
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
     val cands = scored.withColumn("rn", row_number().over(wApprox))
@@ -184,6 +203,54 @@ object VectorsPq {
       .where(col("rn") <= k)
       .select("query_id", "neighbor_id", "sim_r")
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  // ---- IVF-PQ: coarse cells prune, PQ codes score, exact re-rank -------
+
+  /** Probe cells per query against the trained coarse quantizer:
+    * top-nProbe cids by (q·c − |c|²/2), ties broken max cid — the
+    * [[VectorsKmeans.assignCol]] tie-break generalized to nProbe, and
+    * the ORDER the oracle mirrors as ROW_NUMBER (score DESC, cid
+    * DESC). Computed driver-side: both operands are already
+    * driver-resident model state (queries = the probe-set collect,
+    * centroids = K×Dim), so the cell filter rides the plan as
+    * per-query literal lists — candidate generation stays map-side. */
+  private def probeCells(cents: Seq[(Int, Seq[Double])],
+                         queries: Seq[(Long, Seq[Double])], nProbe: Int): Map[Long, Seq[Int]] =
+    queries.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, c) =>
+        (qv.zip(c).map { case (a, b) => a * b }.sum - c.map(x => x * x).sum / 2, cid)
+      }.sortBy { case (sc, cid) => (-sc, -cid) }.take(nProbe).map(_._2)
+    }.toMap
+
+  /** IVF-PQ ANN — the production composition (Jégou et al. 2011 §V):
+    * the [[VectorsKmeans]]-trained coarse quantizer prunes the corpus
+    * to nProbe cells per query, PQ codes ADC-score only the
+    * survivors, exact re-rank on the top-`rerank`. Candidate
+    * generation is STILL map-side only: cell id and codes are literal
+    * argmaxes fused into the scan, and the probe-cell filter is a
+    * per-query literal IN-list — a vector outside every probe cell
+    * costs one boolean test, never a join or shuffle. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = NQueries, k: Int = TopK,
+                nProbe: Int = IvfNProbe, rerank: Int = Rerank): DataFrame = {
+    val cents = VectorsKmeans.train(spark, dir)
+    val books = trainPq(spark, dir)
+    val queries = collectQueries(spark, dir, nQueries)
+    val probes = probeCells(cents, queries, nProbe)
+    val codeCols = (0 until M).map(s =>
+      VectorsKmeans.assignCol(sub(col("embedding"), s), books(s)).as(s"c$s"))
+    val enc = Tables.embeddings(spark, dir).select(
+      col("vec_id") +: VectorsKmeans.assignCol(col("embedding"), cents).as("cell") +: codeCols: _*)
+    val perQuery = queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"), adcScoreCol(books, qv).as("approx"),
+        col("cell").isin(probes(qid): _*).as("probed"))
+    }
+    val scored = enc
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
+      .where(col("qs.probed") && col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("qs.approx").as("approx"))
+    rerankTail(spark, dir, scored, queries, k, rerank)
   }
 
   // ---- oracle: replay train → encode → ADC → re-rank in SQL ------------
@@ -217,16 +284,17 @@ object VectorsPq {
         GROUP BY a.cluster, t.i)
       GROUP BY cluster)"""
 
-  private def oracleSql: String = {
-    val trainCtes = (0 until M).map { s =>
-      s"""pcents${s}_0 AS (
+  /** Per-subspace codebook training CTEs (pcents{s}_{PqIters} final). */
+  private def pqTrainCtes: String = (0 until M).map { s =>
+    s"""pcents${s}_0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
              list_transform(${subSql("embedding", s)}, x -> CAST(x AS DOUBLE)) AS cemb
       FROM embeddings WHERE vec_id < $Ks),
     ${(0 until PqIters).map(i => pqIterSql(s, i)).mkString(",\n    ")}"""
-    }.mkString(",\n    ")
-    // final codebooks pcents{s}_{PqIters}; encode + LUT per subspace
-    val codeCtes = (0 until M).map { s =>
+  }.mkString(",\n    ")
+
+  /** Encode (pcode{s}) + query LUT (plut{s}) CTEs per subspace. */
+  private def pqCodeLutCtes: String = (0 until M).map { s =>
       s"""pcode$s AS (
       SELECT vec_id, cid AS code FROM (
         SELECT e.vec_id, c.cid,
@@ -241,23 +309,12 @@ object VectorsPq {
                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS d
       FROM embeddings q CROSS JOIN pcents${s}_$PqIters c
       WHERE q.vec_id < $NQueries)"""
-    }.mkString(",\n    ")
-    s"""WITH $trainCtes,
-    $codeCtes,
-    approx AS (
-      SELECT q.query_id, e0.vec_id AS neighbor_id,
-             l0.d + l1.d + l2.d + l3.d AS approx
-      FROM (SELECT DISTINCT query_id FROM plut0) q
-      CROSS JOIN pcode0 e0
-      JOIN pcode1 e1 ON e1.vec_id = e0.vec_id
-      JOIN pcode2 e2 ON e2.vec_id = e0.vec_id
-      JOIN pcode3 e3 ON e3.vec_id = e0.vec_id
-      JOIN plut0 l0 ON l0.query_id = q.query_id AND l0.code = e0.code
-      JOIN plut1 l1 ON l1.query_id = q.query_id AND l1.code = e1.code
-      JOIN plut2 l2 ON l2.query_id = q.query_id AND l2.code = e2.code
-      JOIN plut3 l3 ON l3.query_id = q.query_id AND l3.code = e3.code
-      WHERE e0.vec_id <> q.query_id),
-    cands AS (
+  }.mkString(",\n    ")
+
+  /** Shared ADC→re-rank tail SQL: top-$Rerank candidates from
+    * `approx`, exact dot, top-$TopK. */
+  private def rerankTailSql: String =
+    s"""cands AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -276,10 +333,80 @@ object VectorsPq {
                ORDER BY sim_r DESC, neighbor_id) AS rn
       FROM exact) WHERE rn <= $TopK
     ORDER BY query_id, sim_r DESC, neighbor_id"""
+
+  private def oracleSql: String = {
+    s"""WITH $pqTrainCtes,
+    $pqCodeLutCtes,
+    approx AS (
+      SELECT q.query_id, e0.vec_id AS neighbor_id,
+             l0.d + l1.d + l2.d + l3.d AS approx
+      FROM (SELECT DISTINCT query_id FROM plut0) q
+      CROSS JOIN pcode0 e0
+      JOIN pcode1 e1 ON e1.vec_id = e0.vec_id
+      JOIN pcode2 e2 ON e2.vec_id = e0.vec_id
+      JOIN pcode3 e3 ON e3.vec_id = e0.vec_id
+      JOIN plut0 l0 ON l0.query_id = q.query_id AND l0.code = e0.code
+      JOIN plut1 l1 ON l1.query_id = q.query_id AND l1.code = e1.code
+      JOIN plut2 l2 ON l2.query_id = q.query_id AND l2.code = e2.code
+      JOIN plut3 l3 ON l3.query_id = q.query_id AND l3.code = e3.code
+      WHERE e0.vec_id <> q.query_id),
+    $rerankTailSql"""
+  }
+
+  /** IVF-PQ oracle: the coarse-quantizer replay ([[VectorsKmeans]]
+    * seed + iterSql rounds), corpus cell assignment + per-query probe
+    * cells (ROW_NUMBER score DESC, cid DESC — the driver-side
+    * probeCells order), then the PQ pipeline restricted to probed
+    * cells. */
+  private def ivfPqOracleSql: String = {
+    val km = VectorsKmeans
+    s"""WITH cents0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+      FROM embeddings WHERE vec_id < ${km.K}),
+    ${(0 until km.Iters).map(km.iterSql).mkString(",\n    ")},
+    cellassign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(e.embedding, c.cemb),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 - list_sum(list_transform(c.cemb, x -> x * x)) / 2 DESC, c.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents${km.Iters} c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.embedding, c.cemb),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                 - list_sum(list_transform(c.cemb, x -> x * x)) / 2 DESC, c.cid DESC) AS rn
+        FROM embeddings q CROSS JOIN cents${km.Iters} c
+        WHERE q.vec_id < $NQueries) WHERE rn <= $IvfNProbe),
+    $pqTrainCtes,
+    $pqCodeLutCtes,
+    approx AS (
+      SELECT q.query_id, e0.vec_id AS neighbor_id,
+             l0.d + l1.d + l2.d + l3.d AS approx
+      FROM (SELECT DISTINCT query_id FROM plut0) q
+      CROSS JOIN pcode0 e0
+      JOIN cellassign ca ON ca.vec_id = e0.vec_id
+      JOIN probes pr ON pr.query_id = q.query_id AND pr.cell = ca.cell
+      JOIN pcode1 e1 ON e1.vec_id = e0.vec_id
+      JOIN pcode2 e2 ON e2.vec_id = e0.vec_id
+      JOIN pcode3 e3 ON e3.vec_id = e0.vec_id
+      JOIN plut0 l0 ON l0.query_id = q.query_id AND l0.code = e0.code
+      JOIN plut1 l1 ON l1.query_id = q.query_id AND l1.code = e1.code
+      JOIN plut2 l2 ON l2.query_id = q.query_id AND l2.code = e2.code
+      JOIN plut3 l3 ON l3.query_id = q.query_id AND l3.code = e3.code
+      WHERE e0.vec_id <> q.query_id),
+    $rerankTailSql"""
   }
 
   val pqTopKQ: GraftQuery =
     GraftQuery.checked("ns_vec_topk_pq", oracleSql)((s, d) => pqTopK(s, d))
 
-  val all: Seq[GraftQuery] = Seq(pqTopKQ)
+  val ivfPqTopKQ: GraftQuery =
+    GraftQuery.checked("ns_vec_topk_ivfpq", ivfPqOracleSql)((s, d) => ivfPqTopK(s, d))
+
+  val all: Seq[GraftQuery] = Seq(pqTopKQ, ivfPqTopKQ)
 }

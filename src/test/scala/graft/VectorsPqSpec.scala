@@ -39,6 +39,24 @@ class VectorsPqSpec extends AnyFunSuite {
     assert(full == brute, "full-rerank PQ must equal the exact top-k, row for row")
   }
 
+  test("ivf-pq with all cells probed and full rerank degrades to the exact top-k") {
+    val full = VectorsPq.ivfPqTopK(spark, dir, nProbe = graft.operators.VectorsKmeans.K,
+        rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == brute, "all-cells full-rerank IVF-PQ must equal the exact top-k")
+  }
+
+  test("ivf-pq candidates are a subset of pq candidates (cells only prune)") {
+    val ivfpq = VectorsPq.ivfPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfpq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, f"IVF-PQ recall collapsed: $recall%.2f")
+  }
+
   test("default Rerank recalls most of the exact top-k on the fixture") {
     val pq = VectorsPq.pqTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
