@@ -37,7 +37,7 @@ object Analytics {
     * resolves, so it never leaks into other plans. */
   def tableCountsViaScan(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events: TIMESTAMP(NANOS) footer
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // legacy NANOS events footer (pre-r5 testdata; harmless on MICROS)
     spark.conf.set("spark.sql.sources.useV1SourceList", "")
     try {
       Tables.names.map { n =>

@@ -575,6 +575,45 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Z-ORDER layout key over (user_id, event-day), oracle-gated: the
+    * clustering key a 100 TB event store would sort its files by so
+    * BOTH per-user scans and time-range scans prune on parquet
+    * zone maps ([[ScaleOps.zorderKey]]; compose with
+    * [[ScaleOps.writeCurated]]'s in-file sort for the full layout).
+    * The gate proves the bit interleave identical on both engines —
+    * the key must be engine-independent or a DuckDB-written layout
+    * and a Spark reader would disagree about locality. Emits the
+    * first rows in z-order (key + its two reconstructed coordinates,
+    * so the oracle also re-derives DE-interleaving). */
+  val zorder: GraftQuery = {
+    val bits = 20
+    val interleave = (1 to 2).map { which => // 1 = a (even bits), 2 = b (odd)
+      (0 until bits).map { i =>
+        if (which == 1) s"(((user_id >> $i) & 1) << ${2 * i})"
+        else s"(((d >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" | ")
+    }
+    checked("ns_events_zorder",
+      s"""WITH keyed AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS d
+      FROM events),
+    z AS (
+      SELECT event_id, user_id, d,
+             (${interleave(0)}) | (${interleave(1)}) AS zkey
+      FROM keyed)
+    SELECT event_id, user_id, d AS day_num, zkey
+    FROM z ORDER BY zkey, event_id LIMIT 100""") { (spark, dir) =>
+      val keyed = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          floor(unix_micros(col("ts")).cast("double") / 86400000000.0).cast("long").as("d"))
+      keyed
+        .withColumn("zkey", ScaleOps.zorderKey(col("user_id"), col("d"), bits))
+        .select(col("event_id"), col("user_id"), col("d").as("day_num"), col("zkey"))
+        .orderBy("zkey", "event_id").limit(100)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(attribution, anomalies, intervalJoin, retention,
-    funnelSteps, transitions, scd2, pivot, movingAvg, saltedAgg)
+    funnelSteps, transitions, scd2, pivot, movingAvg, saltedAgg, zorder)
 }

@@ -49,6 +49,28 @@ object ScaleOps {
       .option("path", s"spark-warehouse/$table")
       .saveAsTable(table)
 
+  /** Z-ORDER (Morton) clustering key: interleaves the low `bits` bits
+    * of two non-negative long columns (a at even positions, b at odd),
+    * so sorting by the key clusters rows that are close in BOTH
+    * dimensions — the multi-dimensional data-skipping layout
+    * (Delta/Iceberg "OPTIMIZE ZORDER BY"): after
+    * [[writeCurated]]-style sorted writes, parquet row-group min/max
+    * zone maps prune range scans on EITHER column, where a plain sort
+    * on one column leaves the other's ranges spanning every file.
+    *
+    * Pure integer bit algebra — one codegen'd expression, zero
+    * shuffle, bit-identical on any engine (the oracle mirrors it as
+    * explicit shift/mask terms). Caller contract: 0 ≤ a,b < 2^bits
+    * (2·bits ≤ 62) — out-of-range bits are masked off, not an error,
+    * matching the "clustering key, not an identity" role. */
+  def zorderKey(a: Column, b: Column, bits: Int = 20): Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits=$bits out of range")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** CURATED-CORPUS SINK: the layout contract for the training-data
     * output of the curation funnel. Hive-partitioned by `partCol`
     * (readers prune whole languages/sources from the path alone),

@@ -219,6 +219,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(native == agg)
   }
 
+  test("zorderKey: interleave matches hand-computed keys and de-interleaves back") {
+    import spark.implicits._
+    import graft.operators.ScaleOps
+    val pairs = Seq((5L, 0L), (0L, 5L), (3L, 3L), (123456L, 654L), (0L, 0L))
+    val rows = pairs.toDF("a", "b")
+      .withColumn("z", ScaleOps.zorderKey(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = rows.map(r => (r._1, r._2) -> r._3).toMap
+    // a occupies even bit positions, b odd: 101 ⊕ 000 = 010001₂ = 17
+    assert(byPair((5L, 0L)) == 17L)
+    assert(byPair((0L, 5L)) == 34L)
+    assert(byPair((3L, 3L)) == 15L)
+    assert(byPair((0L, 0L)) == 0L)
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until 20) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    rows.foreach { case (a, b, z) =>
+      assert(deinterleave(z) == (a, b), s"z=$z must reconstruct ($a,$b)")
+    }
+  }
+
   test("streaming windowed agg with watermark == batch daily totals") {
     val batch = graft.operators.Analytics.eventsDaily.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet
