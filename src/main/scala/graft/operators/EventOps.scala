@@ -387,7 +387,10 @@ object EventOps {
     * window touches more than |types|² rows. Determinism: the lag order
     * ties on event_id (same composite order both engines), counts are
     * exact integers, and p divides the same two BIGINTs on both sides
-    * before the shared 4-digit round. */
+    * before the shared 4-digit round. `row_total` is CAST back to
+    * BIGINT in the oracle — DuckDB's bare SUM(BIGINT) is HUGEINT,
+    * which pandas-bridged comparators fold to float64 (see
+    * [[saltedAgg]]'s oracle-type contract; r5 driver-red row). */
   val transitions: GraftQuery = checked("ns_events_transitions",
     """WITH ev AS (
       SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -397,7 +400,7 @@ object EventOps {
       FROM ev),
     cnt AS (
       SELECT src, dst, COUNT(*) AS n FROM pairs WHERE src IS NOT NULL GROUP BY src, dst),
-    tot AS (SELECT src, SUM(n) AS row_total FROM cnt GROUP BY src)
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_total FROM cnt GROUP BY src)
     SELECT c.src, c.dst, c.n, t.row_total,
            ROUND(CAST(c.n AS DOUBLE) / t.row_total, 4) AS p
     FROM cnt c JOIN tot t USING (src)
@@ -562,10 +565,18 @@ object EventOps {
     * Spark phases and DuckDB's single phase add exact integers in
     * any order. A double sum would round differently under the
     * salted regrouping and the oracle's order — the exact trap the
-    * [[EventStats]] cents convention exists for. */
+    * [[EventStats]] cents convention exists for.
+    *
+    * Oracle-type contract (root cause of the r5 driver-red row): DuckDB
+    * `SUM(BIGINT)` returns HUGEINT (int128), which a pandas-bridged
+    * comparator folds to float64 (`4832.0`) while Spark's parquet
+    * BIGINT stays int64 (`4832`) — a hash mismatch invisible to a
+    * fetchall()-style compare. Every integer SUM that reaches an oracle
+    * OUTPUT column must be `CAST(... AS BIGINT)`; tools/selfcheck.py
+    * now enforces this by comparing pandas dtypes strictly. */
   val saltedAgg: GraftQuery = checked("ns_events_salted_sum",
     """SELECT event_type,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type""") { (spark, dir) =>
     val cents = Tables.events(spark, dir)

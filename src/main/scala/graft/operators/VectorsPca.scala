@@ -33,7 +33,10 @@ import graft.sources.Tables
   * BIGINTs — order-invariant under any partitioning — and the final
   * covariance double is the same closed formula (S_ij − S_iS_j/n)/(n−1)
   * over the same integers on both sides, rounded via the shared 4-digit
-  * contract. Bounds: |e| < 1 ⇒ q² < Scale² = 1e8, so the BIGINT sum
+  * contract. The oracle's integer SUMs (`s`, `s_ij`) are CAST back to
+  * BIGINT — DuckDB's bare SUM(BIGINT) is HUGEINT, which pandas-bridged
+  * comparators fold to float64 while Spark's stays int64 (the r5
+  * driver-red cause; see EventOps.saltedAgg's oracle-type contract). Bounds: |e| < 1 ⇒ q² < Scale² = 1e8, so the BIGINT sum
   * wraps only past ~9·10¹⁰ rows — past that, swap the sum to
   * DECIMAL(38,0)/HUGEINT exactly as `ns_events_anomaly` does for Σn².
   * The driver-side consumer ([[VectorsPca.topEigen]], used by the spec)
@@ -55,12 +58,12 @@ object VectorsPca {
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings)),
     n AS (SELECT COUNT(*) AS n FROM embeddings),
-    sums AS (SELECT i, SUM(q) AS s FROM q GROUP BY i),
+    sums AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY i),
     gram AS (
-      SELECT a.i AS dim_i, b.i AS dim_j, SUM(a.q * b.q) AS s_ij
+      SELECT a.i AS dim_i, b.i AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS s_ij
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2)
-    SELECT g.dim_i, g.dim_j, g.s_ij,
+    SELECT CAST(g.dim_i AS INTEGER) AS dim_i, CAST(g.dim_j AS INTEGER) AS dim_j, g.s_ij,
            ROUND((CAST(g.s_ij AS DOUBLE) - CAST(sa.s AS DOUBLE) * sb.s / n.n)
                  / (n.n - 1), 4) AS cov
     FROM gram g
