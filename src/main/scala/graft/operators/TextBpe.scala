@@ -62,7 +62,7 @@ object TextBpe {
   /** One corpus pass: lowercased whitespace tokens → (word, freq).
     * Shared with [[TextFuzzy]] so the two vocabulary operators can't
     * drift on tokenization. */
-  private[operators] def wordFreqs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def wordFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -93,13 +93,16 @@ object TextBpe {
 
   /** Train [[NumMerges]] merges over a `(word, freq)` vocabulary.
     * Returns (rank, l, r, pairCount) in rank order. Each iteration's
-    * vocab frame is cached and the previous unpersisted (the pageRank
-    * lineage discipline); the per-iteration collect is the 1-row
-    * argmax — the model, not data. */
+    * vocab frame is eagerly `localCheckpoint`ed and the previous
+    * unpersisted — checkpointing (not mere caching) TRUNCATES the
+    * logical plan, so plan size stays constant in merge count where a
+    * cache chain grows a nested-fold plan per iteration (explain/UI
+    * string rendering of that chain OOMs around ~30 merges); the
+    * per-iteration collect is the 1-row argmax — the model, not data. */
   private[graft] def bpeTrain(words: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
     var vocab = words.select(
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("seq"),
-      col("freq")).cache()
+      col("freq")).localCheckpoint()
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     for (t <- 1 to numMerges) {
       val top = vocab
@@ -114,8 +117,8 @@ object TextBpe {
       if (top.nonEmpty) {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((t, l, r, cnt))
-        val next = vocab.select(mergeFold(col("seq"), l, r).as("seq"), col("freq")).cache()
-        next.count()
+        val next = vocab.select(mergeFold(col("seq"), l, r).as("seq"), col("freq"))
+          .localCheckpoint() // eager: materializes before the old blocks drop
         vocab.unpersist()
         vocab = next
       }
@@ -124,12 +127,128 @@ object TextBpe {
     merges.toSeq
   }
 
+  /** UTF-8 byte order — the string collation BOTH engines sort by
+    * (Spark UTF8String binary compare, DuckDB default collation), so
+    * the driver-side argmax tie-break matches the distributed
+    * `orderBy(cnt desc, l, r)` byte-for-byte. Java String.compareTo
+    * (UTF-16 code units) would diverge on supplementary characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The [[mergeFold]] semantics as a driver-side array op: one
+    * left-to-right pass, merged symbols never re-match as `l` within
+    * the same pass (`l+r ≠ l` for non-empty `r`), overlapping runs
+    * merge alternately (`a a a` → `aa a`). Kept textually tiny so the
+    * equivalence spec (fast ≡ distributed ≡ oracle) is the real
+    * guarantee, not code inspection. */
+  private def mergeSeq(s: Array[String], l: String, r: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** FAST exact-greedy trainer — the classic fast-BPE shape (one
+    * corpus scan, then pure driver-side pair-count deltas; Sennrich's
+    * reference implementation and every production tokenizer trainer
+    * work this way): collect the collapsed `(word, freq)` VOCABULARY
+    * once, then per merge touch only the words containing the chosen
+    * pair via an inverted pair→words index. Identical output to
+    * [[bpeTrain]] (spec-pinned): same argmax key (count DESC, l, r in
+    * UTF-8 order), same left-to-right fold.
+    *
+    * Scale contract: the collect is VOCABULARY-sized, not corpus-sized
+    * — distinct whitespace words grow ~Heaps-law sublinearly (the same
+    * reason the driver holds k-means centroids and PQ codebooks:
+    * model-sized state, here the model being trained). Job count is
+    * O(1) in merge count (one count pass + one collect) vs the
+    * distributed loop's 2 jobs per merge — the difference between a
+    * 32k-merge vocabulary costing ~10⁴ s of pure job-floor scheduling
+    * and a few seconds of driver arithmetic (r5 verdict perf #1). The
+    * distributed [[bpeTrain]] remains the fallback for a vocabulary
+    * too large to collect, at its 2-jobs-per-merge price. */
+  private[graft] def bpeTrainFast(words: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val vocab: Array[(Array[String], Long)] = words.select("word", "freq").collect()
+      .map { r =>
+        val w = r.getString(0)
+        val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        (syms, r.getLong(1))
+      }
+    val seqs = vocab.map(_._1) // mutable: seqs(i) is word i's current segmentation
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def addPairs(wi: Int, s: Array[String], freq: Long, register: Boolean): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCount.updateWith(p) { c => Some(c.getOrElse(0L) + freq) }
+        if (register) pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    def subPairs(s: Array[String], freq: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCount.updateWith(p) { c => c.map(_ - freq).filter(_ != 0L) }
+        i += 1
+      }
+    }
+    vocab.zipWithIndex.foreach { case ((s, f), wi) => addPairs(wi, s, f, register = true) }
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    for (t <- 1 to numMerges) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      pairCount.foreach { case (p, c) =>
+        if (c > bestCnt || (c == bestCnt && best != null &&
+          (utf8Lt(p._1, best._1) || (p._1 == best._1 && utf8Lt(p._2, best._2)))))
+          { best = p; bestCnt = c }
+      }
+      if (best != null) {
+        merges += ((t, best._1, best._2, bestCnt))
+        // snapshot: the index is appended to lazily and entries go
+        // stale when a word's pair disappears — re-check before work
+        val affected = pairWords.getOrElse(best, scala.collection.mutable.BitSet.empty).toArray
+        affected.foreach { wi =>
+          val s = seqs(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) { has = s(i) == best._1 && s(i + 1) == best._2; i += 1 }
+          if (has) {
+            val freq = vocab(wi)._2
+            subPairs(s, freq)
+            val ns = mergeSeq(s, best._1, best._2)
+            seqs(wi) = ns
+            addPairs(wi, ns, freq, register = true)
+          }
+        }
+        pairWords.remove(best)
+        pairCount.remove(best)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Memoized merge table for a data dir — shared by both queries and
-    * warm bench re-runs. */
+    * warm bench re-runs. Primary = [[bpeTrainFast]]; [[bpeTrain]]
+    * (distributed loop) is spec-pinned equal and kept for vocabularies
+    * beyond driver memory. */
   private def mergesDf(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "bpe_merges") {
       import spark.implicits._
-      bpeTrain(wordFreqs(spark, dir), NumMerges)
+      bpeTrainFast(wordFreqs(spark, dir), NumMerges)
         .toDF("merge_rank", "sym_l", "sym_r", "pair_count")
     }
 

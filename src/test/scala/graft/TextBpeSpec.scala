@@ -25,6 +25,51 @@ class TextBpeSpec extends AnyFunSuite {
     assert(merges === Seq((1, "a", "a", 10L), (2, "a", "b", 8L), (3, "aa", "ab", 5L)))
   }
 
+  test("fast trainer matches the hand-computed merge order and stops by itself") {
+    import spark.implicits._
+    val words = Seq(("aaab", 5L), ("ab", 3L)).toDF("word", "freq")
+    val merges = TextBpe.bpeTrainFast(words, numMerges = 8)
+    assert(merges === Seq((1, "a", "a", 10L), (2, "a", "b", 8L), (3, "aa", "ab", 5L)))
+  }
+
+  test("fast trainer ≡ distributed trainer on the real corpus, 32 merges deep") {
+    // the equivalence that lets mergesDf switch to the driver-side
+    // delta trainer without touching the oracle: same argmax key
+    // (count DESC, l, r UTF-8), same left-to-right fold, 4× past the
+    // oracle's 8 merges so a divergence hiding beyond the gated prefix
+    // still fails here
+    val words = TextBpe.wordFreqs(spark, SparkSuite.sfDir).cache()
+    try {
+      val fast = TextBpe.bpeTrainFast(words, 32)
+      val slow = TextBpe.bpeTrain(words, 32)
+      assert(fast === slow)
+    } finally words.unpersist()
+  }
+
+  test("fast trainer runs O(1) Spark jobs regardless of merge count") {
+    // the r5 perf verdict: 2 jobs/merge × 32k merges is ~10⁴ s of pure
+    // scheduling. The fast path's job bill is the single vocabulary
+    // collect — assert it stays flat at 256 merges (vs ~512 for the
+    // distributed loop).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = TextBpe.bpeTrainFast(TextBpe.wordFreqs(spark, SparkSuite.sfDir), 256)
+      // sf0.001's vocabulary fully merges at ~89 ranks — still 20×
+      // past the oracle's 8 and far past where the distributed loop's
+      // 2-jobs-per-merge bill would show (≥178 jobs)
+      assert(merges.size > 64, s"corpus exhausted at ${merges.size} merges — probe too small")
+      // listener delivery is async; a short bounded wait is enough for
+      // the job-START events of jobs that have already finished
+      Thread.sleep(2000)
+      assert(jobs.get() <= 4, s"fast BPE ran ${jobs.get()} jobs for 256 merges — not O(1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("argmax pair counts are non-increasing across merge ranks") {
     // merging removes occurrences and any pair it creates is bounded by a
     // pre-merge count, so the running argmax can never rise
