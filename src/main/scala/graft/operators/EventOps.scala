@@ -597,6 +597,16 @@ object EventOps {
     * first rows in z-order (key + its two reconstructed coordinates,
     * so the oracle also re-derives DE-interleaving). */
   val zorder: GraftQuery = {
+    // 20 bits per dimension: user_id < 2^20 (~1.05M) and day_num <
+    // 2^20. The driver fixtures top out near 10^5 users at sf0.1 (and
+    // ~10^6 at sf=1), so the headroom is ~10×; BOTH engines mask
+    // identically so the oracle stays green past the bound, but ids
+    // ≥ 2^20 would silently collide on the zkey prefix and quietly
+    // weaken the data-skipping layout this query exists to
+    // demonstrate. If a future SF crosses 1M users, raise `bits`
+    // (zkey is one BIGINT: 2×31 bits fit; the oracle's interleave
+    // terms are generated from the same constant, so the two sides
+    // cannot drift).
     val bits = 20
     val interleave = (1 to 2).map { which => // 1 = a (even bits), 2 = b (odd)
       (0 until bits).map { i =>

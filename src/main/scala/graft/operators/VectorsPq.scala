@@ -167,7 +167,7 @@ object VectorsPq {
 
   /** The probe set, collected driver-side (nQueries rows — the
     * [[VectorsIvf]] collect contract), floats widened exactly. */
-  private def collectQueries(spark: SparkSession, dir: String,
+  private[graft] def collectQueries(spark: SparkSession, dir: String,
                              nQueries: Int): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
@@ -233,9 +233,22 @@ object VectorsPq {
     * costs one boolean test, never a join or shuffle. */
   def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = NQueries, k: Int = TopK,
                 nProbe: Int = IvfNProbe, rerank: Int = Rerank): DataFrame = {
-    val cents = VectorsKmeans.train(spark, dir)
     val books = trainPq(spark, dir)
     val queries = collectQueries(spark, dir, nQueries)
+    val scored = ivfAdcScored(spark, dir, books, queries, nProbe)
+    rerankTail(spark, dir, scored, queries, k, rerank)
+  }
+
+  /** The IVF-PQ candidate-scoring stage (cell filter + ADC), exposed
+    * like [[adcScored]] so the spec can assert the cells-only-prune
+    * invariant: this frame must be a SUBSET of the unfiltered PQ
+    * [[adcScored]] frame with identical approx scores — the coarse
+    * quantizer may only remove candidates, never rescore them. */
+  private[graft] def ivfAdcScored(spark: SparkSession, dir: String,
+                                  books: Seq[Seq[(Int, Seq[Double])]],
+                                  queries: Seq[(Long, Seq[Double])],
+                                  nProbe: Int): DataFrame = {
+    val cents = VectorsKmeans.train(spark, dir)
     val probes = probeCells(cents, queries, nProbe)
     val codeCols = (0 until M).map(s =>
       VectorsKmeans.assignCol(sub(col("embedding"), s), books(s)).as(s"c$s"))
@@ -245,12 +258,11 @@ object VectorsPq {
       struct(lit(qid).as("query_id"), adcScoreCol(books, qv).as("approx"),
         col("cell").isin(probes(qid): _*).as("probed"))
     }
-    val scored = enc
+    enc
       .select(col("vec_id"), explode(array(perQuery: _*)).as("qs"))
       .where(col("qs.probed") && col("vec_id") =!= col("qs.query_id"))
       .select(col("qs.query_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col("qs.approx").as("approx"))
-    rerankTail(spark, dir, scored, queries, k, rerank)
   }
 
   // ---- oracle: replay train → encode → ADC → re-rank in SQL ------------

@@ -46,8 +46,10 @@ class GraftStreamSpec extends AnyFunSuite {
       val sinks = GraftStream.start(spark, src,
         Fixtures.defsDS(spark), Fixtures.edgesDS(spark), metas,
         subs, hist, ckpt, () => runningSnapshot(), fixedNow = Some(Fixtures.NOW))
-      sinks.submissions.awaitTermination(120000)
-      sinks.history.awaitTermination(120000)
+      assert(sinks.submissions.awaitTermination(120000),
+        "streaming query did not finish in 120s")
+      assert(sinks.history.awaitTermination(120000),
+        "streaming query did not finish in 120s")
       sinks.submissions.stop(); sinks.history.stop()
     }
     runOnce()
@@ -101,8 +103,10 @@ class GraftStreamSpec extends AnyFunSuite {
         subs, hist, ckpt,
         () => spark.createDataset(running)(Encoders.product[RunningJob]),
         fixedNow = Some(Fixtures.NOW))
-      sinks.submissions.awaitTermination(120000)
-      sinks.history.awaitTermination(120000)
+      assert(sinks.submissions.awaitTermination(120000),
+        "streaming query did not finish in 120s")
+      assert(sinks.history.awaitTermination(120000),
+        "streaming query did not finish in 120s")
       sinks.submissions.stop(); sinks.history.stop()
     }
     runOnce()

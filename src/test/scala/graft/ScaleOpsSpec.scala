@@ -258,7 +258,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("wagg_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     // append mode emits only windows closed by the watermark; the last
     // event day stays open, so compare on the emitted subset and check
@@ -468,7 +469,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val q = stream.toDF("k", "sk")
       .writeStream.format("memory").queryName("mg_out").outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val sk = spark.table("mg_out").select(col("sk.counts")).head().getMap[String, Long](0)
     val streamed = sk.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).toSet

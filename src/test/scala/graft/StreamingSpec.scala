@@ -63,7 +63,8 @@ class StreamingSpec extends AnyFunSuite {
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000),
+        "streaming query did not finish in 120s")
       q.stop()
     }
     runOnce(chunk1.toSeq)
@@ -91,7 +92,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("cur_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
 
     val streamed = spark.table("cur_out")
@@ -123,7 +125,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
 
     val out = spark.table("dedup_out")
@@ -159,7 +162,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("asof_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val streamed = spark.table("asof_out")
       .collect()
@@ -190,7 +194,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val out = spark.table("funnel_out")
     // every transition emits exactly once per (user, stage)
@@ -222,7 +227,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("trans_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val streamed = spark.table("trans_out")
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
@@ -256,7 +262,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sij_out")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val streamed = spark.table("sij_out")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -280,7 +287,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("hh_out")
       .outputMode("update")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     // latest emission per shard, merged consumer-side
     val perShard = spark.table("hh_out")
@@ -319,7 +327,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sess_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
     q.stop()
     val streamed = spark.table("sess_out")
       .where(col("user_id") =!= -1L)

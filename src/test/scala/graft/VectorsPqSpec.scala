@@ -49,6 +49,23 @@ class VectorsPqSpec extends AnyFunSuite {
   }
 
   test("ivf-pq candidates are a subset of pq candidates (cells only prune)") {
+    // the coarse quantizer may only REMOVE candidates, never rescore:
+    // (query, neighbor) -> approx of the cell-filtered ADC stage must
+    // be contained, scores identical, in the unfiltered ADC stage
+    val books = VectorsPq.trainPq(spark, dir)
+    val queries = VectorsPq.collectQueries(spark, dir, VectorsPq.NQueries)
+    val pq = VectorsPq.adcScored(spark, dir, books, VectorsPq.adcPerQuery(books, queries))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = VectorsPq.ivfAdcScored(spark, dir, books, queries, graft.operators.VectorsPq.IvfNProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivfpq.nonEmpty, "cell filter pruned every candidate")
+    assert(ivfpq.size < pq.size, "cell filter pruned nothing — probe lists cover all cells")
+    val violations = ivfpq.filterNot { case (k, v) => pq.get(k).contains(v) }
+    assert(violations.isEmpty,
+      s"IVF-PQ candidates not a score-identical subset of PQ: ${violations.take(3).toSeq}")
+  }
+
+  test("ivf-pq recall against brute force stays above the probe floor") {
     val ivfpq = VectorsPq.ivfPqTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = Vectors.bruteForceTopK(spark, dir)
