@@ -36,7 +36,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 1-min loadavg at measurement end: BASELINE.md documents ~5× wall
+    // variance under driver-round contention — a reader comparing
+    // BENCH rows across rounds needs the load context in the artifact
+    // itself (r5 verdict #4: two suspect regressions turned out to be
+    // reads taken inside a loaded sbt session)
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m":$load}""")
     spark.stop()
   }
 }

@@ -67,6 +67,9 @@ final class GraftApi(
   /** GET /pipeline/head */
   def headPipeline(uuid: String): DataFrame = catalog.head(uuid)
 
+  /** GET /pipeline_config/fetch_pipeline_body (D8, facade.py:65-68). */
+  def fetchBody(uuid: String): DataFrame = catalog.body(uuid)
+
   /** GET /pipeline/downstream (D1) */
   def downstream(uuid: String): DataFrame = catalog.downstream(uuid, edges)
 

@@ -1,0 +1,342 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
+
+import graft.model._
+import graft.orchestration.{Dispatcher, EngineJob}
+import graft.orchestration.Dispatcher.IncubRow
+
+/** The network-facing adapter — the reference's FastAPI surface
+  * (`/root/reference/src/kalytical/facade.py:30-126`, 18 endpoints)
+  * as one thin file over [[SecuredGraftApi]]: route → verb → role gate
+  * → engine, nothing else. Built on the JDK's embedded
+  * `com.sun.net.httpserver` (zero added dependencies — the constraint
+  * a sandboxed build shares with a hermetic production image).
+  *
+  * Request/response conventions:
+  *  - bearer auth via `Authorization: Bearer <token>`, exactly the
+  *    reference's `HTTPBearer` dependency; [[Auth.AuthError]] maps to
+  *    its own status code, `require`/IllegalArgument to 400 (the
+  *    FastAPI HTTPException(400) paths), anything else to 500.
+  *  - tabular results stream out as JSON arrays via Spark's own
+  *    row-to-JSON (`df.toJSON`) — no hand-rolled serializer to drift
+  *    from the schema.
+  *  - request BODIES parse through Spark too: `spark.read.schema(...)
+  *    .json(...)` against the case-class encoder schema, so the HTTP
+  *    boundary enforces exactly the engine's schema and nothing else
+  *    (a malformed field is a null under permissive mode → the same
+  *    validation the library path applies).
+  *
+  * STATE: the reference keeps running/incubating/event-log state in
+  * Mongo + K8s; the library API threads them per call. The facade is
+  * where a deployment holds them between requests, so it owns the
+  * event-loop contract:
+  *   incubating' = (incubating − droppedObjIds) ∪ newIncubating ∪ deferred
+  * and the event log appends each posted lifecycle event. One global
+  * lock serializes mutating verbs — metadata-plane traffic (catalog-
+  * sized, the reference's own regime); read verbs hit immutable
+  * snapshots and run unlocked. Scale note: the data plane never flows
+  * through this surface — dispatch outputs are catalog-bounded, and at
+  * 10⁶-pipeline catalogs the same routes serve Dataset-backed state
+  * unchanged ([[graft.orchestration.Dispatcher.runnableNow]] path).
+  */
+final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
+                       nowProvider: () => Timestamp =
+                         () => new Timestamp(System.currentTimeMillis())) {
+
+  private val api = secured.api
+  private def emptyIncub = spark.emptyDataset[IncubRow](Encoders.product[IncubRow])
+  private def emptyRunning = spark.emptyDataset[RunningJob](Encoders.product[RunningJob])
+  private def emptyEvents = spark.emptyDataset[LifecycleEvent](Encoders.product[LifecycleEvent])
+
+  private[graft] val running = new AtomicReference[Dataset[RunningJob]](emptyRunning)
+  private[graft] val incubating = new AtomicReference[Dataset[IncubRow]](emptyIncub)
+  private[graft] val eventLog = new AtomicReference[Dataset[LifecycleEvent]](emptyEvents)
+  private val mutate = new Object
+
+  private var server: HttpServer = _
+
+  /** Bind and serve. `port = 0` picks an ephemeral port; the bound
+    * address is returned (the spec's loopback-client hook). */
+  def start(port: Int = 0): InetSocketAddress = synchronized {
+    require(server == null, "facade already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    routes.foreach { case (path, methods) =>
+      server.createContext(path, (ex: HttpExchange) => handle(ex, methods))
+    }
+    server.start()
+    server.getAddress
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ---- routing ----------------------------------------------------------
+
+  private type Handler = Request => String
+
+  private final case class Request(params: Map[String, String], body: String,
+                                   session: SecuredGraftApi#Session) {
+    def param(name: String): String = params.getOrElse(name,
+      throw new IllegalArgumentException(s"missing required parameter: $name"))
+    def opt(name: String): Option[String] = params.get(name)
+  }
+
+  /** The 18 reference routes (`facade.py:30-126`), method-checked.
+    * Path quirks preserved verbatim: `/pipeline_config/fetch_pipeline_body`
+    * and `/pipeline_incubation/flush` really are underscored in the
+    * reference. */
+  private val routes: Seq[(String, Map[String, Handler])] = Seq(
+    "/pipeline/config/list" -> Map[String, Handler]("POST" -> { r =>
+      json(r.session.listPipelines(r.opt("pipeline_prefix"),
+        r.opt("tag_team"), r.opt("tag_env")))
+    }),
+    "/pipeline/config/describe" -> Map[String, Handler]("GET" -> { r =>
+      json(r.session.describePipeline(r.param("pipeline_uuid")).toDF())
+    }),
+    "/pipeline/config/downstream" -> Map[String, Handler]("GET" -> { r =>
+      json(r.session.downstream(r.param("pipeline_uuid")))
+    }),
+    "/pipeline_config/fetch_pipeline_body" -> Map[String, Handler]("GET" -> { r =>
+      json(r.session.fetchBody(r.param("pipeline_uuid")))
+    }),
+    "/pipeline/config/create_or_replace" -> Map[String, Handler]("POST" -> { r =>
+      val (d, triggers) = parseUpsert(r.body)
+      mutate.synchronized { r.session.upsertPipeline(d, triggers) }
+      ok
+    }),
+    "/pipeline/config/delete" -> Map[String, Handler]("DELETE" -> { r =>
+      mutate.synchronized {
+        r.session.deletePipeline(r.param("pipeline_uuid"),
+          r.opt("safe_delete").forall(_.toBoolean))
+      }
+      ok
+    }),
+    "/pipeline/config/flush" -> Map[String, Handler]("DELETE" -> { r =>
+      mutate.synchronized { r.session.flushPipelines(r.param("pipeline_prefix")) }
+      ok
+    }),
+    "/pipeline/dispatcher/run_by_pipeline_uuid" -> Map[String, Handler]("POST" -> { r =>
+      mutate.synchronized {
+        val now = reqNow(r)
+        val res = r.session.runByPipelineUuid(r.param("pipeline_uuid"), now,
+          running.get(), incubating.get())
+        applyStep(res)
+        json(res.submissions.toDF())
+      }
+    }),
+    "/pipeline/dispatcher/run_single_use" -> Map[String, Handler]("POST" -> { r =>
+      val (d, argv, env) = parseSingleUse(r.body)
+      val exec = mutate.synchronized {
+        r.session.runSingleUse(d, EngineJob.Command(argv, env))
+      }
+      s"""{"exec_uuid":${jstr(exec)}}"""
+    }),
+    "/pipeline/dispatcher/running" -> Map[String, Handler]("GET" -> { r =>
+      json(r.session.runningJobs(
+        statuses = r.opt("statuses").map(_.split(",").toSeq)
+          .getOrElse(Seq("running", "waiting", "pending")),
+        pipelineUuid = r.opt("pipeline_uuid"),
+        limit = r.opt("limit").map(_.toInt).getOrElse(10)))
+    }),
+    "/pipeline/dispatcher/get_logs" -> Map[String, Handler]("GET" -> { r =>
+      val backend = api.engines.backend(
+        r.opt("engine_name").getOrElse("spark-local"))
+      val logs = r.session.logs(backend, r.param("engine_tracking_id"),
+        r.opt("max_kb").map(_.toInt).getOrElse(10))
+      s"""{"logs":${jstr(logs)}}"""
+    }),
+    "/pipeline/dispatcher/abort_pipeline" -> Map[String, Handler]("DELETE" -> { r =>
+      mutate.synchronized { r.session.abort(r.param("engine_tracking_id")) }
+      ok
+    }),
+    "/pipeline/dispatcher/event" -> Map[String, Handler]("POST" -> { r =>
+      mutate.synchronized {
+        val now = reqNow(r)
+        val events = parseEvents(r.body)
+        val res = r.session.dispatch(events, running.get(), incubating.get(), now)
+        applyStep(res)
+        eventLog.set(eventLog.get().unionByName(
+          spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+        json(res.submissions.toDF())
+      }
+    }),
+    "/pipeline/dispatcher/event/history" -> Map[String, Handler]("GET" -> { r =>
+      json(r.session.eventHistory(eventLog.get(), reqNow(r),
+        pipelineUuid = r.opt("pipeline_uuid"),
+        sinceSeconds = r.opt("since_seconds").map(_.toLong),
+        maxRecords = r.opt("max_records").map(_.toInt)))
+    }),
+    "/pipeline/incubation/update" -> Map[String, Handler]("GET" -> { r =>
+      // (sic) the reference gates this mutation behind GET, facade.py:109
+      mutate.synchronized {
+        val updated = r.session.updateIncubating(incubating.get(),
+          r.param("obj_id"), parseUpdates(r.body))
+        incubating.set(updated)
+        json(updated.drop("triggers")) // map column: header view, like D14's
+      }
+    }),
+    "/pipeline/incubation/delete" -> Map[String, Handler]("DELETE" -> { r =>
+      mutate.synchronized {
+        incubating.set(r.session.deleteIncubating(incubating.get(), r.param("obj_id")))
+      }
+      ok
+    }),
+    "/pipeline_incubation/flush" -> Map[String, Handler]("DELETE" -> { r =>
+      mutate.synchronized { incubating.set(r.session.flushIncubating()) }
+      ok
+    }),
+    "/sys/config" -> Map[String, Handler]("GET" -> { r =>
+      r.session.sysConfig.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+    })
+  )
+
+  /** Route-table cardinality — the spec pins it to the reference's 18
+    * endpoints so a dropped route fails loudly. */
+  def routeCount: Int = routes.size
+
+  /** The event-loop state contract (see class doc). */
+  private def applyStep(res: Dispatcher.StepResult): Unit = {
+    val dropped = res.droppedObjIds.select(col("obj_id"))
+    incubating.set(
+      incubating.get().join(dropped, Seq("obj_id"), "left_anti")
+        .as[IncubRow](Encoders.product[IncubRow])
+        .unionByName(res.newIncubating)
+        .unionByName(res.deferred))
+  }
+
+  // ---- request plumbing -------------------------------------------------
+
+  private def handle(ex: HttpExchange, methods: Map[String, Handler]): Unit = {
+    val out =
+      try {
+        methods.get(ex.getRequestMethod) match {
+          case None => (405, s"""{"error":"method not allowed"}""")
+          case Some(h) =>
+            val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
+              .map(_.stripPrefix("Bearer").trim).filter(_.nonEmpty)
+            val session = token.map(secured.as).getOrElse(secured.anonymous)
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            (200, h(Request(queryParams(ex), body, session)))
+        }
+      } catch {
+        case e: Auth.AuthError => (e.statusCode, s"""{"error":${jstr(e.message)}}""")
+        case e: IllegalArgumentException => (400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        case e: Throwable => (500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      }
+    val bytes = out._2.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(out._1, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).map {
+      _.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8))
+          case Array(k) => Some(URLDecoder.decode(k, UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def reqNow(r: Request): Timestamp =
+    r.opt("now_epoch_ms").map(ms => new Timestamp(ms.toLong)).getOrElse(nowProvider())
+
+  // ---- body parsing (Spark-native, schema-enforced) ---------------------
+
+  private def oneRowJson(body: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val df = spark.read.schema(schema).json(Seq(body).toDS())
+    require(df.count() == 1, "request body must be a single JSON object")
+    df
+  }
+
+  private def parseUpsert(body: String): (PipelineDef, Seq[PipelineTrigger]) = {
+    val defSchema = Encoders.product[PipelineDef].schema
+    val trigSchema = Encoders.product[PipelineTrigger].schema
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("def", defSchema).add("triggers",
+        org.apache.spark.sql.types.ArrayType(trigSchema))
+    val df = oneRowJson(body, schema)
+    val d = df.select("def.*").as[PipelineDef](Encoders.product[PipelineDef]).head()
+    val triggers = df.select(explode(col("triggers")).as("t")).select("t.*")
+      .as[PipelineTrigger](Encoders.product[PipelineTrigger]).collect().toSeq
+    (d, triggers)
+  }
+
+  private def parseSingleUse(body: String): (PipelineDef, Seq[String], Map[String, String]) = {
+    val defSchema = Encoders.product[PipelineDef].schema
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("def", defSchema)
+      .add("argv", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      .add("env", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    val df = oneRowJson(body, schema)
+    val d = df.select("def.*").as[PipelineDef](Encoders.product[PipelineDef]).head()
+    val row = df.head()
+    val argv = Option(row.getSeq[String](1)).getOrElse(
+      throw new IllegalArgumentException("missing argv"))
+    val env = Option(row.getJavaMap[String, String](2))
+      .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap)
+      .getOrElse(Map.empty[String, String])
+    (d, argv, env)
+  }
+
+  private def parseEvents(body: String): Seq[LifecycleEvent] = {
+    import spark.implicits._
+    // accepts one event object or an array of them (Spark's JSON
+    // reader explodes a top-level array into rows)
+    val evs = spark.read.schema(Encoders.product[LifecycleEvent].schema)
+      .json(Seq(body).toDS())
+      .as[LifecycleEvent](Encoders.product[LifecycleEvent]).collect().toSeq
+    require(evs.nonEmpty, "no lifecycle events in request body")
+    evs
+  }
+
+  private def parseUpdates(body: String): Map[String, String] = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("updates", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    val row = oneRowJson(body, schema).head()
+    Option(row.getJavaMap[String, String](0))
+      .map(m => scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap)
+      .getOrElse(throw new IllegalArgumentException("missing updates map"))
+  }
+
+  // ---- serialization ----------------------------------------------------
+
+  /** Tabular → JSON array via Spark's row serializer (schema-true:
+    * timestamps ISO, maps as objects, null columns omitted). Catalog/
+    * dispatch-sized results only — nothing data-plane crosses here. */
+  private def json(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private val ok = """{"ok":true}"""
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -30,6 +30,7 @@ final class SecuredGraftApi(val api: GraftApi, policy: Auth.Policy) {
       gate("describe"); api.describePipeline(uuid)
     }
     def headPipeline(uuid: String): DataFrame = { gate("head"); api.headPipeline(uuid) }
+    def fetchBody(uuid: String): DataFrame = { gate("head"); api.fetchBody(uuid) }
     def downstream(uuid: String): DataFrame = { gate("downstream"); api.downstream(uuid) }
     def upsertPipeline(d: PipelineDef, triggers: Seq[PipelineTrigger]): Unit = {
       gate("upsert"); api.upsertPipeline(d, triggers)

@@ -115,6 +115,12 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
 final class EngineManager(engines: Seq[EngineBackend]) {
   private val byName = engines.map(e => e.name -> e).toMap
 
+  /** Resolve a backend by registry name (the facade's `engine_name`
+    * request parameter, `facade.py:91,96`). */
+  def backend(engineName: String): EngineBackend =
+    byName.getOrElse(engineName,
+      throw new IllegalArgumentException(s"unknown engine: $engineName"))
+
   def submit(engineName: String, sub: Submission, job: EngineJob): Unit =
     byName.getOrElse(engineName,
       throw new IllegalArgumentException(s"unknown engine: $engineName")).submit(sub, job)

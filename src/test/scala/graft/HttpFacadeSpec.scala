@@ -1,0 +1,168 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{Auth, GraftApi, HttpFacade, SecuredGraftApi}
+import graft.meta.Fixtures
+import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine}
+
+/** The HTTP adapter exercised end-to-end over loopback with the JDK
+  * HTTP client: route → role gate → engine → JSON, for the reference's
+  * 18 facade endpoints (facade.py:30-126). Closes r5 missing #1 — the
+  * reference is LED by its network surface, so the rebuild's facade
+  * must be driven as one, not only as a library.
+  */
+class HttpFacadeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val Admin = "admin-token"
+  private val Read = "read-token"
+
+  private def newFacade(): HttpFacade = {
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))))
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(
+        Admin -> Seq("Data-Admin"),
+        Read -> Seq("Data-Analyst"))),
+      apiTokens = Set.empty)
+    new HttpFacade(new SecuredGraftApi(api, policy), spark)
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def call(base: String, method: String, path: String,
+                   token: Option[String] = None,
+                   body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .method(method,
+        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def withFacade(f: (HttpFacade, String) => Unit): Unit = {
+    val facade = newFacade()
+    val addr = facade.start(0)
+    try f(facade, s"http://127.0.0.1:${addr.getPort}")
+    finally facade.stop()
+  }
+
+  test("18 reference endpoints are routed") {
+    assert(newFacade().routeCount == 18)
+  }
+
+  test("list/describe/downstream/fetch_body over HTTP with a read token") {
+    withFacade { (_, base) =>
+      val list = call(base, "POST", "/pipeline/config/list?pipeline_prefix=report-", Some(Read))
+      assert(list.statusCode() == 200)
+      assert(list.body().split("\"pipeline_uuid\"").length - 1 == 3)
+
+      val desc = call(base, "GET", "/pipeline/config/describe?pipeline_uuid=report-daily", Some(Read))
+      assert(desc.statusCode() == 200 && desc.body().contains("\"report-daily\""))
+
+      val down = call(base, "GET", "/pipeline/config/downstream?pipeline_uuid=report-daily", Some(Read))
+      assert(down.statusCode() == 200)
+      assert(down.body().split("\"pipeline_uuid\"").length - 1 == 4)
+      assert(!down.body().contains("pipeline_body"), "downstream must be header-only")
+
+      val body = call(base, "GET", "/pipeline_config/fetch_pipeline_body?pipeline_uuid=report-daily", Some(Read))
+      assert(body.statusCode() == 200 && body.body().contains("pipeline_uuid"))
+    }
+  }
+
+  test("auth: anonymous 403, read token on admin verb 403, bad param 400, bad method 405") {
+    withFacade { (_, base) =>
+      assert(call(base, "POST", "/pipeline/config/list?pipeline_prefix=report-").statusCode() == 403)
+      assert(call(base, "DELETE", "/pipeline/config/flush?pipeline_prefix=report-", Some(Read))
+        .statusCode() == 403)
+      // invalid prefix alphabet -> the D2 require -> 400
+      assert(call(base, "POST", "/pipeline/config/list?pipeline_prefix=NOPE%21", Some(Read))
+        .statusCode() == 400)
+      assert(call(base, "GET", "/pipeline/config/list?pipeline_prefix=report-", Some(Read))
+        .statusCode() == 405)
+    }
+  }
+
+  test("dispatch over HTTP: origination event yields a submission and appends history") {
+    withFacade { (_, base) =>
+      val now = Fixtures.NOW.getTime
+      val ev =
+        s"""{"event_id":900,"event_type":"job_exec_update","event_subtype":"origination",
+           |"pipeline_uuid":"ingest-orders","exec_uuid":"exec-http-900",
+           |"event_time":"2024-01-31T23:00:00.000Z","received_time":"2024-01-31T23:00:00.000Z",
+           |"retry_count":0,"disable_downstream":false}""".stripMargin
+      val r = call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Admin), ev)
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"ingest-orders\""), s"no submission in: ${r.body()}")
+
+      // read verb over the state the POST appended
+      val h = call(base, "GET",
+        s"/pipeline/dispatcher/event/history?now_epoch_ms=$now&since_seconds=86400&pipeline_uuid=ingest-orders",
+        Some(Read))
+      assert(h.statusCode() == 200, h.body())
+      assert(h.body().contains("exec-http-900"))
+
+      // read token cannot dispatch
+      assert(call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Read), ev)
+        .statusCode() == 403)
+    }
+  }
+
+  test("dispatch over HTTP: two-parent child incubates, then releases on the second success") {
+    withFacade { (facade, base) =>
+      val now = Fixtures.NOW.getTime
+      def success(id: Long, pipeline: String) =
+        s"""{"event_id":$id,"event_type":"job_exec_update","event_subtype":"success",
+           |"pipeline_uuid":"$pipeline","exec_uuid":"exec-$id",
+           |"event_time":"2024-01-31T23:00:00.000Z","received_time":"2024-01-31T23:00:00.000Z",
+           |"retry_count":0,"disable_downstream":false}""".stripMargin
+      val r1 = call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Admin),
+        success(901, "clean-orders"))
+      assert(r1.statusCode() == 200, r1.body())
+      assert(!r1.body().contains("join-orders-customer"), "one of two parents must not release")
+      assert(facade.incubating.get().count() >= 1, "partial child must incubate in facade state")
+
+      val r2 = call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Admin),
+        success(902, "clean-customer"))
+      assert(r2.statusCode() == 200, r2.body())
+      assert(r2.body().contains("join-orders-customer"),
+        s"second parent success must release the child: ${r2.body()}")
+    }
+  }
+
+  test("create_or_replace + delete round-trip over HTTP") {
+    withFacade { (_, base) =>
+      val body =
+        """{"def":{"pipeline_uuid":"http-new","description":"via http","retry_max":0,
+          |"concurrency":true,"engine":"spark-local","engine_args":"{}",
+          |"triggers_op":"any","tags_team":"data","tags_env":"dev",
+          |"pipeline_body":"{}"},
+          |"triggers":[{"pipeline_uuid":"http-new","trigger_uuid":"report-daily","op":"any"}]}"""
+          .stripMargin
+      assert(call(base, "POST", "/pipeline/config/create_or_replace", Some(Admin), body)
+        .statusCode() == 200)
+      val desc = call(base, "GET", "/pipeline/config/describe?pipeline_uuid=http-new", Some(Read))
+      assert(desc.body().contains("\"http-new\""))
+      assert(call(base, "DELETE", "/pipeline/config/delete?pipeline_uuid=http-new", Some(Admin))
+        .statusCode() == 200)
+      val gone = call(base, "GET", "/pipeline/config/describe?pipeline_uuid=http-new", Some(Read))
+      assert(gone.body() == "[]")
+    }
+  }
+
+  test("running/sys_config/incubation_flush round out the verb surface") {
+    withFacade { (facade, base) =>
+      val run = call(base, "GET", "/pipeline/dispatcher/running?limit=5", Some(Read))
+      assert(run.statusCode() == 200 && run.body().startsWith("["))
+      val cfg = call(base, "GET", "/sys/config", Some(Read))
+      assert(cfg.statusCode() == 200 && cfg.body().contains("historyMaxRecords"))
+      assert(call(base, "DELETE", "/pipeline_incubation/flush", Some(Admin)).statusCode() == 200)
+      assert(facade.incubating.get().count() == 0)
+    }
+  }
+}
