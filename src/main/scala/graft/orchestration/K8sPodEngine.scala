@@ -1,0 +1,229 @@
+package graft.orchestration
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+import graft.model.{RunningJob, Submission}
+
+/** The reference's production engine backend — pod-per-run on
+  * Kubernetes (`/root/reference/src/kalytical/core/engine.py:96-199`,
+  * `K8sPodEngine`) — with the K8s API behind a seam so the MARSHALLING
+  * (the actual engine logic: how a run becomes a pod) is pure data and
+  * unit-testable in a cluster-less sandbox.
+  *
+  * Shape: [[K8sPodEngine.marshalPod]] is a total function from
+  * (config, submission, job) to a [[K8sPodEngine.Pod]] value — the
+  * V1Pod the reference builds at `engine.py:107-150` — and the
+  * [[PodApi]] trait carries the four calls the reference makes
+  * (`create_namespaced_pod`, `delete_namespaced_pod`,
+  * `read_namespaced_pod_log`, `list_namespaced_pod`). A real
+  * deployment implements PodApi over a Kubernetes client; the sandbox
+  * ships [[InMemoryPodApi]], which applies the reference's own status
+  * model (phase lowercase, terminated-at for finished pods,
+  * `engine.py:182-197`). No cluster calls exist in this repo — the
+  * class closes the r5 registry-naming gap honestly: marshalling real
+  * and spec'd, transport faked and SAID to be faked.
+  *
+  * Reference field mapping (engine.py:107-150):
+  *  - pod/container name: `exec_uuid-pipeline_uuid-retry_count`
+  *  - image/command/args: `engine_args` keys `pipeline_image` /
+  *    `pipeline_command` / `pipeline_args`, falling back to config
+  *    defaults
+  *  - env: PIPELINE_UUID, SOURCE_UUID (JSON of the source map — the
+  *    reference double-`json.dumps`es a single uuid, an evident quirk
+  *    we normalize to one encoding, SURVEY §8), EXEC_UUID, RETRY_COUNT,
+  *    MQ_CALLBACK_URL, GRAFT_AUTH_SECRET, GRAFT_API_ENDPOINT (the
+  *    reference injects its secret as a literal env var; a production
+  *    PodApi should rewrite this to a secretKeyRef — documented, not
+  *    silently "fixed", since the marshalled value is what the
+  *    reference ships)
+  *  - resources: cpu/memory LIMITS from `cpu_count` / `memory_gi`
+  *  - placement: service account from config; node selector
+  *    workload=pipeline + instance-type from `instance_type`;
+  *    toleration node.kubernetes.io/pipeline Exists NoSchedule
+  *  - security: fsGroup 100; restartPolicy Never (retries are the
+  *    DISPATCHER's job — P3 — not kubelet's)
+  *  - labels: pod_source=graft, exec_uuid, pipeline_uuid (the list
+  *    filter key, engine.py:177-179)
+  */
+object K8sPodEngine {
+
+  // ---- pure-data pod model (the V1* subset the reference touches) ------
+  final case class EnvVar(name: String, value: String)
+  final case class Toleration(key: String, operator: String, effect: String)
+  final case class Container(name: String, image: String, command: Seq[String],
+                             args: Seq[String], env: Seq[EnvVar],
+                             limits: Map[String, String])
+  final case class PodSpec(serviceAccountName: String,
+                           nodeSelector: Map[String, String],
+                           tolerations: Seq[Toleration],
+                           fsGroup: Int, restartPolicy: String,
+                           containers: Seq[Container])
+  final case class PodMeta(name: String, labels: Map[String, String])
+  final case class Pod(metadata: PodMeta, spec: PodSpec)
+
+  /** Pod runtime status, as much of V1PodStatus as `marshall_pod`
+    * (engine.py:182-197) reads back. */
+  final case class PodStatus(pod: Pod, phase: String,
+                             startTime: Option[Timestamp],
+                             finishedAt: Option[Timestamp])
+
+  /** `kalytical_config`'s k8spodengine_* slice (config.py). */
+  final case class K8sConfig(
+      namespace: String = "graft-pipelines",
+      serviceAccountName: String = "graft-runner",
+      defaultImage: String = "graft/pipeline-runner:latest",
+      defaultCommand: Seq[String] = Seq("/bin/sh", "-c"),
+      defaultArgs: Seq[String] = Seq("echo no-op"),
+      mqCallbackUrl: String = "http://graft-mq/callback",
+      apiEndpoint: String = "http://graft-api",
+      authSecret: String = "unset")
+
+  /** `marshall_k8s_pod` as a total pure function — V1Pod assembly with
+    * the engine_args fallbacks inline. */
+  def marshalPod(cfg: K8sConfig, sub: Submission,
+                 engineArgs: Map[String, String]): Pod = {
+    val name = s"${sub.exec_uuid}-${sub.pipeline_uuid}-${sub.retry_count}"
+    def argsList(key: String, dflt: Seq[String]): Seq[String] =
+      engineArgs.get(key).map(_.split("\\s+").toSeq).getOrElse(dflt)
+    val container = Container(
+      name = name,
+      image = engineArgs.getOrElse("pipeline_image", cfg.defaultImage),
+      command = argsList("pipeline_command", cfg.defaultCommand),
+      args = argsList("pipeline_args", cfg.defaultArgs),
+      env = Seq(
+        EnvVar("PIPELINE_UUID", sub.pipeline_uuid),
+        EnvVar("SOURCE_UUID", jsonObject(sub.source_uuids)),
+        EnvVar("EXEC_UUID", sub.exec_uuid),
+        EnvVar("RETRY_COUNT", sub.retry_count.toString),
+        EnvVar("MQ_CALLBACK_URL", cfg.mqCallbackUrl),
+        EnvVar("GRAFT_AUTH_SECRET", cfg.authSecret),
+        EnvVar("GRAFT_API_ENDPOINT", cfg.apiEndpoint)),
+      limits = Map(
+        "cpu" -> engineArgs.getOrElse("cpu_count", "1"),
+        "memory" -> engineArgs.getOrElse("memory_gi", "1Gi")))
+    Pod(
+      PodMeta(name, Map(
+        "pod_source" -> "graft",
+        "exec_uuid" -> sub.exec_uuid,
+        "pipeline_uuid" -> sub.pipeline_uuid)),
+      PodSpec(
+        serviceAccountName = cfg.serviceAccountName,
+        nodeSelector = Map(
+          "graft.k8s.node/workload" -> "pipeline",
+          "beta.kubernetes.io/instance-type" ->
+            engineArgs.getOrElse("instance_type", "m5.large")),
+        tolerations = Seq(
+          Toleration("node.kubernetes.io/pipeline", "Exists", "NoSchedule")),
+        fsGroup = 100,
+        restartPolicy = "Never",
+        containers = Seq(container)))
+  }
+
+  /** `marshall_pod` (engine.py:182-197): pod status → RunningJob row. */
+  def unmarshalPod(engineName: String, st: PodStatus): RunningJob =
+    RunningJob(
+      exec_uuid = st.pod.metadata.labels("exec_uuid"),
+      pipeline_uuid = st.pod.metadata.labels("pipeline_uuid"),
+      engine = engineName,
+      engine_tracking_id = st.pod.metadata.name,
+      engine_status = st.phase.toLowerCase match {
+        // phase vocabulary → the shared engine-status vocabulary
+        case "succeeded" => "success"
+        case "pending" => "pending"
+        case "running" => "running"
+        case other => other // failed, unknown
+      },
+      start_time = st.startTime,
+      end_time = st.finishedAt.filter(_ =>
+        Set("failed", "succeeded").contains(st.phase.toLowerCase)))
+
+  private def jsonObject(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
+
+/** The four K8s API calls the reference engine makes — the transport
+  * seam. Implementations: a thin client wrapper in production;
+  * [[InMemoryPodApi]] in the sandbox. */
+trait PodApi {
+  def create(namespace: String, pod: K8sPodEngine.Pod): Unit
+  def delete(namespace: String, name: String): Unit
+  /** byte-capped log tail (`read_namespaced_pod_log(limit_bytes)`). */
+  def logs(namespace: String, name: String, limitBytes: Int): String
+  def list(namespace: String): Seq[K8sPodEngine.PodStatus]
+}
+
+/** Sandbox stand-in: pods "run" instantly as bookkeeping rows. Create
+  * registers a Running status; delete removes; logs replays a
+  * deterministic line per env var (enough for the byte-cap contract). */
+final class InMemoryPodApi extends PodApi {
+  import K8sPodEngine._
+  private val pods = scala.collection.mutable.LinkedHashMap.empty[String, PodStatus]
+  def create(namespace: String, pod: Pod): Unit = synchronized {
+    require(!pods.contains(pod.metadata.name), s"pod exists: ${pod.metadata.name}")
+    pods(pod.metadata.name) =
+      PodStatus(pod, "Running", Some(new Timestamp(0L)), None)
+  }
+  def delete(namespace: String, name: String): Unit = synchronized {
+    require(pods.remove(name).nonEmpty,
+      "An attempt was made on this jobs life, but it is not here...") // engine.py:169
+  }
+  def logs(namespace: String, name: String, limitBytes: Int): String = synchronized {
+    val st = pods.getOrElse(name, throw new IllegalArgumentException(s"no pod: $name"))
+    val full = st.pod.spec.containers.flatMap(_.env)
+      .map(e => s"${e.name}=${e.value}").mkString("\n")
+    full.takeRight(limitBytes)
+  }
+  def list(namespace: String): Seq[PodStatus] = synchronized { pods.values.toSeq }
+}
+
+/** [[EngineBackend]] over [[PodApi]] — `submit` marshals and creates,
+  * `abort` deletes by tracking id (pod name), `jobs` lists + unmarshals
+  * label-filtered pods, `logs` reads the byte-capped tail. Engine args
+  * ride in on [[EngineJob.Command]]'s env map (the dispatcher carries
+  * the def's engine_args there), argv becomes `pipeline_command`+args
+  * when present. */
+final class K8sPodEngine(cfg: K8sPodEngine.K8sConfig, api: PodApi)
+    extends EngineBackend {
+  import K8sPodEngine._
+
+  val name = "K8sPodEngine" // engine.py class name: the registry key
+
+  def submit(sub: Submission, job: EngineJob): Unit = job match {
+    case EngineJob.Command(argv, env) =>
+      val withArgv =
+        if (argv.nonEmpty)
+          env ++ Map("pipeline_command" -> argv.head,
+                     "pipeline_args" -> argv.tail.mkString(" "))
+        else env
+      api.create(cfg.namespace, marshalPod(cfg, sub, withArgv))
+    case _: EngineJob.SparkClosure =>
+      throw new IllegalArgumentException(
+        s"$name hosts container commands, not Spark closures")
+  }
+
+  def abort(execUuid: String): Unit = {
+    // tracking id = pod name; abort-by-exec scans labels like get_jobs
+    api.list(cfg.namespace)
+      .filter(_.pod.metadata.labels.get("exec_uuid").contains(execUuid))
+      .foreach(st => api.delete(cfg.namespace, st.pod.metadata.name))
+  }
+
+  def jobs(spark: SparkSession): Dataset[RunningJob] = {
+    val rows = api.list(cfg.namespace)
+      .filter(_.pod.metadata.labels.contains("pipeline_uuid")) // engine.py:177-179
+      .map(unmarshalPod(name, _))
+    spark.createDataset(rows)(Encoders.product[RunningJob])
+  }
+
+  def logs(execUuid: String, maxKb: Int): String = {
+    val byExec = api.list(cfg.namespace)
+      .filter(_.pod.metadata.labels.get("exec_uuid").contains(execUuid))
+    require(byExec.nonEmpty, s"no pod for exec_uuid=$execUuid")
+    api.logs(cfg.namespace, byExec.head.pod.metadata.name, maxKb * 1024)
+  }
+}
