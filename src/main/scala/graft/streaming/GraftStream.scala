@@ -130,7 +130,13 @@ object GraftStream {
       .as[(String, Long, Int, Map[String, String])]
       .map { case (p, eid, rc, src) => Submission(p, s"exec-$p-$eid", src, rc) }
     val depSats = IncubationStream.depSatisfactions(parsed.events, edges, metas)
-    val released = IncubationStream.submissions(depSats, metas, fixedNow)
+    // drain runs (AvailableNow) must reach quiescence: cull timers off —
+    // a processing-time-timeout operator re-schedules batches forever
+    // (see IncubationStream.submissions doc). Continuous triggers keep
+    // the timer-driven culler.
+    val cullMs = if (trigger == Trigger.AvailableNow()) 0L else 10000L
+    val released = IncubationStream.submissions(depSats, metas, fixedNow,
+      cullIntervalMs = cullMs)
     // catalog concurrency flags as a map-literal Catalyst expression
     // (bounded: one entry per pipeline def) — codegen'd, no Scala UDF
     val concMap =

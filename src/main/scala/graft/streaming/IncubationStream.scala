@@ -49,7 +49,21 @@ object IncubationStream {
       .as[KeyedDepSat]
   }
 
-  /** The stateful operator. Emits released [[Submission]]s. */
+  /** The stateful operator. Emits released [[Submission]]s.
+    *
+    * `cullIntervalMs > 0` (production, continuous triggers): each
+    * stateful key re-arms a ProcessingTimeTimeout so IDLE keys are
+    * re-culled on the interval without new events — the reference's
+    * culler loop as engine timers. `cullIntervalMs = 0` (drain /
+    * replay runs, `Trigger.AvailableNow`): timers OFF — a
+    * processing-time-timeout operator makes `shouldRunAnotherBatch`
+    * true on every batch, so an AvailableNow query over it NEVER
+    * reaches quiescence (it drains the source, then schedules empty
+    * timer batches forever; the armed timers re-arm themselves and the
+    * query outlives any await). Culling still happens on every event
+    * arrival for the key, which is the only clock a finite drain can
+    * advance anyway. [[GraftStream.startFromRaw]] picks the mode from
+    * its trigger. */
   def submissions(depSats: Dataset[KeyedDepSat],
                   metas: Map[String, Meta],
                   fixedNow: Option[Timestamp] = None, // None = wall clock
@@ -58,6 +72,7 @@ object IncubationStream {
                   cullIntervalMs: Long = 10000L): Dataset[Submission] = {
     import depSats.sparkSession.implicits._
     val bMetas = depSats.sparkSession.sparkContext.broadcast(metas)
+    val timers = cullIntervalMs > 0
 
     def fn(key: String, it: Iterator[KeyedDepSat],
            state: GroupState[PipelineState]): Iterator[Submission] = {
@@ -73,7 +88,7 @@ object IncubationStream {
         // timeout-driven ones), so re-arm unconditionally — otherwise a
         // key whose timeout fired once but still holds rows is never
         // culled again until a new event arrives (ADVICE r1).
-        state.setTimeoutDuration(cullIntervalMs)
+        if (timers) state.setTimeoutDuration(cullIntervalMs)
       }
       releases.iterator.map { r =>
         // stable id from the released row's identity + release time —
@@ -83,7 +98,8 @@ object IncubationStream {
     }
 
     depSats.groupByKey(_.pipeline_uuid)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (timers) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Batch ("replay") evaluation of the same pipeline: used by the

@@ -59,7 +59,10 @@ class StreamingSpec extends AnyFunSuite {
     def runOnce(chunk: Seq[KeyedDepSat]): Unit = {
       spark.createDataset(chunk.toSeq).write.mode("append").parquet(srcDir)
       val stream = spark.readStream.schema(schema).parquet(srcDir).as[KeyedDepSat]
-      val q = IncubationStream.submissions(stream, metas, Some(now))
+      // drain run: cull timers OFF (cullIntervalMs = 0) so AvailableNow
+      // reaches quiescence — armed processing-time timers re-schedule
+      // batches forever (see IncubationStream.submissions doc)
+      val q = IncubationStream.submissions(stream, metas, Some(now), cullIntervalMs = 0L)
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -76,6 +79,50 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamSubs == batchSubs)
     assert(batchSubs.map(_._1) == Set("join-orders-customer", "agg-revenue"))
+  }
+
+  test("production timer path: engine timers cull an idle partial key, no new events needed") {
+    // The reference's culler LOOP (`job_culler.py:17-44`) as engine
+    // timers: a key holding a partial dep set is aged out by the
+    // re-armed ProcessingTimeTimeout while the source is idle. Wall
+    // clock (fixedNow = None) because timers only make sense where time
+    // advances; a continuous trigger because drain runs switch timers
+    // off (see the replay test above).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val metas = Dispatcher.metaMap(Fixtures.defsDS(spark), Fixtures.edgesDS(spark))
+    val input = MemoryStream[KeyedDepSat]
+    val q = IncubationStream.submissions(input.toDS(), metas, fixedNow = None,
+        debounceSeconds = 3600L, ageOutSeconds = 2L, cullIntervalMs = 500L)
+      .writeStream.format("memory").queryName("cull_probe")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(500L)).start()
+    try {
+      def nowTs = new java.sql.Timestamp(System.currentTimeMillis())
+      // NOTE: never processAllAvailable() here — with processing-time
+      // timers firing empty batches, noNewData never latches and it
+      // blocks forever (the same mechanism that makes AvailableNow
+      // non-quiescent). Poll progress metrics instead.
+      def stateRows: Long = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      def inputRows: Long = q.recentProgress.map(_.numInputRows).sum
+      def poll(what: String)(ok: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(ok, s"timed out waiting for: $what")
+      }
+      // dep 1 of 2 for the 'all'-triggered child arrives, then the source idles
+      input.addData(KeyedDepSat("join-orders-customer", "clean-orders", "exec-1", 1L, nowTs))
+      poll("dep 1 held as keyed state")(stateRows == 1)
+      // source idle: only the re-armed timer can advance the key now
+      poll("timer cull of the idle partial key")(stateRows == 0)
+      // the late second dep meets an EMPTY state: no release may happen
+      input.addData(KeyedDepSat("join-orders-customer", "clean-customer", "exec-2", 2L, nowTs))
+      poll("dep 2 processed")(inputRows >= 2)
+      assert(spark.table("cull_probe").isEmpty,
+        "a culled dep must not contribute to a later release")
+    } finally q.stop()
   }
 
   test("streaming curation pipeline == batch curate on fingerprint set") {
