@@ -102,14 +102,25 @@ object Dedup {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The one-pass 64-MinHash signature of a hashed-shingle column —
+    * the column expression behind [[minhashSignatures]], shared with
+    * the streaming twin so batch ≡ streaming holds by construction. */
+  def minhashSigCol(sh: Column): Column =
+    graft.functions.SketchExpressions.minhashSig(sh, as, bs, P)
+
+  /** The 16 band hashes of a signature column as one array expression
+    * — shared by [[minhashBands]] and the streaming twin. */
+  def bandHashArray(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      xxhash64((0 until RowsPerBand).map(r =>
+        element_at(sig, b * RowsPerBand + r + 1)): _*)
+    }: _*)
+
   /** (doc_id, band_idx, band_hash) — 16 bands of 4 rows each, hashed
     * from the signature array. */
   def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r =>
-          element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band_idx", "band_hash")))
+      posexplode(bandHashArray(col("sig"))).as(Seq("band_idx", "band_hash")))
 
   /** Exact-duplicate groups, keyed on the first-5-word prefix (the
     * corpus has no byte-identical dups; a prefix key demonstrates the

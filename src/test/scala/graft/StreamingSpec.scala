@@ -385,4 +385,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming sessions diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
   }
+
+  test("streaming banded-LSH near-dup candidates == batch band self-join candidate set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingNearDup
+
+    // real docs + exact-text clones under new ids: identical signatures
+    // guarantee band collisions, so the equivalence is exercised on a
+    // non-empty candidate set
+    val base = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
+      .select(col("doc_id"), col("text")).limit(60)
+    val docs = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000L))
+      .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
+
+    val srcDir = Files.createTempDirectory("nd-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = StreamingNearDup.candidates(stream)
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000),
+      "streaming query did not finish in 120s")
+    q.stop()
+    val streamed = spark.table("nd_out").select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+
+    // batch candidate stage: band self-join, a<b, distinct — the exact
+    // frame ns_dedup_minhash Jaccard-verifies downstream
+    val shingled = docs
+      .select(col("doc_id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val bands = Dedup.minhashBands(Dedup.minhashSignatures(shingled))
+    val batchCands = bands.toDF("doc_a", "band_idx", "band_hash")
+      .join(bands.toDF("doc_b", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .where($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+
+    assert(batchCands.size >= 60, s"fixture must collide: ${batchCands.size}")
+    assert(streamed == batchCands,
+      s"streaming LSH diverged: +${(streamed diff batchCands).take(3)} -${(batchCands diff streamed).take(3)}")
+  }
+
+  test("streaming near-dup buckets expire at the event-time horizon: a late clone is NOT paired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingNearDup
+
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def doc(id: Long, at: String) =
+      Seq((id, text, ts(at))).toDF("doc_id", "text", "ingest_ts")
+    val filler = Seq(
+      (900L, "completely unrelated filler content advancing the watermark forward", ts("2024-02-01 05:00:00")),
+      (901L, "another distinct sentence with nothing shared at all here", ts("2024-02-01 05:00:00")))
+      .toDF("doc_id", "text", "ingest_ts")
+
+    val srcDir = Files.createTempDirectory("ndh-src").toString
+    val outDir = Files.createTempDirectory("ndh-out").toString
+    val ckpt = Files.createTempDirectory("ndh-ckpt").toString
+    def runOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.write.mode("append").parquet(srcDir)
+      val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
+      val q = StreamingNearDup.candidates(stream,
+          delay = "1 hour", horizonMs = 3600L * 1000L)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000),
+        "streaming query did not finish in 120s")
+      q.stop()
+    }
+    runOnce(doc(1L, "2024-02-01 00:00:00"))     // bucket owner
+    runOnce(filler)                              // watermark → 04:00, past 00:00+1h → bucket expires
+    runOnce(doc(2L, "2024-02-01 06:00:00"))     // exact clone, but 6h late
+
+    val pairs = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[StreamingNearDup.Candidate].schema)
+      .parquet(outDir).as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 2L)),
+      "a clone arriving past the horizon must meet an expired bucket")
+    // control within one horizon: the same clone arriving in-horizon pairs
+    runOnce(doc(3L, "2024-02-01 06:30:00")) // 30 min after doc 2 — in horizon
+    val pairs2 = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[StreamingNearDup.Candidate].schema)
+      .parquet(outDir).as[(Long, Long)].collect().toSet
+    assert(pairs2.contains((2L, 3L)),
+      "an in-horizon clone must still collide with the live bucket")
+  }
 }
