@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Greedy k-center coreset (farthest-point sampling) over the
+  * embeddings table — diversity selection for training-data curation:
+  * pick K representatives s.t. every vector is close to some
+  * representative (the classic 2-approximation to the k-center
+  * objective; the "diversity sampling" stage a curation pipeline runs
+  * after dedup, complementing [[VectorsKmeans.semdedup]]'s
+  * redundancy REMOVAL with coverage-preserving SELECTION).
+  *
+  * Scale design — the k-means contract applied to selection:
+  *  - The selected set is MODEL-SIZED driver state (K vectors), carried
+  *    into each pass as literals — like centroids/codebooks, never
+  *    corpus rows.
+  *  - Each round is ONE map stage over the corpus (min-distance to the
+  *    current selected set via `least` over K quantized-integer
+  *    distance expressions, fused into the scan) topped by a bounded
+  *    TakeOrderedAndProject(1) — no shuffle wider than one row. K
+  *    rounds total, the pagerank-style iteration×job-floor bill, with
+  *    the quantized projection computed once and cached ([[OpMemo]]).
+  *  - At 100 TB the same plan holds: the argmax is a per-partition
+  *    top-1 then a 1-row-per-partition reduce.
+  *
+  * Determinism (the oracle contract): coordinates quantize to BIGINT at
+  * 1e4 (the [[VectorsPca]] scale; |e|<1 ⇒ per-dim diff² < 4·10⁸,
+  * ×64 dims < 2.6·10¹⁰ — no overflow), so every distance² is an exact
+  * integer, invariant to partitioning and evaluation order; argmax
+  * ties break on vec_id ASC. The DuckDB oracle replays the identical
+  * greedy unrolled K−1 stages over the same integers.
+  */
+object VectorsCoreset {
+
+  val K = 8
+  private val Scale = 10000.0
+
+  /** Quantized BIGINT coordinate array — computed once per (session,
+    * dir) and cached; every greedy round re-reads this columnar frame. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "coreset_quant") {
+      Tables.embeddings(spark, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale + 0.5).cast("long")).as("qv"))
+    }
+
+  /** Exact integer ‖a−b‖² of the quantized column vs a selected-vector
+    * literal. */
+  private def distSq(qv: Column, s: Seq[Long]): Column =
+    aggregate(zip_with(qv, array(s.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** The greedy selection: (rank, vec_id, dist_q2, qv) driver-side.
+    * dist_q2 is the selected point's min distance² to the PRIOR
+    * selected set (the covering-radius sequence; 0 for the seed). */
+  private[graft] def select(spark: SparkSession, dir: String, k: Int = K): Seq[(Int, Long, Long, Seq[Long])] = {
+    val q = quantized(spark, dir)
+    // seed: max quantized norm², tie → min vec_id (deterministic, and
+    // an extreme point — the conventional FPS start)
+    val seedRow = q.select(col("vec_id"),
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x).as("n2"),
+        col("qv"))
+      .orderBy(desc("n2"), asc("vec_id")).limit(1).collect()(0)
+    val seed = (1, seedRow.getLong(0), 0L, seedRow.getSeq[Long](2).toSeq)
+    (2 to k).foldLeft(Vector(seed)) { (sel, rank) =>
+      val dists = sel.map { case (_, _, _, qs) => distSq(col("qv"), qs) }
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val row = q.where(!col("vec_id").isin(sel.map(_._2): _*))
+        .select(col("vec_id"), mind.as("mind"), col("qv"))
+        .orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
+      sel :+ ((rank, row.getLong(0), row.getLong(1), row.getSeq[Long](2).toSeq))
+    }.map { case (r, id, d, qv) => (r, id, d, qv) }
+  }
+
+  /** Registered query: the selection order with its exact-integer
+    * covering-radius sequence. */
+  def coresetDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    select(spark, dir)
+      .map { case (r, id, d, _) => (r, id, d) }
+      .toDF("sel_rank", "vec_id", "dist_q2")
+      .orderBy("sel_rank")
+  }
+
+  /** One unrolled greedy stage — numbering contract: `m{t}` is every
+    * vector's min distance² to the selected set {s0..s{t}}, and
+    * `s{t+1}` is the farthest point under `m{t}`. */
+  private def stageSql(t: Int): String = {
+    val excl = (0 to t).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    s"""m$t AS (
+      SELECT m.vec_id, m.qv,
+             LEAST(m.mind, CAST(list_sum(list_transform(list_zip(m.qv, s.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)) AS mind
+      FROM m${t - 1} m CROSS JOIN (SELECT q.qv FROM q JOIN s$t ON q.vec_id = s$t.vec_id) s),
+    s${t + 1} AS (
+      SELECT vec_id, mind FROM m$t
+      WHERE vec_id NOT IN ($excl)
+      ORDER BY mind DESC, vec_id LIMIT 1)"""
+  }
+
+  val coreset: GraftQuery = GraftQuery.checked("ns_vec_coreset",
+    s"""WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    s0 AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        FROM q) ORDER BY n2 DESC, vec_id LIMIT 1),
+    m0 AS (
+      SELECT a.vec_id, a.qv,
+             CAST(list_sum(list_transform(list_zip(a.qv, s.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS mind
+      FROM q a CROSS JOIN (SELECT q.qv FROM q JOIN s0 ON q.vec_id = s0.vec_id) s),
+    s1 AS (
+      SELECT vec_id, mind FROM m0
+      WHERE vec_id NOT IN (SELECT vec_id FROM s0)
+      ORDER BY mind DESC, vec_id LIMIT 1),
+    ${(1 to K - 2).map(stageSql).mkString(",\n    ")}
+    SELECT * FROM (
+      SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist_q2 FROM s0
+      ${(1 until K).map(t => s"UNION ALL SELECT ${t + 1} AS sel_rank, vec_id, mind AS dist_q2 FROM s$t").mkString("\n      ")}
+    ) ORDER BY sel_rank""")((s, d) => coresetDf(s, d))
+
+  val all: Seq[GraftQuery] = Seq(coreset)
+}
