@@ -54,6 +54,19 @@ object VectorsCoreset {
     aggregate(zip_with(qv, array(s.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 
+  /** One greedy round as a 1-row frame: min distance² to the selected
+    * literals, argmax with vec_id tie-break. Exposed so PlanShapeSpec
+    * can pin the shape — a map stage + bounded TakeOrderedAndProject,
+    * no shuffle Exchange (per-partition top-1, 1-row driver merge). */
+  private[graft] def roundFrame(q: DataFrame,
+      selQ: Seq[Seq[Long]], exclude: Seq[Long]): DataFrame = {
+    val dists = selQ.map(distSq(col("qv"), _))
+    val mind = if (dists.size == 1) dists.head else least(dists: _*)
+    q.where(!col("vec_id").isin(exclude: _*))
+      .select(col("vec_id"), mind.as("mind"), col("qv"))
+      .orderBy(desc("mind"), asc("vec_id")).limit(1)
+  }
+
   /** The greedy selection: (rank, vec_id, dist_q2, qv) driver-side.
     * dist_q2 is the selected point's min distance² to the PRIOR
     * selected set (the covering-radius sequence; 0 for the seed). */
@@ -67,14 +80,14 @@ object VectorsCoreset {
       .orderBy(desc("n2"), asc("vec_id")).limit(1).collect()(0)
     val seed = (1, seedRow.getLong(0), 0L, seedRow.getSeq[Long](2).toSeq)
     (2 to k).foldLeft(Vector(seed)) { (sel, rank) =>
-      val dists = sel.map { case (_, _, _, qs) => distSq(col("qv"), qs) }
-      val mind = if (dists.size == 1) dists.head else least(dists: _*)
-      val row = q.where(!col("vec_id").isin(sel.map(_._2): _*))
-        .select(col("vec_id"), mind.as("mind"), col("qv"))
-        .orderBy(desc("mind"), asc("vec_id")).limit(1).collect()(0)
+      val row = roundFrame(q, sel.map(_._4), sel.map(_._2)).collect()(0)
       sel :+ ((rank, row.getLong(0), row.getLong(1), row.getSeq[Long](2).toSeq))
     }.map { case (r, id, d, qv) => (r, id, d, qv) }
   }
+
+  /** PlanShapeSpec hook: the quantized corpus frame. */
+  private[graft] def quantizedFrame(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
 
   /** Registered query: the selection order with its exact-integer
     * covering-radius sequence. */

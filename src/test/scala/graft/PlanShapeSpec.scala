@@ -299,6 +299,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"triangle enumeration must never cross-join:\n$p")
   }
 
+  test("ns_vec_coreset round: map stage + bounded TakeOrderedAndProject, no Exchange") {
+    // each greedy round must be one scan-fused map (least-of-K integer
+    // distances) topped by a per-partition top-1 — a shuffle here would
+    // pay a corpus-wide exchange PER ROUND at 100 TB
+    val q = graft.operators.VectorsCoreset.quantizedFrame(spark, dir)
+    val sel = Seq(Seq.fill(64)(0L), Seq.fill(64)(100L)) // two fake selected reps
+    val p = plan(graft.operators.VectorsCoreset.roundFrame(q, sel, Seq(0L)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"round argmax must plan TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange"),
+      s"round must not shuffle — per-partition top-1 then 1-row merge:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
