@@ -13,7 +13,7 @@ object SparkEntry {
       Vectors.all ++ VectorsIvf.all ++ VectorsKmeans.all ++ Multimodal.all ++
       Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all ++
       VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all ++
-      VectorsPq.all ++ VectorsCoreset.all
+      VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 
