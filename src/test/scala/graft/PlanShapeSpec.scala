@@ -312,6 +312,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"round must not shuffle — per-partition top-1 then 1-row merge:\n$p")
   }
 
+  test("ns_events_cdc_merge: both latest-per-key windows and the merge share the user_id key — no BNLJ, no cartesian") {
+    // the stored-dimension promise: every stage keys on user_id, so a
+    // bucketed snapshot never re-shuffles; a nested-loop anywhere here
+    // would be a batch × dimension product at 100 TB
+    val p = plan(graft.operators.EventCdc.cdcMerge(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"merge must stay an equi-join on user_id:\n$p")
+    assert(p.contains("FullOuter"), s"expected the full-outer merge join:\n$p")
+  }
+
+  test("ns_text_nb_classify: model and scalars broadcast — the corpus token stream never shuffle-joins on the token") {
+    // scoring must be map-side: a corpus-side exchange keyed on the
+    // token would re-shuffle 100 TB per scoring run; only the per-doc
+    // reduce may exchange
+    val p = plan(graft.operators.TextClassify.nbClassify(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never sort-merge on the token column:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
