@@ -13,7 +13,8 @@ object SparkEntry {
       Vectors.all ++ VectorsIvf.all ++ VectorsKmeans.all ++ Multimodal.all ++
       Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all ++
       VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all ++
-      VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all
+      VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all ++
+      CorpusDiff.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

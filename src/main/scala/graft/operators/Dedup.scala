@@ -863,6 +863,70 @@ object Dedup {
     WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
     ORDER BY d.doc_id""")((s, d) => dedupSurvivors(s, d))
 
+  /** LEAK-FREE train/val/test SPLIT — split assignment that respects
+    * near-dup clusters: every member of a cluster lands in the SAME
+    * split (assignment hashes the cluster REPRESENTATIVE, not the
+    * doc), so a near-duplicate of a training document can never leak
+    * into validation/test — the contamination mode plain per-doc
+    * hashing silently creates and eval scores silently inflate on.
+    * 80/10/10 by md5 of the representative (thresholds are exact
+    * 32-bit hex constants: 0xcccccccc = ⌊0.8·2³²⌋, 0xe6666666 =
+    * ⌊0.9·2³²⌋ — fixed-width lowercase hex compares identically in
+    * both engines, the [[TextOps.mixtureSample]] convention).
+    *
+    * Scale shape: cluster labels are a near-dup-subset-sized frame
+    * ([[dedupClusters]], memoized — banded candidates, never O(n²));
+    * the left join back is keyed on doc_id (the corpus layout key, so
+    * a doc_id-bucketed corpus never re-shuffles) and the split itself
+    * is pure map-side hash algebra on the joined rep. The output
+    * aggregate partial-combines to |splits|×|sources| rows per task. */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val labels = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("u", substring(md5(col("rep").cast("string").cast("binary")), 1, 8))
+      .withColumn("split",
+        when(col("u") < "cccccccc", "train")
+          .when(col("u") < "e6666666", "val")
+          .otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "source")
+  }
+
+  val splitLeakFree: GraftQuery = GraftQuery.checked("ns_dedup_split_leakfree",
+    """WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+                 FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) AS u
+      FROM documents d LEFT JOIN clusters c USING (doc_id))
+    SELECT CASE WHEN u < 'cccccccc' THEN 'train'
+                WHEN u < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled
+    GROUP BY 1, source ORDER BY split, source""")((s, d) => leakFreeSplit(s, d))
+
   private val IncNewSources = Seq("src16", "src17", "src18", "src19")
   private val IncThreshold = 0.4
 
@@ -1045,5 +1109,6 @@ object Dedup {
 
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
     simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
-    duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental, sourceOverlapQ)
+    duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental, sourceOverlapQ,
+    splitLeakFree)
 }

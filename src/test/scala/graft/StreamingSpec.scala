@@ -474,4 +474,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs2.contains((2L, 3L)),
       "an in-horizon clone must still collide with the live bucket")
   }
+
+  test("streaming scd2 replay == batch closed intervals (O(1) open-interval state per user)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingScd2
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.EventOps.scd2.run(spark, dir)
+      .where(!col("is_current"))
+      .select(col("user_id"), col("interval_seq").cast("long").as("interval_seq"),
+        col("state"), unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(batch.nonEmpty, "fixture must produce closed intervals")
+    val srcDir = java.nio.file.Files.createTempDirectory("scd2-src").toString
+    graft.sources.Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingScd2.Scd2Event])
+    val q = StreamingScd2.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in 120s")
+    q.stop()
+    val streamed = spark.table("scd2_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch,
+      s"streaming scd2 diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
+  }
 }
