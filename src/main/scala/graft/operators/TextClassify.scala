@@ -40,10 +40,9 @@ import graft.sources.Tables
   */
 object TextClassify {
 
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), (col("lang") === "en").as("pos"),
-        explode(split(col("text"), " ")).as("w"))
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), (col("lang") === "en").as("pos"),
+      explode(split(col("text"), " ")).as("w"))
 
   /** FLOOR(((ln a − ln b − ln c) + ln d) · 10⁶) as BIGINT — the shared
     * quantizer; identical association to the oracle's expression. */
@@ -52,8 +51,13 @@ object TextClassify {
       - log(c.cast("double")) + log(d.cast("double"))) * 1000000.0).cast("long")
 
   /** Per-eval-doc NB scores: (doc_id, lang, n_toks, score_micro, pred_en, is_en). */
-  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(spark, dir)
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyCore(Tables.documents(spark, dir))
+
+  /** Core on any (doc_id, lang, text) frame — the weak-scaling probe
+    * drives scoring-corpus growth against a fixed training split. */
+  def nbClassifyCore(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
     val train = toks.where(col("doc_id") % 5 =!= 0)
     val eval = toks.where(col("doc_id") % 5 === 0)
 
