@@ -63,6 +63,47 @@ class EventCdcSpec extends AnyFunSuite {
     assert(merged.select("user_id").distinct().count() == n)
   }
 
+  test("cdc merge property: equals an independent in-memory fold on random event streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cutoffUs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime * 1000L
+    val evGen = Gen.listOf(for {
+      user <- Gen.choose(1L, 8L)           // few users -> dense per-key histories
+      day <- Gen.choose(1, 30)             // straddles the cutoff
+      sec <- Gen.choose(0, 3)              // deliberate ts collisions
+      typ <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+      cents <- Gen.choose(0L, 999L)
+    } yield (user, f"2024-01-$day%02d 00:00:0$sec", typ, cents))
+    (0 until 40).foreach { i =>
+      evGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { rows =>
+        val evs = rows.zipWithIndex.map { case ((u, t, ty, c), id) =>
+          (u, id.toLong, ty, t, c)
+        }
+        // reference: plain Scala fold — latest (ts, event_id) per key
+        // per side, then merge with tombstone semantics
+        def latest(side: Seq[(Long, Long, String, String, Long)]) =
+          side.groupBy(_._1).view.mapValues(_.maxBy(e =>
+            (java.sql.Timestamp.valueOf(e._4).getTime, e._2))).toMap
+        val usOf = (t: String) => java.sql.Timestamp.valueOf(t).getTime * 1000L
+        val snap = latest(evs.filter(e => usOf(e._4) < cutoffUs))
+        val chg = latest(evs.filter(e => usOf(e._4) >= cutoffUs))
+        val expected = (snap.keySet ++ chg.keySet).flatMap { u =>
+          (snap.get(u), chg.get(u)) match {
+            case (_, Some(c)) if c._3 == "error" => None
+            case (Some(_), Some(c)) => Some((u, c._3, c._5, "update"))
+            case (None, Some(c)) => Some((u, c._3, c._5, "insert"))
+            case (Some(s), None) => Some((u, s._3, s._5, "keep"))
+            case (None, None) => None
+          }
+        }
+        val got = EventCdc.cdcMergeCore(mkEvents(evs), "2024-01-16 00:00:00")
+          .select("user_id", "state", "cents", "action").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+        assert(got == expected, s"seed $i: +${got diff expected} -${expected diff got}")
+      }
+    }
+  }
+
   test("nb classifier: score decomposes as prior + sum of per-token quantized weights") {
     val out = TextClassify.nbClassify(spark, dir)
     // recompute the model independently (collected — test-scale only)
