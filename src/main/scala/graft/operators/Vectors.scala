@@ -250,6 +250,75 @@ object Vectors {
       .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
   }
 
+  /** MATRYOSHKA-truncation ANN (Kusupati et al. 2022 — MRL-trained
+    * embeddings front-load information into the leading dimensions):
+    * candidate generation scores only the first `truncDims` of 64
+    * dimensions — a 4× cheaper corpus scan at truncDims=16 (and 4×
+    * smaller candidate-stage working set at rest, the same lever as
+    * the int8 variant's byte cut) — then the exact full-dimension dot
+    * re-ranks the top-`refine` survivors. The ablation knob every
+    * embedding pipeline tunes: truncDims trades scan cost against
+    * recall, and truncDims=64 + full refine degrades losslessly to
+    * brute force (spec corner). Same two-scan shape as
+    * [[quantizedTopK]]: query side broadcast twice, corpus never
+    * self-joins.
+    *
+    * Determinism: the truncated dot is ROUND-4'd before ranking (the
+    * [[bruteForceTopK]] contract — identical left-to-right
+    * double-widened accumulation on both engines) with neighbor_id
+    * tie-break, so the candidate set is engine-stable. */
+  def truncTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+                truncDims: Int = 16, refine: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        slice(col("embedding"), 1, truncDims).as("t_emb"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("t_emb").as("q_t"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("tdot").desc, col("neighbor_id"))
+    val refinedIds = emb.join(broadcast(q.select("query_id", "q_t")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        dround(dot(col("q_t"), col("t_emb")), 4).as("tdot"))
+      .withColumn("qrn", row_number().over(wq))
+      .where(col("qrn") <= refine)
+      .select("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    refinedIds
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  val topKTrunc: GraftQuery = GraftQuery.checked("ns_vec_topk_trunc",
+    """WITH t AS (
+      SELECT vec_id, embedding, embedding[1:16] AS t_emb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.t_emb, v.t_emb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS tdot,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM t q JOIN t v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+    refined AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY tdot DESC, neighbor_id) AS qrn
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM refined WHERE qrn <= 50)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => truncTopK(s, d))
+
   val topKQuant: GraftQuery = GraftQuery.checked("ns_vec_topk_quant",
     """WITH coded AS (
       SELECT vec_id, embedding,
@@ -515,6 +584,6 @@ object Vectors {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, nearDups, nearDupsSound, topKRp,
-      standardize)
+    Seq(norms, topK, topKWindow, topKLsh, lshSound, topKQuant, topKTrunc, nearDups,
+      nearDupsSound, topKRp, standardize)
 }

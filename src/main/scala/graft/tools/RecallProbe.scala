@@ -33,6 +33,7 @@ object RecallProbe {
       "ivf" -> "ns_vec_topk_ivf",
       "ivf_kmeans" -> "ns_vec_topk_ivf_kmeans",
       "int8" -> "ns_vec_topk_quant",
+      "trunc16" -> "ns_vec_topk_trunc",
       "rp" -> "ns_vec_topk_rp",
       "pq" -> "ns_vec_topk_pq",
       "ivfpq" -> "ns_vec_topk_ivfpq")

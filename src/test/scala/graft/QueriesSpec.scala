@@ -50,6 +50,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall > 0.6, s"LSH recall too low: $recall")
   }
 
+  test("trunc topk: truncDims=64 + full refine degrades losslessly to brute force") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count().toInt
+    val bf = graft.operators.Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = graft.operators.Vectors.truncTopK(spark, dir, truncDims = 64, refine = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.sameElements(bf),
+      "full-dimension candidates + full refine must equal brute force exactly")
+  }
+
+  test("trunc topk (16 of 64 dims): recall@5 floor vs brute force") {
+    val bf = graft.operators.Vectors.bruteForceTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tr = graft.operators.Vectors.truncTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect tr).size.toDouble / bf.size
+    // uniform-random embeddings are the WORST case for truncation (no
+    // dimension carries more information than any other, unlike
+    // MRL-trained vectors) — the floor is correspondingly conservative
+    assert(recall >= 0.3, s"trunc16 refine-and-rerank recall too low: $recall")
+  }
+
   test("multimodal: frames only from video docs, resize respects budget") {
     val media = graft.operators.Multimodal.mediaTable(spark, dir)
     val frames = graft.operators.Multimodal.sampleFrames(media).collect()
