@@ -332,6 +332,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must never sort-merge on the token column:\n$p")
   }
 
+  test("ns_ts_simsearch: queries broadcast in both stages — the series corpus never self-joins or sort-merges") {
+    // candidate generation must stay a map-side integer computation on
+    // the sketch columns; a corpus-side SMJ or cartesian here is the
+    // all-pairs trap the segment-sum lower bound exists to avoid
+    val p = plan(graft.operators.TimeSeries.simSearch(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"series corpus must only broadcast-join the 5-query side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** The similarity-search guarantees the value-hash oracle can't
+  * state: the segment-sum lower bound must actually BE a lower bound
+  * (Cauchy–Schwarz, lb ≤ 5·dist — an unsound bound silently prunes
+  * true neighbors), and full refine must equal an independent exact
+  * brute force (the prune only reorders candidate generation, never
+  * the final metric). */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+
+  /** Independent series: user -> 30 daily counts, straight from events. */
+  private def refSeries(): Map[Long, Array[Long]] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("2024-01-01")).as("d"))
+      .where(col("d") >= 0 && col("d") < 30)
+      .groupBy("user_id", "d").count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val arr = Array.fill(30)(0L)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        u -> arr
+      }
+  }
+
+  test("segment-sum lower bound is sound: lb <= 5 * exact distance on every pair") {
+    val series = refSeries()
+    def segs(a: Array[Long]) = (0 until 6).map(j => a.slice(j * 5, j * 5 + 5).sum)
+    for ((qa, qs) <- series if qa < 5; (ca, cs) <- series if ca != qa) {
+      val dist = qs.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum
+      val lb = segs(qs).zip(segs(cs)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(lb <= 5 * dist, s"bound violated for ($qa,$ca): lb=$lb dist=$dist")
+    }
+  }
+
+  test("full refine equals independent exact brute-force top-5") {
+    val series = refSeries()
+    val expected = series.keys.filter(_ < 5).flatMap { q =>
+      series.toSeq.filter(_._1 != q)
+        .map { case (c, cs) =>
+          (q, c, series(q).zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }
+        .sortBy { case (_, c, d) => (d, c) }.take(5)
+    }.toSet
+    val got = TimeSeries.simSearch(spark, dir, refine = series.size + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"+${got diff expected} -${expected diff got}")
+  }
+
+  test("default prune keeps high recall on the fixture (lower bound is tight on daily counts)") {
+    val exact = TimeSeries.simSearch(spark, dir, refine = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = TimeSeries.simSearch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pruned recall too low: $recall")
+  }
+}
