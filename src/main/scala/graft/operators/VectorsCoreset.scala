@@ -70,8 +70,13 @@ object VectorsCoreset {
   /** The greedy selection: (rank, vec_id, dist_q2, qv) driver-side.
     * dist_q2 is the selected point's min distance² to the PRIOR
     * selected set (the covering-radius sequence; 0 for the seed). */
-  private[graft] def select(spark: SparkSession, dir: String, k: Int = K): Seq[(Int, Long, Long, Seq[Long])] = {
-    val q = quantized(spark, dir)
+  private[graft] def select(spark: SparkSession, dir: String, k: Int = K): Seq[(Int, Long, Long, Seq[Long])] =
+    selectFrom(quantized(spark, dir), k)
+
+  /** Greedy FPS over any quantized `(vec_id, qv)` frame — shared with
+    * the [[VectorsCuration]] capstone, which feeds it the SemDeDup
+    * survivor set instead of the full corpus. */
+  private[graft] def selectFrom(q: DataFrame, k: Int = K): Seq[(Int, Long, Long, Seq[Long])] = {
     // seed: max quantized norm², tie → min vec_id (deterministic, and
     // an extreme point — the conventional FPS start)
     val seedRow = q.select(col("vec_id"),
@@ -104,7 +109,7 @@ object VectorsCoreset {
     * `s{t+1}` is the farthest point under `m{t}`. */
   private def stageSql(t: Int): String = {
     val excl = (0 to t).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
-    s"""m$t AS (
+    s"""m$t AS MATERIALIZED (
       SELECT m.vec_id, m.qv,
              LEAST(m.mind, CAST(list_sum(list_transform(list_zip(m.qv, s.qv),
                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)) AS mind
@@ -115,17 +120,15 @@ object VectorsCoreset {
       ORDER BY mind DESC, vec_id LIMIT 1)"""
   }
 
-  val coreset: GraftQuery = GraftQuery.checked("ns_vec_coreset",
-    s"""WITH q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings),
-    s0 AS (
+  /** The unrolled greedy chain AFTER a `q AS (vec_id, qv)` CTE —
+    * shared verbatim by this oracle and the [[VectorsCuration]]
+    * capstone's (which swaps in a survivor-filtered `q`). */
+  private[graft] def greedySqlTail(k: Int): String =
+    s"""s0 AS (
       SELECT vec_id FROM (
         SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
         FROM q) ORDER BY n2 DESC, vec_id LIMIT 1),
-    m0 AS (
+    m0 AS MATERIALIZED (
       SELECT a.vec_id, a.qv,
              CAST(list_sum(list_transform(list_zip(a.qv, s.qv),
                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS mind
@@ -134,11 +137,19 @@ object VectorsCoreset {
       SELECT vec_id, mind FROM m0
       WHERE vec_id NOT IN (SELECT vec_id FROM s0)
       ORDER BY mind DESC, vec_id LIMIT 1),
-    ${(1 to K - 2).map(stageSql).mkString(",\n    ")}
+    ${(1 to k - 2).map(stageSql).mkString(",\n    ")}
     SELECT * FROM (
       SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist_q2 FROM s0
-      ${(1 until K).map(t => s"UNION ALL SELECT ${t + 1} AS sel_rank, vec_id, mind AS dist_q2 FROM s$t").mkString("\n      ")}
-    ) ORDER BY sel_rank""")((s, d) => coresetDf(s, d))
+      ${(1 until k).map(t => s"UNION ALL SELECT ${t + 1} AS sel_rank, vec_id, mind AS dist_q2 FROM s$t").mkString("\n      ")}
+    ) ORDER BY sel_rank"""
+
+  val coreset: GraftQuery = GraftQuery.checked("ns_vec_coreset",
+    s"""WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    ${greedySqlTail(K)}""")((s, d) => coresetDf(s, d))
 
   val all: Seq[GraftQuery] = Seq(coreset)
 }

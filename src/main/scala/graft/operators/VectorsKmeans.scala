@@ -433,8 +433,12 @@ object VectorsKmeans {
       .orderBy("vec_id")
   }
 
-  val semdedup: GraftQuery = GraftQuery.checked("ns_vec_semdedup",
-    s"""WITH cents0 AS (
+  /** The training + assignment + within-cluster-pair CTE body (up to
+    * `pairs`) — shared verbatim by this oracle and the
+    * [[VectorsCuration]] capstone's (which appends the dropped-set
+    * derivation and the coreset chain over the survivors). */
+  private[graft] def semdedupSqlBody: String =
+    s"""cents0 AS (
       SELECT CAST(vec_id AS INTEGER) AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
       FROM embeddings WHERE vec_id < $K),
@@ -458,7 +462,10 @@ object VectorsKmeans {
       FROM assign2 aa JOIN assign2 bb
         ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
       JOIN embeddings a ON a.vec_id = aa.vec_id
-      JOIN embeddings b ON b.vec_id = bb.vec_id)
+      JOIN embeddings b ON b.vec_id = bb.vec_id)"""
+
+  val semdedup: GraftQuery = GraftQuery.checked("ns_vec_semdedup",
+    s"""WITH $semdedupSqlBody
     SELECT vec_id, CAST(cluster AS INTEGER) AS cluster_id,
            MIN(keep_id) AS dup_of, COUNT(*) AS n_dups, MAX(sim_r) AS max_sim
     FROM pairs WHERE sim_r >= $Tau

@@ -12,11 +12,12 @@ import graft.operators.VectorsCoreset
 class VectorsCoresetSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
-  private def bruteGreedy(k: Int): Seq[(Int, Long, Long)] = {
+  private def bruteGreedy(k: Int, exclude: Set[Long] = Set.empty): Seq[(Int, Long, Long)] = {
     import spark.implicits._
     val vs = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect()
+      .filterNot { case (id, _) => exclude(id) }
       .map { case (id, e) =>
         id -> e.map(x => math.floor(x.toDouble * 10000.0 + 0.5).toLong)
       }.sortBy(_._1)
@@ -41,6 +42,17 @@ class VectorsCoresetSpec extends AnyFunSuite {
     val got = VectorsCoreset.coresetDf(spark, SparkSuite.sfDir)
       .as[(Int, Long, Long)].collect().toSeq
     assert(got == bruteGreedy(VectorsCoreset.K))
+  }
+
+  test("curation capstone == greedy replay over exactly the semdedup survivors") {
+    import spark.implicits._
+    val dropped = graft.operators.VectorsKmeans.semDedup(spark, SparkSuite.sfDir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty, "fixture must drop at least one semantic dup or the capstone is vacuous")
+    val got = graft.operators.VectorsCuration.curationDf(spark, SparkSuite.sfDir)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == bruteGreedy(graft.operators.VectorsCoreset.K, exclude = dropped))
+    assert(got.map(_._2).forall(!dropped(_)), "no selected rep may be a dropped duplicate")
   }
 
   test("k-center structure: K distinct reps, covering radius non-increasing") {
