@@ -23,6 +23,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("dynamic partition pruning: a dimension-side filter prunes the partitioned fact scan at runtime") {
+    // the 100 TB lever static pruning can't reach: the fact table is
+    // partitioned by day, the filter lives on a DIMENSION attribute,
+    // and only the broadcast join result knows which days survive —
+    // DPP injects that set into the fact scan's PartitionFilters so
+    // untouched day-partitions are never read
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val days = fact.select("day").distinct()
+      .withColumn("is_audit_day", dayofmonth(col("day")) <= 2)
+    val joined = fact.join(days.where(col("is_audit_day")), "day")
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n${p.take(4000)}")
+    // and the pruned result is correct: only days 1-2 survive
+    val got = joined.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val expected = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .where(dayofmonth(col("day")) <= 2)
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("saltedJoin equals plain join") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
