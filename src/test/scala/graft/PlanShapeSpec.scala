@@ -343,6 +343,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query side must broadcast:\n$p")
   }
 
+  test("ns_corpus_diff: hash-at-scan + one full-outer equi-join on doc_id — no content comparison, no BNLJ") {
+    val p = plan(graft.operators.CorpusDiff.snapshotDiff(spark, dir))
+    assert(p.contains("FullOuter"), s"expected the full-outer diff join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"diff must stay an equi-join on doc_id:\n$p")
+  }
+
+  test("ns_vec_topk_trunc: both stages keep the corpus on broadcast joins — never a corpus-side SMJ") {
+    val p = plan(graft.operators.Vectors.truncTopK(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must only broadcast-join the query side:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees
