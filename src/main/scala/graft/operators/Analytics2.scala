@@ -81,6 +81,40 @@ object Analytics2 {
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
   }
 
+  /** CUBE over (status, priority) — the full grouping-sets lattice
+    * (ROLLUP's sibling; every warehouse's cross-dim summary page).
+    * GROUPING() markers ride along so subtotal rows are identified
+    * structurally, not by NULL-sniffing (a real NULL in a grouping
+    * column would be indistinguishable otherwise), and double ORDER
+    * BY keys on the markers keep the lattice order engine-stable.
+    * Revenue is summed in exact integer cents (the [[EventStats]]
+    * convention) — 2²·|status×priority| subtotal rows of exact
+    * BIGINTs, partial-aggregated map-side through Spark's Expand.
+    * Same temp-view SQL surface as [[revenueRollup]] (the DataFrame
+    * cube API re-emits grouping attributes through Expand, tripping
+    * the ambiguous-self-join check on later by-name references). */
+  val revenueCube: GraftQuery = checked("ns_revenue_cube",
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status NULLS FIRST, priority NULLS FIRST""") { (spark, dir) =>
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("g_s"), col("o_orderpriority").as("g_p"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents_1"))
+    base.createOrReplaceTempView("cube_base")
+    base.sparkSession.sql(
+      """SELECT g_s AS status, g_p AS priority,
+           CAST(grouping(g_s) AS INT) AS g_status,
+           CAST(grouping(g_p) AS INT) AS g_priority,
+           SUM(cents_1) AS cents, COUNT(*) AS n_orders
+         FROM cube_base GROUP BY CUBE(g_s, g_p)
+         ORDER BY g_status, g_priority, status ASC NULLS FIRST, priority ASC NULLS FIRST""")
+  }
+
   /** Set operations: customers present in ASIA INTERSECT customers
     * with an open order, then EXCEPT the auto-mkt segment — exercises
     * INTERSECT/EXCEPT (hash-dedup set ops) beyond E2's union. */
@@ -252,6 +286,6 @@ object Analytics2 {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, setOps, loyalClosed, runProjection,
-    profile, asofJoin, profileApproxSound)
+  val all: Seq[GraftQuery] = Seq(sessions, revenueRollup, revenueCube, setOps, loyalClosed,
+    runProjection, profile, asofJoin, profileApproxSound)
 }

@@ -72,6 +72,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"trunc16 refine-and-rerank recall too low: $recall")
   }
 
+  test("cube lattice is consistent: subtotals and grand total re-derive from the detail cells") {
+    val rows = graft.operators.Analytics2.revenueCube.run(spark, dir)
+      .collect().map(r => ((Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3)), (r.getLong(4), r.getLong(5))))
+    val detail = rows.collect { case ((Some(s), Some(p), 0, 0), v) => (s, p) -> v }.toMap
+    val byStatus = rows.collect { case ((Some(s), None, 0, 1), v) => s -> v }.toMap
+    val byPriority = rows.collect { case ((None, Some(p), 1, 0), v) => p -> v }.toMap
+    val grand = rows.collectFirst { case ((None, None, 1, 1), v) => v }.get
+    assert(rows.length ==
+      detail.size + byStatus.size + byPriority.size + 1, "lattice must be exactly the 4 grouping sets")
+    byStatus.foreach { case (s, (cents, n)) =>
+      val d = detail.collect { case ((`s`, _), v) => v }
+      assert((d.map(_._1).sum, d.map(_._2).sum) == ((cents, n)), s"status $s subtotal")
+    }
+    byPriority.foreach { case (p, (cents, n)) =>
+      val d = detail.collect { case ((_, `p`), v) => v }
+      assert((d.map(_._1).sum, d.map(_._2).sum) == ((cents, n)), s"priority $p subtotal")
+    }
+    assert((detail.values.map(_._1).sum, detail.values.map(_._2).sum) == grand, "grand total")
+  }
+
   test("multimodal: frames only from video docs, resize respects budget") {
     val media = graft.operators.Multimodal.mediaTable(spark, dir)
     val frames = graft.operators.Multimodal.sampleFrames(media).collect()
