@@ -475,6 +475,49 @@ class StreamingSpec extends AnyFunSuite {
       "an in-horizon clone must still collide with the live bucket")
   }
 
+  test("RocksDB state store: the scd2 twin replays identically on the off-heap backend") {
+    // the 100 TB streaming lever: keyed state beyond executor heap.
+    // An isolated child session (own SQLConf, shared context) flips
+    // the provider so the rest of the suite stays on the default store
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingScd2
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = SparkSuite.sfDir
+    val batch = graft.operators.EventOps.scd2.run(rocks, dir)
+      .where(!col("is_current")).count()
+    assert(batch > 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("scd2-rocks-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2-rocks-ckpt").toString
+    graft.sources.Tables.events(rocks, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = rocks.readStream
+      .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingScd2.Scd2Event])
+    val q = StreamingScd2.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_rocks_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "rocksdb streaming query did not finish in 120s")
+    q.stop()
+    assert(rocks.table("scd2_rocks_out").count() == batch,
+      "closed-interval count must match batch on the RocksDB backend")
+    // the checkpoint must actually contain RocksDB artifacts, not the
+    // default HDFS-backed store's .delta files
+    val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var names = List.empty[String]
+    while (stateFiles.hasNext) names ::= stateFiles.next().getFileName.toString
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"expected RocksDB snapshot/changelog files in the state dir, saw: ${names.take(20)}")
+    assert(!names.exists(_.endsWith(".delta")),
+      "default-store .delta files mean the provider flip did not take")
+  }
+
   test("streaming scd2 replay == batch closed intervals (O(1) open-interval state per user)") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingScd2
