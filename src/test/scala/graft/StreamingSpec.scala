@@ -475,6 +475,48 @@ class StreamingSpec extends AnyFunSuite {
       "an in-horizon clone must still collide with the live bucket")
   }
 
+  test("streaming cdc dimension: final revision per key == batch latest-wins merge with tombstones") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingCdc
+    val dir = SparkSuite.sfDir
+    // batch comparator: the cdc merge with cutoff at epoch — every
+    // event is a change against an empty snapshot, so the merged
+    // dimension is pure latest-wins with 'error' tombstones
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val batch = graft.operators.EventCdc.cdcMergeCore(ev, "1970-01-01 00:00:00")
+      .select("user_id", "state", "cents")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty)
+    val srcDir = java.nio.file.Files.createTempDirectory("cdc-src").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, cents BIGINT")
+      .parquet(srcDir)
+      .as(org.apache.spark.sql.Encoders.product[StreamingCdc.CdcEvent])
+    val q = StreamingCdc.dimensionStream(stream)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in 120s")
+    q.stop()
+    // fold revisions to the final row per key by the total (ts_us, rev) order
+    val finalRows = spark.table("cdc_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._5, x._2))).toMap
+    val streamedLive = finalRows.collect {
+      case (u, (_, _, state, cents, _, true)) => u -> ((state, cents))
+    }.toMap
+    assert(streamedLive == batch,
+      s"dimension diverged: +${(streamedLive.toSet diff batch.toSet).take(3)} " +
+        s"-${(batch.toSet diff streamedLive.toSet).take(3)}")
+    // tombstoned keys are exactly those absent from the batch merge
+    val tombstoned = finalRows.collect { case (u, (_, _, _, _, _, false)) => u }.toSet
+    assert(tombstoned.nonEmpty && tombstoned.forall(!batch.contains(_)))
+  }
+
   test("RocksDB state store: the scd2 twin replays identically on the off-heap backend") {
     // the 100 TB streaming lever: keyed state beyond executor heap.
     // An isolated child session (own SQLConf, shared context) flips
