@@ -668,7 +668,12 @@ object TextOps {
     SELECT doc_id, lang, k AS chunk_idx, k * $ChunkS + 1 AS start_tok,
            LEAST($ChunkC, n - k * $ChunkS) AS n_tokens,
            md5(array_to_string(t[(k*$ChunkS+1):(k*$ChunkS+$ChunkC)], ' ')) AS chunk_md5
-    FROM c ORDER BY doc_id, chunk_idx""") { (spark, dir) =>
+    FROM c ORDER BY doc_id, chunk_idx""")((s, d) =>
+    chunkFrame(s, d).orderBy("doc_id", "chunk_idx"))
+
+  /** The un-ordered chunk frame (doc_id, lang, chunk_idx, start_tok,
+    * n_tokens, chunk_md5) — shared by [[chunk]] and [[chunkDedup]]. */
+  private def chunkFrame(spark: SparkSession, dir: String): DataFrame = {
     val C = ChunkC; val S = ChunkS
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -686,7 +691,61 @@ object TextOps {
         (col("chunk_idx") * S + 1).cast("long").as("start_tok"),
         least(lit(C), col("n") - col("chunk_idx") * S).cast("long").as("n_tokens"),
         col("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** CHUNK-LEVEL exact dedup — RAG-store maintenance: the retrieval
+    * index stores CHUNKS, not documents, and identical context windows
+    * (boilerplate, templated spans, overlap-stride repeats) waste
+    * index space and skew retrieval toward duplicated content. Dedup
+    * is corpus-wide by chunk digest with the deterministic keep-first
+    * rule (min (doc_id, chunk_idx) copy is canonical); the output is
+    * the per-language index-maintenance report: occurrences, kept
+    * canonical copies, dropped duplicates.
+    *
+    * Scale shape: NO window over the digest key — a boilerplate chunk
+    * repeated 10⁶ times would make `row_number() OVER (PARTITION BY
+    * digest)` sort a whale partition. Instead the canonical copy per
+    * digest is a `min(struct(doc_id, chunk_idx, lang))` AGGREGATE
+    * (map-side partial combine bounds the whale at one row per task),
+    * and the summary re-aggregates the digest-sized frame by the
+    * canonical copy's language. The oracle uses the window formulation
+    * — equivalent because (doc_id, chunk_idx) is unique — so the gate
+    * also proves the aggregate rewrite result-transparent. */
+  val chunkDedup: GraftQuery = GraftQuery.checked("ns_text_chunk_dedup",
+    s"""WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, len(t) AS n, t,
+             unnest(range(0, CASE WHEN len(t) <= $ChunkC THEN 1
+               ELSE 1 + CAST(ceil((len(t) - $ChunkC) / $ChunkS.0) AS BIGINT) END)) AS k
+      FROM t WHERE len(t) >= 1),
+    chunks AS (
+      SELECT doc_id, lang, k AS chunk_idx,
+             md5(array_to_string(t[(k*$ChunkS+1):(k*$ChunkS+$ChunkC)], ' ')) AS chunk_md5
+      FROM c),
+    flagged AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) = 1 AS kept
+      FROM chunks)
+    SELECT lang, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY lang ORDER BY lang""") { (spark, dir) =>
+    val chunks = chunkFrame(spark, dir)
+    val canonical = chunks
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("lang"))).as("m"),
+        count(lit(1)).as("copies"))
+      .select(col("m.lang").as("lang"), col("copies"))
+    val totals = chunks.groupBy("lang").agg(count(lit(1)).as("n_chunks"))
+    val kept = canonical.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("lang")
   }
 
   private val QPctP = 0.25
@@ -925,6 +984,6 @@ object TextOps {
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, corrStats, qualityPct,
+    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, chunkDedup, corrStats, qualityPct,
     qualityPctSound, weightedSample)
 }

@@ -356,6 +356,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must only broadcast-join the query side:\n$p")
   }
 
+  test("ns_text_chunk_dedup: canonical-copy selection is an aggregate, never a digest-keyed window") {
+    // a boilerplate chunk repeated 10^6 times must partial-combine
+    // map-side to one row per task — a row_number window over the
+    // digest would sort the whale partition instead
+    val p = plan(graft.operators.TextOps.chunkDedup.run(spark, dir))
+    assert(!p.contains("Window"), s"no window may key on the chunk digest:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"canonical selection must be a partial-combining aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

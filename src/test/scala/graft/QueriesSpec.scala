@@ -93,6 +93,21 @@ class QueriesSpec extends AnyFunSuite {
     assert((detail.values.map(_._1).sum, detail.values.map(_._2).sum) == grand, "grand total")
   }
 
+  test("chunk dedup accounting: totals match the chunk emitter, kept sums to distinct digests") {
+    import org.apache.spark.sql.functions._
+    val summary = graft.operators.TextOps.chunkDedup.run(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val chunks = graft.operators.TextOps.chunk.run(spark, dir)
+    val perLang = chunks.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.view.mapValues(_._1).toMap == perLang, "n_chunks must match the chunk emitter")
+    val distinctDigests = chunks.select("chunk_md5").distinct().count()
+    assert(summary.values.map(_._2).sum == distinctDigests,
+      "kept canonical copies must sum to the distinct digest count")
+    summary.foreach { case (l, (n, kept, dropped)) => assert(n == kept + dropped, s"lang $l") }
+    assert(summary.values.map(_._3).sum > 0, "fixture must contain duplicated chunks (overlap stride)")
+  }
+
   test("multimodal: frames only from video docs, resize respects budget") {
     val media = graft.operators.Multimodal.mediaTable(spark, dir)
     val frames = graft.operators.Multimodal.sampleFrames(media).collect()
