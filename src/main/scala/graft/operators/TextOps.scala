@@ -347,6 +347,55 @@ object TextOps {
       .orderBy("lang", "bin")
   }
 
+  /** SEQUENCE-LENGTH BUCKETING with padding-waste accounting — the
+    * dynamic-batching prep step ([[pack]]'s alternative when examples
+    * must stay un-concatenated, e.g. SFT): batch docs of similar token
+    * length together (bucket cap = next power of two ≥ length) so
+    * each batch pads to its bucket cap instead of the GLOBAL max. The
+    * report quantifies the win per bucket: tokens, padding paid at
+    * the bucket cap, and padding that WOULD be paid at the corpus
+    * max — the number a pipeline owner reads to justify bucketing.
+    *
+    * Scale shape: bucket assignment is pure codegen'd per-row math
+    * (log2 via bit-length of n−1); the waste-at-global-max column
+    * needs the corpus max, a 1-row aggregate broadcast back (the
+    * thresholds-pass shape of [[qualityPct]]). Exact integers
+    * throughout. */
+  val lengthBuckets: GraftQuery = GraftQuery.checked("ns_text_length_buckets",
+    """WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    mx AS (SELECT MAX(n) AS global_max FROM toks),
+    bucketed AS (
+      SELECT n, global_max,
+             CASE WHEN n <= 1 THEN 1
+                  ELSE CAST(power(2, length(bin(n - 1))) AS BIGINT)
+             END AS cap
+      FROM toks CROSS JOIN mx)
+    SELECT cap AS bucket_cap, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS tokens,
+           CAST(SUM(cap - n) AS BIGINT) AS pad_bucketed,
+           CAST(SUM(global_max - n) AS BIGINT) AS pad_unbucketed
+    FROM bucketed GROUP BY cap ORDER BY bucket_cap""") { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val mx = toks.agg(max("n").as("global_max"))
+    // cap = 2^bitlength(n−1), bit length via the binary-string repr —
+    // an EXACT integer path on both engines (an ln-ratio formulation
+    // risks a 1-ulp ceil() divergence exactly at the power-of-two
+    // boundaries the buckets sit on); power(2, k) of an exact integer
+    // k is exact in both libm and Math.pow for k ≤ 52
+    val cap = when(col("n") <= 1, lit(1L))
+      .otherwise(pow(lit(2.0), length(bin(col("n") - 1)).cast("double")).cast("long"))
+    toks.crossJoin(broadcast(mx))
+      .select(col("n"), col("global_max"), cap.as("cap"))
+      .groupBy(col("cap").as("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"),
+        sum(col("cap") - col("n")).as("pad_bucketed"),
+        sum(col("global_max") - col("n")).as("pad_unbucketed"))
+      .orderBy("bucket_cap")
+  }
+
   /** Corpus HEAVY HITTERS — top-N tokens by frequency, computed through
     * the bounded [[graft.functions.MisraGriesAggregator]] rather than
     * `explode + groupBy(token)`: the naive plan shuffles one row per
@@ -984,6 +1033,6 @@ object TextOps {
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, chunkDedup, corrStats, qualityPct,
+    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, chunkDedup, lengthBuckets, corrStats, qualityPct,
     qualityPctSound, weightedSample)
 }

@@ -108,6 +108,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(summary.values.map(_._3).sum > 0, "fixture must contain duplicated chunks (overlap stride)")
   }
 
+  test("length buckets: powers of two, doc conservation, and bucketing strictly beats global-max padding") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextOps.lengthBuckets.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall { case (cap, _, _, _, _) =>
+      java.lang.Long.bitCount(cap) == 1 }, "bucket caps must be powers of two")
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.map(_._2).sum == nDocs, "every doc lands in exactly one bucket")
+    rows.foreach { case (cap, n, toks, padB, _) =>
+      assert(padB == cap * n - toks && padB >= 0, s"bucket $cap padding identity")
+      assert(toks > cap / 2 * n - n, s"bucket $cap must only hold docs above the previous cap")
+    }
+    assert(rows.map(_._4).sum < rows.map(_._5).sum,
+      "bucketed padding must strictly beat padding at the corpus max")
+  }
+
   test("multimodal: frames only from video docs, resize respects budget") {
     val media = graft.operators.Multimodal.mediaTable(spark, dir)
     val frames = graft.operators.Multimodal.sampleFrames(media).collect()
