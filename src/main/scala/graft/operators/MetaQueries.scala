@@ -342,6 +342,79 @@ object MetaQueries {
     FROM reach GROUP BY root, node
     ORDER BY root, node""")((spark, _) => dagClosure(spark))
 
+  /** CRITICAL PATH — per-node scheduling depth over the trigger DAG:
+    * the LONGEST source-to-node path length, i.e. the earliest level
+    * at which a pipeline can run when every dependency chain is
+    * honored — the number a scheduler reads to know the DAG's
+    * parallel makespan ([[dagClosure]]'s shortest-distance dual;
+    * reference analog: the dispatcher's fan-out P2 executes exactly
+    * one level of this schedule per event wave).
+    *
+    * Scale shape: monotone max-relaxation to fixpoint — the
+    * [[Dedup.connectedComponents]] iteration with `max(pred+1)` in
+    * place of min-label: each round is ONE edges⋈levels hash join +
+    * a dst-keyed max aggregate (map-side partial), rounds =
+    * longest-path length (a graph property, not a data size), and
+    * convergence is checked loudly — a non-converging frontier at
+    * the bound means a CYCLE, which must throw (the [[dagClosure]]
+    * contract) rather than emit a truncated schedule. Source nodes
+    * (never a dst) anchor at level 0.
+    *
+    * Determinism: levels are exact integers; the fixpoint of a
+    * monotone bounded map is unique regardless of iteration order. */
+  def criticalPath(spark: SparkSession, maxIters: Int = 32): DataFrame =
+    criticalPathCore(
+      Fixtures.edgesDS(spark)
+        .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
+        .distinct(), maxIters)
+
+  /** The relaxation core over any `(src, dst)` edge frame — the spec
+    * drives the cycle-throw contract on a synthetic cyclic graph. */
+  private[graft] def criticalPathCore(edges0: DataFrame, maxIters: Int = 32): DataFrame = {
+    val edges = edges0.cache()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    var levels = nodes.withColumn("lvl", lit(0L)).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val relaxed = edges
+        .join(levels.select(col("node").as("src"), col("lvl").as("src_lvl")), "src")
+        .groupBy(col("dst").as("node")).agg(max(col("src_lvl") + 1).as("in_lvl"))
+      val next = levels.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          greatest(col("lvl"), coalesce(col("in_lvl"), lit(0L))).as("lvl"))
+        .localCheckpoint(true)
+      converged = next.join(levels.withColumnRenamed("lvl", "prev"), "node")
+        .where(col("lvl") =!= col("prev")).isEmpty
+      levels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"criticalPath did not converge after $maxIters rounds — the trigger " +
+        "graph has a cycle (or a chain beyond the bound); a truncated schedule " +
+        "would under-report depths, so failing loudly")
+    levels.select(col("node"), col("lvl").as("sched_level")).orderBy("node")
+  }
+
+  val criticalPathQ: GraftQuery = GraftQuery.checked("ns_dag_critical_path",
+    "WITH RECURSIVE\n" + Fixtures.edgesCte + """,
+    nodes AS (
+      SELECT trigger_uuid AS node FROM pipeline_triggers
+      UNION SELECT pipeline_uuid FROM pipeline_triggers),
+    paths AS (
+      SELECT node, 0 AS depth FROM nodes
+      WHERE node NOT IN (SELECT pipeline_uuid FROM pipeline_triggers)
+      UNION ALL
+      SELECT t.pipeline_uuid AS node, p.depth + 1 AS depth
+      FROM paths p JOIN pipeline_triggers t ON t.trigger_uuid = p.node)
+    SELECT n.node AS node, CAST(COALESCE(MAX(p.depth), 0) AS BIGINT) AS sched_level
+    FROM nodes n LEFT JOIN paths p ON p.node = n.node
+    GROUP BY n.node
+    ORDER BY n.node""")((spark, _) => criticalPath(spark))
+
   /** Damping factor and fixed iteration count for [[pageRank]],
     * interpolated into both sides (shared-constant contract). */
   private[graft] val PrDamping = 0.85
@@ -659,6 +732,6 @@ object MetaQueries {
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
-    debounceExpired, depsSatisfied, dagClosureQ, pageRankQ, trianglesQ, coTrigger,
+    debounceExpired, depsSatisfied, dagClosureQ, criticalPathQ, pageRankQ, trianglesQ, coTrigger,
     corenessQ)
 }
