@@ -4,7 +4,6 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.GraftQuery.checked
-import graft.functions.dround
 import graft.meta.Fixtures.withCtes
 import graft.sources.Tables
 

@@ -1,9 +1,9 @@
 package graft.orchestration
 
 import java.sql.Timestamp
-import java.time.{Instant, ZoneOffset, ZonedDateTime}
+import java.time.{ZoneOffset, ZonedDateTime}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{LifecycleEvent, PipelineDef}

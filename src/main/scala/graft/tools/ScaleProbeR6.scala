@@ -37,7 +37,6 @@ object ScaleProbeR6 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val nEvents = 10000
