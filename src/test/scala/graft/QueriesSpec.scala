@@ -21,6 +21,11 @@ class QueriesSpec extends AnyFunSuite {
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
       val df = q.run(spark, dir)
+      // the driver's comparator sorts columns BY NAME before hashing —
+      // a duplicate output name would make the compare silently
+      // order-dependent, so ban it structurally for every query
+      assert(df.columns.map(_.toLowerCase).distinct.length == df.columns.length,
+        s"${q.name} emits duplicate column names: ${df.columns.mkString(",")}")
       val n = df.count()
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
     }
