@@ -166,5 +166,57 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary)
+  /** PAIRED-MODALITY curation propagation — the cross-table op every
+    * CLIP-style paired corpus needs and the only documents⋈embeddings
+    * bridge in the registry: the TEXT side's quality verdict
+    * ([[TextOps.qualityFilter]], reused verbatim — composition of
+    * registered operators, the capstone convention) propagates to the
+    * paired VECTOR store (vec_id = doc_id, the paired-corpus
+    * contract), so the vector index can drop exactly the embeddings
+    * whose source text failed curation WITHOUT re-featurizing
+    * anything. Output = the per-(lang, label) keep/drop tally the
+    * index-maintenance job reads.
+    *
+    * Scale shape: the gate is a map stage over documents; the bridge
+    * is a 1:1 equi-join on the shared id (both tables id-bucketed at
+    * rest → exchange-free, the [[ScaleOps.writeBucketed]] layout);
+    * the tally partial-aggregates to |langs|×|labels| rows per task. */
+  val pairedGate: GraftQuery = GraftQuery.checked("ns_mm_paired_gate",
+    s"""WITH b AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) AS awl,
+             CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+             CASE WHEN len(toks) > 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+                  ELSE 1.0 END AS rep_frac
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+            FROM documents)),
+    gate AS (
+      SELECT doc_id, lang,
+             CASE WHEN n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
+                   AND stop_ratio >= 0.01 AND rep_frac <= 0.2
+                  THEN 1 ELSE 0 END AS keep
+      FROM b)
+    SELECT g.lang, e.label,
+           CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - g.keep) AS BIGINT) AS n_dropped
+    FROM gate g JOIN embeddings e ON e.vec_id = g.doc_id
+    GROUP BY g.lang, e.label
+    ORDER BY lang, label""") { (spark, dir) =>
+    val gate = TextOps.qualityFilter.run(spark, dir).select(col("doc_id"), col("keep"))
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"), col("label"))
+    gate.join(langs, "doc_id").join(emb, "doc_id")
+      .groupBy("lang", "label")
+      .agg(sum("keep").cast("long").as("n_kept"),
+        sum(lit(1) - col("keep")).cast("long").as("n_dropped"))
+      .orderBy("lang", "label")
+  }
+
+  val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
+    pairedGate)
 }

@@ -129,6 +129,20 @@ class QueriesSpec extends AnyFunSuite {
       "bucketed padding must strictly beat padding at the corpus max")
   }
 
+  test("paired gate conserves pairs and mirrors the text-side verdicts exactly") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Multimodal.pairedGate.run(spark, dir)
+      .agg(sum("n_kept"), sum("n_dropped")).collect()(0)
+    val pairs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id")), "doc_id").count()
+    assert(out.getLong(0) + out.getLong(1) == pairs, "every pair gets exactly one verdict")
+    val textKept = graft.operators.TextOps.qualityFilter.run(spark, dir)
+      .agg(sum("keep")).collect()(0).getLong(0)
+    // ids align 1:1 in the fixtures, so the paired tally equals the text tally
+    assert(out.getLong(0) == textKept, "paired keeps must mirror the text-side gate")
+  }
+
   test("multimodal: frames only from video docs, resize respects budget") {
     val media = graft.operators.Multimodal.mediaTable(spark, dir)
     val frames = graft.operators.Multimodal.sampleFrames(media).collect()
