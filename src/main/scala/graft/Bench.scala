@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def loadavg1m: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Idle-bench discipline (BASELINE.md): readings taken under load are
+    // not comparable across rounds (r6 verdict #1: loadavg 2.35 made three
+    // unchanged operators read 1.4–5.9× above their idle claims). Wait up
+    // to ~2 min for the box to go idle; if it never does, proceed but
+    // stamp a loud warning into the artifact so the reader knows.
+    var waited = 0
+    while (loadavg1m > 1.0 && waited < 120) {
+      System.err.println(f"[bench] loadavg1m=${loadavg1m}%.2f > 1.0 — waiting for idle (${waited}s)")
+      Thread.sleep(10000); waited += 10
+    }
+    val startLoad = loadavg1m
+    val loadWarning =
+      if (startLoad > 1.0) s""","warning":"loadavg1m ${f"$startLoad%.2f"} > 1.0 at start after ${waited}s wait - timings not comparable to idle baselines""""
+      else ""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,8 +58,8 @@ object Bench {
     // BENCH rows across rounds needs the load context in the artifact
     // itself (r5 verdict #4: two suspect regressions turned out to be
     // reads taken inside a loaded sbt session)
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m":$load}""")
+    val load = loadavg1m
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m":$load$loadWarning}""")
     spark.stop()
   }
 }

@@ -17,7 +17,8 @@ import graft.sources.Tables
   * Snapshots are derived deterministically from the one fixture
   * table so both engines see identical versions: v1 = docs with
   * `doc_id % 11 <> 3`; v2 = docs with `doc_id % 13 <> 5`, where docs
-  * with `doc_id % 17 = 2` carry an edited body (upper-cased text) —
+  * with `doc_id % 17 = 2` carry an edited body (a `#v2` marker
+  * appended before hashing, so the edit changes content for ANY text) —
   * so all four statuses exercise at every SF.
   *
   * Scale shape: the content hash is computed AT THE SCAN (map-side
@@ -37,9 +38,13 @@ object CorpusDiff {
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val v1 = docs.where(col("doc_id") % 11 =!= 3)
       .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+    // the synthetic v2 edit appends a marker before hashing so the
+    // change is unconditionally content-changing — an upper(text)
+    // edit would silently degrade to 'unchanged' for any fixture doc
+    // with no lowercase letters
     val v2 = docs.where(col("doc_id") % 13 =!= 5)
       .select(col("doc_id"), col("source"),
-        md5(when(col("doc_id") % 17 === 2, upper(col("text")))
+        md5(when(col("doc_id") % 17 === 2, concat(col("text"), lit("#v2")))
           .otherwise(col("text")).cast("binary")).as("h"))
     (v1, v2)
   }
@@ -64,7 +69,7 @@ object CorpusDiff {
       FROM documents WHERE doc_id % 11 <> 3),
     v2 AS (
       SELECT doc_id, source,
-             md5(CASE WHEN doc_id % 17 = 2 THEN upper(text) ELSE text END) AS h
+             md5(CASE WHEN doc_id % 17 = 2 THEN text || '#v2' ELSE text END) AS h
       FROM documents WHERE doc_id % 13 <> 5)
     SELECT COALESCE(v2.source, v1.source) AS source,
            CASE WHEN v1.h IS NULL THEN 'added'

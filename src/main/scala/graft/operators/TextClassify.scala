@@ -54,12 +54,19 @@ object TextClassify {
   def nbClassify(spark: SparkSession, dir: String): DataFrame =
     nbClassifyCore(Tables.documents(spark, dir))
 
-  /** Core on any (doc_id, lang, text) frame — the weak-scaling probe
-    * drives scoring-corpus growth against a fixed training split. */
-  def nbClassifyCore(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
-    val train = toks.where(col("doc_id") % 5 =!= 0)
-    val eval = toks.where(col("doc_id") % 5 === 0)
+  /** Core on any (doc_id, lang, text) frame, split `doc_id % 5`. */
+  def nbClassifyCore(docs: DataFrame): DataFrame =
+    nbClassifySplit(docs.where(col("doc_id") % 5 =!= 0),
+      docs.where(col("doc_id") % 5 === 0))
+
+  /** Train/eval passed SEPARATELY — the weak-scaling probe grows ONLY
+    * the scoring corpus against a genuinely fixed training frame
+    * (replicating the whole frame through [[nbClassifyCore]] would
+    * grow the training shuffle 10× too and conflate the two costs —
+    * r6 advice on ScaleProbeR6b). */
+  def nbClassifySplit(trainDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val train = tokens(trainDocs)
+    val eval = tokens(evalDocs)
 
     val model = train.groupBy("w").agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),

@@ -544,6 +544,34 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** HLL soundness gate for [[vocabApprox]] — the `_sound` convention
+    * (see `ns_profile_approx_sound`): DuckDB cannot replay Spark's
+    * HLL++ sketch, but it CAN agree that nothing violated the bound.
+    * Per language, the rsd=0.02 estimate is audited against the exact
+    * `COUNT(DISTINCT token)`; rows where
+    * |approx − exact| > 6%·exact + 16 are emitted (3σ of the ±2%
+    * standard error, +16 absolute slack for the small-cardinality
+    * regime where HLL++ switches to bias-corrected linear counting),
+    * and the oracle is the empty relation.
+    *
+    * Scale: one corpus pass — both aggregates share the explode and
+    * the group shuffle (Catalyst plans the mixed distinct/plain agg as
+    * one expand); in production the exact side is dropped and only the
+    * mergeable sketch remains — this query exists to license that drop. */
+  val vocabApproxSound: GraftQuery = GraftQuery.checked("ns_text_vocab_approx_sound",
+    """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_vocab_exact,
+           CAST(NULL AS BIGINT) AS n_vocab_approx
+    WHERE 1 = 0""") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("lang")
+      .agg(count_distinct(col("t")).as("n_vocab_exact"),
+        approx_count_distinct(col("t"), 0.02).as("n_vocab_approx"))
+      .where(abs(col("n_vocab_approx") - col("n_vocab_exact")) >
+        col("n_vocab_exact") * 0.06 + 16)
+      .orderBy("lang")
+  }
+
   /** TF-IDF top terms per document — the classic term-weighting pass
     * (keyword extraction / relevance features for corpus curation).
     * tf = in-doc occurrences, idf = ln((N+1)/(df+1)); top-3 terms per
@@ -1033,6 +1061,6 @@ object TextOps {
 
   val all: Seq[GraftQuery] = Seq(textStats, fingerprint, tokenCounts, langStats, langId,
     redact, hashSample, mixture, shuffle, repetition, pack, heavyHittersQ, qualityFilter,
-    vocab, vocabApprox, tfidf, stratified, perplexity, chunk, chunkDedup, lengthBuckets, corrStats, qualityPct,
+    vocab, vocabApprox, vocabApproxSound, tfidf, stratified, perplexity, chunk, chunkDedup, lengthBuckets, corrStats, qualityPct,
     qualityPctSound, weightedSample)
 }

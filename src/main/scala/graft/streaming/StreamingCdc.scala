@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming CDC dimension maintenance — the stateful twin of the
   * batch `EventCdc.cdcMerge` MERGE: one `flatMapGroupsWithState`
   * keyed by user whose entire state is the CURRENT dimension row
-  * `(ts_us, event_id, state, cents, live)`. Each arriving change
+  * `(ts_us, event_id, state, cents, live, rev)`. Each arriving change
   * that supersedes the current row (later `(ts, event_id)` — the
   * batch plan's latest-wins order) emits a REVISION record:
   * an upsert with the new attributes, or a tombstone (`live=false`)
@@ -31,10 +31,19 @@ object StreamingCdc {
 
   final case class CdcEvent(user_id: Long, event_id: Long, ts: Timestamp,
                             event_type: String, cents: Long)
+  /** `rev` lives IN the state so the counter survives micro-batch
+    * boundaries — a per-invocation local would restart at 0 each batch
+    * and two revisions with equal ts_us emitted in different batches
+    * (possible: an equal-ts, higher-event_id change supersedes) would
+    * be ambiguous to a downstream latest-revision fold. */
   final case class DimState(ts_us: Long, event_id: Long, state: String,
-                            cents: Long, live: Boolean)
-  final case class Revision(user_id: Long, rev: Long, state: String,
-                            cents: Long, ts_us: Long, live: Boolean)
+                            cents: Long, live: Boolean, rev: Long)
+  /** Revisions are totally ordered per key by `rev` (monotonic across
+    * batches, persisted in [[DimState]]); `(ts_us, event_id)` — the
+    * batch plan's latest-wins key — is carried so a consumer can fold
+    * by the same order the merge itself uses. */
+  final case class Revision(user_id: Long, rev: Long, event_id: Long,
+                            state: String, cents: Long, ts_us: Long, live: Boolean)
 
   private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
@@ -45,16 +54,15 @@ object StreamingCdc {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[CdcEvent], state: GroupState[DimState]) =>
           var cur = state.getOption
-          var rev = 0L // revision counter restarts per invocation; (ts_us, event_id) totally orders revisions across batches
           val out = Vector.newBuilder[Revision]
           it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val supersedes = cur.forall(c =>
               us(e.ts) > c.ts_us || (us(e.ts) == c.ts_us && e.event_id > c.event_id))
             if (supersedes) {
               val live = e.event_type != "error"
-              cur = Some(DimState(us(e.ts), e.event_id, e.event_type, e.cents, live))
-              rev += 1
-              out += Revision(user, rev, e.event_type, e.cents, us(e.ts), live)
+              val rev = cur.map(_.rev).getOrElse(0L) + 1
+              cur = Some(DimState(us(e.ts), e.event_id, e.event_type, e.cents, live, rev))
+              out += Revision(user, rev, e.event_id, e.event_type, e.cents, us(e.ts), live)
             }
           }
           cur.foreach(state.update)

@@ -16,10 +16,11 @@ import graft.operators.{EventCdc, TextClassify}
   *     the stored dimension and not recomputed at all — here it is
   *     recomputed per run, so the measured growth UPPER-bounds the
   *     true batch-proportional cost).
-  *  2. NB scoring: training split fixed (the sf0.1 corpus), scoring
-  *     corpus 1× vs 10× (id-shifted copies). Claim: scoring is one
-  *     broadcast-join map pass + per-doc reduce — linear, no
-  *     corpus×vocab term.
+  *  2. NB scoring: training frame fixed (the sf0.1 corpus' %5≠0
+  *     split, passed explicitly via nbClassifySplit), scoring corpus
+  *     1× vs 10× (id-shifted copies of the eval split ONLY). Claim:
+  *     scoring is one broadcast-join map pass + per-doc reduce —
+  *     linear, no corpus×vocab term.
   *
   * Run: `sbt "runMain graft.tools.ScaleProbeR6b"`
   */
@@ -76,12 +77,18 @@ object ScaleProbeR6b {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "lang", "text").cache()
     val base = docs.count()
-    def replicated(k: Int): DataFrame =
-      (0 until k).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+    // training frame FIXED (the corpus' %5≠0 split); only the eval
+    // side replicates — id shifts are multiples of 5 so every replica
+    // keeps its eval residue, and the split is passed explicitly so
+    // the training shuffle provably does not grow with the probe
+    val trainDocs = docs.where(col("doc_id") % 5 =!= 0)
+    val evalDocs = docs.where(col("doc_id") % 5 === 0)
+    def evalReplicated(k: Int): DataFrame =
+      (0 until k).map(i => evalDocs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
         .reduce(_.unionByName(_))
-    val (_, w2) = time(TextClassify.nbClassifyCore(replicated(1)).count())
-    val (c1, s1) = time(TextClassify.nbClassifyCore(replicated(1)).count())
-    val (c10, s10) = time(TextClassify.nbClassifyCore(replicated(10)).count())
+    val (_, w2) = time(TextClassify.nbClassifySplit(trainDocs, evalReplicated(1)).count())
+    val (c1, s1) = time(TextClassify.nbClassifySplit(trainDocs, evalReplicated(1)).count())
+    val (c10, s10) = time(TextClassify.nbClassifySplit(trainDocs, evalReplicated(10)).count())
     println(f"nb_classify: corpus $base -> $c1 scored in $s1%.2f s (warmup $w2%.2f); " +
       f"10x corpus -> $c10 scored in $s10%.2f s; 10x in ${s10 / s1}%.2f x wall")
 

@@ -81,7 +81,7 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("MetaStore parquet round-trip + factory rejects unknown provider") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val tmp = SparkSuite.tempDir("graft-meta")
     val cfg = GraftConfig(catalogPath = s"$tmp/defs", edgesPath = s"$tmp/edges")
     val store = MetaStore.forConfig(cfg)
     assert(store.isInstanceOf[ParquetMetaStore])

@@ -24,10 +24,10 @@ class GraftStreamSpec extends AnyFunSuite {
 
   test("full streaming pipeline: ingest -> route -> incubate -> gate -> sinks") {
     import spark.implicits._
-    val src = Files.createTempDirectory("gs-src").toString
-    val subs = Files.createTempDirectory("gs-subs").toString
-    val hist = Files.createTempDirectory("gs-hist").toString
-    val ckpt = Files.createTempDirectory("gs-ckpt").toString
+    val src = SparkSuite.tempDir("gs-src")
+    val subs = SparkSuite.tempDir("gs-subs")
+    val hist = SparkSuite.tempDir("gs-hist")
+    val ckpt = SparkSuite.tempDir("gs-ckpt")
 
     // batch 1: origination + one failure retry + partial 'all' deps +
     //          a gated pipeline (report-daily is live in the engine)
@@ -77,10 +77,10 @@ class GraftStreamSpec extends AnyFunSuite {
   test("same pipeline over the Kafka-shaped spool-mq source: identical submissions (S1 parity)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val spool = Files.createTempDirectory("gs-mq-spool").toString
-    val subs = Files.createTempDirectory("gs-mq-subs").toString
-    val hist = Files.createTempDirectory("gs-mq-hist").toString
-    val ckpt = Files.createTempDirectory("gs-mq-ckpt").toString
+    val spool = SparkSuite.tempDir("gs-mq-spool")
+    val subs = SparkSuite.tempDir("gs-mq-subs")
+    val hist = SparkSuite.tempDir("gs-mq-hist")
+    val ckpt = SparkSuite.tempDir("gs-mq-ckpt")
 
     // one file = one message (the SQS body), same events as the file-source run
     val batch1 = Seq(
@@ -125,7 +125,7 @@ class GraftStreamSpec extends AnyFunSuite {
 
   test("spool-mq surfaces the Kafka source schema with per-message offsets") {
     import org.apache.spark.sql.functions.col
-    val spool = Files.createTempDirectory("gs-mq-schema").toString
+    val spool = SparkSuite.tempDir("gs-mq-schema")
     Seq("alpha", "beta", "gamma").zipWithIndex.foreach { case (m, i) =>
       Files.writeString(java.nio.file.Path.of(spool, s"m$i.txt"), m)
     }

@@ -2,7 +2,6 @@ package graft
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 import java.util.Base64
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -92,8 +91,8 @@ class HttpMQSpec extends AnyFunSuite {
 
   test("streaming read: Kafka schema, checkpointed offsets resume past consumed messages") {
     val b = new Broker
-    val out = Files.createTempDirectory("hmq-out").toString
-    val ckpt = Files.createTempDirectory("hmq-ckpt").toString
+    val out = SparkSuite.tempDir("hmq-out")
+    val ckpt = SparkSuite.tempDir("hmq-ckpt")
     try {
       b.publish("m0"); b.publish("m1"); b.publish("m2")
 
@@ -136,9 +135,9 @@ class HttpMQSpec extends AnyFunSuite {
           "retry_count": $retry, "disable_downstream": false}""".replaceAll("\n\\s*", " ")
 
     val b = new Broker
-    val subs = Files.createTempDirectory("hmq-subs").toString
-    val hist = Files.createTempDirectory("hmq-hist").toString
-    val ckpt = Files.createTempDirectory("hmq-gs-ckpt").toString
+    val subs = SparkSuite.tempDir("hmq-subs")
+    val hist = SparkSuite.tempDir("hmq-hist")
+    val ckpt = SparkSuite.tempDir("hmq-gs-ckpt")
     try {
       Seq(
         ev(1, "origination", "ingest-orders"),

@@ -29,7 +29,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // and only the broadcast join result knows which days survive —
     // DPP injects that set into the fact scan's PartitionFilters so
     // untouched day-partitions are never read
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val tmp = SparkSuite.tempDir("graft-dpp")
     Tables.events(spark, dir)
       .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(tmp)
@@ -77,7 +77,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("writeCurated: hive partition dirs, in-file sort order, partition pruning on read") {
-    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val out = SparkSuite.tempDir("curated")
     val docs = Tables.documents(spark, dir)
     ScaleOps.writeCurated(docs, out, partCol = "lang", sortCol = "doc_id")
     // layout: one lang=<v> dir per language, nothing at the root
@@ -277,8 +277,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val batch = graft.operators.Analytics.eventsDaily.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3))).toSet
 
-    val srcDir = java.nio.file.Files.createTempDirectory("wagg-src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("wagg-ckpt").toString
+    val srcDir = SparkSuite.tempDir("wagg-src")
+    val ckpt = SparkSuite.tempDir("wagg-ckpt")
     val ev = Tables.events(spark, dir).select("ts", "event_type", "value")
     ev.write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
@@ -480,7 +480,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("streaming MG heavy hitters (complete mode) == batch sketch") {
     import graft.functions.MisraGriesAggregator
-    val srcDir = java.nio.file.Files.createTempDirectory("mg-src").toString
+    val srcDir = SparkSuite.tempDir("mg-src")
     Tables.documents(spark, dir).select(split(col("text"), " ").as("toks"))
       .write.mode("overwrite").parquet(srcDir)
     val batch = graft.operators.TextOps.heavyHitters(spark, dir)

@@ -17,4 +17,19 @@ object SparkSuite {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Temp dir that is recursively deleted when the test JVM exits —
+    * specs that write parquet/checkpoints use this instead of a bare
+    * `Files.createTempDirectory`, which would accumulate data across
+    * test runs (r6 advice on ScaleOpsSpec's DPP test). */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
 }

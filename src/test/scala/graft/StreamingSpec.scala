@@ -47,9 +47,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(s => (s.pipeline_uuid, s.source_uuids)).toSet
 
     // streaming path: file source, two AvailableNow runs over one checkpoint
-    val srcDir = Files.createTempDirectory("graft-stream-src").toString
-    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
-    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    val srcDir = SparkSuite.tempDir("graft-stream-src")
+    val ckpt = SparkSuite.tempDir("graft-stream-ckpt")
+    val outDir = SparkSuite.tempDir("graft-stream-out")
 
     val staticDepSats = IncubationStream.depSatisfactions(
       spark.createDataset(events), Fixtures.edgesDS(spark), metas).collect()
@@ -129,7 +129,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
       .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
-    val srcDir = Files.createTempDirectory("cur-src").toString
+    val srcDir = SparkSuite.tempDir("cur-src")
     docs.write.mode("overwrite").parquet(srcDir)
 
     val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
@@ -163,7 +163,7 @@ class StreamingSpec extends AnyFunSuite {
       .limit(40)
       .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
     val dups = docs.withColumn("doc_id", col("doc_id") + 100000) // same text, new ids
-    val srcDir = Files.createTempDirectory("dedup-src").toString
+    val srcDir = SparkSuite.tempDir("dedup-src")
     docs.write.mode("append").parquet(srcDir)
     dups.write.mode("append").parquet(srcDir)
 
@@ -194,7 +194,7 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     // tagged event stream = the batch plan's union input, replayed as
     // one AvailableNow batch through the stateful fold
-    val srcDir = java.nio.file.Files.createTempDirectory("asof-src").toString
+    val srcDir = SparkSuite.tempDir("asof-src")
     val ev = graft.sources.Tables.events(spark, dir)
     ev.where(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id").as("id"))
@@ -229,7 +229,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(batch(1) > 0 && batch(2) > 0 && batch(3) > 0,
       "fixture must populate every stage or the equivalence is vacuous")
-    val srcDir = java.nio.file.Files.createTempDirectory("funnel-src").toString
+    val srcDir = SparkSuite.tempDir("funnel-src")
     graft.sources.Tables.events(spark, dir)
       .select("user_id", "ts", "event_type")
       .coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -262,7 +262,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.operators.EventOps.transitions.run(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(batch.nonEmpty && batch.values.sum > 0, "fixture must produce transitions")
-    val srcDir = java.nio.file.Files.createTempDirectory("trans-src").toString
+    val srcDir = SparkSuite.tempDir("trans-src")
     graft.sources.Tables.events(spark, dir)
       .select("user_id", "event_id", "ts", "event_type")
       .coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -299,8 +299,8 @@ class StreamingSpec extends AnyFunSuite {
       .select("hot_id", "event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.nonEmpty, "fixture should produce overlap pairs")
-    val evDir = java.nio.file.Files.createTempDirectory("sij-ev").toString
-    val hotDir = java.nio.file.Files.createTempDirectory("sij-hot").toString
+    val evDir = SparkSuite.tempDir("sij-ev")
+    val hotDir = SparkSuite.tempDir("sij-hot")
     ev.select("event_id", "ts").coalesce(1).write.mode("overwrite").parquet(evDir)
     hotB.coalesce(1).write.mode("overwrite").parquet(hotDir)
     val evS = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP").parquet(evDir)
@@ -324,7 +324,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = SparkSuite.sfDir
     val batch = graft.operators.TextOps.heavyHitters(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val srcDir = Files.createTempDirectory("hh-src").toString
+    val srcDir = SparkSuite.tempDir("hh-src")
     val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
     docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
@@ -367,7 +367,7 @@ class StreamingSpec extends AnyFunSuite {
     val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
     val sentinel = spark.sql(
       s"SELECT CAST(-1 AS BIGINT) AS user_id, timestamp'$maxTs' + INTERVAL 1 DAY AS ts")
-    val srcDir = Files.createTempDirectory("sess-src").toString
+    val srcDir = SparkSuite.tempDir("sess-src")
     ev.unionByName(sentinel).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(srcDir)
     val q = graft.streaming.StreamingSessions.userSessions(stream)
@@ -400,7 +400,7 @@ class StreamingSpec extends AnyFunSuite {
     val docs = base.unionByName(base.withColumn("doc_id", col("doc_id") + 100000L))
       .withColumn("ingest_ts", lit(ts("2024-02-01 00:00:00")))
 
-    val srcDir = Files.createTempDirectory("nd-src").toString
+    val srcDir = SparkSuite.tempDir("nd-src")
     docs.write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
     val q = StreamingNearDup.candidates(stream)
@@ -442,9 +442,9 @@ class StreamingSpec extends AnyFunSuite {
       (901L, "another distinct sentence with nothing shared at all here", ts("2024-02-01 05:00:00")))
       .toDF("doc_id", "text", "ingest_ts")
 
-    val srcDir = Files.createTempDirectory("ndh-src").toString
-    val outDir = Files.createTempDirectory("ndh-out").toString
-    val ckpt = Files.createTempDirectory("ndh-ckpt").toString
+    val srcDir = SparkSuite.tempDir("ndh-src")
+    val outDir = SparkSuite.tempDir("ndh-out")
+    val ckpt = SparkSuite.tempDir("ndh-ckpt")
     def runOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
       batch.write.mode("append").parquet(srcDir)
       val stream = spark.readStream.schema(batch.schema).parquet(srcDir)
@@ -489,7 +489,7 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "state", "cents")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(batch.nonEmpty)
-    val srcDir = java.nio.file.Files.createTempDirectory("cdc-src").toString
+    val srcDir = SparkSuite.tempDir("cdc-src")
     ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream
       .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP, cents BIGINT")
@@ -501,19 +501,30 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000), "streaming query did not finish in 120s")
     q.stop()
-    // fold revisions to the final row per key by the total (ts_us, rev) order
+    // fold revisions to the final row per key by (ts_us, event_id) —
+    // the same total order the batch merge uses; also check the
+    // persisted rev counter agrees (monotonic across micro-batches)
     val finalRows = spark.table("cdc_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5)))
-      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._5, x._2))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .groupBy(_._1).view.mapValues(_.maxBy(x => (x._6, x._3))).toMap
+    // rev is a total per-key order on its own: the max-rev row must be
+    // the same row the (ts_us, event_id) fold picks
+    spark.table("cdc_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).foreach { case (u, rows) =>
+        assert(rows.map(_._2).distinct.size == rows.size, s"duplicate rev for user $u")
+        assert(rows.maxBy(_._2)._3 == finalRows(u)._3,
+          s"rev order and (ts_us, event_id) order disagree for user $u")
+      }
     val streamedLive = finalRows.collect {
-      case (u, (_, _, state, cents, _, true)) => u -> ((state, cents))
+      case (u, (_, _, _, state, cents, _, true)) => u -> ((state, cents))
     }.toMap
     assert(streamedLive == batch,
       s"dimension diverged: +${(streamedLive.toSet diff batch.toSet).take(3)} " +
         s"-${(batch.toSet diff streamedLive.toSet).take(3)}")
     // tombstoned keys are exactly those absent from the batch merge
-    val tombstoned = finalRows.collect { case (u, (_, _, _, _, _, false)) => u }.toSet
+    val tombstoned = finalRows.collect { case (u, (_, _, _, _, _, _, false)) => u }.toSet
     assert(tombstoned.nonEmpty && tombstoned.forall(!batch.contains(_)))
   }
 
@@ -530,8 +541,8 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.operators.EventOps.scd2.run(rocks, dir)
       .where(!col("is_current")).count()
     assert(batch > 0)
-    val srcDir = java.nio.file.Files.createTempDirectory("scd2-rocks-src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("scd2-rocks-ckpt").toString
+    val srcDir = SparkSuite.tempDir("scd2-rocks-src")
+    val ckpt = SparkSuite.tempDir("scd2-rocks-ckpt")
     graft.sources.Tables.events(rocks, dir)
       .select("user_id", "event_id", "ts", "event_type")
       .coalesce(1).write.mode("overwrite").parquet(srcDir)
@@ -572,7 +583,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5))).toSet
     assert(batch.nonEmpty, "fixture must produce closed intervals")
-    val srcDir = java.nio.file.Files.createTempDirectory("scd2-src").toString
+    val srcDir = SparkSuite.tempDir("scd2-src")
     graft.sources.Tables.events(spark, dir)
       .select("user_id", "event_id", "ts", "event_type")
       .coalesce(1).write.mode("overwrite").parquet(srcDir)
