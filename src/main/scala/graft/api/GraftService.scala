@@ -1,0 +1,281 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.sql.Timestamp
+import java.util.concurrent.{CountDownLatch, Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.GraftConfig
+import graft.model.{LifecycleEvent, PipelineDef, Submission}
+import graft.orchestration.{Cron, EngineJob, EngineManager, LocalSparkEngine}
+import graft.streaming.EventIngest
+
+/** THE deployable process — the reference's service wiring
+  * (`/root/reference/src/kalytical/facade.py:138-150`: one asyncio
+  * loop carrying uvicorn + `MQ_Poller.fetch_message_loop` +
+  * `IncubatingJobCuller.cull_jobs_loop`, SIGINT → graceful shutdown)
+  * re-expressed Spark-first. One `GraftService` composes everything
+  * the repo already has into one long-running program:
+  *
+  *  - the 18-endpoint [[HttpFacade]] (uvicorn analog), which OWNS the
+  *    running/incubating/event-log state between requests;
+  *  - the MQ ingress: ONE Structured Streaming query over the
+  *    socket-backed `http-mq` DSv2 source (`mq_poller.py:16-30`'s SQS
+  *    long-poll; the 2 s `WaitTimeSeconds` becomes the processing-time
+  *    trigger), checkpointed offsets instead of the reference's
+  *    delete-at-most-one-per-poll ack bug, with the corrupt-message
+  *    quarantine (`_unmarshall_sqs`'s except-log path) persisted as an
+  *    append-only text sink;
+  *  - the culler tick (`job_culler.py:17-44`): an empty-batch
+  *    dispatcher step every `cullingIntervalSeconds`, so the
+  *    debounce / deps-satisfied / age-out rules fire against wall
+  *    clock exactly like the reference's loop;
+  *  - the cron tick (S4, `ext_sched.py`): once per wall-clock minute,
+  *    due schedules synthesize origination events into the same
+  *    dispatch path as everything else.
+  *
+  * All four share ONE ingress contract — [[HttpFacade.ingest]] under
+  * the facade's mutate lock — so an HTTP-posted event, an MQ message,
+  * a culler release and a cron firing are literally the same code
+  * path, and dispatcher submissions flow to their def's engine backend
+  * ([[EngineManager.submit]]) so `/pipeline/dispatcher/running`
+  * reflects them immediately.
+  *
+  * Scale note: every loop here is metadata-plane (catalog-bounded
+  * collects, poll-sized batches — the reference's own regime). The
+  * data plane runs INSIDE the submitted jobs on the cluster; nothing
+  * data-sized crosses this driver program.
+  *
+  * What a run EXECUTES is deployment-specific (the reference marshals
+  * `engine_args` into a pod spec; a Spark deployment supplies a
+  * closure over its session) — so it is injected via `jobFactory`.
+  * The default runs the submission as a no-op marker closure on the
+  * def's engine, which is enough for the orchestration plane to be
+  * fully observable.
+  */
+final class GraftService(
+    secured: SecuredGraftApi,
+    spark: SparkSession,
+    mqEndpoint: Option[String],
+    checkpointRoot: String,
+    val quarantineDir: Option[String] = None,
+    jobFactory: (Option[PipelineDef], Submission) => EngineJob = GraftService.defaultJob,
+    cfg: GraftConfig = GraftConfig.default,
+    pollInterval: FiniteDuration = 2.seconds, // mq_poller.py:20 WaitTimeSeconds=2
+    cronCheckInterval: FiniteDuration = 5.seconds, // fires once per due minute
+    nowProvider: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
+
+  private val api = secured.api
+  val facade = new HttpFacade(secured, spark, nowProvider)
+
+  private[graft] var mqQuery: Option[StreamingQuery] = None
+  private var scheduler: ScheduledExecutorService = _
+  private var shutdownHook: Thread = _
+  private val stopped = new AtomicBoolean(false)
+  private val terminated = new CountDownLatch(1)
+  @volatile private var lastCronMinute: Long = -1L
+
+  /** Bind, start every loop, return the HTTP address. */
+  def start(port: Int = 0): InetSocketAddress = synchronized {
+    // engine submission behind the facade's single dispatch path: an
+    // HTTP-posted event, an MQ message, a culler release and a cron
+    // firing all submit through here
+    facade.submissionSink.set { subs =>
+      submitAll(subs)
+      facade.refreshRunning()
+    }
+    val addr = facade.start(port)
+
+    mqQuery = mqEndpoint.map { ep =>
+      val raw = spark.readStream.format("http-mq").option("endpoint", ep).load()
+        .selectExpr("CAST(value AS STRING) AS value")
+      raw.writeStream
+        .queryName("graft-mq-ingest")
+        .option("checkpointLocation", s"$checkpointRoot/mq-ingest")
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(pollInterval.toMillis))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val parsed = EventIngest.parse(batch)
+          quarantineDir.foreach { d =>
+            val bad = parsed.corrupt.select(col("_raw"))
+            if (!bad.isEmpty) bad.write.mode("append").text(d)
+          }
+          // poll-sized batch -> the shared ingress (catalog regime)
+          val events = parsed.events.collect().toSeq
+          if (events.nonEmpty) onEvents(events, nowProvider())
+          ()
+        }
+        .start()
+    }
+
+    scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-service-ticks"); t.setDaemon(true); t
+    }
+    scheduler.scheduleWithFixedDelay(() => safely("cull") { cullTick() },
+      cfg.cullingIntervalSeconds, cfg.cullingIntervalSeconds, TimeUnit.SECONDS)
+    scheduler.scheduleWithFixedDelay(() => safely("cron") { cronTick() },
+      cronCheckInterval.toMillis, cronCheckInterval.toMillis, TimeUnit.MILLISECONDS)
+
+    shutdownHook = new Thread(() => shutdown(), "graft-service-sigint")
+    Runtime.getRuntime.addShutdownHook(shutdownHook) // the SIGINT handler analog
+    addr
+  }
+
+  /** Tick bodies never kill the scheduler: the reference's loops
+    * log-and-continue on error (`job_culler.py:40`, `mq_poller.py:27`). */
+  private def safely(what: String)(body: => Unit): Unit =
+    try body catch {
+      case e: Throwable =>
+        System.err.println(s"[graft-service] $what tick failed: ${e.getMessage}")
+    }
+
+  /** One culler pass: an empty event batch is a pure cull step —
+    * concurrency-debounced and deps-satisfied rows release (and
+    * SUBMIT), aged-out rows drop (`job_culler.py:17-44`). */
+  private[graft] def cullTick(): Unit = {
+    if (facade.incubating.get().isEmpty) () // nothing incubating: skip the step
+    else onEvents(Seq.empty, nowProvider())
+  }
+
+  /** Cron scheduler tick: fires at most once per wall-clock minute
+    * (`Cron.tick` is a pure function of the minute, so double-firing
+    * within one minute would duplicate exec uuids). */
+  private[graft] def cronTick(): Unit = {
+    val now = nowProvider()
+    val minute = now.getTime / 60000L
+    if (minute != lastCronMinute) {
+      lastCronMinute = minute
+      val due = Cron.tick(spark, api.catalog.defs, now).collect().toSeq
+      if (due.nonEmpty) onEvents(due, now)
+    }
+  }
+
+  /** The shared ingress: dispatch under the facade's lock; engine
+    * submission + gate refresh ride the installed submissionSink. */
+  private[graft] def onEvents(events: Seq[LifecycleEvent], now: Timestamp): Unit = {
+    facade.ingest(events, now)
+    ()
+  }
+
+  /** Submit each run to its def's engine. Catalog point lookups for the
+    * engine names — submission sets are catalog-bounded (the
+    * dispatcher's own output regime). */
+  private def submitAll(subs: Seq[Submission]): Unit =
+    if (subs.nonEmpty) {
+      val defsByUuid: Map[String, PipelineDef] =
+        api.catalog.defs
+          .join(spark.createDataset(subs.map(_.pipeline_uuid).distinct)(
+            org.apache.spark.sql.Encoders.STRING).toDF("pipeline_uuid"),
+            Seq("pipeline_uuid"), "left_semi")
+          .as[PipelineDef](org.apache.spark.sql.Encoders.product[PipelineDef])
+          .collect().map(d => d.pipeline_uuid -> d).toMap
+      subs.foreach { sub =>
+        val d = defsByUuid.get(sub.pipeline_uuid)
+        api.engines.submit(d.map(_.engine).getOrElse(cfg.defaultEngine),
+          sub, jobFactory(d, sub))
+      }
+    }
+
+  /** Graceful shutdown (`facade.py:142-150`): stop ticking, drain the
+    * in-flight micro-batch (bounded grace), stop the stream, close the
+    * HTTP server. Idempotent; also wired to JVM shutdown (SIGINT). */
+  def shutdown(graceMillis: Long = 10000L): Unit = {
+    if (stopped.compareAndSet(false, true)) {
+      try {
+        if (scheduler != null) {
+          scheduler.shutdown()
+          scheduler.awaitTermination(graceMillis, TimeUnit.MILLISECONDS)
+          ()
+        }
+        mqQuery.foreach { q =>
+          // bounded drain: let the current batch finish; a hung batch
+          // must not wedge shutdown, so the wait is capped
+          q.awaitTermination(graceMillis / 2)
+          q.stop()
+          q.awaitTermination(graceMillis)
+          ()
+        }
+        facade.stop()
+      } finally {
+        if (shutdownHook != null)
+          try Runtime.getRuntime.removeShutdownHook(shutdownHook)
+          catch { case _: IllegalStateException => () } // already shutting down
+        terminated.countDown()
+      }
+    }
+  }
+
+  /** Block until [[shutdown]] completes (the `run_forever` analog). */
+  def awaitTermination(): Unit = terminated.await()
+}
+
+object GraftService {
+
+  /** Default run body: a no-op Spark closure on the def's engine —
+    * the orchestration plane is fully observable (submit → running →
+    * success) without a deployment-specific payload. */
+  def defaultJob(d: Option[PipelineDef], sub: Submission): EngineJob =
+    EngineJob.SparkClosure(_ => ())
+
+  /** Deployable entrypoint. Environment:
+    *   GRAFT_HTTP_PORT       listen port (default 8080)
+    *   GRAFT_MQ_ENDPOINT     http-mq bridge URL (omit: no MQ ingress)
+    *   GRAFT_META_DIR        parquet metadata root (omit: demo fixtures)
+    *   GRAFT_CHECKPOINT_DIR  streaming checkpoint root (default ./graft-ckpt)
+    *   GRAFT_ADMIN_TOKEN     static bearer token with the admin role
+    *                         (omit: anonymous-allowed demo policy)
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-service")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = sys.env.get("GRAFT_META_DIR") match {
+      case Some(root) => GraftConfig.default.copy(
+        catalogPath = s"$root/pipeline_defs", edgesPath = s"$root/pipeline_triggers")
+      case None => GraftConfig.default
+    }
+    val (defs, edges) = sys.env.get("GRAFT_META_DIR") match {
+      case Some(_) =>
+        val store = MetaStore.forConfig(cfg)
+        (store.loadDefs(spark), store.loadEdges(spark))
+      case None =>
+        (graft.meta.Fixtures.defsDS(spark), graft.meta.Fixtures.edgesDS(spark))
+    }
+    val api = new GraftApi(spark, graft.orchestration.Catalog(defs), edges,
+      new EngineManager(Seq(new LocalSparkEngine(spark))), cfg)
+    // no permissive mode: absent a configured token one is minted and
+    // printed to stderr (local demo), so the HTTP surface is never
+    // accidentally open
+    val adminToken = sys.env.getOrElse("GRAFT_ADMIN_TOKEN", {
+      val t = java.util.UUID.randomUUID().toString
+      System.err.println(s"[graft-service] GRAFT_ADMIN_TOKEN not set; minted: $t")
+      t
+    })
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(adminToken -> Seq("Data-Admin"))),
+      apiTokens = Set.empty)
+    val service = new GraftService(
+      new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = sys.env.get("GRAFT_MQ_ENDPOINT"),
+      checkpointRoot = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-ckpt"),
+      quarantineDir = sys.env.get("GRAFT_QUARANTINE_DIR"),
+      cfg = cfg)
+    val addr = service.start(sys.env.getOrElse("GRAFT_HTTP_PORT", "8080").toInt)
+    System.err.println(s"[graft-service] listening on $addr; SIGINT to stop")
+    service.awaitTermination()
+    spark.stop()
+  }
+}

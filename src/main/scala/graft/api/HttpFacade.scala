@@ -40,7 +40,8 @@ import graft.orchestration.Dispatcher.IncubRow
   * Mongo + K8s; the library API threads them per call. The facade is
   * where a deployment holds them between requests, so it owns the
   * event-loop contract:
-  *   incubating' = (incubating − droppedObjIds) ∪ newIncubating ∪ deferred
+  *   incubating' = newIncubating ∪ deferred
+  * (newIncubating is the step's complete kept state — see applyStep)
   * and the event log appends each posted lifecycle event. One global
   * lock serializes mutating verbs — metadata-plane traffic (catalog-
   * sized, the reference's own regime); read verbs hit immutable
@@ -62,6 +63,16 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
   private[graft] val incubating = new AtomicReference[Dataset[IncubRow]](emptyIncub)
   private[graft] val eventLog = new AtomicReference[Dataset[LifecycleEvent]](emptyEvents)
   private val mutate = new Object
+
+  /** Where dispatcher submissions GO. Standalone facade: nowhere (the
+    * route returns them to the caller — the library regime).
+    * [[GraftService]] installs engine submission here, so an
+    * HTTP-posted event, an MQ message, a culler release and a cron
+    * firing all reach the engine through one path — exactly the
+    * reference, where the dispatcher's queue_pipeline submits
+    * (`dispatcher.py:70-86`) no matter who invoked it. */
+  private[graft] val submissionSink =
+    new AtomicReference[Seq[Submission] => Unit](_ => ())
 
   private var server: HttpServer = _
 
@@ -208,14 +219,41 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     * endpoints so a dropped route fails loudly. */
   def routeCount: Int = routes.size
 
-  /** The event-loop state contract (see class doc). */
+  /** Internal ingress for the service loops ([[GraftService]]'s MQ
+    * poller, culler tick and cron tick) — the same lock + state
+    * contract as `POST /pipeline/dispatcher/event`, minus HTTP parsing
+    * and auth: the reference's poller and culler also call the
+    * dispatcher directly, not their own HTTP surface
+    * (`mq_poller.py:25`, `job_culler.py:27`). An EMPTY event batch is
+    * a pure culler pass (debounce/age-out rules fire against `now`).
+    * Returns the step's submissions — catalog-bounded. */
+  private[graft] def ingest(events: Seq[LifecycleEvent], now: Timestamp): Seq[Submission] =
+    mutate.synchronized {
+      val res = api.dispatch(events, running.get(), incubating.get(), now)
+      applyStep(res)
+      if (events.nonEmpty)
+        eventLog.set(eventLog.get().unionByName(
+          spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+      res.submissions.collect().toSeq
+    }
+
+  /** Refresh the concurrency-gate snapshot from live engine state —
+    * the service calls this after submitting so the next dispatch
+    * gates against what is actually running. */
+  private[graft] def refreshRunning(): Unit =
+    running.set(api.engines.allJobs(spark))
+
+  /** The event-loop state contract (see class doc): `newIncubating`
+    * IS the complete post-step state — every old row flows through the
+    * step's cogroup (kept, released, or dropped), so the fold is a
+    * replacement, not a merge. The previous merge formulation
+    * (`(incubating − droppedObjIds) ∪ newIncubating ∪ deferred`) left
+    * RELEASED rows behind (droppedObjIds only carries age-outs) and
+    * duplicated kept rows — caught by GraftServiceSpec's
+    * slot-consumed assertion (r7). */
   private def applyStep(res: Dispatcher.StepResult): Unit = {
-    val dropped = res.droppedObjIds.select(col("obj_id"))
-    incubating.set(
-      incubating.get().join(dropped, Seq("obj_id"), "left_anti")
-        .as[IncubRow](Encoders.product[IncubRow])
-        .unionByName(res.newIncubating)
-        .unionByName(res.deferred))
+    incubating.set(res.newIncubating.unionByName(res.deferred))
+    submissionSink.get()(res.submissions.collect().toSeq) // catalog-bounded
   }
 
   // ---- request plumbing -------------------------------------------------

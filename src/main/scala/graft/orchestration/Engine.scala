@@ -133,6 +133,13 @@ final class EngineManager(engines: Seq[EngineBackend]) {
 
   /** E2 — union of all engines' snapshots with filter/limit pushed into
     * the plan (the reference applied these client-side). */
+  /** Typed union of every engine's live snapshot — the service's
+    * concurrency-gate refresh. Engine-state-sized (one row per
+    * tracked run), no filter/limit: this is the gate's input, not an
+    * API page. */
+  def allJobs(spark: SparkSession): Dataset[RunningJob] =
+    engines.map(_.jobs(spark)).reduce(_.unionByName(_))
+
   def filteredJobs(spark: SparkSession,
                    statuses: Seq[String] = Nil,
                    pipelineUuid: Option[String] = None,

@@ -1,0 +1,213 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import java.util.concurrent.CountDownLatch
+
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Encoders
+
+import graft.GraftConfig
+import graft.api.{Auth, GraftApi, GraftService, SecuredGraftApi}
+import graft.meta.Fixtures
+import graft.model.{LifecycleEvent, PipelineDef, Submission}
+import graft.orchestration.{Catalog, EngineJob, EngineManager, LocalSparkEngine}
+
+/** The deployable PROCESS, end-to-end (r6 verdict #1 — the
+  * `facade.py:138-150` analog): one [[GraftService]] carrying the HTTP
+  * facade, the socket-backed `http-mq` ingest stream, the culler tick
+  * and the cron tick, all sharing one incubation state and one engine
+  * submission path.
+  *
+  * The flagship test walks the full lifecycle over real sockets: an
+  * HTTP-posted success incubates an 'all'-triggered child; the second
+  * parent's success arrives over the MQ SOCKET, is streamed in,
+  * satisfies the dependency set and releases; the released run is
+  * visible through `/pipeline/dispatcher/running` while it runs;
+  * clean shutdown is asserted (stream terminated, port closed,
+  * idempotent).
+  */
+class GraftServiceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private val Admin = "admin-token"
+  private val client = HttpClient.newHttpClient()
+
+  private def call(base: String, method: String, path: String,
+                   body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .method(method,
+        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+      .header("Authorization", s"Bearer $Admin")
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def ts(s: String) = Fixtures.ts(s)
+
+  /** Wall-clock event times: the service runs on the wall clock, and
+    * the dispatcher's age-out cull measures incubation age from the
+    * event — a 2024-stamped fixture time would age out instantly. */
+  private def success(id: Long, pipeline: String): LifecycleEvent = {
+    val now = new Timestamp(System.currentTimeMillis())
+    LifecycleEvent(id, "job_exec_update", "success", pipeline, s"exec-$pipeline-$id",
+      now, now, 0, disable_downstream = false)
+  }
+
+  /** Event → the exact JSON the ingest schema round-trips (Spark's own
+    * row serializer, so timestamp encoding matches from_json). */
+  private def asJson(ev: LifecycleEvent): String =
+    spark.createDataset(Seq(ev))(Encoders.product[LifecycleEvent]).toJSON.head()
+
+  private def poll(what: String, timeoutMs: Long = 30000)(ok: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!ok && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(ok, s"timed out waiting for: $what")
+  }
+
+  private def newService(mq: Option[String], cfg: GraftConfig,
+                         jobFactory: (Option[PipelineDef], Submission) => EngineJob,
+                         now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+                         cronCheck: FiniteDuration = 5.seconds): GraftService = {
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))), cfg)
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+    new GraftService(new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = mq,
+      checkpointRoot = SparkSuite.tempDir("svc-ckpt"),
+      quarantineDir = Some(SparkSuite.tempDir("svc-quarantine")),
+      jobFactory = jobFactory,
+      cfg = cfg,
+      pollInterval = 250.millis,
+      cronCheckInterval = cronCheck,
+      nowProvider = now)
+  }
+
+  test("full lifecycle: HTTP event -> incubation; MQ socket event -> release -> visible in /running; clean shutdown") {
+    import org.apache.spark.sql.functions.col
+    val broker = new MQBroker
+    val gate = new CountDownLatch(1)
+    // runs block on the latch so /running observes them mid-flight
+    val service = newService(Some(broker.endpoint), GraftConfig.default,
+      (_, _) => EngineJob.SparkClosure(_ => gate.await()))
+    try {
+      val addr = service.start(0)
+      val base = s"http://127.0.0.1:${addr.getPort}"
+
+      // 1. first parent succeeds over HTTP: the 'all'-triggered child
+      //    (join-orders-customer) must incubate, not run
+      val r1 = call(base, "POST", "/pipeline/dispatcher/event", asJson(success(1, "clean-orders")))
+      assert(r1.statusCode() == 200)
+      poll("child incubating after first dep") {
+        service.facade.incubating.get()
+          .where(col("pipeline_uuid") === "join-orders-customer").count() == 1
+      }
+      assert(call(base, "GET",
+        "/pipeline/dispatcher/running?pipeline_uuid=join-orders-customer")
+        .body() == "[]", "one satisfied dep of two must not release")
+      // a later unrelated dispatch must not duplicate kept rows (the
+      // r7 state-fold regression: kept state is a replacement)
+      assert(call(base, "POST", "/pipeline/dispatcher/event",
+        asJson(success(11, "clean-lineitem"))).statusCode() == 200)
+      assert(service.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").count() == 1,
+        "kept incubation row duplicated by an unrelated dispatch")
+
+      // 2. second parent succeeds over the MQ SOCKET: the stream
+      //    ingests it, the shared state releases the child, the service
+      //    submits it to its engine
+      broker.publish(asJson(success(2, "clean-customer")))
+      poll("released run visible via /pipeline/dispatcher/running") {
+        val body = call(base, "GET",
+          "/pipeline/dispatcher/running?pipeline_uuid=join-orders-customer").body()
+        body.contains("\"join-orders-customer\"") && body.contains("\"running\"")
+      }
+      // incubation slot consumed
+      assert(service.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").isEmpty)
+      // the MQ event joined the event log like an HTTP-posted one
+      assert(service.facade.eventLog.get()
+        .where(col("pipeline_uuid") === "clean-customer").count() == 1)
+
+      // 3. a malformed MQ message lands in the quarantine, not the log
+      broker.publish("""{"this is": not json""")
+      poll("corrupt message quarantined") {
+        val q = spark.read.text(
+          service.quarantineDir.get).collect().map(_.getString(0))
+        q.exists(_.contains("not json"))
+      }
+
+      // 4. run completes; terminal state observable through the facade
+      gate.countDown()
+      poll("run reaches success") {
+        call(base, "GET",
+          "/pipeline/dispatcher/running?statuses=success&pipeline_uuid=join-orders-customer")
+          .body().contains("\"success\"")
+      }
+
+      // 5. graceful shutdown: stream terminated, port closed, idempotent
+      service.shutdown()
+      assert(service.mqQuery.forall(!_.isActive), "mq ingest stream must be stopped")
+      assert(!spark.streams.active.exists(_.name == "graft-mq-ingest"))
+      intercept[java.io.IOException] {
+        call(base, "GET", "/sys/config")
+      }
+      service.shutdown() // idempotent
+    } finally {
+      service.shutdown()
+      broker.stop()
+    }
+  }
+
+  test("culler tick: an incubating partial ages out with no release, no new events needed") {
+    import org.apache.spark.sql.functions.col
+    val submitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cfg = GraftConfig.default.copy(
+      cullingIntervalSeconds = 1L, incubatingJobAgeOutSeconds = 1L)
+    val service = newService(None, cfg,
+      (_, _) => { submitted.incrementAndGet(); EngineJob.SparkClosure(_ => ()) })
+    try {
+      val addr = service.start(0)
+      val base = s"http://127.0.0.1:${addr.getPort}"
+      assert(call(base, "POST", "/pipeline/dispatcher/event",
+        asJson(success(10, "clean-orders"))).statusCode() == 200)
+      assert(service.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").count() == 1)
+      // the wall-clock culler tick must age the partial out on its own
+      poll("age-out cull of the idle partial") {
+        service.facade.incubating.get().isEmpty
+      }
+      assert(submitted.get() == 0,
+        "an aged-out dependency wait must be dropped, never submitted")
+    } finally service.shutdown()
+  }
+
+  test("cron tick: a due schedule originates and submits through the same path, at most once per minute") {
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // fixed clock at a minute matching ingest-orders' '0 0 * * *'
+    val fixed = ts("2024-02-01 00:00:30")
+    val service = newService(None, GraftConfig.default,
+      (d, sub) => { ran.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) },
+      now = () => fixed, cronCheck = 300.millis)
+    try {
+      val addr = service.start(0)
+      val base = s"http://127.0.0.1:${addr.getPort}"
+      poll("cron origination submitted") {
+        ran.contains("ingest-orders")
+      }
+      // the clock never leaves the minute: repeated checks must not re-fire
+      Thread.sleep(1500)
+      assert(ran.size == 1, s"cron must fire once per due minute, got $ran")
+      // and the run surfaced in the shared engine state
+      poll("cron run visible via /running") {
+        call(base, "GET",
+          "/pipeline/dispatcher/running?statuses=success,running&pipeline_uuid=ingest-orders")
+          .body().contains("\"ingest-orders\"")
+      }
+    } finally service.shutdown()
+  }
+}

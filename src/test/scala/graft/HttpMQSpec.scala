@@ -1,15 +1,11 @@
 package graft
 
-import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.Base64
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
-
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
 import graft.meta.Fixtures
 import graft.model.RunningJob
@@ -25,41 +21,8 @@ import graft.streaming.GraftStream
 class HttpMQSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
-  /** Minimal in-process broker: an append-only message log served over
-    * the HttpMQ protocol (`?tail` → count, `?from=A&to=B` → lines). */
-  private final class Broker {
-    private val log = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/q", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-        val body = log.synchronized {
-          if (q == "tail") log.length.toString
-          else {
-            val params = q.split("&").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-            val (from, to) = (params("from").toLong, params("to").toLong)
-            log.zipWithIndex
-              .slice(from.toInt, math.min(to, log.length.toLong).toInt)
-              .map { case ((ts, msg), off) =>
-                s"$off\t$ts\t${Base64.getEncoder.encodeToString(msg.getBytes(StandardCharsets.UTF_8))}"
-              }.mkString("\n")
-          }
-        }
-        val bytes = body.getBytes(StandardCharsets.UTF_8)
-        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length.toLong)
-        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
-        ex.close()
-      }
-    })
-    server.start()
-    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/q"
-    def publish(msg: String, ts: Long = 1706742000000L): Unit =
-      log.synchronized { log += ((ts, msg)) }
-    def stop(): Unit = server.stop(0)
-  }
-
   test("protocol round-trip: tail and executor-side range fetch over a real socket") {
-    val b = new Broker
+    val b = new MQBroker
     try {
       assert(HttpMQ.tail(b.endpoint) == 0L)
       b.publish("alpha"); b.publish("beta"); b.publish("gamma")
@@ -90,7 +53,7 @@ class HttpMQSpec extends AnyFunSuite {
   }
 
   test("streaming read: Kafka schema, checkpointed offsets resume past consumed messages") {
-    val b = new Broker
+    val b = new MQBroker
     val out = SparkSuite.tempDir("hmq-out")
     val ckpt = SparkSuite.tempDir("hmq-ckpt")
     try {
@@ -134,7 +97,7 @@ class HttpMQSpec extends AnyFunSuite {
           "event_time": "2024-01-31T23:0${id % 10}:00Z", "received_time": "2024-01-31T23:0${id % 10}:05Z",
           "retry_count": $retry, "disable_downstream": false}""".replaceAll("\n\\s*", " ")
 
-    val b = new Broker
+    val b = new MQBroker
     val subs = SparkSuite.tempDir("hmq-subs")
     val hist = SparkSuite.tempDir("hmq-hist")
     val ckpt = SparkSuite.tempDir("hmq-gs-ckpt")

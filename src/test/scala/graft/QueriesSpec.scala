@@ -16,7 +16,7 @@ class QueriesSpec extends AnyFunSuite {
     "ns_dedup_decontam", "ns_vec_near_dups_sound", "ns_dedup_minhash_sound",
     "ns_dedup_decontam_sound", "ns_vec_topk_lsh_sound", "ns_dedup_cluster",
     "ns_dedup_decontam_ngram", "ns_dedup_simhash_sound", "ns_text_quality_pct_sound",
-    "ns_profile_approx_sound")
+    "ns_profile_approx_sound", "ns_text_vocab_approx_sound")
 
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs${if (q.oracle.isDefined) " [oracle-checked]" else ""}") {
