@@ -50,11 +50,16 @@ object EventCdc {
 
   /** The merged dimension after applying the change batch. */
   def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    cdcMergeAt(spark, dir, CutoffLit)
+
+  /** Parameterized cutoff — the SQL surface's `graft_cdc_merge(dir,
+    * cutoff)` table function ([[graft.plans.GraftSql]]). */
+  def cdcMergeAt(spark: SparkSession, dir: String, cutoffTs: String): DataFrame =
     cdcMergeCore(
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
-      CutoffLit)
+      cutoffTs)
 
   /** Core on any (user_id, event_id, event_type, ts, cents) frame —
     * the spec drives tombstone/no-op/insert/update corners directly. */

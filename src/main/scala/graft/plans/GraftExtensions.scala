@@ -23,10 +23,12 @@ import graft.functions.{FloatVecDot, IntVecDotExpr, JaccardSortedLongs, MinHashS
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftSql.tableFunctions.foreach(e.injectTableFunction(_))
+  }
 }
 
 object GraftFunctions {

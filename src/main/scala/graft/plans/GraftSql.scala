@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.TableFunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.SparkEntry
+
+/** SQL access to the OPERATOR library — the companion of
+  * [[GraftFunctions]] (which exposes the scalar kernels): a
+  * Spark-native analytics engine should serve `spark.sql` users, not
+  * only Scala callers (r6 verdict #5).
+  *
+  * Three surfaces, all pure Catalyst — nothing executes at
+  * registration, every path inlines the operator's LOGICAL plan into
+  * the caller's query so filters/pruning/join-reorder optimize through
+  * the boundary exactly as if the user had written the dataflow
+  * inline:
+  *
+  *  1. `graft('<query-name>', '<sf-dir>')` — a table-valued function
+  *     resolving any of the registry's queries by name:
+  *     {{{ SELECT * FROM graft('ns_text_stats', '/data/sf1') WHERE lang = 'en' }}}
+  *  2. parameterized TVFs for the operator cores whose knobs the
+  *     registry pins (`graft_topk`, `graft_cdc_merge`);
+  *  3. [[registerTables]]/[[registerViews]] — the parquet tables and
+  *     chosen operator results as temp views for plain-SQL exploration
+  *     ({{{ SELECT * FROM graft_ns_dedup_exact }}}).
+  *
+  * Registration paths mirror [[GraftFunctions]]: inject through
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster-wide),
+  * or [[register]] on a live session.
+  */
+object GraftSql {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def argString(es: Seq[Expression], i: Int, fn: String): String = {
+    require(es.length > i, s"$fn: missing argument ${i + 1}")
+    val e = es(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+    String.valueOf(e.eval())
+  }
+
+  private def argInt(es: Seq[Expression], i: Int, fn: String, default: Int): Int =
+    if (es.length <= i) default
+    else {
+      val e = es(i)
+      require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be an integer, got $other")
+      }
+    }
+
+  /** The table-valued functions. Builders return the operator's
+    * ANALYZED plan — fully resolved, so the outer query's analysis
+    * treats it as an inline subquery and the optimizer sees one plan. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TableFunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft"),
+      info("graft", "graft(name, sfDir) - run a registered graft operator as a table"),
+      (es: Seq[Expression]) => {
+        val name = argString(es, 0, "graft")
+        val dir = argString(es, 1, "graft")
+        val q = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"graft: unknown query '$name' (${SparkEntry.queries.size} registered)"))
+        q(SparkSession.active, dir).queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "graft_topk(sfDir[, nQueries[, k]]) - exact cosine top-k over the embeddings table"),
+      (es: Seq[Expression]) => {
+        val dir = argString(es, 0, "graft_topk")
+        val nq = argInt(es, 1, "graft_topk", 5)
+        val k = argInt(es, 2, "graft_topk", 5)
+        graft.operators.Vectors.bruteForceTopK(SparkSession.active, dir, nq, k)
+          .queryExecution.analyzed
+      }),
+    (FunctionIdentifier("graft_cdc_merge"),
+      info("graft_cdc_merge",
+        "graft_cdc_merge(sfDir, cutoffTs) - CDC-merged events dimension at the given cutoff"),
+      (es: Seq[Expression]) => {
+        val dir = argString(es, 0, "graft_cdc_merge")
+        val cutoff = argString(es, 1, "graft_cdc_merge")
+        graft.operators.EventCdc.cdcMergeAt(SparkSession.active, dir, cutoff)
+          .queryExecution.analyzed
+      }))
+
+  /** The ten parquet tables as temp views (plain-SQL exploration and
+    * the substrate the TVF plans join against). */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    graft.sources.Tables.names.foreach { n =>
+      graft.sources.Tables(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Chosen operator results as `graft_<name>` temp views. Lazy
+    * logical plans — but note some operators do model-fitting work at
+    * PLAN time (k-means, BPE training), so callers pick the names
+    * rather than force all ~140. */
+  def registerViews(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.foreach { n =>
+      val q = SparkEntry.queries.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown query '$n'"))
+      q(spark, dir).createOrReplaceTempView(s"graft_$n")
+    }
+
+  /** Register the TVFs on a live session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    tableFunctions.foreach { case (ident, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, inf, builder)
+    }
+}
