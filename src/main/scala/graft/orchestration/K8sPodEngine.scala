@@ -34,10 +34,12 @@ import graft.model.{RunningJob, Submission}
   *    reference double-`json.dumps`es a single uuid, an evident quirk
   *    we normalize to one encoding, SURVEY §8), EXEC_UUID, RETRY_COUNT,
   *    MQ_CALLBACK_URL, GRAFT_AUTH_SECRET, GRAFT_API_ENDPOINT (the
-  *    reference injects its secret as a literal env var; a production
-  *    PodApi should rewrite this to a secretKeyRef — documented, not
-  *    silently "fixed", since the marshalled value is what the
-  *    reference ships)
+  *    reference injects its secret as a LITERAL env var — the default
+  *    marshalling mode, kept because the marshalled value is what the
+  *    reference ships; setting `K8sConfig.authSecretRef` switches
+  *    GRAFT_AUTH_SECRET to a `valueFrom.secretKeyRef` so the
+  *    production-shaped pod never carries the secret bytes — r6
+  *    verdict #8, both modes spec'd)
   *  - resources: cpu/memory LIMITS from `cpu_count` / `memory_gi`
   *  - placement: service account from config; node selector
   *    workload=pipeline + instance-type from `instance_type`;
@@ -50,7 +52,14 @@ import graft.model.{RunningJob, Submission}
 object K8sPodEngine {
 
   // ---- pure-data pod model (the V1* subset the reference touches) ------
-  final case class EnvVar(name: String, value: String)
+  /** V1SecretKeySelector: the env var reads `key` of K8s secret
+    * `secretName` at pod start — the secret bytes never appear in the
+    * pod manifest. */
+  final case class SecretKeyRef(secretName: String, key: String)
+  /** V1EnvVar: exactly one of `value` (literal) / `valueFrom` is set,
+    * like the K8s API object. */
+  final case class EnvVar(name: String, value: String,
+                          valueFrom: Option[SecretKeyRef] = None)
   final case class Toleration(key: String, operator: String, effect: String)
   final case class Container(name: String, image: String, command: Seq[String],
                              args: Seq[String], env: Seq[EnvVar],
@@ -78,7 +87,10 @@ object K8sPodEngine {
       defaultArgs: Seq[String] = Seq("echo no-op"),
       mqCallbackUrl: String = "http://graft-mq/callback",
       apiEndpoint: String = "http://graft-api",
-      authSecret: String = "unset")
+      authSecret: String = "unset",
+      // production mode: marshal GRAFT_AUTH_SECRET as a secretKeyRef
+      // instead of the reference's literal env var (engine.py:138-142)
+      authSecretRef: Option[SecretKeyRef] = None)
 
   /** `marshall_k8s_pod` as a total pure function — V1Pod assembly with
     * the engine_args fallbacks inline. */
@@ -98,7 +110,10 @@ object K8sPodEngine {
         EnvVar("EXEC_UUID", sub.exec_uuid),
         EnvVar("RETRY_COUNT", sub.retry_count.toString),
         EnvVar("MQ_CALLBACK_URL", cfg.mqCallbackUrl),
-        EnvVar("GRAFT_AUTH_SECRET", cfg.authSecret),
+        cfg.authSecretRef match {
+          case Some(ref) => EnvVar("GRAFT_AUTH_SECRET", "", Some(ref))
+          case None => EnvVar("GRAFT_AUTH_SECRET", cfg.authSecret)
+        },
         EnvVar("GRAFT_API_ENDPOINT", cfg.apiEndpoint)),
       limits = Map(
         "cpu" -> engineArgs.getOrElse("cpu_count", "1"),

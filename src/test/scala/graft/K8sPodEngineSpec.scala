@@ -47,6 +47,20 @@ class K8sPodEngineSpec extends AnyFunSuite {
     assert(pod.spec.serviceAccountName == cfg.serviceAccountName)
   }
 
+  test("marshalPod: authSecretRef switches GRAFT_AUTH_SECRET to a secretKeyRef, no secret bytes in the manifest") {
+    val prod = cfg.copy(authSecretRef = Some(SecretKeyRef("graft-auth", "token")))
+    val pod = marshalPod(prod, sub, Map.empty)
+    val auth = pod.spec.containers.head.env.find(_.name == "GRAFT_AUTH_SECRET").get
+    assert(auth.valueFrom.contains(SecretKeyRef("graft-auth", "token")))
+    assert(auth.value == "", "secretKeyRef mode must not carry a literal value")
+    // the secret string must appear NOWHERE in the marshalled pod
+    assert(!pod.toString.contains("s3cret"))
+    // literal mode (the reference's engine.py:138-142 shape) unchanged
+    val lit = marshalPod(cfg, sub, Map.empty)
+      .spec.containers.head.env.find(_.name == "GRAFT_AUTH_SECRET").get
+    assert(lit.value == "s3cret" && lit.valueFrom.isEmpty)
+  }
+
   test("marshalPod: engine_args fall back to config defaults") {
     val pod = marshalPod(cfg, sub, Map.empty)
     val c = pod.spec.containers.head
