@@ -53,13 +53,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // 1-min loadavg at measurement end: BASELINE.md documents ~5× wall
-    // variance under driver-round contention — a reader comparing
-    // BENCH rows across rounds needs the load context in the artifact
-    // itself (r5 verdict #4: two suspect regressions turned out to be
-    // reads taken inside a loaded sbt session)
+    // Load context in the artifact (r5 verdict #4, r6 verdict #1):
+    // loadavg1m_start is the idle-discipline reading (taken BEFORE any
+    // Spark work — the number to compare against the <1.0 bar);
+    // loadavg1m (end) includes the bench's own local[32] load and is
+    // recorded for continuity with earlier artifacts, which sampled
+    // only at end and therefore partly self-reported.
     val load = loadavg1m
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m":$load$loadWarning}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$loadWarning}""")
     spark.stop()
   }
 }
