@@ -14,7 +14,8 @@ object SparkEntry {
       Analytics2.all ++ Curation.all ++ EventOps.all ++ TextPmi.all ++
       VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all ++
       VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all ++
-      CorpusDiff.all ++ TimeSeries.all ++ VectorsCuration.all
+      CorpusDiff.all ++ TimeSeries.all ++ VectorsCuration.all ++
+      TextSelection.all ++ VectorsMining.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Data-SELECTION operators — the curation stage that decides what a
+  * training mix actually contains, after cleaning/dedup have decided
+  * what it may contain:
+  *
+  *  - [[ccnetBuckets]]: CCNet-style perplexity bucketing (Wenzek et
+  *    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets
+  *    from Web Crawl Data") — per language, split the corpus into
+  *    head/middle/tail terciles by LM log-probability; mixes are then
+  *    drawn per bucket (the original CCNet keeps head+middle).
+  *  - [[dsir]]: hashed-n-gram importance weighting (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling")
+  *    — score every document by how much more likely its features are
+  *    under a TARGET distribution than under the raw corpus, using a
+  *    FIXED-SIZE hashed feature table; select the top-N.
+  *
+  * Scale notes: both are one-to-two-shuffle shapes. DSIR's design
+  * point IS the fixed table — `B` buckets regardless of corpus size,
+  * so the model broadcasts and scoring is a map pass + per-doc sum at
+  * any scale (the paper's reason for hashing over exact n-grams).
+  * CCNet bucketing rides the per-doc perplexity frame; the per-lang
+  * NTILE windows partition by language (parallel across langs; within
+  * a language a global rank is inherent to the operator's semantics —
+  * at 100 TB one switches to approx quantile cutpoints, which the
+  * repo's `ns_text_quality_pct`/`_sound` pair already models).
+  */
+object TextSelection {
+
+  /** CCNet head/middle/tail terciles per language over the bigram-LM
+    * doc log-probability ([[TextOps.perplexity]]'s frame — reused, so
+    * the rounded `avg_logp` both engines agree on is also the NTILE
+    * sort key; doc_id breaks ties deterministically). Emits per
+    * (lang, bucket): doc count and the rounded logp range. */
+  val ccnetBuckets: GraftQuery = GraftQuery.checked("ns_text_ccnet_buckets",
+    """WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+      FROM toks WHERE len(t) >= 2),
+    bgf AS (SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY w1, w2),
+    cnt1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1),
+    model AS (
+      SELECT w1, w2, ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)) AS logp
+      FROM cnt2 JOIN cnt1 USING (w1)),
+    perdoc AS (
+      SELECT b.doc_id, b.lang, ROUND(AVG(m.logp), 4) AS avg_logp
+      FROM bgf b JOIN model m USING (w1, w2)
+      GROUP BY b.doc_id, b.lang),
+    bucketed AS (
+      SELECT lang, doc_id, avg_logp,
+             NTILE(3) OVER (PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS bucket
+      FROM perdoc)
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           MIN(avg_logp) AS lo_logp, MAX(avg_logp) AS hi_logp
+    FROM bucketed GROUP BY lang, bucket
+    ORDER BY lang, bucket""") { (spark, dir) =>
+    val perdoc = TextOps.perplexity.run(spark, dir) // (doc_id, lang, n_bigrams, avg_logp)
+    val w = Window.partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
+    perdoc
+      .withColumn("bucket", ntile(3).over(w).cast("long")) // NTILE is BIGINT in DuckDB
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_logp").as("lo_logp"), max("avg_logp").as("hi_logp"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Hashed-feature count per (doc, bucket-id): word bigrams hashed
+    * into B=256 buckets via the first md5 byte — md5 is the repo's
+    * cross-engine-portable hash (both engines agree on every bucket
+    * id, unlike their native `hash()` functions). */
+  private val B = 256
+
+  private def bigramBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+          .as("g"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int").as("f"))
+
+  /** DSIR importance scores, target = the English slice (the stand-in
+    * for "looks like my high-quality target set"), features = hashed
+    * bigrams. Per bucket f:
+    *   w(f) = ln((ct+1)/(Ctot+B)) − ln((cr+1)/(Rtot+B))
+    * quantized to micro-units as ONE expression (`FLOOR(Σln · 1e6)`,
+    * the repo's exact-integer pattern — per-doc sums are then BIGINT
+    * and hash-exact across engines). Emits the top-100 selection by
+    * (score DESC, doc_id).
+    *
+    * Plan: one explode pass → two B-bounded aggregates (map-side
+    * partial, B=256 rows each) → model BROADCAST back → per-doc sum.
+    * Nothing in the plan grows with corpus size except the scan. */
+  val dsir: GraftQuery = GraftQuery.checked("ns_text_dsir",
+    s"""WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2),
+    fb AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS f
+      FROM bg),
+    tgt AS (SELECT f, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, COUNT(*) AS cr FROM fb GROUP BY f),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM fb WHERE lang = 'en') AS BIGINT) AS ctot,
+                   CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS rtot),
+    model AS (
+      SELECT raw.f,
+             CAST(FLOOR((ln(COALESCE(tgt.ct, 0) + 1.0) - ln(tot.ctot + $B.0)
+                       - ln(raw.cr + 1.0) + ln(tot.rtot + $B.0)) * 1000000) AS BIGINT) AS w_micro
+      FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot),
+    scored AS (
+      SELECT fb.doc_id, fb.lang, COUNT(*) AS n_bigrams,
+             CAST(SUM(m.w_micro) AS BIGINT) AS score_micro
+      FROM fb JOIN model m USING (f)
+      GROUP BY fb.doc_id, fb.lang)
+    SELECT doc_id, lang, n_bigrams, score_micro
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 100""") { (spark, dir) =>
+    val fb = bigramBuckets(Tables.documents(spark, dir))
+    val tgt = fb.where(col("lang") === "en").groupBy("f").agg(count(lit(1)).as("ct"))
+    val raw = fb.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tot = fb.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctot"),
+      count(lit(1)).as("rtot"))
+    val model = raw.join(tgt, Seq("f"), "left").crossJoin(broadcast(tot))
+      .select(col("f"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double"))
+          - log((col("ctot") + B).cast("double"))
+          - log((col("cr") + 1).cast("double"))
+          + log((col("rtot") + B).cast("double"))) * 1000000.0).cast("long").as("w_micro"))
+    fb.join(broadcast(model), Seq("f"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("w_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir)
+}

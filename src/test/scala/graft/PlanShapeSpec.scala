@@ -366,6 +366,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"canonical selection must be a partial-combining aggregate:\n$p")
   }
 
+  test("ns_text_dsir: the B-bounded model broadcasts back — the bigram stream never shuffle-joins on the feature") {
+    // DSIR's design point is the fixed hashed table: scoring must be a
+    // map pass against a broadcast 256-row model + per-doc reduce; a
+    // feature-keyed corpus exchange would re-shuffle the whole token
+    // stream per selection run
+    val p = plan(graft.operators.TextSelection.dsir.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bigram stream must never sort-merge on the feature id:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 selection must be bounded, not a full sort:\n$p")
+  }
+
+  test("ns_vec_decontam_semantic: eval set broadcasts; argmax is a partial-aggregated max-of-struct, not a window") {
+    // the corpus side must stream once: broadcast-probe the (small)
+    // eval set, reduce map-side to one row per (task, eval_id); a
+    // digest/eval-keyed window would sort the full train x eval
+    // inflation in the reducers
+    val p = plan(graft.operators.VectorsMining.semanticDecontam.run(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval probe side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"train side must never SMJ/cartesian:\n$p")
+    assert(!p.contains("Window"), s"argmax must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
   test("whole-stage codegen covers the k19 aggregate") {
     // AQE's pre-execution FormattedMode hides WSCG wrappers; CodegenMode
     // shows the generated subtrees

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextSelection, VectorsMining}
+import graft.sources.Tables
+
+/** Semantic pins for the r7 selection/mining operators beyond their
+  * oracle hash-match: the properties that make each one mean what its
+  * name claims. */
+class SelectionMiningSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+
+  test("ccnet buckets: per-lang terciles are balanced and ordered head >= middle >= tail") {
+    val rows = TextSelection.ccnetBuckets.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"$lang must have 3 buckets")
+      // NTILE balance: sizes differ by at most 1
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang tercile sizes $sizes")
+      // ordering: head's WORST doc is at least middle's BEST, etc.
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._4 >= lo._5, s"$lang bucket ${hi._2} lo ${hi._4} < bucket ${lo._2} hi ${lo._5}")
+      }
+    }
+  }
+
+  test("dsir: target-language documents dominate the selection") {
+    val sel = TextSelection.dsir.run(spark, dir).collect()
+    assert(sel.length == 100)
+    val en = sel.count(_.getString(1) == "en")
+    val corpusEnFrac = {
+      val d = Tables.documents(spark, dir)
+      d.where(col("lang") === "en").count().toDouble / d.count()
+    }
+    // importance weighting must ENRICH the target beyond its base rate
+    assert(en.toDouble / sel.length > corpusEnFrac + 0.1,
+      s"en fraction ${en / 100.0} must beat corpus base rate $corpusEnFrac")
+    // scores sorted descending with doc_id tie-break
+    val scores = sel.map(_.getLong(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hard negatives: every neighbor has a different label than its query") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = VectorsMining.hardNegatives.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(emb(n) != emb(q), s"neighbor $n shares label with query $q")
+      assert(r.getInt(2) == emb(n), "neg_label must be the neighbor's label")
+    }
+    // exactly 3 per query (enough different-label candidates exist)
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.length == 3, s"query $q returned ${g.length} negatives")
+    }
+  }
+
+  test("semantic decontam: eval slice probed against train only, one row per eval vector") {
+    val rows = VectorsMining.semanticDecontam.run(spark, dir).collect()
+    val nEval = Tables.embeddings(spark, dir).where(col("vec_id") % 10 === 7).count()
+    assert(rows.length == nEval)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, "eval ids are the %10==7 slice")
+      assert(r.getLong(1) % 10 != 7, "nearest neighbor must come from the train side")
+      assert(math.abs(r.getDouble(2)) <= 1.0001, "cosine of unit vectors")
+      assert(r.getBoolean(3) == (r.getDouble(2) >= 0.8))
+    }
+  }
+}
