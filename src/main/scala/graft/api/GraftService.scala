@@ -83,12 +83,18 @@ final class GraftService(
 
   /** Bind, start every loop, return the HTTP address. */
   def start(port: Int = 0): InetSocketAddress = synchronized {
+    restoreState()
     // engine submission behind the facade's single dispatch path: an
     // HTTP-posted event, an MQ message, a culler release and a cron
-    // firing all submit through here
+    // firing all submit through here. persistState after every
+    // mutation = the reference's Mongo durability (every dispatch
+    // leaves restartable state on disk) AND the lineage collapse a
+    // long-running AtomicReference design needs (each persisted state
+    // is re-read, so the union-chain never outlives one dispatch).
     facade.submissionSink.set { subs =>
       submitAll(subs)
       facade.refreshRunning()
+      persistState()
     }
     val addr = facade.start(port)
 
@@ -125,6 +131,63 @@ final class GraftService(
     shutdownHook = new Thread(() => shutdown(), "graft-service-sigint")
     Runtime.getRuntime.addShutdownHook(shutdownHook) // the SIGINT handler analog
     addr
+  }
+
+  // ---- durable service state -------------------------------------------
+  // The reference keeps incubating runs + event history in MongoDB, so
+  // its process restarts resume mid-lifecycle (an incubating child's
+  // first satisfied dep survives). The Spark analog: after every
+  // dispatch the facade's incubating/eventLog snapshots are written to
+  // ping-pong parquet dirs under the checkpoint root (A/B with an
+  // atomically-moved _CURRENT marker — a crash mid-write leaves the
+  // previous generation intact) and the freshly-written files are read
+  // BACK as the new state. The read-back doubles as lineage collapse:
+  // without it the AtomicReference union-chain grows one plan layer
+  // per dispatch forever. Metadata-plane sized writes (catalog-bounded
+  // rows per generation), never data-plane.
+
+  private def stateRoot = s"$checkpointRoot/service-state"
+  private def markerPath = java.nio.file.Paths.get(stateRoot, "_CURRENT")
+
+  private def currentGen: Option[String] =
+    if (java.nio.file.Files.exists(markerPath))
+      Some(java.nio.file.Files.readString(markerPath).trim)
+    else None
+
+  private[graft] def persistState(): Unit = {
+    import org.apache.spark.sql.Encoders
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    val next = if (currentGen.contains("a")) "b" else "a"
+    val incPath = s"$stateRoot/$next/incubating"
+    val evPath = s"$stateRoot/$next/events"
+    facade.incubating.get().write.mode("overwrite").parquet(incPath)
+    facade.eventLog.get().write.mode("overwrite").parquet(evPath)
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(stateRoot), "_CURRENT", ".tmp")
+    java.nio.file.Files.writeString(tmp, next)
+    java.nio.file.Files.move(tmp, markerPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // swap in the flat, files-backed state (lineage collapse)
+    facade.incubating.set(spark.read.parquet(incPath)
+      .as[graft.orchestration.Dispatcher.IncubRow](
+        Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
+    facade.eventLog.set(spark.read.parquet(evPath)
+      .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
+  }
+
+  private[graft] def restoreState(): Unit = {
+    import org.apache.spark.sql.Encoders
+    currentGen.foreach { gen =>
+      facade.incubating.set(spark.read.parquet(s"$stateRoot/$gen/incubating")
+        .as[graft.orchestration.Dispatcher.IncubRow](
+          Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
+      facade.eventLog.set(spark.read.parquet(s"$stateRoot/$gen/events")
+        .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
+    }
+    // engine state is intentionally NOT restored: LocalSparkEngine /
+    // ProcessEngine runs die with the process (unlike the reference's
+    // K8s pods, which a real PodApi would re-list here)
   }
 
   /** Tick bodies never kill the scheduler: the reference's loops

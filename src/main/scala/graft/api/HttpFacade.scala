@@ -177,9 +177,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         val now = reqNow(r)
         val events = parseEvents(r.body)
         val res = r.session.dispatch(events, running.get(), incubating.get(), now)
-        applyStep(res)
+        // log append BEFORE applyStep: the service's persistence hook
+        // rides the submissionSink inside applyStep and must snapshot a
+        // log that already contains this batch
         eventLog.set(eventLog.get().unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+        applyStep(res)
         json(res.submissions.toDF())
       }
     }),
@@ -230,10 +233,11 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
   private[graft] def ingest(events: Seq[LifecycleEvent], now: Timestamp): Seq[Submission] =
     mutate.synchronized {
       val res = api.dispatch(events, running.get(), incubating.get(), now)
-      applyStep(res)
+      // log append BEFORE applyStep — see the /event route
       if (events.nonEmpty)
         eventLog.set(eventLog.get().unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+      applyStep(res)
       res.submissions.collect().toSeq
     }
 

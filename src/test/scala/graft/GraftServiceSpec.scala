@@ -163,6 +163,56 @@ class GraftServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("durable state: a restart resumes mid-lifecycle (first dep survives the process)") {
+    import org.apache.spark.sql.functions.col
+    // the reference's Mongo durability: dep 1 lands in service A, the
+    // process dies, dep 2 lands in service B over the SAME checkpoint
+    // root -> the child must release from the restored state
+    val ckpt = SparkSuite.tempDir("svc-durable-ckpt")
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def mkService(): GraftService = {
+      val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+        Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+        GraftConfig.default)
+      val policy = new Auth.Policy(
+        new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+      new GraftService(new SecuredGraftApi(api, policy), spark,
+        mqEndpoint = None, checkpointRoot = ckpt,
+        jobFactory = (_, sub) => { ran.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) })
+    }
+    val a = mkService()
+    try {
+      val baseA = s"http://127.0.0.1:${a.start(0).getPort}"
+      assert(call(baseA, "POST", "/pipeline/dispatcher/event",
+        asJson(success(21, "clean-orders"))).statusCode() == 200)
+      assert(a.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").count() == 1)
+      // lineage collapse: the persisted-and-reloaded state is a flat
+      // parquet scan, not a union chain over the dispatch history
+      assert(a.facade.incubating.get().queryExecution.logical.collectLeaves().length == 1,
+        "persisted state must be a single files-backed relation")
+    } finally a.shutdown()
+
+    val b = mkService()
+    try {
+      val baseB = s"http://127.0.0.1:${b.start(0).getPort}"
+      // restored: the first dep's partial wait is still there
+      assert(b.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").count() == 1,
+        "incubation state must survive the restart")
+      assert(b.facade.eventLog.get()
+        .where(col("pipeline_uuid") === "clean-orders").count() == 1,
+        "event history must survive the restart")
+      assert(call(baseB, "POST", "/pipeline/dispatcher/event",
+        asJson(success(22, "clean-customer"))).statusCode() == 200)
+      poll("restored child releases on the post-restart second dep") {
+        ran.contains("join-orders-customer")
+      }
+      assert(b.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer").isEmpty)
+    } finally b.shutdown()
+  }
+
   test("culler tick: an incubating partial ages out with no release, no new events needed") {
     import org.apache.spark.sql.functions.col
     val submitted = new java.util.concurrent.atomic.AtomicInteger(0)
