@@ -683,12 +683,21 @@ object TextOps {
     FROM bgf b JOIN model m USING (w1, w2)
     GROUP BY b.doc_id, b.lang
     ORDER BY b.doc_id""") { (spark, dir) =>
-    // all shuffle keys are LONGS from the native positional kernel
-    // (w=2 hash = the bigram key, w=1 hash = its first-word marginal
-    // key; hash equality ≡ string equality at 2^-64, the repo-wide
-    // convention): the original string-struct formulation shuffled
-    // full word pairs three times and benched 6× slower than DuckDB.
-    // Counts (hence logp) are identical, so the string oracle stands.
+    perplexityFrame(spark, dir).orderBy("doc_id")
+  }
+
+  /** The per-doc bigram-LM frame `(doc_id, lang, n_bigrams, avg_logp)`
+    * shared by [[perplexity]] and [[TextSelection.ccnetBuckets]] —
+    * memoized via [[OpMemo]] like every other shared emitter frame.
+    *
+    * All shuffle keys are LONGS from the native positional kernel
+    * (w=2 hash = the bigram key, w=1 hash = its first-word marginal
+    * key; hash equality ≡ string equality at 2^-64, the repo-wide
+    * convention): the original string-struct formulation shuffled
+    * full word pairs three times and benched 6× slower than DuckDB.
+    * Counts (hence logp) are identical, so the string oracle stands. */
+  private[operators] def perplexityFrame(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "text:perplexity-frame") {
     import graft.functions.TextExpressions.positionalShingleHashes
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -710,7 +719,6 @@ object TextOps {
     bgf.join(model, Seq("h2"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), dround(avg("logp"), 4).as("avg_logp"))
-      .orderBy("doc_id")
   }
 
   /** Sliding token-WINDOW chunking — the context-window prep step every

@@ -366,15 +366,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"canonical selection must be a partial-combining aggregate:\n$p")
   }
 
-  test("ns_text_dsir: the B-bounded model broadcasts back — the bigram stream never shuffle-joins on the feature") {
-    // DSIR's design point is the fixed hashed table: scoring must be a
-    // map pass against a broadcast 256-row model + per-doc reduce; a
-    // feature-keyed corpus exchange would re-shuffle the whole token
-    // stream per selection run
+  test("ns_text_dsir: scoring is a pure map stage — the model rides a literal map expression, no join at all") {
+    // DSIR's design point is the fixed hashed table: the B=256 model
+    // collects to the driver and scoring is element_at(map-literal, f)
+    // inside the per-doc aggregate — zero joins, zero feature-keyed
+    // exchanges over the token stream
     val p = plan(graft.operators.TextSelection.dsir.run(spark, dir))
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"bigram stream must never sort-merge on the feature id:\n$p")
+    assert(!p.contains("Join"), s"scoring stage must carry no join of any kind:\n$p")
+    // one doc-keyed exchange of map-side partials, nothing else moves
+    // (formatted mode shows each node once in the tree and once in the
+    // detail section — count the numbered detail headers)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      s"scoring must exchange exactly once (partial-agg'd doc sums):\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 selection must be bounded, not a full sort:\n$p")
   }
