@@ -84,6 +84,10 @@ final class GraftService(
   /** Bind, start every loop, return the HTTP address. */
   def start(port: Int = 0): InetSocketAddress = synchronized {
     restoreState()
+    // the deployable session serves spark.sql users too: scalar
+    // kernels + the graft()/graft_* table functions
+    graft.plans.GraftFunctions.register(spark)
+    graft.plans.GraftSql.register(spark)
     // engine submission behind the facade's single dispatch path: an
     // HTTP-posted event, an MQ message, a culler release and a cron
     // firing all submit through here. persistState after every

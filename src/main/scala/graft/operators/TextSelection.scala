@@ -105,9 +105,10 @@ object TextSelection {
     * and hash-exact across engines). Emits the top-100 selection by
     * (score DESC, doc_id).
     *
-    * Plan: one explode pass → two B-bounded aggregates (map-side
-    * partial, B=256 rows each) → model BROADCAST back → per-doc sum.
-    * Nothing in the plan grows with corpus size except the scan. */
+    * Plan: one explode pass → ONE B-bounded aggregate (map-side
+    * partial, 256 rows to the driver) → model as a constant-folded
+    * array literal → join-free per-doc sum. Nothing in the plan grows
+    * with corpus size except the scan. */
   val dsir: GraftQuery = GraftQuery.checked("ns_text_dsir",
     s"""WITH toks AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
@@ -138,14 +139,20 @@ object TextSelection {
     FROM scored
     ORDER BY score_micro DESC, doc_id
     LIMIT 100""") { (spark, dir) =>
-    val fb = bigramBuckets(Tables.documents(spark, dir))
-    // ONE model-building pass: target and raw counts share the same
-    // 256-key aggregate (map-side combined), collected to the driver
-    // (B rows — model-sized by construction). The first formulation
-    // built tgt/raw/totals as three separate plans and scanned the
-    // exploded bigram stream four times (benched 1.49 s vs DuckDB
-    // 0.37 at sf0.1); this one scans twice: counts, then scoring.
-    val counts = fb
+    val docs = Tables.documents(spark, dir)
+    dsirScore(docs, dsirModel(docs))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** ONE model-building pass: target and raw counts share the same
+    * 256-key aggregate (map-side combined), collected to the driver
+    * (B rows — model-sized by construction). The first formulation
+    * built tgt/raw/totals as three separate plans and scanned the
+    * exploded bigram stream four times (benched 1.49 s vs DuckDB 0.37
+    * at sf0.1); this one scans once for the model, once for scoring. */
+  def dsirModel(docs: DataFrame): Map[Int, Long] = {
+    val counts = bigramBuckets(docs)
       .groupBy("f").agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -153,23 +160,49 @@ object TextSelection {
     val ctot = counts.map(_._3).sum
     // identical double math to the executor/oracle expression:
     // Math.log == Spark's log == DuckDB's ln on the same inputs
-    val wMicro: Seq[(Int, Long)] = counts.toSeq.map { case (f, cr, ct) =>
+    counts.map { case (f, cr, ct) =>
       f -> math.floor((math.log(ct + 1.0) - math.log(ctot + B.toDouble)
         - math.log(cr + 1.0) + math.log(rtot + B.toDouble)) * 1000000.0).toLong
-    }
-    // scoring: the model rides a constant-folded ARRAY literal indexed
-    // by bucket id — O(1) per bigram (a literal MAP's element_at is a
-    // linear scan of all B entries per lookup) and codegen'd scalar
-    // ops end to end; the per-doc sum partial-aggregates map-side, so
-    // the only corpus-wide data movement is the doc-keyed exchange of
-    // partials + TakeOrdered's bounded gather
-    val wByF = wMicro.toMap
-    val wArr = array(Array.tabulate(B)(f => lit(wByF.getOrElse(f, 0L))).toIndexedSeq: _*)
-    fb.groupBy("doc_id", "lang")
+    }.toMap
+  }
+
+  /** The model as a constant-folded ARRAY literal indexed by bucket
+    * id — O(1) per bigram (a literal MAP's element_at is a linear scan
+    * of all B entries per lookup, measured 4×). */
+  private def modelArray(model: Map[Int, Long]) =
+    array(Array.tabulate(B)(f => lit(model.getOrElse(f, 0L))).toIndexedSeq: _*)
+
+  /** BATCH scorer: explode + codegen'd scalar ops end to end; the
+    * per-doc sum partial-aggregates map-side, so the only corpus-wide
+    * data movement is the doc-keyed exchange of partials. */
+  def dsirScore(docs: DataFrame, model: Map[Int, Long]): DataFrame = {
+    val wArr = modelArray(model)
+    bigramBuckets(docs)
+      .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(element_at(wArr, col("f") + 1)).as("score_micro"))
-      .orderBy(col("score_micro").desc, col("doc_id"))
-      .limit(100)
+  }
+
+  /** STREAMING scorer: the same model applied as a STATELESS per-row
+    * map — the per-doc sum is an `aggregate` HOF over the bigram
+    * array, so no grouping state exists and the scorer drops into any
+    * `readStream` unchanged (watermarks, triggers and sinks are the
+    * caller's). HOFs evaluate interpreted (outside codegen) — the
+    * price of statelessness, which batch scoring avoids by exploding;
+    * equality of the two scorers is spec-pinned. */
+  def dsirScoreRowwise(docs: DataFrame, model: Map[Int, Long]): DataFrame = {
+    val wArr = modelArray(model)
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), expr(
+        """transform(
+             transform(sequence(1, size(t)-1),
+               i -> concat(element_at(t, i), ' ', element_at(t, i+1))),
+             g -> CAST(conv(substring(md5(g), 1, 2), 16, 10) AS INT))""").as("fs"))
+      .select(col("doc_id"), col("lang"),
+        size(col("fs")).cast("long").as("n_bigrams"),
+        aggregate(col("fs"), lit(0L),
+          (acc, f) => acc + element_at(wArr, f + 1)).as("score_micro"))
   }
 
   val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir)

@@ -159,6 +159,36 @@ object K8sPodEngine {
       .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jsonArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
+  /** The marshalled pod as the actual V1Pod WIRE manifest — the JSON a
+    * production [[PodApi]] POSTs to `create_namespaced_pod`. The pure
+    * model above is what the specs pin; this is the one serialization
+    * of it, kept beside the model so the two cannot drift. Env vars
+    * serialize in both K8s shapes: `{name, value}` literals and
+    * `{name, valueFrom: {secretKeyRef}}` references. */
+  def manifestJson(pod: Pod): String = {
+    def env(e: EnvVar): String = e.valueFrom match {
+      case Some(ref) =>
+        s"""{"name":${q(e.name)},"valueFrom":{"secretKeyRef":{"name":${q(ref.secretName)},"key":${q(ref.key)}}}}"""
+      case None => s"""{"name":${q(e.name)},"value":${q(e.value)}}"""
+    }
+    def container(c: Container): String =
+      s"""{"name":${q(c.name)},"image":${q(c.image)},""" +
+        s""""command":${jsonArr(c.command.map(q))},"args":${jsonArr(c.args.map(q))},""" +
+        s""""env":${jsonArr(c.env.map(env))},""" +
+        s""""resources":{"limits":${jsonObject(c.limits)}}}"""
+    def toleration(t: Toleration): String =
+      s"""{"key":${q(t.key)},"operator":${q(t.operator)},"effect":${q(t.effect)}}"""
+    s"""{"apiVersion":"v1","kind":"Pod",""" +
+      s""""metadata":{"name":${q(pod.metadata.name)},"labels":${jsonObject(pod.metadata.labels)}},""" +
+      s""""spec":{"serviceAccountName":${q(pod.spec.serviceAccountName)},""" +
+      s""""nodeSelector":${jsonObject(pod.spec.nodeSelector)},""" +
+      s""""tolerations":${jsonArr(pod.spec.tolerations.map(toleration))},""" +
+      s""""securityContext":{"fsGroup":${pod.spec.fsGroup}},""" +
+      s""""restartPolicy":${q(pod.spec.restartPolicy)},""" +
+      s""""containers":${jsonArr(pod.spec.containers.map(container))}}}"""
+  }
 }
 
 /** The four K8s API calls the reference engine makes — the transport

@@ -61,6 +61,32 @@ class K8sPodEngineSpec extends AnyFunSuite {
     assert(lit.value == "s3cret" && lit.valueFrom.isEmpty)
   }
 
+  test("manifestJson: the wire V1Pod parses back with both env shapes, no secret bytes in secretKeyRef mode") {
+    import spark.implicits._
+    val prod = cfg.copy(authSecretRef = Some(SecretKeyRef("graft-auth", "token")))
+    val json = manifestJson(marshalPod(prod, sub, Map("pipeline_image" -> "corp/runner:9")))
+    // parse through Spark's JSON reader — a real API server would do
+    // the equivalent; failPast malformed JSON
+    val row = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS()).head()
+    assert(row.getAs[String]("apiVersion") == "v1" && row.getAs[String]("kind") == "Pod")
+    val meta = row.getStruct(row.fieldIndex("metadata"))
+    assert(meta.getAs[String]("name") == "exec-42-clean-orders-2")
+    val spec = row.getStruct(row.fieldIndex("spec"))
+    assert(spec.getAs[String]("restartPolicy") == "Never")
+    val c = spec.getSeq[org.apache.spark.sql.Row](spec.fieldIndex("containers")).head
+    assert(c.getAs[String]("image") == "corp/runner:9")
+    val envs = c.getSeq[org.apache.spark.sql.Row](c.fieldIndex("env"))
+    val auth = envs.find(_.getAs[String]("name") == "GRAFT_AUTH_SECRET").get
+    val ref = auth.getStruct(auth.fieldIndex("valueFrom"))
+      .getStruct(0) // secretKeyRef
+    assert(ref.getAs[String]("name") == "graft-auth" && ref.getAs[String]("key") == "token")
+    assert(!json.contains("s3cret"), "secret bytes must not appear in the manifest")
+    // literal mode serializes the {name, value} shape
+    val lit = manifestJson(marshalPod(cfg, sub, Map.empty))
+    assert(lit.contains(""""name":"GRAFT_AUTH_SECRET","value":"s3cret""""))
+    assert(!lit.contains("valueFrom"))
+  }
+
   test("marshalPod: engine_args fall back to config defaults") {
     val pod = marshalPod(cfg, sub, Map.empty)
     val c = pod.spec.containers.head

@@ -48,6 +48,38 @@ class SelectionMiningSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dsir: the stateless row-wise scorer equals the batch explode scorer exactly") {
+    val docs = Tables.documents(spark, dir)
+    val model = TextSelection.dsirModel(docs)
+    val batch = TextSelection.dsirScore(docs, model)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val rowwise = TextSelection.dsirScoreRowwise(docs, model)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.nonEmpty && rowwise == batch)
+  }
+
+  test("dsir: streaming selection replays the batch threshold set (static model, stateless map)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, dir)
+    val model = TextSelection.dsirModel(docs)
+    val minScore = 0L // "more target-like than not"
+    val batchSel = TextSelection.dsirScore(docs, model)
+      .where(col("score_micro") >= minScore)
+      .collect().map(_.getLong(0)).toSet
+    val srcDir = SparkSuite.tempDir("dsir-src")
+    docs.select("doc_id", "lang", "text").coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING").parquet(srcDir)
+    val q = TextSelection.dsirScoreRowwise(stream, model)
+      .where(col("score_micro") >= minScore)
+      .writeStream.format("memory").queryName("dsir_sel")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming selection did not finish")
+    q.stop()
+    val streamed = spark.table("dsir_sel").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchSel && batchSel.nonEmpty)
+  }
+
   test("hard negatives: every neighbor has a different label than its query") {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label")).collect()
