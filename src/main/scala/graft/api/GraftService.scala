@@ -100,6 +100,20 @@ final class GraftService(
       facade.refreshRunning()
       persistState()
     }
+    // non-dispatch incubation mutations (point update/delete/flush)
+    // persist too — a restart must not resurrect deleted rows
+    facade.mutationHook.set(() => persistState())
+    // event history appends INCREMENTALLY (one batch per dispatch) —
+    // rewriting the full log per dispatch would be quadratic lifetime
+    // I/O; the in-memory log swaps to the files-backed view after each
+    // append, so its lineage stays flat too
+    facade.eventSink.set { events =>
+      import org.apache.spark.sql.Encoders
+      spark.createDataset(events)(Encoders.product[LifecycleEvent])
+        .write.mode("append").parquet(eventsDir)
+      facade.eventLog.set(spark.read.parquet(eventsDir)
+        .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
+    }
     val addr = facade.start(port)
 
     mqQuery = mqEndpoint.map { ep =>
@@ -140,44 +154,53 @@ final class GraftService(
   // ---- durable service state -------------------------------------------
   // The reference keeps incubating runs + event history in MongoDB, so
   // its process restarts resume mid-lifecycle (an incubating child's
-  // first satisfied dep survives). The Spark analog: after every
-  // dispatch the facade's incubating/eventLog snapshots are written to
-  // ping-pong parquet dirs under the checkpoint root (A/B with an
-  // atomically-moved _CURRENT marker — a crash mid-write leaves the
-  // previous generation intact) and the freshly-written files are read
-  // BACK as the new state. The read-back doubles as lineage collapse:
-  // without it the AtomicReference union-chain grows one plan layer
-  // per dispatch forever. Metadata-plane sized writes (catalog-bounded
-  // rows per generation), never data-plane.
+  // first satisfied dep survives). The Spark analog, shaped by growth
+  // class:
+  //  - INCUBATING (catalog-bounded): after every mutation the snapshot
+  //    is written to ping-pong parquet dirs (A/B with an atomically-
+  //    moved _CURRENT marker — a crash mid-write leaves the previous
+  //    generation intact) and the freshly-written files are read BACK
+  //    as the new state. The read-back doubles as lineage collapse:
+  //    without it the AtomicReference union-chain grows one plan layer
+  //    per dispatch forever.
+  //  - EVENT HISTORY (unbounded append-only): each accepted batch
+  //    APPENDS to one parquet dir via the facade's eventSink —
+  //    rewriting the full log per dispatch would be quadratic lifetime
+  //    I/O (r7 review #3).
+  //  - CRON high-water minute: a tiny marker file, so a restart inside
+  //    an already-fired minute does not double-fire its schedules.
 
   private def stateRoot = s"$checkpointRoot/service-state"
+  private def eventsDir = s"$stateRoot/events"
   private def markerPath = java.nio.file.Paths.get(stateRoot, "_CURRENT")
+  private def cronMarkerPath = java.nio.file.Paths.get(stateRoot, "_CRON_MINUTE")
 
   private def currentGen: Option[String] =
     if (java.nio.file.Files.exists(markerPath))
       Some(java.nio.file.Files.readString(markerPath).trim)
     else None
 
+  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(stateRoot), target.getFileName.toString, ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   private[graft] def persistState(): Unit = {
     import org.apache.spark.sql.Encoders
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
     val next = if (currentGen.contains("a")) "b" else "a"
     val incPath = s"$stateRoot/$next/incubating"
-    val evPath = s"$stateRoot/$next/events"
     facade.incubating.get().write.mode("overwrite").parquet(incPath)
-    facade.eventLog.get().write.mode("overwrite").parquet(evPath)
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(stateRoot), "_CURRENT", ".tmp")
-    java.nio.file.Files.writeString(tmp, next)
-    java.nio.file.Files.move(tmp, markerPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(markerPath, next)
     // swap in the flat, files-backed state (lineage collapse)
     facade.incubating.set(spark.read.parquet(incPath)
       .as[graft.orchestration.Dispatcher.IncubRow](
         Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
-    facade.eventLog.set(spark.read.parquet(evPath)
-      .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
   }
 
   private[graft] def restoreState(): Unit = {
@@ -186,9 +209,12 @@ final class GraftService(
       facade.incubating.set(spark.read.parquet(s"$stateRoot/$gen/incubating")
         .as[graft.orchestration.Dispatcher.IncubRow](
           Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
-      facade.eventLog.set(spark.read.parquet(s"$stateRoot/$gen/events")
-        .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
     }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(eventsDir)))
+      facade.eventLog.set(spark.read.parquet(eventsDir)
+        .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
+    if (java.nio.file.Files.exists(cronMarkerPath))
+      lastCronMinute = java.nio.file.Files.readString(cronMarkerPath).trim.toLong
     // engine state is intentionally NOT restored: LocalSparkEngine /
     // ProcessEngine runs die with the process (unlike the reference's
     // K8s pods, which a real PodApi would re-list here)
@@ -212,14 +238,21 @@ final class GraftService(
 
   /** Cron scheduler tick: fires at most once per wall-clock minute
     * (`Cron.tick` is a pure function of the minute, so double-firing
-    * within one minute would duplicate exec uuids). */
+    * within one minute would duplicate exec uuids). The high-water
+    * minute advances only AFTER the dispatch succeeds — advancing it
+    * first would turn a transient failure (swallowed by `safely`) into
+    * a silently-lost firing (r7 review #7) — and is persisted so a
+    * restart inside an already-fired minute does not re-fire it
+    * (review #8). */
   private[graft] def cronTick(): Unit = {
     val now = nowProvider()
     val minute = now.getTime / 60000L
     if (minute != lastCronMinute) {
-      lastCronMinute = minute
       val due = Cron.tick(spark, api.catalog.defs, now).collect().toSeq
       if (due.nonEmpty) onEvents(due, now)
+      lastCronMinute = minute
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+      writeAtomic(cronMarkerPath, minute.toString)
     }
   }
 
@@ -261,9 +294,14 @@ final class GraftService(
           ()
         }
         mqQuery.foreach { q =>
-          // bounded drain: let the current batch finish; a hung batch
+          // bounded drain: a ProcessingTime query never self-terminates,
+          // so awaitTermination cannot observe "batch done" — poll the
+          // trigger-active flag instead and stop once the in-flight
+          // micro-batch (ingest + persist) has committed; a hung batch
           // must not wedge shutdown, so the wait is capped
-          q.awaitTermination(graceMillis / 2)
+          val deadline = System.currentTimeMillis() + graceMillis / 2
+          while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
           q.stop()
           q.awaitTermination(graceMillis)
           ()

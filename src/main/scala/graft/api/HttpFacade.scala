@@ -74,6 +74,20 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
   private[graft] val submissionSink =
     new AtomicReference[Seq[Submission] => Unit](_ => ())
 
+  /** Fires after any NON-dispatch incubation mutation (the three point
+    * ops: update / delete / flush) so a durability layer can persist
+    * the new state — without this, a service restart would resurrect
+    * rows an operator explicitly deleted (r7 review #1). */
+  private[graft] val mutationHook = new AtomicReference[() => Unit](() => ())
+
+  /** Fires with each batch of ACCEPTED lifecycle events (HTTP /event
+    * and internal ingest) so a durability layer can append them to its
+    * history sink incrementally — the in-memory log union is for the
+    * standalone-facade regime; rewriting the full history per dispatch
+    * would be quadratic lifetime I/O (r7 review #3). */
+  private[graft] val eventSink =
+    new AtomicReference[Seq[LifecycleEvent] => Unit](_ => ())
+
   private var server: HttpServer = _
 
   /** Bind and serve. `port = 0` picks an ephemeral port; the bound
@@ -143,8 +157,7 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         val now = reqNow(r)
         val res = r.session.runByPipelineUuid(r.param("pipeline_uuid"), now,
           running.get(), incubating.get())
-        applyStep(res)
-        json(res.submissions.toDF())
+        subsJson(applyStep(res))
       }
     }),
     "/pipeline/dispatcher/run_single_use" -> Map[String, Handler]("POST" -> { r =>
@@ -178,12 +191,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         val events = parseEvents(r.body)
         val res = r.session.dispatch(events, running.get(), incubating.get(), now)
         // log append BEFORE applyStep: the service's persistence hook
-        // rides the submissionSink inside applyStep and must snapshot a
-        // log that already contains this batch
+        // rides the submissionSink inside applyStep and must see a log
+        // that already contains this batch
         eventLog.set(eventLog.get().unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
-        applyStep(res)
-        json(res.submissions.toDF())
+        eventSink.get()(events)
+        subsJson(applyStep(res))
       }
     }),
     "/pipeline/dispatcher/event/history" -> Map[String, Handler]("GET" -> { r =>
@@ -198,17 +211,22 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         val updated = r.session.updateIncubating(incubating.get(),
           r.param("obj_id"), parseUpdates(r.body))
         incubating.set(updated)
-        json(updated.drop("triggers")) // map column: header view, like D14's
+        mutationHook.get()()
+        json(incubating.get().drop("triggers")) // map column: header view, like D14's
       }
     }),
     "/pipeline/incubation/delete" -> Map[String, Handler]("DELETE" -> { r =>
       mutate.synchronized {
         incubating.set(r.session.deleteIncubating(incubating.get(), r.param("obj_id")))
+        mutationHook.get()()
       }
       ok
     }),
     "/pipeline_incubation/flush" -> Map[String, Handler]("DELETE" -> { r =>
-      mutate.synchronized { incubating.set(r.session.flushIncubating()) }
+      mutate.synchronized {
+        incubating.set(r.session.flushIncubating())
+        mutationHook.get()()
+      }
       ok
     }),
     "/sys/config" -> Map[String, Handler]("GET" -> { r =>
@@ -234,11 +252,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     mutate.synchronized {
       val res = api.dispatch(events, running.get(), incubating.get(), now)
       // log append BEFORE applyStep — see the /event route
-      if (events.nonEmpty)
+      if (events.nonEmpty) {
         eventLog.set(eventLog.get().unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+        eventSink.get()(events)
+      }
       applyStep(res)
-      res.submissions.collect().toSeq
     }
 
   /** Refresh the concurrency-gate snapshot from live engine state —
@@ -254,11 +273,25 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     * (`(incubating − droppedObjIds) ∪ newIncubating ∪ deferred`) left
     * RELEASED rows behind (droppedObjIds only carries age-outs) and
     * duplicated kept rows — caught by GraftServiceSpec's
-    * slot-consumed assertion (r7). */
-  private def applyStep(res: Dispatcher.StepResult): Unit = {
+    * slot-consumed assertion (r7).
+    *
+    * Submissions collect ONCE here (catalog-bounded) and are returned
+    * for the caller's response — collecting again in the route would
+    * re-execute the whole dispatch plan (r7 review #4). The step's
+    * internal caches are released after the sink has run (a durable
+    * deployment has persisted the state by then; a standalone facade's
+    * lazy state recomputes from source if touched again). */
+  private def applyStep(res: Dispatcher.StepResult): Seq[Submission] = {
     incubating.set(res.newIncubating.unionByName(res.deferred))
-    submissionSink.get()(res.submissions.collect().toSeq) // catalog-bounded
+    val subs = res.submissions.collect().toSeq
+    submissionSink.get()(subs)
+    res.cleanup()
+    subs
   }
+
+  /** Collected submissions → the same JSON array `df.toJSON` yields. */
+  private def subsJson(subs: Seq[Submission]): String =
+    json(spark.createDataset(subs)(Encoders.product[Submission]).toDF())
 
   // ---- request plumbing -------------------------------------------------
 

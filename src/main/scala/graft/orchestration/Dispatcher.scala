@@ -50,13 +50,22 @@ object Dispatcher {
       source_uuids: Map[String, String], event_id: Long,
       exec_tag: Option[String] = None)
 
+  /** `cleanup` unpersists the step's two internal caches (the shared
+    * event frame and the cogrouped state) — call it once every output
+    * you need has been materialized (or persisted elsewhere). A caller
+    * that never calls it keeps the old behavior: the caches live until
+    * session end, which is fine for one-shot steps but leaks one
+    * CacheManager entry pair PER DISPATCH in a long-running service
+    * (r7 review). Outputs stay correct after cleanup — they lazily
+    * recompute from source if re-used. */
   final case class StepResult(
       submissions: Dataset[Submission],
       deferred: Dataset[IncubRow],
       newIncubating: Dataset[IncubRow],
       deadLetters: DataFrame,
       warnings: DataFrame,
-      droppedObjIds: DataFrame)
+      droppedObjIds: DataFrame,
+      cleanup: () => Unit = () => ())
 
   /** Internal row shapes (public: encoder codegen requires accessible
     * classes). */
@@ -300,6 +309,11 @@ object Dispatcher {
           now, None, "concurrency", rc, Map.empty)
       }
 
-    StepResult(submissions, deferred, newIncubating, deadLetters, warnings, droppedObjIds)
+    StepResult(submissions, deferred, newIncubating, deadLetters, warnings, droppedObjIds,
+      cleanup = () => {
+        evs.unpersist()
+        stepped.unpersist()
+        ()
+      })
   }
 }

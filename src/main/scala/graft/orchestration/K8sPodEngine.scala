@@ -158,7 +158,18 @@ object K8sPodEngine {
     m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
   private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      // RFC 8259 forbids raw control chars — an engine_args value with
+      // an embedded newline (multi-line commands) must still yield a
+      // manifest the API server's JSON parser accepts (r7 review #6)
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
   private def jsonArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
 
   /** The marshalled pod as the actual V1Pod WIRE manifest — the JSON a

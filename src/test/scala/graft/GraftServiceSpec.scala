@@ -213,6 +213,52 @@ class GraftServiceSpec extends AnyFunSuite {
     } finally b.shutdown()
   }
 
+  test("durable state: point deletes persist (no resurrection) and a restart does not re-fire a consumed cron minute") {
+    import org.apache.spark.sql.functions.col
+    val ckpt = SparkSuite.tempDir("svc-durable2-ckpt")
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fixed = ts("2024-02-01 00:00:30") // ingest-orders' '0 0 * * *' is due
+    def mkService(): GraftService = {
+      val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+        Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+        GraftConfig.default)
+      val policy = new Auth.Policy(
+        new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+      new GraftService(new SecuredGraftApi(api, policy), spark,
+        mqEndpoint = None, checkpointRoot = ckpt,
+        jobFactory = (_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) },
+        cronCheckInterval = 200.millis,
+        nowProvider = () => fixed)
+    }
+    val a = mkService()
+    try {
+      val base = s"http://127.0.0.1:${a.start(0).getPort}"
+      poll("cron fires in service A")(fired.contains("ingest-orders"))
+      // incubate a child, then DELETE it through the point op
+      assert(call(base, "POST", "/pipeline/dispatcher/event",
+        asJson(success(31, "clean-orders"))).statusCode() == 200)
+      val objId = a.facade.incubating.get()
+        .where(col("pipeline_uuid") === "join-orders-customer")
+        .select("obj_id").collect().head.getString(0)
+      assert(call(base, "DELETE",
+        s"/pipeline/incubation/delete?obj_id=$objId").statusCode() == 200)
+      assert(a.facade.incubating.get().isEmpty)
+    } finally a.shutdown()
+
+    val firesBefore = fired.size
+    val b = mkService()
+    try {
+      b.start(0)
+      // the deleted row must NOT resurrect from an earlier generation
+      assert(b.facade.incubating.get().isEmpty,
+        "a point-deleted incubation row resurrected across restart")
+      // the already-consumed cron minute must not re-fire
+      Thread.sleep(1000)
+      assert(fired.size == firesBefore,
+        s"restart re-fired cron within a consumed minute: $fired")
+    } finally b.shutdown()
+  }
+
   test("culler tick: an incubating partial ages out with no release, no new events needed") {
     import org.apache.spark.sql.functions.col
     val submitted = new java.util.concurrent.atomic.AtomicInteger(0)

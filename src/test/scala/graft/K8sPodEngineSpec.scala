@@ -85,6 +85,14 @@ class K8sPodEngineSpec extends AnyFunSuite {
     val lit = manifestJson(marshalPod(cfg, sub, Map.empty))
     assert(lit.contains(""""name":"GRAFT_AUTH_SECRET","value":"s3cret""""))
     assert(!lit.contains("valueFrom"))
+    // control characters in marshalled values must escape (RFC 8259) —
+    // a multi-line default command is the realistic carrier
+    val ctl = manifestJson(marshalPod(
+      cfg.copy(defaultArgs = Seq("line1\nline2\ttab")), sub, Map.empty))
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(ctl).toDS()).head()
+    val pc = parsed.getStruct(parsed.fieldIndex("spec"))
+    val cont = pc.getSeq[org.apache.spark.sql.Row](pc.fieldIndex("containers")).head
+    assert(cont.getSeq[String](cont.fieldIndex("args")) == Seq("line1\nline2\ttab"))
   }
 
   test("marshalPod: engine_args fall back to config defaults") {
