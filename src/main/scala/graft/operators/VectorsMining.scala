@@ -80,14 +80,20 @@ object VectorsMining {
            CAST(sim_r >= 0.8 AS BOOLEAN) AS contaminated
     FROM ranked WHERE rn = 1
     ORDER BY eval_id""") { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
+    semanticDecontamCore(Tables.embeddings(spark, dir))
+  }
+
+  /** Core on any (vec_id, embedding) frame — the weak-scaling probe
+    * grows the train side against the fixed %10==7 eval slice.
+    *
+    * argmax as a PARTIAL-AGGREGATED max-of-struct, not a window: the
+    * train×eval inflation reduces map-side to one row per (task,
+    * eval_id) before the eval-sized exchange — the 100 TB shape.
+    * struct order (sim_r, -train_id): max picks highest sim, then
+    * LOWEST train id — the oracle's (sim DESC, train_id) tie-break. */
+  def semanticDecontamCore(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ev = emb.where(col("vec_id") % 10 === 7)
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
-    // argmax as a PARTIAL-AGGREGATED max-of-struct, not a window: the
-    // train×eval inflation reduces map-side to one row per (task,
-    // eval_id) before the eval-sized exchange — the 100 TB shape.
-    // struct order (sim_r, -train_id): max picks highest sim, then
-    // LOWEST train id — the oracle's (sim DESC, train_id) tie-break.
     emb.where(col("vec_id") % 10 =!= 7)
       .join(broadcast(ev), lit(true))
       .select(col("eval_id"), col("vec_id").as("train_id"),
