@@ -69,6 +69,17 @@ object GraftSql {
             s"graft: unknown query '$name' (${SparkEntry.queries.size} registered)"))
         q(SparkSession.active, dir).queryExecution.analyzed
       }),
+    (FunctionIdentifier("graft_catalog"),
+      info("graft_catalog", "graft_catalog() - the operator registry: name + oracle-checked flag"),
+      (_: Seq[Expression]) => {
+        val spark = SparkSession.active
+        import spark.implicits._
+        SparkEntry.registry
+          .map(q => (q.name, q.oracle.isDefined))
+          .sortBy(_._1)
+          .toDF("name", "oracle_checked")
+          .queryExecution.analyzed
+      }),
     (FunctionIdentifier("graft_topk"),
       info("graft_topk",
         "graft_topk(sfDir[, nQueries[, k]]) - exact cosine top-k over the embeddings table"),

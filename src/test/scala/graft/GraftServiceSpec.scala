@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import java.util.concurrent.CountDownLatch
 
 import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Encoders
@@ -280,6 +281,50 @@ class GraftServiceSpec extends AnyFunSuite {
       assert(submitted.get() == 0,
         "an aged-out dependency wait must be dropped, never submitted")
     } finally service.shutdown()
+  }
+
+  test("MQ resume: a restart re-ingests nothing (checkpointed offsets), new messages still flow") {
+    // at-least-once becomes exactly-once-per-offset across restarts:
+    // service A ingests message 1 and dies; service B over the SAME
+    // checkpoint root must NOT re-dispatch message 1 (which would
+    // resubmit the run), and must still ingest message 2
+    val broker = new MQBroker
+    val ckpt = SparkSuite.tempDir("svc-mq-resume-ckpt")
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def mkService(): GraftService = {
+      val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+        Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+        GraftConfig.default)
+      val policy = new Auth.Policy(
+        new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+      new GraftService(new SecuredGraftApi(api, policy), spark,
+        mqEndpoint = Some(broker.endpoint), checkpointRoot = ckpt,
+        jobFactory = (_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) },
+        pollInterval = 250.millis)
+    }
+    val a = mkService()
+    try {
+      a.start(0)
+      // an origination for a known pipeline submits immediately
+      broker.publish(asJson(success(41, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "report-weekly")))
+      poll("message 1 dispatched in service A")(fired.contains("report-weekly"))
+    } finally a.shutdown()
+
+    val countAfterA = fired.size
+    val b = mkService()
+    try {
+      b.start(0)
+      broker.publish(asJson(success(42, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "stream-metrics")))
+      poll("message 2 dispatched in service B")(fired.contains("stream-metrics"))
+      assert(fired.asScala.count(_ == "report-weekly") == 1,
+        s"message 1 must not re-dispatch after restart: $fired")
+      assert(fired.size == countAfterA + 1)
+    } finally {
+      b.shutdown()
+      broker.stop()
+    }
   }
 
   test("cron tick: a due schedule originates and submits through the same path, at most once per minute") {

@@ -40,6 +40,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_catalog(): SQL users can discover the registry") {
+    val rows = spark.sql(
+      "SELECT * FROM graft_catalog() WHERE oracle_checked ORDER BY name").collect()
+    assert(rows.length == SparkEntry.oracleSql.size)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_catalog()").head().getLong(0) ==
+      SparkEntry.registry.size)
+  }
+
   test("unknown query name fails loudly") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft('no_such_query', '$dir')").collect()
