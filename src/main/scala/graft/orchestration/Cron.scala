@@ -33,6 +33,11 @@ object Cron {
         case Array(r, s) => (r, s.toInt)
         case _           => throw new IllegalArgumentException(s"bad cron field: $part")
       }
+      // validate at PARSE time: the predicate divides by step at match
+      // time, so '*/0' accepted here would kill the whole scheduler
+      // tick with an ArithmeticException instead of rejecting one
+      // registration (r7 review)
+      require(step > 0, s"cron step must be positive: $part")
       val (lo, hi) = rangePart match {
         case "*" => (min, max)
         case r if r.contains("-") =>
@@ -97,10 +102,16 @@ object Cron {
     val scheduled = defs.select("pipeline_uuid", "schedule")
       .where(col("schedule").isNotNull)
       .as[(String, String)].collect()
+    // deterministic per tick; the id space gives each minute 1M slots
+    // so tick ids never collide across adjacent minutes (the old
+    // minute*1000+i scheme collided at the 1000th same-minute schedule,
+    // and execId derives exec uuids from event_id — r7 review)
+    require(scheduled.length < 1000000,
+      s"cron tick id space supports < 1e6 schedules, got ${scheduled.length}")
     val fired = scheduled.zipWithIndex.collect {
       case ((uuid, expr), i) if due(expr, now) =>
         LifecycleEvent(
-          event_id = now.getTime / 60000L * 1000L + i, // deterministic per tick
+          event_id = now.getTime / 60000L * 1000000L + i,
           event_type = "job_exec_update",
           event_subtype = "origination",
           pipeline_uuid = uuid,

@@ -288,12 +288,23 @@ object Dispatcher {
       .where(col("engine_status").isin("running", "waiting", "pending"))
       .select("pipeline_uuid").distinct()
     val concFlags = defs.select(col("pipeline_uuid"), col("concurrency"))
+    // within-step rank: the reference dispatches sequentially, so of N
+    // same-step candidates for a concurrency=false pipeline the FIRST
+    // submits (becoming the running instance) and the rest hit the
+    // concurrency check and defer — a set-at-once gate that only
+    // semi-joined the PRE-step running set submitted all N at once
+    // (r7 review). Deterministic order: (event_id, exec_tag).
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("pipeline_uuid").orderBy(col("event_id"), col("exec_tag"))
     val gated = allCandidates
       .join(broadcast(activeRunning.withColumn("is_running", lit(true))), Seq("pipeline_uuid"), "left")
       .join(broadcast(concFlags), Seq("pipeline_uuid"), "left")
       .na.fill(false, Seq("concurrency"))
+      .withColumn("rank_in_step", row_number().over(rankW))
+      .withColumn("may_run",
+        col("concurrency") || (col("is_running").isNull && col("rank_in_step") === 1))
 
-    val submissions = gated.where(col("is_running").isNull || col("concurrency"))
+    val submissions = gated.where(col("may_run"))
       .select(col("pipeline_uuid"), col("retry_count"), col("source_uuids"), col("event_id"),
         col("exec_tag"))
       .as[(String, Int, Map[String, String], Long, Option[String])]
@@ -301,12 +312,17 @@ object Dispatcher {
         Submission(p, tag.map(t => s"exec-$p-$t").getOrElse(execId(p, eid)), src, rc)
       }
 
-    val deferred = gated.where(col("is_running").isNotNull && !col("concurrency"))
-      .select(col("pipeline_uuid"), col("retry_count"), col("event_id"), col("exec_tag"))
-      .as[(String, Int, Long, Option[String])]
-      .map { case (p, rc, eid, tag) =>
+    // deferred rows KEEP their upstream lineage: the culler's
+    // concurrency requeue releases with these sources (the reference
+    // passes job.source_uuids, job_culler.py:26 — storing Map.empty
+    // here launched lineage-less runs after every deferral, r7 review)
+    val deferred = gated.where(!col("may_run"))
+      .select(col("pipeline_uuid"), col("retry_count"), col("event_id"), col("exec_tag"),
+        col("source_uuids"))
+      .as[(String, Int, Long, Option[String], Map[String, String])]
+      .map { case (p, rc, eid, tag, src) =>
         IncubRow(p, tag.map(t => s"inc-c-$t").getOrElse(f"inc-c-$eid%012d"),
-          now, None, "concurrency", rc, Map.empty)
+          now, None, "concurrency", rc, src)
       }
 
     StepResult(submissions, deferred, newIncubating, deadLetters, warnings, droppedObjIds,

@@ -69,29 +69,42 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
     Future {
       spark.sparkContext.setJobGroup(sub.exec_uuid,
         s"pipeline ${sub.pipeline_uuid} retry ${sub.retry_count}", interruptOnCancel = true)
+      // atomic running→terminal transitions (ConcurrentHashMap bin
+      // lock, the ProcessEngine pattern): a plain get-then-put here let
+      // an interleaved abort() be clobbered by the completing Future's
+      // stale snapshot — the run reported success after a user abort
+      // (r7 review)
       try {
         body(spark)
         st.log.append(s"run ${sub.exec_uuid} completed\n")
-        runs.put(sub.exec_uuid, st.copy(status = "success",
-          end = Some(new Timestamp(System.currentTimeMillis()))))
+        runs.computeIfPresent(sub.exec_uuid, (_, cur) =>
+          if (cur.status == "running")
+            cur.copy(status = "success",
+              end = Some(new Timestamp(System.currentTimeMillis())))
+          else cur)
       } catch {
         case e: Throwable =>
           st.log.append(s"run ${sub.exec_uuid} failed: ${e.getMessage}\n")
           val aborted = e.getMessage != null && e.getMessage.contains("cancelled")
-          runs.put(sub.exec_uuid, st.copy(status = if (aborted) "aborted" else "failed",
-            end = Some(new Timestamp(System.currentTimeMillis()))))
+          runs.computeIfPresent(sub.exec_uuid, (_, cur) =>
+            if (cur.status == "running")
+              cur.copy(status = if (aborted) "aborted" else "failed",
+                end = Some(new Timestamp(System.currentTimeMillis())))
+            else cur)
       } finally spark.sparkContext.clearJobGroup()
+      ()
     }
     ()
   }
 
   def abort(execUuid: String): Unit = {
     spark.sparkContext.cancelJobGroup(execUuid)
-    Option(runs.get(execUuid)).foreach { st =>
+    runs.computeIfPresent(execUuid, (_, st) =>
       if (st.status == "running")
-        runs.put(execUuid, st.copy(status = "aborted",
-          end = Some(new Timestamp(System.currentTimeMillis()))))
-    }
+        st.copy(status = "aborted",
+          end = Some(new Timestamp(System.currentTimeMillis())))
+      else st)
+    ()
   }
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {

@@ -93,17 +93,26 @@ object K8sPodEngine {
       authSecretRef: Option[SecretKeyRef] = None)
 
   /** `marshall_k8s_pod` as a total pure function — V1Pod assembly with
-    * the engine_args fallbacks inline. */
+    * the engine_args fallbacks inline. `commandOverride` carries a
+    * TYPED (command, args) pair when the caller already holds an argv
+    * list — the string engine_args round-trip re-splits on whitespace
+    * and would fragment any argument containing spaces (a `sh -c
+    * "echo hello world"` script, r7 review); the string keys remain
+    * for def-driven args, where the reference's own format is the
+    * space-joined string. */
   def marshalPod(cfg: K8sConfig, sub: Submission,
-                 engineArgs: Map[String, String]): Pod = {
+                 engineArgs: Map[String, String],
+                 commandOverride: Option[(Seq[String], Seq[String])] = None): Pod = {
     val name = s"${sub.exec_uuid}-${sub.pipeline_uuid}-${sub.retry_count}"
     def argsList(key: String, dflt: Seq[String]): Seq[String] =
       engineArgs.get(key).map(_.split("\\s+").toSeq).getOrElse(dflt)
     val container = Container(
       name = name,
       image = engineArgs.getOrElse("pipeline_image", cfg.defaultImage),
-      command = argsList("pipeline_command", cfg.defaultCommand),
-      args = argsList("pipeline_args", cfg.defaultArgs),
+      command = commandOverride.map(_._1)
+        .getOrElse(argsList("pipeline_command", cfg.defaultCommand)),
+      args = commandOverride.map(_._2)
+        .getOrElse(argsList("pipeline_args", cfg.defaultArgs)),
       env = Seq(
         EnvVar("PIPELINE_UUID", sub.pipeline_uuid),
         EnvVar("SOURCE_UUID", jsonObject(sub.source_uuids)),
@@ -251,12 +260,12 @@ final class K8sPodEngine(cfg: K8sPodEngine.K8sConfig, api: PodApi)
 
   def submit(sub: Submission, job: EngineJob): Unit = job match {
     case EngineJob.Command(argv, env) =>
-      val withArgv =
-        if (argv.nonEmpty)
-          env ++ Map("pipeline_command" -> argv.head,
-                     "pipeline_args" -> argv.tail.mkString(" "))
-        else env
-      api.create(cfg.namespace, marshalPod(cfg, sub, withArgv))
+      // argv stays a TYPED list end to end — the old string round-trip
+      // (mkString(" ") then re-split) fragmented whitespace-bearing
+      // arguments, so `sh -c "echo hello world"` ran the wrong command
+      // (r7 review); ProcessEngine runs the same argv verbatim
+      val over = if (argv.nonEmpty) Some((Seq(argv.head), argv.tail)) else None
+      api.create(cfg.namespace, marshalPod(cfg, sub, env, over))
     case _: EngineJob.SparkClosure =>
       throw new IllegalArgumentException(
         s"$name hosts container commands, not Spark closures")

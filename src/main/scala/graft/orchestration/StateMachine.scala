@@ -108,7 +108,11 @@ object StateMachine {
     PipelineState(WaitRow(objId, now, createdBy, retryCount, "concurrency", Map.empty) :: state.rows)
 
   /** Culler pass (S2, `job_culler.py:17-44`, intended semantics):
-    *  (i)  reason=concurrency older than debounce → release with retry+1
+    *  (i)  reason=concurrency older than debounce → release with
+    *       retry+1 AND the row's recorded sources (the reference passes
+    *       `job.source_uuids`, `job_culler.py:26` — releasing with an
+    *       empty map launched lineage-less runs after every deferral,
+    *       r7 review)
     *  (ii) reason=dependencies with no dep still waiting → release with
     *       sources = the recorded exec uuids
     *  (iii) anything older than ageOut → drop silently
@@ -123,7 +127,7 @@ object StateMachine {
       val ageSec = (nowMs - r.createTime.getTime) / 1000
       if (ageSec > ageOutSeconds) { dropped ::= r.objId; false }
       else if (r.reason == "concurrency" && ageSec > debounceSeconds) {
-        releases ::= Release("concurrency-requeue", r.createdByUuid, r.retryCount + 1, Map.empty, r.objId)
+        releases ::= Release("concurrency-requeue", r.createdByUuid, r.retryCount + 1, r.triggers, r.objId)
         false
       } else if (r.reason == "dependencies" && r.triggers.nonEmpty &&
                  !r.triggers.values.exists(_ == WaitRow.Waiting)) {

@@ -28,7 +28,16 @@ import graft.orchestration.StateMachine.{runnableNow, Meta}
   */
 object GraftStream {
 
-  final case class Sinks(submissions: StreamingQuery, history: StreamingQuery)
+  final case class Sinks(submissions: StreamingQuery, history: StreamingQuery,
+                         quarantine: Option[StreamingQuery] = None)
+
+  /** Blocked-by-concurrency submissions persist here (under the
+    * submissions sink, underscore-prefixed so parquet readers of the
+    * sink skip it) instead of vanishing — the batch dispatcher DEFERS
+    * such runs for the culler's debounced requeue (D13/S2); a pure
+    * stream has no incubation re-entry, so the deferral is surfaced as
+    * a durable record for an external requeue loop (r7 review). */
+  def deferredDir(submissionsDir: String): String = s"$submissionsDir/_deferred"
 
   /** Route a typed event stream into run-now candidates (origination /
     * retry / 'any'-fan-out) — the stateless branches of the dispatcher,
@@ -110,19 +119,36 @@ object GraftStream {
             checkpointRoot: String,
             runningSnapshot: () => Dataset[RunningJob],
             fixedNow: Option[Timestamp] = None,
-            trigger: Trigger = Trigger.AvailableNow()): Sinks = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            quarantineDir: Option[String] = None): Sinks = {
     import spark.implicits._
 
     val parsed = EventIngest.parse(raw)
 
-    // history sink: append everything (D9), stamped at ingest
-    val history = parsed.events.toDF()
-      .withColumn("received_ingest", fixedNow.map(lit(_)).getOrElse(current_timestamp()))
+    // history sink: append everything (D9) under EventLog's OWN
+    // contract — received_time sink-stamped (the reference stamps at
+    // the data provider, data_provider.py:130) and event_date
+    // partitioned, so batch-written and stream-written history share
+    // one schema and D10's partition prune works on both (r7 review:
+    // the old sink stamped a foreign received_ingest column and left
+    // producer-null received_time rows invisible to history queries)
+    val history = graft.orchestration.EventLog.stamp(parsed.events.toDF(), fixedNow)
       .withColumn("event_date", to_date(col("received_time")))
       .writeStream.format("parquet")
+      .partitionBy("event_date")
       .option("path", historyDir)
       .option("checkpointLocation", s"$checkpointRoot/history")
       .outputMode("append").trigger(trigger).start()
+
+    // corrupt-message quarantine (the _unmarshall_sqs except-log path):
+    // without a sink the malformed line would vanish without trace
+    val quarantine = quarantineDir.map { dir =>
+      parsed.corrupt.select(col("_raw").as("value"))
+        .writeStream.format("text")
+        .option("path", dir)
+        .option("checkpointLocation", s"$checkpointRoot/quarantine")
+        .outputMode("append").trigger(trigger).start()
+    }
 
     // run-now branches ∪ stateful 'all'-trigger releases
     val candNow = runNowCandidates(parsed.events, defs, edges, metas)
@@ -152,15 +178,28 @@ object GraftStream {
         val running = runningSnapshot()
           .where(col("engine_status").isin("running", "waiting", "pending"))
           .select("pipeline_uuid").distinct()
+        // within-batch rank mirrors the batch dispatcher's sequential
+        // semantics: of N same-batch submissions for a
+        // concurrency=false pipeline, the first runs and the rest
+        // defer (r7 review — the set-at-once gate passed all N)
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("pipeline_uuid").orderBy("exec_uuid")
         val gated = batch.toDF()
           .join(broadcast(running.withColumn("_live", lit(true))), Seq("pipeline_uuid"), "left")
-        gated.where(col("_live").isNull ||
-            coalesce(element_at(concMap, col("pipeline_uuid")), lit(false)))
-          .drop("_live")
+          .withColumn("_rank", row_number().over(rankW))
+          .withColumn("_pass",
+            coalesce(element_at(concMap, col("pipeline_uuid")), lit(false)) ||
+              (col("_live").isNull && col("_rank") === 1))
+        gated.where(col("_pass")).drop("_live", "_pass", "_rank")
           .write.mode("append").parquet(submissionsDir)
+        // blocked runs are DEFERRED records, not silent drops — the
+        // batch dispatcher's D13 analog (see deferredDir doc)
+        val blocked = gated.where(!col("_pass")).drop("_live", "_pass", "_rank")
+        if (!blocked.isEmpty)
+          blocked.write.mode("append").parquet(deferredDir(submissionsDir))
         ()
       }.start()
 
-    Sinks(submissions, history)
+    Sinks(submissions, history, quarantine)
   }
 }

@@ -42,7 +42,10 @@ object IncubationStream {
     val incubatingChildren = metas.filter { case (_, m) => !runnableNow(m) }.keySet
     val edgeView = broadcast(edges.toDF("child", "trigger_uuid", "op")
       .where(col("child").isin(incubatingChildren.toSeq: _*)))
-    events.where(col("event_subtype") === "success").toDF()
+    // !disable_downstream: a suppressed success must not satisfy deps
+    // either — the batch dispatcher's depSats derive from its filtered
+    // success branch, and the streaming side diverged (r7 review)
+    events.where(col("event_subtype") === "success" && !col("disable_downstream")).toDF()
       .join(edgeView, col("pipeline_uuid") === edgeView("trigger_uuid"))
       .select(col("child").as("pipeline_uuid"), col("trigger_uuid").as("dep"),
         col("exec_uuid"), col("event_id"), col("event_time"))

@@ -74,6 +74,63 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(retried.head.getAs[Int]("retry_count") == 2)
   }
 
+  test("r7 parity fixes: deferred sink, quarantine sink, suppressed success, stream/batch history schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = SparkSuite.tempDir("gs7-src")
+    val subs = SparkSuite.tempDir("gs7-subs")
+    val hist = SparkSuite.tempDir("gs7-hist")
+    val ckpt = SparkSuite.tempDir("gs7-ckpt")
+    val quar = SparkSuite.tempDir("gs7-quar")
+
+    val suppressed = ev(8, "success", "report-daily")
+      .replace(""""disable_downstream": false""", """"disable_downstream": true""")
+    Files.writeString(java.nio.file.Path.of(src, "b1.json"), Seq(
+      ev(6, "origination", "report-daily"),  // gated: running below
+      ev(7, "success", "clean-orders"),      // dep 1/2 of join-orders-customer
+      suppressed,                            // must trigger NOTHING
+      "corrupt {{{").mkString("\n"))
+
+    val metas = Dispatcher.metaMap(Fixtures.defsDS(spark), Fixtures.edgesDS(spark))
+    val running = Seq(RunningJob("live-1", "report-daily", "spark-local", "t", "running", None, None))
+    val sinks = GraftStream.startFromRaw(spark,
+      spark.readStream.schema("value STRING").text(src).toDF("value"),
+      Fixtures.defsDS(spark), Fixtures.edgesDS(spark), metas,
+      subs, hist, ckpt, () => spark.createDataset(running)(Encoders.product[RunningJob]),
+      fixedNow = Some(Fixtures.NOW),
+      quarantineDir = Some(quar))
+    assert(sinks.submissions.awaitTermination(120000))
+    assert(sinks.history.awaitTermination(120000))
+    assert(sinks.quarantine.get.awaitTermination(120000))
+    sinks.submissions.stop(); sinks.history.stop(); sinks.quarantine.foreach(_.stop())
+
+    // 1. the gated report-daily run is a DEFERRED record, not a silent drop
+    val deferred = spark.read.parquet(GraftStream.deferredDir(subs))
+      .select("pipeline_uuid").as[String].collect().toSeq
+    assert(deferred == Seq("report-daily"), s"blocked run must persist: $deferred")
+    // ...and the submissions read skips the underscore-prefixed dir
+    assert(spark.read.parquet(subs).where(col("pipeline_uuid") === "report-daily").isEmpty)
+
+    // 2. the corrupt line is quarantined verbatim
+    val q = spark.read.text(quar).as[String].collect().toSeq
+    assert(q == Seq("corrupt {{{"))
+
+    // 3. the SUPPRESSED success neither fanned out nor satisfied deps:
+    //    report-daily's 'any' children did not submit, and a later
+    //    agg-revenue 'all' wait would still be empty — here we assert
+    //    nothing beyond the deferred row and no fan-out submissions
+    val subbed = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().toSet
+    assert(!subbed.contains("report-weekly") && !subbed.contains("flaky-export"),
+      s"disable_downstream must suppress streaming fan-out: $subbed")
+
+    // 4. history rows carry EventLog's schema: sink-stamped
+    //    received_time, event_date partition — same shape batch writes
+    val h = spark.read.parquet(hist)
+    assert(h.columns.contains("event_date") && !h.columns.contains("received_ingest"))
+    assert(h.where(col("received_time").isNull).isEmpty)
+    assert(h.count() == 3) // three parseable events
+  }
+
   test("same pipeline over the Kafka-shaped spool-mq source: identical submissions (S1 parity)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

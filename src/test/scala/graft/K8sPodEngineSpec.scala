@@ -95,6 +95,18 @@ class K8sPodEngineSpec extends AnyFunSuite {
     assert(cont.getSeq[String](cont.fieldIndex("args")) == Seq("line1\nline2\ttab"))
   }
 
+  test("submit: argv stays a typed list — whitespace-bearing arguments never fragment (r7 review)") {
+    val api = new InMemoryPodApi
+    val engine = new K8sPodEngine(cfg, api)
+    engine.submit(sub, EngineJob.Command(
+      Seq("/bin/sh", "-c", "echo hello world"), Map("pipeline_image" -> "corp/sh:1")))
+    val c = api.list(cfg.namespace).head.pod.spec.containers.head
+    assert(c.command == Seq("/bin/sh"))
+    assert(c.args == Seq("-c", "echo hello world"),
+      s"the -c script must survive as ONE argument: ${c.args}")
+    assert(c.image == "corp/sh:1") // env map still feeds the other keys
+  }
+
   test("marshalPod: engine_args fall back to config defaults") {
     val pod = marshalPod(cfg, sub, Map.empty)
     val c = pod.spec.containers.head

@@ -143,6 +143,47 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(deferred.head.reason == "concurrency")
   }
 
+  test("concurrency gate ranks WITHIN the step: of N same-step candidates one submits, the rest defer with lineage (r7 review)") {
+    // two originations for the same concurrency=false pipeline in ONE
+    // step: the reference dispatches sequentially (first becomes the
+    // running instance, second hits check_concurrency) — the set-at-
+    // once gate used to submit both
+    val r = step(Seq(mkEvent(60, "origination", "report-daily"),
+      mkEvent(61, "origination", "report-daily")))
+    assert(r.submissions.collect().map(_.pipeline_uuid).toSeq == Seq("report-daily"),
+      "exactly one same-step candidate may run for a non-concurrent pipeline")
+    val d = r.deferred.collect()
+    assert(d.map(_.pipeline_uuid).toSeq == Seq("report-daily") &&
+      d.head.reason == "concurrency")
+    // concurrency=true pipelines are exempt: both same-step candidates run
+    val r2 = step(Seq(mkEvent(62, "origination", "stream-metrics"),
+      mkEvent(63, "origination", "stream-metrics")))
+    assert(r2.submissions.collect().length == 2 && r2.deferred.collect().isEmpty)
+  }
+
+  test("deferred rows keep source lineage; the debounced requeue releases WITH it (job_culler.py:26, r7 review)") {
+    // a fan-out candidate (carrying {parent -> exec}) deferred by the
+    // gate, then released by the culler after debounce: the released
+    // submission must still carry the upstream exec lineage
+    val running = Seq(RunningJob("e1", "report-weekly", "spark-local", "t", "running", None, None))
+    val r1 = step(Seq(mkEvent(70, "success", "report-daily")), running = running)
+    val defRows = r1.deferred.collect().filter(_.pipeline_uuid == "report-weekly")
+    assert(defRows.length == 1)
+    assert(defRows.head.triggers == Map("report-daily" -> "exec-70"),
+      s"deferred row must record its sources: ${defRows.head.triggers}")
+    // debounce expires (advance now), nothing running anymore -> requeue
+    val later = new java.sql.Timestamp(now.getTime + (Fixtures.DebounceSeconds + 10) * 1000L)
+    val r2 = Dispatcher.step(spark, Fixtures.defsDS(spark),
+      Fixtures.edgesDS(spark), spark.emptyDataset[RunningJob],
+      spark.createDataset(defRows.toSeq)(Encoders.product[IncubRow]),
+      spark.emptyDataset[LifecycleEvent], later,
+      Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+    val released = r2.submissions.collect().filter(_.pipeline_uuid == "report-weekly")
+    assert(released.length == 1 && released.head.retry_count == 1)
+    assert(released.head.source_uuids == Map("report-daily" -> "exec-70"),
+      s"requeued run lost its lineage: ${released.head.source_uuids}")
+  }
+
   test("culler releases satisfied + debounced rows from prior state, drops aged (S2/K16-K18)") {
     val state = incubRows(Fixtures.incubating, Fixtures.incubatingTriggers)
     val r = step(Nil, incub = state)
@@ -244,6 +285,15 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(Cron.nextFire("0 3 * * *", ts("2024-02-01 04:00:00"))
       .contains(ts("2024-02-02 03:00:00")))
     intercept[IllegalArgumentException] { Cron.parse("not a cron") }
+  }
+
+  test("cron: '*/0' rejected at parse time, not at match time (r7 review)") {
+    // accepted, it would ArithmeticException inside due() and kill the
+    // whole scheduler tick instead of failing one registration
+    intercept[IllegalArgumentException] { Cron.parse("*/0 * * * *") }
+    intercept[IllegalArgumentException] {
+      new RegistryCronProvider().createCronJob("* */0 * * *", "p1")
+    }
   }
 
   test("cron: dom/dow OR rule when both restricted; dow 7 = Sunday") {
