@@ -49,7 +49,11 @@ private[graft] object TokenHashing {
   }
 
   @inline private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // the full ASCII \s class: every regex-split consumer (`\\s+`)
+    // treats \x0B (VT) and \x0C (FF) as whitespace, so the kernel must
+    // too or a form-feed-bearing doc diverges between the hashed and
+    // string paths (r7 review)
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
 
   /** In-order (positional, NON-distinct) w-shingle hashes — index i of
     * the result is the shingle starting at token i. The span-dedup

@@ -24,6 +24,11 @@ object Analytics2 {
     * merge windows within each key — no self-join, no window-function
     * double sort.
     */
+  // boundary semantics VERIFIED empirically (GeneralInputSpec): Spark
+  // session_window MERGES an event landing exactly at last+gap into
+  // the running session, i.e. the break condition is strictly-greater —
+  // exactly the oracle's `> INTERVAL 30 MINUTE`. (An r7 review claim
+  // that the two engines diverge at the boundary was refuted by test.)
   val sessions: GraftQuery = checked("ns_sessions",
     """WITH marked AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

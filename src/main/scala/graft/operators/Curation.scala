@@ -24,10 +24,15 @@ object Curation {
 
   val MinTokens = 5
 
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  /** CANONICAL email pattern + redaction + whitespace-normalized
+    * fingerprint — TextOps.redact, Dedup.incrementalDedup and the
+    * curation stages all key off these, and the three surfaces must
+    * stay byte-identical for "verbatim duplicate" to mean one thing
+    * (r7 review: the expressions were triplicated). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
 
   def redacted(text: Column): Column =
-    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), "[0-9]+", "<NUM>")
 
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))

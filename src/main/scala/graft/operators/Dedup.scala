@@ -52,7 +52,12 @@ object Dedup {
     * `sequence(0, size-w)` produces a DESCENDING sequence and slice()
     * is then called with start 0, which Spark rejects (ADVICE r1). */
   def shingles(text: Column, w: Int): Column = {
-    val toks = split(text, "\\s+")
+    // NON-EMPTY tokens only: the hashed kernel skips whitespace runs,
+    // and the soundness companions compare this string path against it
+    // — an unfiltered leading "" token garbles every window and makes
+    // the _sound checks emit false violations on general input (r7
+    // review; sourceGrams/chunkFrame already filter)
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
     when(size(toks) >= w,
       array_distinct(
         filter(
@@ -231,13 +236,18 @@ object Dedup {
   /** Decontamination query over the shared corpus: every 10th doc plays
     * the held-out benchmark set; the rest is the training corpus. */
   /** Shared emitter of the decontamination pair set (memoized: the
-    * rows-only query and its soundness companion read the same frame). */
-  private def decontamPairs(spark: SparkSession, dir: String): DataFrame =
-    memoCached(spark, dir, "decontam-pairs") {
+    * rows-only query and its soundness companion read the same frame).
+    * `threshold` is part of the memo key AND threaded into candidate
+    * generation — the old hardcoded 0.3 made decontamViolations'
+    * threshold parameter audit the WRONG pair set for any other value
+    * (r7 review). */
+  private def decontamPairs(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3): DataFrame =
+    memoCached(spark, dir, s"decontam-pairs-$threshold") {
       val docs = shingledDocs(spark, dir)
       val probe = docs.where(col("doc_id") % 10 === 0)
       val corpus = docs.where(col("doc_id") % 10 =!= 0)
-      minhashPairsAcross(corpus, probe, threshold = 0.3)
+      minhashPairsAcross(corpus, probe, threshold = threshold)
     }
 
   val decontam: GraftQuery =
@@ -250,7 +260,7 @@ object Dedup {
     * (probe ids ≡ 0 mod 10, corpus ids not). */
   def decontamViolations(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val emitted = decontamPairs(spark, dir)
+    val emitted = decontamPairs(spark, dir, threshold)
     emitted
       .join(docs.toDF("probe_id", "text_p"), "probe_id")
       .join(docs.toDF("corpus_id", "text_c"), "corpus_id")
@@ -755,8 +765,11 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
                     maxIters: Int = 50): DataFrame =
     // memoized: the cluster query and the survivors anti-join share the
-    // converged label frame (already materialized via localCheckpoint)
-    memoCached(spark, dir, s"clusters-$threshold") {
+    // converged label frame (already materialized via localCheckpoint).
+    // maxIters is part of the key — without it a caller passing a
+    // different bound silently got the cached other-bound result (r7
+    // review)
+    memoCached(spark, dir, s"clusters-$threshold-$maxIters") {
       connectedComponents(ngramJaccardPairs(spark, dir, threshold).select("doc_a", "doc_b"),
         maxIters)
     }
@@ -962,7 +975,7 @@ object Dedup {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("lang"),
           (col("n_chars") / 100).cast("int").as("len_bucket"),
-          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+          Curation.fingerprint(col("text")).as("fp"), // the canonical exact-dup key
           hashedShingles(col("text"), 3).as("sh"),
           col("source").isin(IncNewSources: _*).as("is_new"))
         .withColumn("sz", size(col("sh")))

@@ -60,7 +60,7 @@ object TextOps {
     FROM documents ORDER BY doc_id""") { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        Curation.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
   }
 
@@ -155,11 +155,10 @@ object TextOps {
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums
     FROM documents ORDER BY doc_id""") { (spark, dir) =>
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val email = Curation.EmailRe // one canonical pattern across modules
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          "[0-9]+", "<NUM>")).as("redacted_md5"),
+        md5(Curation.redacted(col("text"))).as("redacted_md5"),
         size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"))
       .orderBy("doc_id")
@@ -441,7 +440,7 @@ object TextOps {
   /** The composite keep predicate of [[qualityFilter]] as a reusable
     * column (also the quality stage of the round-4 pipeline funnel). */
   def qualityKeep(text: Column, nChars: Column): Column = {
-    val toks = tokens(text)
+    val toks = filter(tokens(text), t => t =!= "") // match qualityFilter's filtered oracle
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks)
     val awl = (nChars.cast("double") - nTok + 1) / nTok
@@ -482,7 +481,12 @@ object TextOps {
                  AND stop_ratio >= 0.01 AND rep_frac <= 0.2
                 THEN 1 ELSE 0 END AS keep
     FROM b ORDER BY doc_id""") { (spark, dir) =>
-    val toks = tokens(col("text"))
+    // NON-EMPTY tokens: this oracle filters empties
+    // (`list_filter(..., w -> w <> '')`), so the Spark side must too —
+    // unfiltered split("\\s+") counts a leading-whitespace "" token and
+    // can flip the keep/reason verdict on general input (r7 review;
+    // latent on the single-space fixtures)
+    val toks = filter(tokens(col("text")), t => t =!= "")
     val stopArr = array(stopwords.map(lit): _*)
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -665,8 +669,14 @@ object TextOps {
     * exact integers; per-bigram logp and the final mean are doubles
     * ROUNDed to 4 — the k19 avg contract. */
   val perplexity: GraftQuery = GraftQuery.checked("ns_text_perplexity",
+    // NON-EMPTY whitespace-run tokens — the same contract as the Spark
+    // side's native positional kernel, which skips whitespace runs; the
+    // old string_split(text, ' ') kept empty tokens on doubled/leading
+    // spaces and diverged on general input (r7 review)
     """WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents),
     bg AS (
       SELECT doc_id, lang,
              unnest(list_transform(range(1, len(t)),

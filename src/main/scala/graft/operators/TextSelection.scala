@@ -40,8 +40,12 @@ object TextSelection {
     * sort key; doc_id breaks ties deterministically). Emits per
     * (lang, bucket): doc count and the rounded logp range. */
   val ccnetBuckets: GraftQuery = GraftQuery.checked("ns_text_ccnet_buckets",
+    // tokenization matches ns_text_perplexity's (non-empty \s+ runs —
+    // the shared frame's kernel contract)
     """WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+      FROM documents),
     bg AS (
       SELECT doc_id, lang,
              unnest(list_transform(range(1, len(t)),

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, TextOps}
+
+/** The r7 tokenizer/boundary fixes, pinned on GENERAL input — the
+  * driver fixtures are strictly single-space with microsecond-jittered
+  * timestamps, so these divergences were invisible to the oracle gate:
+  * irregular whitespace and gap-aligned timestamps are exactly what
+  * real corpora contain. */
+class GeneralInputSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("quality tokenization ignores empty tokens from leading/trailing/doubled whitespace") {
+    val body = Seq.fill(50)("somelongword and the of words").mkString(" ")
+    val clean = body
+    val messy = "  " + body.replaceFirst(" ", "   ") + " \t"
+    val df = Seq((1L, clean), (2L, messy)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val keep = df.select(col("doc_id"),
+      TextOps.qualityKeep(col("text"), col("n_chars")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // same words => same verdict; n_chars differs slightly but awl
+    // stays far inside the band, so any flip would be a token-count bug
+    assert(keep(1L) == keep(2L),
+      "whitespace shape must not flip the quality verdict")
+  }
+
+  test("string shingles match the hashed kernel on irregular whitespace") {
+    val texts = Seq(
+      " a b c d",        // leading space
+      "a  b c d",        // doubled
+      "a b c d \t",      // trailing run
+      "a bc d")    // vertical tab: ASCII \\s the kernel now covers
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select(
+      size(Dedup.shingles(col("text"), 3)).as("n_str"),
+      size(Dedup.hashedShingles(col("text"), 3)).as("n_hash")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"string (${r.getInt(0)}) vs hashed (${r.getInt(1)}) shingle count diverged on '$t'")
+    }
+    // and both agree the shingle SET is the clean 4-token one
+    val clean = df.where(col("doc_id") === 0)
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(clean.toSet == Set("a b c", "b c d"))
+  }
+
+  test("session boundary: an event exactly one gap after the last MERGES (break is strictly-greater, both engines)") {
+    // pins the verified semantic: Spark session_window merges the
+    // gap-aligned event into the running session — matching the
+    // oracle's `> INTERVAL 30 MINUTE` break (an r7 review claim of
+    // boundary divergence was refuted by this test); one millisecond
+    // past the gap DOES split
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t30 = new java.sql.Timestamp(t0.getTime + 30 * 60 * 1000L)      // exactly the gap
+    val t30x = new java.sql.Timestamp(t0.getTime + 30 * 60 * 1000L + 1) // 1 ms past
+    def nSessions(ts2: java.sql.Timestamp): Long =
+      Seq((1L, t0), (1L, ts2)).toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().count()
+    assert(nSessions(t30) == 1, "gap-aligned event must merge (strictly-greater break)")
+    assert(nSessions(t30x) == 2, "past-gap event must split")
+  }
+
+  test("canonical fingerprint: inner whitespace shape and case never split an exact-dup group") {
+    val fps = Seq("a b c", "a  b\tc", "A B C").toDF("text")
+      .select(Curation.fingerprint(col("text"))).as[String].collect()
+    assert(fps.distinct.length == 1,
+      "whitespace-normalized lowercase fingerprint must collapse all three")
+  }
+}
