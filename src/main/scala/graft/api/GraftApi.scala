@@ -79,6 +79,13 @@ final class GraftApi(
     * job and stamps its tracking id; removing the schedule deregisters
     * the previous registration. */
   def upsertPipeline(d: PipelineDef, triggers: Seq[PipelineTrigger]): Unit = {
+    // every trigger row must belong to THIS def: a stray row for
+    // another pipeline would silently inject an edge onto it — and be
+    // irremovable by re-upserting d, since the fold below only replaces
+    // rows keyed on d.pipeline_uuid (r7 review)
+    val strays = triggers.filter(_.pipeline_uuid != d.pipeline_uuid)
+    require(strays.isEmpty,
+      s"trigger rows must reference pipeline_uuid=${d.pipeline_uuid}; got ${strays.map(_.pipeline_uuid).distinct.mkString(",")}")
     val prev = catalog.describe(d.pipeline_uuid).collect().headOption // catalog metadata: bounded
     val reconciled = d.schedule match {
       case Some(sched) =>
@@ -144,12 +151,17 @@ final class GraftApi(
       spark.createDataset(events)(Encoders.product[LifecycleEvent]), now,
       cfg.concurrencyDebounceSeconds, cfg.incubatingJobAgeOutSeconds)
 
+  /** The synthesized manual-run origination — one definition so the
+    * HTTP facade can log the SAME event it dispatches (manual runs
+    * used to bypass the history log, r7 review). */
+  def manualOrigination(uuid: String, now: Timestamp): LifecycleEvent =
+    LifecycleEvent(now.getTime, "job_exec_update", "origination", uuid,
+      s"manual-$uuid-${now.getTime}", now, now, 0, disable_downstream = false)
+
   def runByPipelineUuid(uuid: String, now: Timestamp,
                         running: Dataset[RunningJob],
                         incubating: Dataset[IncubRow]): Dispatcher.StepResult =
-    dispatch(Seq(LifecycleEvent(now.getTime, "job_exec_update", "origination", uuid,
-      s"manual-$uuid-${now.getTime}", now, now, 0, disable_downstream = false)),
-      running, incubating, now)
+    dispatch(Seq(manualOrigination(uuid, now)), running, incubating, now)
 
   /** GET /pipeline/event/history (D10 semantics; stub in reference). */
   def eventHistory(events: Dataset[LifecycleEvent], now: Timestamp,

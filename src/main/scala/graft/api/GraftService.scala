@@ -67,6 +67,11 @@ final class GraftService(
     val quarantineDir: Option[String] = None,
     jobFactory: (Option[PipelineDef], Submission) => EngineJob = GraftService.defaultJob,
     cfg: GraftConfig = GraftConfig.default,
+    // when set, HTTP catalog mutations (upsert/delete/flush) save
+    // defs+edges through this store after each change — without it the
+    // catalog is as ephemeral as the library regime, while the rest of
+    // the service state is durable (r7 review)
+    metaStore: Option[MetaStore] = None,
     pollInterval: FiniteDuration = 2.seconds, // mq_poller.py:20 WaitTimeSeconds=2
     cronCheckInterval: FiniteDuration = 5.seconds, // fires once per due minute
     nowProvider: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
@@ -103,6 +108,24 @@ final class GraftService(
     // non-dispatch incubation mutations (point update/delete/flush)
     // persist too — a restart must not resurrect deleted rows
     facade.mutationHook.set(() => persistState())
+    // catalog mutations persist through the MetaStore when configured.
+    // The in-memory catalog is LAZY over the store's own parquet, so
+    // saving it directly would overwrite the files mid-read
+    // (FAILED_READ_FILE) — localize the catalog-sized rows first, then
+    // swap the files-backed reload in (the incubating-state pattern)
+    metaStore.foreach { store =>
+      facade.catalogHook.set { () =>
+        import org.apache.spark.sql.Encoders
+        val defsLocal = spark.createDataset(api.catalog.defs.collect().toSeq)(
+          Encoders.product[PipelineDef])
+        val edgesLocal = spark.createDataset(api.edges.collect().toSeq)(
+          Encoders.product[graft.model.PipelineTrigger])
+        store.saveDefs(defsLocal)
+        store.saveEdges(edgesLocal)
+        api.catalog = graft.orchestration.Catalog(store.loadDefs(spark))
+        api.edges = store.loadEdges(spark)
+      }
+    }
     // event history appends INCREMENTALLY (one batch per dispatch) —
     // rewriting the full log per dispatch would be quadratic lifetime
     // I/O; the in-memory log swaps to the files-backed view after each
@@ -276,9 +299,19 @@ final class GraftService(
           .as[PipelineDef](org.apache.spark.sql.Encoders.product[PipelineDef])
           .collect().map(d => d.pipeline_uuid -> d).toMap
       subs.foreach { sub =>
-        val d = defsByUuid.get(sub.pipeline_uuid)
-        api.engines.submit(d.map(_.engine).getOrElse(cfg.defaultEngine),
-          sub, jobFactory(d, sub))
+        // per-run isolation: one submission whose def names an
+        // unregistered engine must not abort the rest of the batch —
+        // state is already persisted by this point, so a thrown batch
+        // silently lost every later run (r7 review)
+        try {
+          val d = defsByUuid.get(sub.pipeline_uuid)
+          api.engines.submit(d.map(_.engine).getOrElse(cfg.defaultEngine),
+            sub, jobFactory(d, sub))
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[graft-service] submit failed for ${sub.pipeline_uuid}/${sub.exec_uuid}: ${e.getMessage}")
+        }
       }
     }
 
@@ -352,10 +385,9 @@ object GraftService {
         catalogPath = s"$root/pipeline_defs", edgesPath = s"$root/pipeline_triggers")
       case None => GraftConfig.default
     }
-    val (defs, edges) = sys.env.get("GRAFT_META_DIR") match {
-      case Some(_) =>
-        val store = MetaStore.forConfig(cfg)
-        (store.loadDefs(spark), store.loadEdges(spark))
+    val store = sys.env.get("GRAFT_META_DIR").map(_ => MetaStore.forConfig(cfg))
+    val (defs, edges) = store match {
+      case Some(s) => (s.loadDefs(spark), s.loadEdges(spark))
       case None =>
         (graft.meta.Fixtures.defsDS(spark), graft.meta.Fixtures.edgesDS(spark))
     }
@@ -377,7 +409,8 @@ object GraftService {
       mqEndpoint = sys.env.get("GRAFT_MQ_ENDPOINT"),
       checkpointRoot = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "graft-ckpt"),
       quarantineDir = sys.env.get("GRAFT_QUARANTINE_DIR"),
-      cfg = cfg)
+      cfg = cfg,
+      metaStore = store)
     val addr = service.start(sys.env.getOrElse("GRAFT_HTTP_PORT", "8080").toInt)
     System.err.println(s"[graft-service] listening on $addr; SIGINT to stop")
     service.awaitTermination()

@@ -80,6 +80,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     * rows an operator explicitly deleted (r7 review #1). */
   private[graft] val mutationHook = new AtomicReference[() => Unit](() => ())
 
+  /** Fires after any CATALOG mutation (upsert / delete / flush of
+    * pipeline defs) so a durability layer can save defs+edges through
+    * its MetaStore — without this, HTTP catalog changes were lost on
+    * restart while incubation state survived (r7 review). */
+  private[graft] val catalogHook = new AtomicReference[() => Unit](() => ())
+
   /** Fires with each batch of ACCEPTED lifecycle events (HTTP /event
     * and internal ingest) so a durability layer can append them to its
     * history sink incrementally — the in-memory log union is for the
@@ -89,13 +95,15 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     new AtomicReference[Seq[LifecycleEvent] => Unit](_ => ())
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Bind and serve. `port = 0` picks an ephemeral port; the bound
     * address is returned (the spec's loopback-client hook). */
   def start(port: Int = 0): InetSocketAddress = synchronized {
     require(server == null, "facade already started")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    pool = Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     routes.foreach { case (path, methods) =>
       server.createContext(path, (ex: HttpExchange) => handle(ex, methods))
     }
@@ -105,6 +113,10 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    // HttpServer.stop does NOT stop a user-supplied executor: without
+    // this, every start/stop cycle leaked 4 non-daemon threads and an
+    // embedded shutdown never let the JVM exit (r7 review)
+    if (pool != null) { pool.shutdown(); pool = null }
   }
 
   // ---- routing ----------------------------------------------------------
@@ -137,30 +149,46 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       json(r.session.fetchBody(r.param("pipeline_uuid")))
     }),
     "/pipeline/config/create_or_replace" -> Map[String, Handler]("POST" -> { r =>
+      r.session.can("upsert") // auth BEFORE body-parse driver work (r7 review)
       val (d, triggers) = parseUpsert(r.body)
-      mutate.synchronized { r.session.upsertPipeline(d, triggers) }
+      mutate.synchronized {
+        r.session.upsertPipeline(d, triggers)
+        catalogHook.get()()
+      }
       ok
     }),
     "/pipeline/config/delete" -> Map[String, Handler]("DELETE" -> { r =>
       mutate.synchronized {
         r.session.deletePipeline(r.param("pipeline_uuid"),
           r.opt("safe_delete").forall(_.toBoolean))
+        catalogHook.get()()
       }
       ok
     }),
     "/pipeline/config/flush" -> Map[String, Handler]("DELETE" -> { r =>
-      mutate.synchronized { r.session.flushPipelines(r.param("pipeline_prefix")) }
+      mutate.synchronized {
+        r.session.flushPipelines(r.param("pipeline_prefix"))
+        catalogHook.get()()
+      }
       ok
     }),
     "/pipeline/dispatcher/run_by_pipeline_uuid" -> Map[String, Handler]("POST" -> { r =>
       mutate.synchronized {
         val now = reqNow(r)
-        val res = r.session.runByPipelineUuid(r.param("pipeline_uuid"), now,
-          running.get(), incubating.get())
+        // the synthesized origination is a REAL lifecycle event: it
+        // joins the history log and the durability sink like every
+        // other ingress — manual runs used to leave no trace (r7
+        // review), unlike cron-fired runs of the same pipeline
+        val ev = api.manualOrigination(r.param("pipeline_uuid"), now)
+        val res = r.session.dispatch(Seq(ev), running.get(), incubating.get(), now)
+        eventLog.set(eventLog.get().unionByName(
+          spark.createDataset(Seq(ev))(Encoders.product[LifecycleEvent])))
+        eventSink.get()(Seq(ev))
         subsJson(applyStep(res))
       }
     }),
     "/pipeline/dispatcher/run_single_use" -> Map[String, Handler]("POST" -> { r =>
+      r.session.can("runSingleUse") // auth before body-parse work
       val (d, argv, env) = parseSingleUse(r.body)
       val exec = mutate.synchronized {
         r.session.runSingleUse(d, EngineJob.Command(argv, env))
@@ -186,9 +214,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       ok
     }),
     "/pipeline/dispatcher/event" -> Map[String, Handler]("POST" -> { r =>
+      r.session.can("dispatch") // auth first; parse OUTSIDE the global
+      // lock — an anonymous flood used to run Spark JSON jobs while
+      // serializing every authorized mutation (r7 review)
+      val events = parseEvents(r.body)
       mutate.synchronized {
         val now = reqNow(r)
-        val events = parseEvents(r.body)
         val res = r.session.dispatch(events, running.get(), incubating.get(), now)
         // log append BEFORE applyStep: the service's persistence hook
         // rides the submissionSink inside applyStep and must see a log
@@ -207,9 +238,11 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     }),
     "/pipeline/incubation/update" -> Map[String, Handler]("GET" -> { r =>
       // (sic) the reference gates this mutation behind GET, facade.py:109
+      r.session.can("incubationUpdate") // auth before body-parse work
+      val updates = parseUpdates(r.body)
       mutate.synchronized {
         val updated = r.session.updateIncubating(incubating.get(),
-          r.param("obj_id"), parseUpdates(r.body))
+          r.param("obj_id"), updates)
         incubating.set(updated)
         mutationHook.get()()
         json(incubating.get().drop("triggers")) // map column: header view, like D14's
@@ -301,8 +334,17 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         methods.get(ex.getRequestMethod) match {
           case None => (405, s"""{"error":"method not allowed"}""")
           case Some(h) =>
-            val token = Option(ex.getRequestHeaders.getFirst("Authorization"))
-              .map(_.stripPrefix("Bearer").trim).filter(_.nonEmpty)
+            // a real RFC 6750 scheme check: `stripPrefix("Bearer")`
+            // accepted "Basic ..." verbatim and fused "BearerXYZ" into
+            // token "XYZ" (r7 review); wrong/malformed schemes now
+            // resolve to anonymous and 403 at the verb gate
+            val token = Option(ex.getRequestHeaders.getFirst("Authorization")).flatMap { h =>
+              h.trim.split("\\s+", 2) match {
+                case Array(scheme, tok) if scheme.equalsIgnoreCase("Bearer") && tok.nonEmpty =>
+                  Some(tok.trim)
+                case _ => None
+              }
+            }
             val session = token.map(secured.as).getOrElse(secured.anonymous)
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             (200, h(Request(queryParams(ex), body, session)))
@@ -337,8 +379,22 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
 
   private def oneRowJson(body: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import spark.implicits._
-    val df = spark.read.schema(schema).json(Seq(body).toDS())
-    require(df.count() == 1, "request body must be a single JSON object")
+    // corrupt capture: permissive mode turns syntactically broken JSON
+    // into one all-null row, which used to pass the count check and
+    // surface later as an encoder NPE → 500 instead of the intended
+    // 400 (r7 review)
+    val parseSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt", org.apache.spark.sql.types.StringType, nullable = true))
+    val rows = spark.read.schema(parseSchema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .json(Seq(body).toDS())
+    require(rows.count() == 1, "request body must be a single JSON object")
+    require(rows.where(col("_corrupt").isNotNull).isEmpty, "malformed JSON in request body")
+    val df = rows.drop("_corrupt")
+    val head = df.head()
+    require((0 until head.length).exists(i => !head.isNullAt(i)),
+      "request body must be a single JSON object with recognized fields")
     df
   }
 

@@ -22,6 +22,11 @@ final class SecuredGraftApi(val api: GraftApi, policy: Auth.Policy) {
   final class Session private[SecuredGraftApi] (token: Option[String]) {
     private def gate(verb: String): Unit = policy.require(verb, token)
 
+    /** Pre-flight authorization of `verb` WITHOUT running it — the
+      * HTTP layer rejects BEFORE spending driver work parsing request
+      * bodies (the reference's FastAPI dependency order; r7 review). */
+    def can(verb: String): Unit = gate(verb)
+
     def listPipelines(prefix: Option[String] = None, tagTeam: Option[String] = None,
                       tagEnv: Option[String] = None): DataFrame = {
       gate("list"); api.listPipelines(prefix, tagTeam, tagEnv)

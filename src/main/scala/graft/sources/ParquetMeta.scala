@@ -28,8 +28,24 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object ParquetMeta {
 
-  private def isDataFile(name: String): Boolean =
-    !name.startsWith("_") && !name.startsWith(".")
+  /** Every PATH SEGMENT must be visible, not just the leaf name: a
+    * recursive listing surfaces files under `_temporary/` or
+    * `.staging/` (crashed-write leftovers) whose leaf names look like
+    * data — Spark/DuckDB readers skip the whole hidden subtree, and
+    * counting them broke the footer-count == scan-count equivalence
+    * (r7 review). */
+  private def isDataFile(root: Path, p: Path): Boolean = {
+    val rootPath = root.toUri.getPath
+    var cur = p
+    // walk only the segments BELOW the listed root — the root itself
+    // may legitimately live under a dotted directory
+    while (cur != null && cur.toUri.getPath != rootPath && cur.getName.nonEmpty) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return false
+      cur = cur.getParent
+    }
+    true
+  }
 
   /** (table, path) pairs → one row (tbl, n) per table, n = footer row
     * count. `paths` may be files or directories (listed recursively). */
@@ -43,7 +59,7 @@ object ParquetMeta {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && isDataFile(f.getPath.getName))
+        if (f.isFile && isDataFile(path, f.getPath))
           buf += ((tbl, f.getPath.toString))
       }
       buf.toSeq

@@ -51,8 +51,23 @@ object Tables {
     * session runs UTC — so downstream time arithmetic and the DuckDB
     * oracle's naive timestamps agree either way). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(dir, "events"))
+    // the nanosAsLong flag is SESSION-GLOBAL and one-way for the reads
+    // it enables, so set it only when this table actually carries
+    // TIMESTAMP(NANOS) — probing by attempting the plain read first
+    // (schema conversion is eager and fails loudly on nanos without
+    // the flag). Unconditionally setting it silently changed how a
+    // user's own nanos parquet loaded for the session's lifetime
+    // (r7 review); on micros-encoded tables (driver rounds >= 5) the
+    // flag is now never touched.
+    val raw =
+      try spark.read.parquet(path(dir, "events"))
+      catch {
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS")
+              || String.valueOf(e.getMessage).toLowerCase.contains("illegal parquet type") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path(dir, "events"))
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

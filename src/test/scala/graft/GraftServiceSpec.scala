@@ -283,6 +283,53 @@ class GraftServiceSpec extends AnyFunSuite {
     } finally service.shutdown()
   }
 
+  test("catalog durability: an HTTP upsert and a delete survive a restart through the MetaStore (r7 review)") {
+    import graft.api.{MetaStore, ParquetMetaStore}
+    val metaRoot = SparkSuite.tempDir("svc-meta")
+    val cfg = GraftConfig.default.copy(
+      catalogPath = s"$metaRoot/defs", edgesPath = s"$metaRoot/edges")
+    val store: MetaStore = new ParquetMetaStore(cfg)
+    // seed the store with the fixtures (the deployable main's load path)
+    store.saveDefs(Fixtures.defsDS(spark))
+    store.saveEdges(Fixtures.edgesDS(spark))
+    def mkService(): GraftService = {
+      val api = new GraftApi(spark, Catalog(store.loadDefs(spark)),
+        store.loadEdges(spark),
+        new EngineManager(Seq(new LocalSparkEngine(spark))), cfg)
+      val policy = new Auth.Policy(
+        new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+      new GraftService(new SecuredGraftApi(api, policy), spark,
+        mqEndpoint = None, checkpointRoot = SparkSuite.tempDir("svc-meta-ckpt"),
+        jobFactory = (_, _) => EngineJob.SparkClosure(_ => ()),
+        cfg = cfg, metaStore = Some(store))
+    }
+    val upsert =
+      """{"def":{"pipeline_uuid":"durable-new","description":"via http","retry_max":0,
+        |"concurrency":true,"engine":"spark-local","engine_args":"{}",
+        |"triggers_op":"any","tags_team":"t","tags_env":"dev","pipeline_body":"{}"},
+        |"triggers":[{"pipeline_uuid":"durable-new","trigger_uuid":"report-daily","op":"any"}]}"""
+        .stripMargin
+    val a = mkService()
+    try {
+      val base = s"http://127.0.0.1:${a.start(0).getPort}"
+      assert(call(base, "POST", "/pipeline/config/create_or_replace", upsert).statusCode() == 200)
+      assert(call(base, "DELETE",
+        "/pipeline/config/delete?pipeline_uuid=legacy_import_v2&safe_delete=false")
+        .statusCode() == 200)
+    } finally a.shutdown()
+
+    val b = mkService() // fresh load from the store
+    try {
+      val base = s"http://127.0.0.1:${b.start(0).getPort}"
+      assert(call(base, "GET",
+        "/pipeline/config/describe?pipeline_uuid=durable-new").body().contains("durable-new"),
+        "HTTP-created pipeline must survive the restart")
+      assert(call(base, "GET",
+        "/pipeline/config/describe?pipeline_uuid=legacy_import_v2").body() == "[]",
+        "HTTP-deleted pipeline must stay deleted after the restart")
+    } finally b.shutdown()
+  }
+
   test("MQ resume: a restart re-ingests nothing (checkpointed offsets), new messages still flow") {
     // at-least-once becomes exactly-once-per-offset across restarts:
     // service A ingests message 1 and dies; service B over the SAME

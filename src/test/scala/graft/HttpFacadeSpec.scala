@@ -88,6 +88,63 @@ class HttpFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("auth scheme: non-Bearer and fused-Bearer credentials are anonymous (403), r7 review") {
+    withFacade { (_, base) =>
+      def withHeader(h: String): Int = {
+        val b = HttpRequest.newBuilder(URI.create(base + "/pipeline/config/list?pipeline_prefix=report-"))
+          .method("POST", HttpRequest.BodyPublishers.noBody())
+          .header("Authorization", h)
+        client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(withHeader(s"Basic $Read") == 403, "wrong scheme must not pass the token through")
+      assert(withHeader(s"Bearer$Read") == 403, "fused scheme+token must not authenticate")
+      assert(withHeader(s"Bearer $Read") == 200, "the correct scheme still works")
+      assert(withHeader(s"bearer $Read") == 200, "scheme is case-insensitive (RFC 9110)")
+    }
+  }
+
+  test("malformed bodies are 400, not 500 (r7 review)") {
+    withFacade { (_, base) =>
+      // broken JSON and a valid-but-empty object both fail loudly at
+      // the boundary instead of surfacing encoder NPEs
+      assert(call(base, "POST", "/pipeline/config/create_or_replace", Some(Admin),
+        "not json at all").statusCode() == 400)
+      assert(call(base, "POST", "/pipeline/config/create_or_replace", Some(Admin),
+        "{}").statusCode() == 400)
+      assert(call(base, "GET", "/pipeline/incubation/update?obj_id=x", Some(Admin),
+        "][").statusCode() == 400)
+    }
+  }
+
+  test("run_by_pipeline_uuid joins the event history like every other ingress (r7 review)") {
+    withFacade { (_, base) =>
+      val now = Fixtures.NOW.getTime
+      assert(call(base, "POST",
+        s"/pipeline/dispatcher/run_by_pipeline_uuid?pipeline_uuid=ingest-orders&now_epoch_ms=$now",
+        Some(Admin)).statusCode() == 200)
+      val h = call(base, "GET",
+        s"/pipeline/dispatcher/event/history?now_epoch_ms=$now&since_seconds=86400&pipeline_uuid=ingest-orders",
+        Some(Read))
+      assert(h.statusCode() == 200, h.body())
+      assert(h.body().contains("manual-ingest-orders"),
+        s"the synthesized origination must appear in history: ${h.body()}")
+    }
+  }
+
+  test("upsert rejects trigger rows that belong to another pipeline (r7 review)") {
+    withFacade { (_, base) =>
+      val body =
+        """{"def":{"pipeline_uuid":"inject-a","description":"x","retry_max":0,
+          |"concurrency":true,"engine":"spark-local","engine_args":"{}",
+          |"triggers_op":"any","tags_team":"t","tags_env":"dev","pipeline_body":"{}"},
+          |"triggers":[{"pipeline_uuid":"report-daily","trigger_uuid":"ingest-orders","op":"any"}]}"""
+          .stripMargin
+      val r = call(base, "POST", "/pipeline/config/create_or_replace", Some(Admin), body)
+      assert(r.statusCode() == 400, s"stray-edge injection must be rejected: ${r.body()}")
+      assert(r.body().contains("inject-a"))
+    }
+  }
+
   test("dispatch over HTTP: origination event yields a submission and appends history") {
     withFacade { (_, base) =>
       val now = Fixtures.NOW.getTime
