@@ -65,7 +65,10 @@ final class GraftService(
     mqEndpoint: Option[String],
     checkpointRoot: String,
     val quarantineDir: Option[String] = None,
-    jobFactory: (Option[PipelineDef], Submission) => EngineJob = GraftService.defaultJob,
+    // None = the built-in data-plane interpreter ([[dataPlaneJob]]):
+    // engine_args naming a registered graft query run as the
+    // submission's Spark action. Tests inject their own factories.
+    jobFactory: Option[(Option[PipelineDef], Submission) => EngineJob] = None,
     cfg: GraftConfig = GraftConfig.default,
     // when set, HTTP catalog mutations (upsert/delete/flush) save
     // defs+edges through this store after each change — without it the
@@ -153,9 +156,28 @@ final class GraftService(
             val bad = parsed.corrupt.select(col("_raw"))
             if (!bad.isEmpty) bad.write.mode("append").text(d)
           }
-          // poll-sized batch -> the shared ingress (catalog regime)
+          // poll-sized batch -> the shared ingress (catalog regime).
+          // MQ delivery is at-least-once against the service's own
+          // durable state (history append + dispatch + persist all
+          // happen BEFORE the stream checkpoint commits the offset), so
+          // a crash in that window replays the batch — dedup by
+          // event_id against the event log makes the replay a no-op
+          // instead of duplicating history rows and re-dispatching
+          // already-applied events (r7 advice, medium). event_id is the
+          // idempotency key: the poll-sized id set probes the log with
+          // a pushed-down isin filter (the reference's per-event Mongo
+          // lookup regime).
           val events = parsed.events.collect().toSeq
-          if (events.nonEmpty) onEvents(events, nowProvider())
+          val fresh =
+            if (events.isEmpty) events
+            else {
+              val ids = events.map(_.event_id)
+              val seen = facade.eventLog.get()
+                .where(col("event_id").isin(ids: _*))
+                .select("event_id").collect().map(_.getLong(0)).toSet
+              events.filterNot(e => seen(e.event_id))
+            }
+          if (fresh.nonEmpty) onEvents(fresh, nowProvider())
           ()
         }
         .start()
@@ -254,10 +276,13 @@ final class GraftService(
   /** One culler pass: an empty event batch is a pure cull step —
     * concurrency-debounced and deps-satisfied rows release (and
     * SUBMIT), aged-out rows drop (`job_culler.py:17-44`). */
-  private[graft] def cullTick(): Unit = {
-    if (facade.incubating.get().isEmpty) () // nothing incubating: skip the step
-    else onEvents(Seq.empty, nowProvider())
-  }
+  private[graft] def cullTick(): Unit =
+    // the empty-state pre-check and the cull step run under ONE
+    // facade-lock acquisition: checked outside the lock, the files-
+    // backed snapshot could be overwritten by two interleaved
+    // persistState generations mid-scan (FAILED_READ_FILE, a skipped
+    // cull pass — r7 advice)
+    facade.cullStep(nowProvider())
 
   /** Cron scheduler tick: fires at most once per wall-clock minute
     * (`Cron.tick` is a pure function of the minute, so double-firing
@@ -305,14 +330,72 @@ final class GraftService(
         // silently lost every later run (r7 review)
         try {
           val d = defsByUuid.get(sub.pipeline_uuid)
-          api.engines.submit(d.map(_.engine).getOrElse(cfg.defaultEngine),
-            sub, jobFactory(d, sub))
+          val job = jobFactory.map(f => f(d, sub)).getOrElse(dataPlaneJob(d, sub))
+          api.engines.submit(d.map(_.engine).getOrElse(cfg.defaultEngine), sub, job)
         } catch {
           case e: Throwable =>
             System.err.println(
               s"[graft-service] submit failed for ${sub.pipeline_uuid}/${sub.exec_uuid}: ${e.getMessage}")
         }
       }
+    }
+
+  // ---- the data plane ----------------------------------------------------
+
+  /** The built-in job factory (EP1 step 6's last semantic): the
+    * dispatched DAG actually PRODUCES curated data. The reference's
+    * unit of execution is the pipeline payload —
+    * `engine_args.pipeline_command` + `pipeline_args` marshalled into
+    * the pod spec (`engine.py:110-123`); the Spark-native analog maps
+    * the same keys onto the engine's own registered operator library:
+    *
+    * {{{
+    * engine_args = {"pipeline_command": ["graft-query"],
+    *                "pipeline_args": [<registered query>, <input dir>, <output dir>]}
+    * }}}
+    *
+    * runs that registered query over the input tables and writes the
+    * result as parquet under `<output dir>/<exec_uuid>` (per-exec
+    * isolation: a retry never clobbers the attempt being debugged).
+    * On completion the run posts its own lifecycle event back into the
+    * shared ingress — the `MQ_CALLBACK_URL` loop the reference's pods
+    * close (`engine.py:130-143`) — so downstream triggers fire off a
+    * real data-producing run exactly like off an HTTP/MQ-posted one:
+    * success → fan-out (P2), failure → the retry gate (P3).
+    *
+    * Defs whose engine_args carry no `graft-query` command keep the
+    * pre-r8 no-op marker closure, so the orchestration plane stays
+    * fully observable for opaque payloads. */
+  private[graft] def dataPlaneJob(d: Option[PipelineDef], sub: Submission): EngineJob =
+    GraftService.parseQueryCommand(d.map(_.engine_args).getOrElse("")) match {
+      case Some((query, inputDir, outputDir)) =>
+        EngineJob.SparkClosure { s =>
+          try {
+            val run = graft.SparkEntry.queries.getOrElse(query,
+              throw new IllegalArgumentException(s"unknown graft query: $query"))
+            run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
+            callback(sub, "success")
+          } catch {
+            case e: Throwable => callback(sub, "failure"); throw e
+          }
+        }
+      case None => EngineJob.SparkClosure(_ => ())
+    }
+
+  /** The run's self-callback: ONE lifecycle event through the same
+    * ingress as HTTP/MQ/cron (its subtype drives P2 fan-out / the P3
+    * retry gate). Delivery failures are logged, never thrown — the
+    * run's own terminal status is the engine's to stamp, and a lost
+    * callback must not flip a successful run to failed. */
+  private def callback(sub: Submission, subtype: String): Unit =
+    safely(s"callback($subtype)") {
+      val now = nowProvider()
+      onEvents(Seq(LifecycleEvent(
+        event_id = GraftService.callbackIds.incrementAndGet(),
+        event_type = "job_exec_update", event_subtype = subtype,
+        pipeline_uuid = sub.pipeline_uuid, exec_uuid = sub.exec_uuid,
+        event_time = now, received_time = now,
+        retry_count = sub.retry_count, disable_downstream = false)), now)
     }
 
   /** Graceful shutdown (`facade.py:142-150`): stop ticking, drain the
@@ -355,11 +438,33 @@ final class GraftService(
 
 object GraftService {
 
-  /** Default run body: a no-op Spark closure on the def's engine —
-    * the orchestration plane is fully observable (submit → running →
-    * success) without a deployment-specific payload. */
+  /** No-op run body: the orchestration plane is fully observable
+    * (submit → running → success) without a deployment-specific
+    * payload. Since r8 the service's DEFAULT factory is
+    * [[GraftService.dataPlaneJob]], which falls back to this shape for
+    * defs without a `graft-query` command. */
   def defaultJob(d: Option[PipelineDef], sub: Submission): EngineJob =
     EngineJob.SparkClosure(_ => ())
+
+  /** Callback event-id space: wall-clock-seeded strictly-increasing
+    * longs (≈1.7e15 at 2026 epoch millis ×1000) — disjoint by
+    * construction from cron's minute-slot ids (≈3e13) and the small
+    * fixture/HTTP ids, so a callback can never alias an applied MQ
+    * event through the ingress dedup. */
+  private val callbackIds =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+
+  /** engine_args → (query, input dir, output dir) when the def's
+    * `pipeline_command` is the `graft-query` interpreter. Reuses the
+    * exact `engine.py:110-118` unmarshalling (shared with
+    * [[graft.orchestration.ProcessEngine]]) so the Spark closure and a
+    * process/pod backend read ONE contract. */
+  private[graft] def parseQueryCommand(engineArgs: String): Option[(String, String, String)] =
+    graft.orchestration.ProcessEngine
+      .commandFromEngineArgs(engineArgs, defaultCommand = Nil).argv match {
+      case Seq("graft-query", q, in, out) => Some((q, in, out))
+      case _ => None
+    }
 
   /** Deployable entrypoint. Environment:
     *   GRAFT_HTTP_PORT       listen port (default 8080)

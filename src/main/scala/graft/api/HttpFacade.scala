@@ -293,6 +293,21 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       applyStep(res)
     }
 
+  /** One culler pass IF anything is incubating — the emptiness check
+    * and the step run under ONE lock acquisition. Checked outside the
+    * lock (the old [[GraftService.cullTick]] shape), the files-backed
+    * snapshot could be invalidated mid-scan by two interleaved
+    * persistState generations overwriting its ping-pong dir
+    * (FAILED_READ_FILE → a silently skipped cull pass; r7 advice). */
+  private[graft] def cullStep(now: Timestamp): Unit =
+    mutate.synchronized {
+      if (!incubating.get().isEmpty) {
+        val res = api.dispatch(Seq.empty, running.get(), incubating.get(), now)
+        applyStep(res)
+        ()
+      }
+    }
+
   /** Refresh the concurrency-gate snapshot from live engine state —
     * the service calls this after submitting so the next dispatch
     * gates against what is actually running. */

@@ -56,8 +56,9 @@ object Dedup {
     // and the soundness companions compare this string path against it
     // — an unfiltered leading "" token garbles every window and makes
     // the _sound checks emit false violations on general input (r7
-    // review; sourceGrams/chunkFrame already filter)
-    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    // review; sourceGrams/chunkFrame already filter). Codegen-safe form
+    // (array_remove, not the interpreted filter HOF — r8).
+    val toks = TextOps.tokensNonEmpty(text)
     when(size(toks) >= w,
       array_distinct(
         filter(
@@ -1092,7 +1093,7 @@ object Dedup {
   private[graft] def sourceGrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"),
-        filter(split(col("text"), "\\s+"), w => w =!= "").as("t"))
+        TextOps.tokensNonEmpty(col("text")).as("t"))
       .where(size(col("t")) >= 8)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))")).as("g"))

@@ -64,7 +64,7 @@ object TextBpe {
     * drift on tokenization. */
   private[graft] def wordFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("word"))
+      .select(explode(TextOps.tokensNonEmpty(lower(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Greedy left-to-right merge of adjacent symbol pair (l, r) inside

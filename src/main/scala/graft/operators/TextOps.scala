@@ -22,6 +22,18 @@ object TextOps {
     * `\s+` keeps it robust to general input). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** NON-EMPTY whitespace tokens — the empty strings a leading or
+    * trailing whitespace run leaves in `split` (Spark keeps BOTH ends:
+    * limit −1 semantics) removed via `array_remove`, which is fully
+    * codegen'd. The tempting `filter(…, t => t =!= "")` form is an
+    * `ArrayFilter` higher-order function and evaluates interpreted
+    * (CodegenFallback) — per-token lambda dispatch on every corpus-scan
+    * path (r8: the r7 correctness fix had put that HOF in the dedup /
+    * quality hot paths; this helper keeps the fix with codegen intact,
+    * equivalence spec'd on leading/trailing/tab/FF fixtures). */
+  def tokensNonEmpty(text: Column): Column =
+    array_remove(split(text, "\\s+"), "")
+
   private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
   /** K-style per-document text statistics: token count, stopword ratio,
@@ -440,7 +452,7 @@ object TextOps {
   /** The composite keep predicate of [[qualityFilter]] as a reusable
     * column (also the quality stage of the round-4 pipeline funnel). */
   def qualityKeep(text: Column, nChars: Column): Column = {
-    val toks = filter(tokens(text), t => t =!= "") // match qualityFilter's filtered oracle
+    val toks = tokensNonEmpty(text) // match qualityFilter's filtered oracle, codegen-safe
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks)
     val awl = (nChars.cast("double") - nTok + 1) / nTok
@@ -486,7 +498,7 @@ object TextOps {
     // unfiltered split("\\s+") counts a leading-whitespace "" token and
     // can flip the keep/reason verdict on general input (r7 review;
     // latent on the single-space fixtures)
-    val toks = filter(tokens(col("text")), t => t =!= "")
+    val toks = tokensNonEmpty(col("text"))
     val stopArr = array(stopwords.map(lit): _*)
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -706,7 +718,7 @@ object TextOps {
     * convention): the original string-struct formulation shuffled
     * full word pairs three times and benched 6× slower than DuckDB.
     * Counts (hence logp) are identical, so the string oracle stands. */
-  private[operators] def perplexityFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def perplexityFrame(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "text:perplexity-frame") {
     import graft.functions.TextExpressions.positionalShingleHashes
     val toks = Tables.documents(spark, dir)
@@ -772,7 +784,7 @@ object TextOps {
     val C = ChunkC; val S = ChunkS
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+        tokensNonEmpty(col("text")).as("t"))
       .where(size(col("t")) >= 1)
     val n = size(col("t"))
     val nChunks = when(n <= C, lit(1))

@@ -74,7 +74,7 @@ object TextPmi {
     ORDER BY t1, t2""") { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
-      array_distinct(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("toks"))
+      array_distinct(TextOps.tokensNonEmpty(lower(col("text")))).as("toks"))
     val vocab = toks
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -150,7 +150,7 @@ object TextPmi {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
       .select(col("lang"),
-        explode(filter(split(lower(col("text")), "\\s+"), w => w =!= "")).as("tok"))
+        explode(TextOps.tokensNonEmpty(lower(col("text")))).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
     val wRank = Window.partitionBy("lang").orderBy(col("freq").desc, col("tok"))
     val ranked = tf

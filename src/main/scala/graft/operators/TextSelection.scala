@@ -26,17 +26,57 @@ import graft.sources.Tables
   * point IS the fixed table — `B` buckets regardless of corpus size,
   * so the model broadcasts and scoring is a map pass + per-doc sum at
   * any scale (the paper's reason for hashing over exact n-grams).
-  * CCNet bucketing rides the per-doc perplexity frame; the per-lang
-  * NTILE windows partition by language (parallel across langs; within
-  * a language a global rank is inherent to the operator's semantics —
-  * at 100 TB one switches to approx quantile cutpoints, which the
-  * repo's `ns_text_quality_pct`/`_sound` pair already models).
+  * CCNet bucketing rides the per-doc perplexity frame; tercile
+  * assignment is the TWO-PHASE DISTRIBUTED RANK (the `valueRanks`
+  * shape from gini/rfm, never a per-lang NTILE window — one language
+  * = one reducer sorting that language's whole corpus, and at 100 TB
+  * the English partition IS the crawl; r7 verdict #1): rank within
+  * (lang, logp-bin) partitions + broadcast per-bin offsets, then the
+  * NTILE identity `bucket = (rank−1)·3 div N + 1` — bit-identical to
+  * the window form (spec'd), zero global sort.
   */
 object TextSelection {
 
+  /** Quantization bin for the distributed rank: `avg_logp` is already
+    * ROUND(·,4), so ×10⁴ is an exact integer ("lmicro"); bins of 1000
+    * lmicro = 0.1 logp units keep per-(lang,bin) partitions bounded
+    * while staying rank-order-consistent with the tercile sort key. */
+  private val RankBinWidth = 1000L
+
+  /** Per-doc tercile assignment WITHOUT a per-lang global window:
+    *  1. lkey = −lmicro (ascending lkey ⇔ avg_logp DESC, the NTILE
+    *     sort direction); bin = floor(lkey / RankBinWidth).
+    *  2. per-(lang,bin) counts → per-lang running offsets (a window
+    *     over the BIN frame: #langs × #bins rows, broadcast back).
+    *  3. rank = bin offset + row_number within (lang, bin) — the
+    *     `valueRanks` two-phase core; every window partition is
+    *     value-bounded, no single-reducer language sort.
+    *  4. NTILE(3) via the rank identity bucket = (rank−1)·3 div N + 1
+    *     (exact for row_number-ranked NTILE; integer `div`, no double
+    *     rounding at bucket boundaries).
+    * Exposed for the window-equivalence spec. */
+  private[graft] def langTerciles(perdoc: DataFrame): DataFrame = {
+    val keyed = perdoc
+      .withColumn("lkey", -round(col("avg_logp") * 10000).cast("long"))
+      .withColumn("bin", floor(col("lkey").cast("double") / RankBinWidth).cast("long"))
+    val wOff = Window.partitionBy("lang").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("lang", "bin").agg(count(lit(1)).as("bin_n"))
+      .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
+      .select("lang", "bin", "bin_off")
+    val langN = keyed.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wLocal = Window.partitionBy("lang", "bin").orderBy(col("lkey"), col("doc_id"))
+    keyed
+      .join(broadcast(offsets), Seq("lang", "bin"))
+      .withColumn("rk", col("bin_off") + row_number().over(wLocal))
+      .join(broadcast(langN), Seq("lang"))
+      .withColumn("bucket", expr("(rk - 1) * 3 div n_lang + 1").cast("long"))
+      .drop("lkey", "bin", "bin_off", "rk", "n_lang")
+  }
+
   /** CCNet head/middle/tail terciles per language over the bigram-LM
     * doc log-probability ([[TextOps.perplexity]]'s frame — reused, so
-    * the rounded `avg_logp` both engines agree on is also the NTILE
+    * the rounded `avg_logp` both engines agree on is also the tercile
     * sort key; doc_id breaks ties deterministically). Emits per
     * (lang, bucket): doc count and the rounded logp range. */
   val ccnetBuckets: GraftQuery = GraftQuery.checked("ns_text_ccnet_buckets",
@@ -70,13 +110,21 @@ object TextSelection {
     FROM bucketed GROUP BY lang, bucket
     ORDER BY lang, bucket""") { (spark, dir) =>
     val perdoc = TextOps.perplexityFrame(spark, dir) // (doc_id, lang, n_bigrams, avg_logp), memoized
-    val w = Window.partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
-    perdoc
-      .withColumn("bucket", ntile(3).over(w).cast("long")) // NTILE is BIGINT in DuckDB
+    langTerciles(perdoc)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min("avg_logp").as("lo_logp"), max("avg_logp").as("hi_logp"))
       .orderBy("lang", "bucket")
+  }
+
+  /** The NTILE window formulation — the oracle-mirroring reference
+    * twin [[langTerciles]] is spec-pinned equal to (the
+    * `ns_vec_topk_window` pattern). NEVER the registered path: one
+    * language = one reducer partition sorting that language's whole
+    * corpus. */
+  private[graft] def langTercilesWindow(perdoc: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("avg_logp").desc, col("doc_id"))
+    perdoc.withColumn("bucket", ntile(3).over(w).cast("long")) // NTILE is BIGINT in DuckDB
   }
 
   /** Hashed-feature count per (doc, bucket-id): word bigrams hashed

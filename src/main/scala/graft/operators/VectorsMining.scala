@@ -45,7 +45,49 @@ object VectorsMining {
       FROM pairs)
     SELECT query_id, neighbor_id, neg_label, sim_r FROM ranked WHERE rn <= 3
     ORDER BY query_id, sim_r DESC, neighbor_id""") { (spark, dir) =>
-    val emb = Tables.embeddings(spark, dir)
+    hardNegativesCore(spark, Tables.embeddings(spark, dir))
+  }
+
+  /** Bounded-aggregator ranking (r7 verdict #2): the corpus×Q pair
+    * stream reduces through [[graft.functions.TopKAggregator]] — O(k)
+    * state per query with MAP-SIDE partials, so the only exchange is Q
+    * partial buffers per task, never the full pair stream funneled
+    * into Q reducer partitions for a `row_number` sort (the window
+    * form, kept as [[hardNegativesWindow]], is spec-pinned equal —
+    * the `ns_vec_topk_window` pattern). `neg_label` joins back AFTER
+    * ranking: only the Q·k winners (a KB-sized frame, broadcast) touch
+    * the label column, so ranking ships (id, score) pairs only. */
+  private[graft] def hardNegativesCore(
+      spark: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val q = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val agg = new TopKAggregator(3).toColumn
+    val top = emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"),
+        col("vec_id").as("id"),
+        dround(Vectors.dot(col("q_emb"), col("embedding")), 4).as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, id, score) => (qid, ScoredId(id, score)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, t) => t.map(s => (qid, s.id, s.score)) }
+      .toDF("query_id", "neighbor_id", "sim_r")
+    emb.select(col("vec_id").as("neighbor_id"), col("label").as("neg_label"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .select("query_id", "neighbor_id", "neg_label", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
+  /** The window-ranking formulation — mirrors the oracle SQL 1:1;
+    * kept ONLY as the spec twin of [[hardNegativesCore]] (at scale it
+    * funnels the corpus×Q pair stream into Q reducer partitions). */
+  private[graft] def hardNegativesWindow(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val q = emb.where(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))

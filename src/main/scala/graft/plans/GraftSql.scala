@@ -57,7 +57,18 @@ object GraftSql {
 
   /** The table-valued functions. Builders return the operator's
     * ANALYZED plan — fully resolved, so the outer query's analysis
-    * treats it as an inline subquery and the optimizer sees one plan. */
+    * treats it as an inline subquery and the optimizer sees one plan.
+    *
+    * EAGER AT ANALYSIS (r7 advice): because the builder runs while the
+    * OUTER query is being analyzed, any driver-side model fitting the
+    * named operator does (`ns_text_dsir`'s hashed-count collect,
+    * k-means/BPE/coreset training loops) executes full Spark jobs at
+    * plan time — including for `EXPLAIN` and for subqueries the outer
+    * plan later prunes away. That is the price of handing the optimizer
+    * one fused plan; for interactive exploration of model-fitting
+    * operators prefer [[registerViews]], which pays the fitting cost
+    * once at registration and then serves the same resolved plan to
+    * every query over the view. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, TableFunctionBuilder)] = Seq(
     (FunctionIdentifier("graft"),
       info("graft", "graft(name, sfDir) - run a registered graft operator as a table"),

@@ -34,12 +34,19 @@ object ParquetMeta {
     * data — Spark/DuckDB readers skip the whole hidden subtree, and
     * counting them broke the footer-count == scan-count equivalence
     * (r7 review). */
+  /** `root` MUST be fully qualified (`fs.makeQualified`) — the
+    * listing iterator yields qualified paths, and an unqualified or
+    * relative root would never compare equal to any ancestor, making
+    * the walk run past the root up to `/` and silently hide every file
+    * under a dotted/underscored ancestor directory (row count 0; r7
+    * advice). [[rowCounts]] qualifies before calling. */
   private def isDataFile(root: Path, p: Path): Boolean = {
-    val rootPath = root.toUri.getPath
     var cur = p
     // walk only the segments BELOW the listed root — the root itself
-    // may legitimately live under a dotted directory
-    while (cur != null && cur.toUri.getPath != rootPath && cur.getName.nonEmpty) {
+    // may legitimately live under a dotted directory. Path.equals
+    // compares full URIs, sound here because both sides carry the same
+    // FileSystem qualification.
+    while (cur != null && cur != root && cur.getName.nonEmpty) {
       val n = cur.getName
       if (n.startsWith("_") || n.startsWith(".")) return false
       cur = cur.getParent
@@ -53,8 +60,12 @@ object ParquetMeta {
     import spark.implicits._
     val hconf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     val files: Seq[(String, String)] = tables.flatMap { case (tbl, p) =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(hconf.value)
+      val rawPath = new Path(p)
+      val fs = rawPath.getFileSystem(hconf.value)
+      // qualify BEFORE comparing ancestors: the iterator yields fully-
+      // qualified paths, so a relative/unqualified root would never
+      // match and the walk would inspect segments up to '/' (r7 advice)
+      val path = fs.makeQualified(rawPath)
       val it = fs.listFiles(path, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       while (it.hasNext) {

@@ -62,9 +62,7 @@ object Tables {
     val raw =
       try spark.read.parquet(path(dir, "events"))
       catch {
-        case e: Exception
-            if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS")
-              || String.valueOf(e.getMessage).toLowerCase.contains("illegal parquet type") =>
+        case e: Exception if isNanosTypeError(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path(dir, "events"))
       }
@@ -74,5 +72,24 @@ object Tables {
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Is `e` the unsupported-TIMESTAMP(NANOS) schema-conversion error?
+    * Decided on the STRUCTURED error condition first
+    * (`SparkThrowable.getCondition` — Spark raises the nanos case as an
+    * `AnalysisException` whose condition names the illegal parquet
+    * type), with the message text only as a fallback: message wording
+    * varies across Spark versions, and a rewording must degrade to
+    * "try the structured check", not to "nanos tables fail to load"
+    * (r7 advice). */
+  private def isNanosTypeError(e: Throwable): Boolean = {
+    val condition = e match {
+      case st: org.apache.spark.SparkThrowable => String.valueOf(st.getCondition)
+      case _ => ""
+    }
+    val msg = String.valueOf(e.getMessage)
+    condition.toUpperCase.contains("PARQUET_TYPE") || // ILLEGAL_PARQUET_TYPE / UNSUPPORTED_PARQUET_TYPE
+    msg.contains("TIMESTAMP(NANOS") ||
+    msg.toLowerCase.contains("illegal parquet type")
   }
 }

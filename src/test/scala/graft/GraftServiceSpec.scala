@@ -81,7 +81,7 @@ class GraftServiceSpec extends AnyFunSuite {
       mqEndpoint = mq,
       checkpointRoot = SparkSuite.tempDir("svc-ckpt"),
       quarantineDir = Some(SparkSuite.tempDir("svc-quarantine")),
-      jobFactory = jobFactory,
+      jobFactory = Some(jobFactory),
       cfg = cfg,
       pollInterval = 250.millis,
       cronCheckInterval = cronCheck,
@@ -179,7 +179,7 @@ class GraftServiceSpec extends AnyFunSuite {
         new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
       new GraftService(new SecuredGraftApi(api, policy), spark,
         mqEndpoint = None, checkpointRoot = ckpt,
-        jobFactory = (_, sub) => { ran.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) })
+        jobFactory = Some((_, sub) => { ran.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) }))
     }
     val a = mkService()
     try {
@@ -227,7 +227,7 @@ class GraftServiceSpec extends AnyFunSuite {
         new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
       new GraftService(new SecuredGraftApi(api, policy), spark,
         mqEndpoint = None, checkpointRoot = ckpt,
-        jobFactory = (_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) },
+        jobFactory = Some((_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) }),
         cronCheckInterval = 200.millis,
         nowProvider = () => fixed)
     }
@@ -300,7 +300,7 @@ class GraftServiceSpec extends AnyFunSuite {
         new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
       new GraftService(new SecuredGraftApi(api, policy), spark,
         mqEndpoint = None, checkpointRoot = SparkSuite.tempDir("svc-meta-ckpt"),
-        jobFactory = (_, _) => EngineJob.SparkClosure(_ => ()),
+        jobFactory = Some((_, _) => EngineJob.SparkClosure(_ => ())),
         cfg = cfg, metaStore = Some(store))
     }
     val upsert =
@@ -346,7 +346,7 @@ class GraftServiceSpec extends AnyFunSuite {
         new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
       new GraftService(new SecuredGraftApi(api, policy), spark,
         mqEndpoint = Some(broker.endpoint), checkpointRoot = ckpt,
-        jobFactory = (_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) },
+        jobFactory = Some((_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) }),
         pollInterval = 250.millis)
     }
     val a = mkService()
@@ -370,6 +370,140 @@ class GraftServiceSpec extends AnyFunSuite {
       assert(fired.size == countAfterA + 1)
     } finally {
       b.shutdown()
+      broker.stop()
+    }
+  }
+
+  /** A service with NO injected jobFactory — the built-in data-plane
+    * interpreter runs whatever the def's engine_args name. */
+  private def newDataPlaneService(): GraftService = {
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      GraftConfig.default)
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+    new GraftService(new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = None, checkpointRoot = SparkSuite.tempDir("svc-dataplane-ckpt"))
+  }
+
+  private def upsertBody(uuid: String, engineArgs: String,
+                         triggersOp: Option[String] = None,
+                         triggers: Seq[(String, String)] = Nil): String = {
+    val escaped = engineArgs.replace("\"", "\\\"")
+    val op = triggersOp.map(o => s""""triggers_op":"$o",""").getOrElse("")
+    val trig = triggers.map { case (child, parent) =>
+      s"""{"pipeline_uuid":"$child","trigger_uuid":"$parent","op":"${triggersOp.getOrElse("any")}"}"""
+    }.mkString(",")
+    s"""{"def":{"pipeline_uuid":"$uuid","description":"data-plane spec","retry_max":0,
+       |"concurrency":true,"engine":"spark-local","engine_args":"$escaped",
+       |$op"tags_team":"t","tags_env":"dev","pipeline_body":"{}"},
+       |"triggers":[$trig]}""".stripMargin
+  }
+
+  test("data plane: engine_args names a registered graft query -> curated parquet + success callback + downstream trigger (r7 verdict #1)") {
+    import org.apache.spark.sql.functions.col
+    val outDir = SparkSuite.tempDir("svc-dataplane-out")
+    val inDir = "/root/testdata/sf0.001"
+    val service = newDataPlaneService()
+    try {
+      val base = s"http://127.0.0.1:${service.start(0).getPort}"
+      // the data def: its engine_args map the reference's
+      // pipeline_command/pipeline_args keys onto a registered operator
+      val engineArgs =
+        s"""{"pipeline_command":["graft-query"],"pipeline_args":["ns_text_quality_filter","$inDir","$outDir"]}"""
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("quality-gate", engineArgs)).statusCode() == 200)
+      // a downstream def triggered by the data def's success
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("curated-report", "{}", triggersOp = Some("any"),
+          triggers = Seq("curated-report" -> "quality-gate"))).statusCode() == 200)
+
+      // manual run: EP1 step 6 end to end
+      assert(call(base, "POST",
+        "/pipeline/dispatcher/run_by_pipeline_uuid?pipeline_uuid=quality-gate")
+        .statusCode() == 200)
+
+      // 1. the run writes the query's parquet under <out>/<exec_uuid>
+      poll("curated parquet written by the dispatched run") {
+        val subdirs = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        subdirs.exists(d => new java.io.File(d, "_SUCCESS").exists())
+      }
+      val execDir = new java.io.File(outDir).listFiles()
+        .find(d => new java.io.File(d, "_SUCCESS").exists()).get
+      val written = spark.read.parquet(execDir.getAbsolutePath)
+      val expected = SparkEntry.queries("ns_text_quality_filter")(spark, inDir)
+      assert(written.count() == expected.count() && written.count() > 0,
+        "the run's output must be the registered query's result")
+      assert(written.columns.sorted.sameElements(expected.columns.sorted))
+
+      // 2. the run posted its OWN success event through the shared ingress
+      poll("success callback in the event log") {
+        service.facade.eventLog.get()
+          .where(col("pipeline_uuid") === "quality-gate" &&
+            col("event_subtype") === "success").count() == 1
+      }
+      // 3. ...which released the downstream def (P2 fan-out off a real
+      // run). The downstream's no-op body finishes in milliseconds, so
+      // query across terminal statuses too — polling the default
+      // running/waiting/pending window races the run's completion.
+      poll("downstream pipeline submitted off the data run's success") {
+        call(base, "GET",
+          "/pipeline/dispatcher/running?statuses=running,waiting,pending,success&pipeline_uuid=curated-report")
+          .body().contains("\"curated-report\"")
+      }
+    } finally service.shutdown()
+  }
+
+  test("data plane: an unknown query name fails the run and posts a failure event (the P3 retry-gate input)") {
+    import org.apache.spark.sql.functions.col
+    val service = newDataPlaneService()
+    try {
+      val base = s"http://127.0.0.1:${service.start(0).getPort}"
+      val engineArgs =
+        """{"pipeline_command":["graft-query"],"pipeline_args":["no_such_query","/tmp/in","/tmp/out"]}"""
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("bad-query", engineArgs)).statusCode() == 200)
+      assert(call(base, "POST",
+        "/pipeline/dispatcher/run_by_pipeline_uuid?pipeline_uuid=bad-query")
+        .statusCode() == 200)
+      poll("failure callback in the event log") {
+        service.facade.eventLog.get()
+          .where(col("pipeline_uuid") === "bad-query" &&
+            col("event_subtype") === "failure").count() == 1
+      }
+      poll("engine stamps the run failed") {
+        call(base, "GET",
+          "/pipeline/dispatcher/running?statuses=failed&pipeline_uuid=bad-query")
+          .body().contains("\"failed\"")
+      }
+    } finally service.shutdown()
+  }
+
+  test("MQ at-least-once: a redelivered event_id is a no-op (no duplicate history, no re-dispatch) (r7 advice)") {
+    import org.apache.spark.sql.functions.col
+    val broker = new MQBroker
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val service = newService(Some(broker.endpoint), GraftConfig.default,
+      (_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) })
+    try {
+      service.start(0)
+      val msg = asJson(success(51, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "report-weekly"))
+      broker.publish(msg)
+      poll("first delivery dispatched")(fired.contains("report-weekly"))
+      // SQS-style redelivery: the same event_id arrives again, plus a
+      // marker event proving the later batch was fully processed
+      broker.publish(msg)
+      broker.publish(asJson(success(52, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "stream-metrics")))
+      poll("marker event dispatched")(fired.contains("stream-metrics"))
+      assert(fired.asScala.count(_ == "report-weekly") == 1,
+        s"a redelivered event_id must not re-dispatch: $fired")
+      assert(service.facade.eventLog.get()
+        .where(col("event_id") === 51L).count() == 1,
+        "a redelivered event_id must not duplicate history rows")
+    } finally {
+      service.shutdown()
       broker.stop()
     }
   }

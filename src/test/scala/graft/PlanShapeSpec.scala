@@ -57,6 +57,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must not rank all Q·N pairs through a window sort:\n$p")
   }
 
+  test("ns_text_ccnet_buckets: tercile rank windows partition by (lang, bin) — never lang alone, no NTILE (r7 verdict)") {
+    val p = plan(graft.operators.TextSelection.ccnetBuckets.run(spark, dir))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window specs in ccnet plan:\n$p")
+    // a lang-only window = one reducer sorting that language's whole
+    // corpus (at 100 TB the English partition IS the crawl); every
+    // data-plane window must carry the logp bin key. The per-lang
+    // OFFSETS window passes too: its frame is #langs × #bins rows and
+    // it orders by bin, so 'bin#' appears in its spec.
+    val langOnly = specs.filter(s => s.contains("lang#") && !s.contains("bin#"))
+    assert(langOnly.isEmpty, s"lang-only window spec(s) found: $langOnly\n$p")
+    assert(!p.toLowerCase.contains("ntile"),
+      s"tercile assignment must use the rank identity, not NTILE:\n$p")
+  }
+
+  test("ns_vec_hard_negatives: bounded aggregator — query set broadcasts, no pair-stream window sort (r7 verdict)") {
+    val p = plan(graft.operators.VectorsMining.hardNegatives.run(spark, dir))
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate (O(k) state, map-side partials):\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"ranking must not funnel the corpus×Q pair stream into Q window partitions:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the query set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never SMJ here:\n$p")
+  }
+
   test("ns_vec_topk_pq: ADC candidate scoring is shuffle-free (scan -> encode -> LUT explode)") {
     import org.apache.spark.sql.functions.col
     val pq = graft.operators.VectorsPq

@@ -32,6 +32,26 @@ class SelectionMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet terciles: the two-phase distributed rank equals the NTILE window per document (r7 verdict)") {
+    val perdoc = graft.operators.TextOps.perplexityFrame(spark, dir)
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fast = buckets(TextSelection.langTerciles(perdoc))
+    val ref = buckets(TextSelection.langTercilesWindow(perdoc))
+    assert(fast.nonEmpty && fast == ref,
+      "rank-identity buckets must be bit-identical to NTILE")
+  }
+
+  test("hard negatives: bounded-aggregator ranking equals the window formulation (r7 verdict)") {
+    val emb = Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val fast = rows(VectorsMining.hardNegativesCore(spark, emb))
+    val ref = rows(VectorsMining.hardNegativesWindow(emb))
+    assert(fast.nonEmpty && fast == ref)
+  }
+
   test("dsir: target-language documents dominate the selection") {
     val sel = TextSelection.dsir.run(spark, dir).collect()
     assert(sel.length == 100)
