@@ -48,12 +48,19 @@ object TextSelection {
     *     sort direction); bin = floor(lkey / RankBinWidth).
     *  2. per-(lang,bin) counts → per-lang running offsets (a window
     *     over the BIN frame: #langs × #bins rows, broadcast back).
-    *  3. rank = bin offset + row_number within (lang, bin) — the
-    *     `valueRanks` two-phase core; every window partition is
-    *     value-bounded, no single-reducer language sort.
-    *  4. NTILE(3) via the rank identity bucket = (rank−1)·3 div N + 1
-    *     (exact for row_number-ranked NTILE; integer `div`, no double
-    *     rounding at bucket boundaries).
+    *  3. the NTILE identity bucket = (rank−1)·3 div N + 1 applied to
+    *     the bin's rank RANGE [off+1, off+bin_n]: when first and last
+    *     rank land in the same bucket the whole bin is UNIFORM — its
+    *     docs take that bucket by comparison alone, zero data movement.
+    *     Only BOUNDARY bins (a tercile cut falls inside: at most 2 per
+    *     language, sized by the 0.1-logp value bound, independent of
+    *     corpus size) rank their docs via bin_off + row_number within
+    *     (lang, bin) — the `valueRanks` two-phase core restricted to
+    *     the bins that need intra-bin order (r8: the unrestricted form
+    *     shuffled the whole corpus into the rank window and measured 2×
+    *     the NTILE window locally; this form moves boundary rows only).
+    *  4. integer `div`, no double rounding at bucket boundaries; exact
+    *     for row_number-ranked NTILE.
     * Exposed for the window-equivalence spec. */
   private[graft] def langTerciles(perdoc: DataFrame): DataFrame = {
     val keyed = perdoc
@@ -61,17 +68,25 @@ object TextSelection {
       .withColumn("bin", floor(col("lkey").cast("double") / RankBinWidth).cast("long"))
     val wOff = Window.partitionBy("lang").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ONE broadcast frame: per-(lang,bin) rank offset, per-lang total,
+    // and the bucket of the bin's first and last rank
     val offsets = keyed.groupBy("lang", "bin").agg(count(lit(1)).as("bin_n"))
       .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
-      .select("lang", "bin", "bin_off")
-    val langN = keyed.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_lang", sum("bin_n").over(Window.partitionBy("lang").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("b_lo", expr("bin_off * 3 div n_lang + 1").cast("long"))
+      .withColumn("b_hi", expr("(bin_off + bin_n - 1) * 3 div n_lang + 1").cast("long"))
+      .select("lang", "bin", "bin_off", "n_lang", "b_lo", "b_hi")
+    val annotated = keyed.join(broadcast(offsets), Seq("lang", "bin"))
+    val uniform = annotated.where(col("b_lo") === col("b_hi"))
+      .withColumn("bucket", col("b_lo"))
     val wLocal = Window.partitionBy("lang", "bin").orderBy(col("lkey"), col("doc_id"))
-    keyed
-      .join(broadcast(offsets), Seq("lang", "bin"))
+    val boundary = annotated.where(col("b_lo") =!= col("b_hi"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))
-      .join(broadcast(langN), Seq("lang"))
       .withColumn("bucket", expr("(rk - 1) * 3 div n_lang + 1").cast("long"))
-      .drop("lkey", "bin", "bin_off", "rk", "n_lang")
+      .drop("rk")
+    uniform.unionByName(boundary)
+      .drop("lkey", "bin", "bin_off", "n_lang", "b_lo", "b_hi")
   }
 
   /** CCNet head/middle/tail terciles per language over the bigram-LM
@@ -134,10 +149,14 @@ object TextSelection {
   private val B = 256
 
   /** (doc_id, lang, f) — one hashed bucket id per bigram occurrence.
-    * Explode + scalar md5/conv stays inside whole-stage codegen; the
-    * tempting array-HOF formulation (transform to a per-doc bucket
-    * array, score via `aggregate`) measured 3× SLOWER because
-    * higher-order functions evaluate interpreted, outside codegen. */
+    * Explode + scalar md5/conv stays inside whole-stage codegen. Used
+    * by the MODEL pass, which genuinely needs the flat occurrence
+    * stream for its feature-keyed aggregate. (The r7 note here — that
+    * the array-HOF formulation measured 3× slower — held for plans
+    * that still SHUFFLED the per-doc arrays; the r8 probe shows that
+    * for pure row-local SCORING the HOF form wins 0.70× by moving zero
+    * rows, interpreted evaluation and all. Both measurements stand:
+    * HOFs lose inside exchange-bearing plans, win in map-only ones.) */
   private def bigramBuckets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
@@ -159,7 +178,11 @@ object TextSelection {
     *
     * Plan: one explode pass → ONE B-bounded aggregate (map-side
     * partial, 256 rows to the driver) → model as a constant-folded
-    * array literal → join-free per-doc sum. Nothing in the plan grows
+    * array literal → join-free per-doc sum via the ROWWISE scorer
+    * (r8: the aggregate-HOF row map scores without exploding, so the
+    * scoring phase moves zero corpus rows — measured 0.70× the
+    * explode+exchange form at sf0.1 despite HOFs evaluating
+    * interpreted; equality is spec-pinned). Nothing in the plan grows
     * with corpus size except the scan. */
   val dsir: GraftQuery = GraftQuery.checked("ns_text_dsir",
     s"""WITH toks AS (
@@ -192,7 +215,7 @@ object TextSelection {
     ORDER BY score_micro DESC, doc_id
     LIMIT 100""") { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    dsirScore(docs, dsirModel(docs))
+    dsirScoreRowwise(docs, dsirModel(docs))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(100)
   }
@@ -235,13 +258,15 @@ object TextSelection {
         sum(element_at(wArr, col("f") + 1)).as("score_micro"))
   }
 
-  /** STREAMING scorer: the same model applied as a STATELESS per-row
-    * map — the per-doc sum is an `aggregate` HOF over the bigram
-    * array, so no grouping state exists and the scorer drops into any
-    * `readStream` unchanged (watermarks, triggers and sinks are the
-    * caller's). HOFs evaluate interpreted (outside codegen) — the
-    * price of statelessness, which batch scoring avoids by exploding;
-    * equality of the two scorers is spec-pinned. */
+  /** STREAMING/registered scorer: the model applied as a STATELESS
+    * per-row map — the per-doc sum is an `aggregate` HOF over the
+    * bigram array, so no grouping state exists and the scorer drops
+    * into any `readStream` unchanged (watermarks, triggers and sinks
+    * are the caller's). HOFs evaluate interpreted (outside codegen),
+    * but moving ZERO rows beats the explode + doc-keyed exchange the
+    * batch form pays: measured 0.70× at sf0.1 (SelectionScaleProbe),
+    * which is why r8 made this the registered `ns_text_dsir` scoring
+    * path too. Equality of the two scorers is spec-pinned. */
   def dsirScoreRowwise(docs: DataFrame, model: Map[Int, Long]): DataFrame = {
     val wArr = modelArray(model)
     docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))

@@ -19,6 +19,17 @@ import graft.sources.Tables
   *     eval slice. Claim: one broadcast-probe map pass over train —
   *     linear in train, state = eval-sized.
   *
+  * Round-8 additions (the r7 verdict's rewrite receipts):
+  *  3. DSIR STREAMING scorer (stateless aggregate-HOF row map) vs the
+  *     batch explode scorer on the same model — the measured
+  *     interpreted-HOF price of statelessness (BASELINE note).
+  *  4. ccnet terciles: two-phase distributed rank vs the banned
+  *     per-lang NTILE window, 1× and 10× — the rank path must
+  *     weak-scale while staying bit-identical (spec'd separately).
+  *  5. hard negatives: bounded TopKAggregator vs the window
+  *     formulation at 10× corpus — the aggregator must not inherit
+  *     the window's Q-partition funnel wall.
+  *
   * Run: `sbt "runMain graft.tools.SelectionScaleProbe"`
   */
 object SelectionScaleProbe {
@@ -73,6 +84,60 @@ object SelectionScaleProbe {
     println(f"[sel] sem-decontam: eval rows $d1 over 1x train ${td1}%.2f s (warm $wd%.2f); " +
       f"10x train -> $d10 rows ${td10}%.2f s = ${td10 / td1}%.2fx wall")
     require(d1 == d10, "eval slice must stay fixed while train grows")
+
+    // --- 3. streaming (rowwise HOF) vs batch (explode) DSIR scoring ----
+    // force the SCORES, not a count: a bare count() on the map-only
+    // rowwise plan lets column pruning delete the md5/HOF work entirely
+    // and times an empty scan
+    def forceScores(df: DataFrame): Long =
+      df.agg(sum(col("score_micro")) + sum(col("n_bigrams"))).collect()(0).getLong(0)
+    val s1 = forceScores(TextSelection.dsirScore(replicated(1), m0)) // warm both paths
+    val (_, tb1) = time(forceScores(TextSelection.dsirScore(replicated(1), m0)))
+    val r1s = forceScores(TextSelection.dsirScoreRowwise(replicated(1), m0))
+    require(r1s == s1, "scorer equivalence (also spec-pinned)")
+    val (_, tr1) = time(forceScores(TextSelection.dsirScoreRowwise(replicated(1), m0)))
+    val (_, tr10) = time(forceScores(TextSelection.dsirScoreRowwise(replicated(10), m0)))
+    println(f"[sel] dsir rowwise: ${tr1}%.2f s vs batch explode ${tb1}%.2f s = " +
+      f"${tr1 / tb1}%.2fx interpreted-HOF price; 10x -> ${tr10}%.2f s = ${tr10 / tr1}%.2fx wall")
+
+    // --- 4. ccnet terciles: two-phase rank vs NTILE window, 1x / 10x ---
+    // replicas keep each doc's lang so per-lang populations grow 10x —
+    // exactly the regime where the lang-only window serializes
+    val perdoc1 = graft.operators.TextOps.perplexityFrame(spark, dir).cache()
+    perdoc1.count()
+    def perdocGrown(k: Int): DataFrame =
+      (0 until k).map(i => perdoc1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_.unionByName(_))
+    def terciles(df: DataFrame) =
+      TextSelection.langTerciles(df).groupBy("lang", "bucket").count().count()
+    def tercilesWin(df: DataFrame) =
+      TextSelection.langTercilesWindow(df).groupBy("lang", "bucket").count().count()
+    val (_, wr) = time(terciles(perdocGrown(1)))
+    val (_, r1) = time(terciles(perdocGrown(1)))
+    val (_, r10) = time(terciles(perdocGrown(10)))
+    val (_, w1) = time(tercilesWin(perdocGrown(1)))
+    val (_, w10) = time(tercilesWin(perdocGrown(10)))
+    println(f"[sel] ccnet rank  : 1x ${r1}%.2f s (warm $wr%.2f), 10x ${r10}%.2f s = ${r10 / r1}%.2fx wall; " +
+      f"NTILE window 1x ${w1}%.2f s, 10x ${w10}%.2f s = ${w10 / w1}%.2fx")
+
+    // --- 5. hard negatives: aggregator vs window at 10x corpus ---------
+    // replicas shift vec_id by multiples of 8 past the query range so
+    // the Q=8 query set stays fixed while the corpus grows
+    def embBig(k: Int): DataFrame = {
+      val qs = emb.where(col("vec_id") < 8)
+      val rest = (0 until k).map(i => emb.where(col("vec_id") >= 8)
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L * 8)))
+        .reduce(_.unionByName(_))
+      qs.unionByName(rest)
+    }
+    val (_, wh) = time(VectorsMining.hardNegativesCore(spark, embBig(1)).count())
+    val (h1, th1) = time(VectorsMining.hardNegativesCore(spark, embBig(1)).count())
+    val (h10, th10) = time(VectorsMining.hardNegativesCore(spark, embBig(10)).count())
+    val (_, thw1) = time(VectorsMining.hardNegativesWindow(embBig(1)).count())
+    val (_, thw10) = time(VectorsMining.hardNegativesWindow(embBig(10)).count())
+    println(f"[sel] hard-neg agg: 1x $h1 rows ${th1}%.2f s (warm $wh%.2f), 10x $h10 rows " +
+      f"${th10}%.2f s = ${th10 / th1}%.2fx wall; window 1x ${thw1}%.2f s, 10x ${thw10}%.2f s = ${thw10 / thw1}%.2fx")
+    require(h1 == h10, "Q and k are fixed: output must stay Q*k-sized as the corpus grows")
 
     spark.stop()
   }
