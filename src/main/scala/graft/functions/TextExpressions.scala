@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native tokenize-and-hash expressions for the dedup hot path.
@@ -116,10 +116,107 @@ case class PositionalShingleHashesExpr(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Aho–Corasick multi-pattern matcher over UTF-8 BYTES (Aho & Corasick
+  * 1975, "Efficient string matching"): one automaton walk per document
+  * finds every occurrence of every pattern simultaneously — O(bytes)
+  * per row regardless of blocklist size, where the naive
+  * contains-per-term scan is O(bytes × terms) and a union-of-regex
+  * alternation backtracks. Byte-level matching is exact for any UTF-8
+  * pattern (a multi-byte code point is just more transitions) and
+  * matches substrings, the C4-badwords semantics.
+  *
+  * The automaton is built once per (driver or executor) from the
+  * pattern set and shared; goto is a dense 256-way table per node —
+  * blocklists are tiny (10²–10⁴ nodes), so dense beats per-node maps
+  * on the hot path. */
+private[graft] final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  private val pats: Array[Array[Byte]] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  // trie construction
+  private val goto_ = mutable.ArrayBuffer(Array.fill(256)(-1)) // node 0 = root
+  private val out = mutable.ArrayBuffer(List.empty[Int])       // pattern ids ending here
+  pats.zipWithIndex.foreach { case (p, id) =>
+    var s = 0
+    p.foreach { b =>
+      val c = b & 0xff
+      if (goto_(s)(c) == -1) {
+        goto_ += Array.fill(256)(-1)
+        out += Nil
+        goto_(s)(c) = goto_.size - 1
+      }
+      s = goto_(s)(c)
+    }
+    out(s) ::= id
+  }
+  // BFS failure links; merge output sets along them
+  private val fail = new Array[Int](goto_.size)
+  locally {
+    val q = mutable.Queue.empty[Int]
+    (0 until 256).foreach { c =>
+      val s = goto_(0)(c)
+      if (s == -1) goto_(0)(c) = 0 else { fail(s) = 0; q += s }
+    }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      (0 until 256).foreach { c =>
+        val v = goto_(u)(c)
+        if (v == -1) goto_(u)(c) = goto_(fail(u))(c)
+        else {
+          fail(v) = goto_(fail(u))(c)
+          out(v) = out(v) ++ out(fail(v))
+          q += v
+        }
+      }
+    }
+  }
+  private val gotoFlat = goto_.toArray
+  private val outFlat = out.map(_.toArray).toArray
+
+  /** Distinct matched pattern IDS (ascending) in one byte walk. */
+  def matchIds(bytes: Array[Byte]): Array[Int] = {
+    var s = 0
+    var hits = 0L // blocklists in the expression are capped at 64 — a bitmask suffices
+    var i = 0
+    while (i < bytes.length) {
+      s = gotoFlat(s)(bytes(i) & 0xff)
+      val o = outFlat(s)
+      var j = 0
+      while (j < o.length) { hits |= 1L << o(j); j += 1 }
+      i += 1
+    }
+    val res = mutable.ArrayBuffer.empty[Int]
+    var id = 0
+    while (id < pats.length) { if ((hits & (1L << id)) != 0) res += id; id += 1 }
+    res.toArray
+  }
+}
+
+/** Distinct blocklist terms occurring in a text column, as a sorted
+  * ARRAY<STRING> — terms are matched as UTF-8 byte substrings via one
+  * Aho–Corasick walk. ≤64 terms (bitmask accumulator); callers with
+  * larger lists shard into several expressions. */
+case class BlocklistMatchesExpr(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(terms.nonEmpty && terms.size <= 64, s"1..64 terms, got ${terms.size}")
+  require(terms == terms.sorted && terms.distinct == terms,
+    "terms must be sorted and distinct so emitted arrays are canonical")
+  @transient private lazy val ac = new AhoCorasick(terms.toArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val ids = ac.matchIds(v.asInstanceOf[UTF8String].getBytes)
+    new GenericArrayData(ids.map(i => UTF8String.fromString(terms(i)): Any))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def tokenHashes(c: Column): Column = ColumnShim.column(TokenHashesExpr(ColumnShim.expression(c)))
   def shingleHashes(c: Column, w: Int): Column =
     ColumnShim.column(ShingleHashesExpr(ColumnShim.expression(c), w))
   def positionalShingleHashes(c: Column, w: Int): Column =
     ColumnShim.column(PositionalShingleHashesExpr(ColumnShim.expression(c), w))
+  /** Sorted distinct blocklist terms found in `c` (substring matches,
+    * one Aho–Corasick byte walk). `terms` must be sorted+distinct. */
+  def blocklistMatches(c: Column, terms: Seq[String]): Column =
+    ColumnShim.column(BlocklistMatchesExpr(ColumnShim.expression(c), terms))
 }

@@ -346,5 +346,55 @@ object TextBpe {
       }.toDF("word", "seq", "freq")
     }
 
-  val all: Seq[GraftQuery] = Seq(bpe, bpeTokens)
+  /** Tokenizer FERTILITY per language under the trained merges:
+    * subwords-per-word and chars-per-subword — the standard
+    * multilingual tokenizer-quality metrics (high fertility on a
+    * language means the vocabulary under-serves it: more tokens per
+    * word, shorter effective context, higher training cost per byte —
+    * the measurement behind every "vocabulary allocation" decision in
+    * multilingual LM work, e.g. Rust et al. 2021).
+    *
+    * Scale shape: the corpus tokens join the SEGMENTATION DICTIONARY
+    * (the [[segmented]] frame — vocabulary-sized, broadcast), then one
+    * lang-keyed aggregate of map-side partials. This is precisely the
+    * production tokenize-by-dictionary join, so the metric pass costs
+    * one corpus scan at any scale; counts are exact BIGINTs, ratios
+    * rounded via the shared dround contract. */
+  val bpeFertility: GraftQuery = checked("ns_text_bpe_fertility",
+    oracleCtes(NumMerges) + s""",
+    dict AS (SELECT array_to_string(seq, '') AS word, len(seq) AS n_sub FROM v$NumMerges),
+    langwords AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents),
+    agg AS (
+      SELECT lw.lang AS lang,
+             COUNT(*) AS n_words,
+             SUM(d.n_sub) AS n_subwords,
+             SUM(length(lw.word)) AS n_chars
+      FROM langwords lw JOIN dict d USING (word)
+      GROUP BY 1)
+    SELECT lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_subwords AS BIGINT) AS n_subwords,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(n_subwords * 1.0 / n_words, 4) AS fertility,
+           ROUND(n_chars * 1.0 / n_subwords, 4) AS chars_per_subword
+    FROM agg ORDER BY lang""") { (spark, dir) =>
+    val dict = segmented(spark, dir)
+      .select(col("word"), size(col("seq")).cast("long").as("n_sub"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextOps.tokensNonEmpty(lower(col("text")))).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+        graft.functions.dround(col("n_subwords") / col("n_words"), 4).as("fertility"),
+        graft.functions.dround(col("n_chars") / col("n_subwords"), 4).as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[GraftQuery] = Seq(bpe, bpeTokens, bpeFertility)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+import graft.operators.{TextBpe, TextSafety}
+
+/** Semantic pins for the r8 safety-filtering / tokenizer-metric
+  * operators beyond their oracle hash-match. */
+class TextSafetySpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val dir = SparkSuite.sfDir
+  import spark.implicits._
+
+  private def matchesOf(terms: Seq[String], texts: Seq[String]): Seq[List[String]] =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .orderBy("id")
+      .select(TextExpressions.blocklistMatches(col("text"), terms).as("m"))
+      .collect().map(_.getSeq[String](0).toList).toSeq
+
+  test("Aho-Corasick walk == naive per-term contains, including fail-link cases") {
+    // "babc" shares its prefix path with nothing, but matching it must
+    // ALSO surface "ab" and "bc" via failure links — a trie without
+    // fail links silently misses interior matches
+    val terms = Seq("ab", "babc", "bc").sorted
+    val texts = Seq(
+      "xbabcx",          // all three, two only via fail links
+      "ab",              // exact == pattern
+      "bcbcbc",          // repeated: distinct-once
+      "",                // empty text
+      "zzz",             // no match
+      "ba bc",           // phrase boundary: "bc" yes, "babc" no
+      "ababab")          // overlapping self-runs
+    val fast = matchesOf(terms, texts)
+    val ref = texts.map(t => terms.filter(t.contains).toList)
+    assert(fast == ref)
+  }
+
+  test("multi-byte UTF-8 patterns match as byte substrings") {
+    val terms = Seq("héllo", "llo", "wör").sorted
+    val texts = Seq("héllo wörld", "hello world", "xöllo", "ll" + "o")
+    val fast = matchesOf(terms, texts)
+    val ref = texts.map(t => terms.filter(t.contains).toList)
+    assert(fast == ref)
+  }
+
+  test("corpus run is non-degenerate and exercises the prefix-sharing pair") {
+    val rows = TextSafety.blocklist.run(spark, dir).collect()
+    assert(rows.nonEmpty, "blocklist must flag documents on the test corpus")
+    // "value table" can only match where "value" also matches —
+    // substring semantics, and the automaton must emit BOTH
+    val csvs = rows.map(_.getString(2))
+    val withPhrase = csvs.filter(_.contains("value table"))
+    assert(withPhrase.nonEmpty, "the two-word phrase must match somewhere")
+    withPhrase.foreach(c => assert(c.split(",").contains("value"),
+      s"phrase match without its prefix term: $c"))
+  }
+
+  test("blocklist plan: pure map + filter — no join, no window, no aggregate before the final order") {
+    val p = TextSafety.blocklist.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"blocklist scan must not join:\n$p")
+    assert(!p.contains("Window"), s"blocklist scan must not window:\n$p")
+    assert(!p.contains("HashAggregate"), s"blocklist scan must not aggregate:\n$p")
+  }
+
+  test("bpe fertility: ratios bounded below by 1 and language totals cover the corpus token count") {
+    val rows = TextBpe.bpeFertility.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0, s"${r.getString(0)}: a word is at least one subword")
+      assert(r.getDouble(5) >= 1.0, s"${r.getString(0)}: a subword is at least one char")
+      assert(r.getLong(2) <= r.getLong(3), "subwords cannot outnumber chars")
+    }
+    val totalWords = rows.map(_.getLong(1)).sum
+    val corpusTokens = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.operators.TextOps.tokensNonEmpty(lower(col("text")))))
+      .count()
+    assert(totalWords == corpusTokens,
+      s"fertility word total $totalWords != corpus tokens $corpusTokens (dictionary join dropped words)")
+  }
+}
