@@ -167,7 +167,12 @@ final class GraftService(
           // idempotency key: the poll-sized id set probes the log with
           // a pushed-down isin filter (the reference's per-event Mongo
           // lookup regime).
+          // distinctBy first: SQS-style redelivery can land the same
+          // event_id TWICE IN ONE POLL, which the log probe alone
+          // cannot catch (neither copy is persisted yet)
+          val batchIds = scala.collection.mutable.Set.empty[Long]
           val events = parsed.events.collect().toSeq
+            .filter(e => batchIds.add(e.event_id)) // keep FIRST copy, preserve arrival order
           val fresh =
             if (events.isEmpty) events
             else {
@@ -366,20 +371,30 @@ final class GraftService(
     * Defs whose engine_args carry no `graft-query` command keep the
     * pre-r8 no-op marker closure, so the orchestration plane stays
     * fully observable for opaque payloads. */
-  private[graft] def dataPlaneJob(d: Option[PipelineDef], sub: Submission): EngineJob =
-    GraftService.parseQueryCommand(d.map(_.engine_args).getOrElse("")) match {
-      case Some((query, inputDir, outputDir)) =>
-        EngineJob.SparkClosure { s =>
-          try {
-            val run = graft.SparkEntry.queries.getOrElse(query,
-              throw new IllegalArgumentException(s"unknown graft query: $query"))
-            run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
-            callback(sub, "success")
-          } catch {
-            case e: Throwable => callback(sub, "failure"); throw e
-          }
+  private[graft] def dataPlaneJob(d: Option[PipelineDef], sub: Submission): EngineJob = {
+    val engineArgs = d.map(_.engine_args).getOrElse("")
+    // cheap head probe decides no-op vs data-plane; the STRICT parse
+    // (arity validation) runs INSIDE the closure, so a malformed
+    // graft-query def fails its run (failure callback → P3 retry gate)
+    // instead of either no-op'ing to success or throwing at submit
+    // time, where submitAll's per-run isolation would log-and-drop the
+    // run with no status at all (r8 review)
+    val isQuery = graft.orchestration.ProcessEngine
+      .commandFromEngineArgs(engineArgs, defaultCommand = Nil)
+      .argv.headOption.contains("graft-query")
+    if (!isQuery) EngineJob.SparkClosure(_ => ())
+    else
+      EngineJob.SparkClosure { s =>
+        try {
+          val (query, inputDir, outputDir) = GraftService.parseQueryCommand(engineArgs).get
+          val run = graft.SparkEntry.queries.getOrElse(query,
+            throw new IllegalArgumentException(s"unknown graft query: $query"))
+          run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
+          callback(sub, "success")
+        } catch {
+          case e: Throwable => callback(sub, "failure"); throw e
         }
-      case None => EngineJob.SparkClosure(_ => ())
+      }
     }
 
   /** The run's self-callback: ONE lifecycle event through the same
@@ -463,6 +478,12 @@ object GraftService {
     graft.orchestration.ProcessEngine
       .commandFromEngineArgs(engineArgs, defaultCommand = Nil).argv match {
       case Seq("graft-query", q, in, out) => Some((q, in, out))
+      case bad if bad.headOption.contains("graft-query") =>
+        // an explicitly-declared graft-query def with the wrong arity
+        // must FAIL its run (caught by the closure → failure callback →
+        // P3 retry gate), never silently degrade to a no-op success
+        throw new IllegalArgumentException(
+          s"graft-query expects [query, inputDir, outputDir], got ${bad.tail}")
       case _ => None
     }
 

@@ -479,6 +479,26 @@ class GraftServiceSpec extends AnyFunSuite {
     } finally service.shutdown()
   }
 
+  test("data plane: a malformed graft-query command (wrong arity) fails the run — never a silent no-op success") {
+    import org.apache.spark.sql.functions.col
+    val service = newDataPlaneService()
+    try {
+      val base = s"http://127.0.0.1:${service.start(0).getPort}"
+      val engineArgs =
+        """{"pipeline_command":["graft-query"],"pipeline_args":["ns_text_quality_filter"]}"""
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("short-args", engineArgs)).statusCode() == 200)
+      assert(call(base, "POST",
+        "/pipeline/dispatcher/run_by_pipeline_uuid?pipeline_uuid=short-args")
+        .statusCode() == 200)
+      poll("failure callback for the malformed command") {
+        service.facade.eventLog.get()
+          .where(col("pipeline_uuid") === "short-args" &&
+            col("event_subtype") === "failure").count() == 1
+      }
+    } finally service.shutdown()
+  }
+
   test("MQ at-least-once: a redelivered event_id is a no-op (no duplicate history, no re-dispatch) (r7 advice)") {
     import org.apache.spark.sql.functions.col
     val broker = new MQBroker
