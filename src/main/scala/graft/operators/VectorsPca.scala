@@ -156,5 +156,154 @@ object VectorsPca {
     (lambda, v)
   }
 
-  val all: Seq[GraftQuery] = Seq(gram)
+  /** Power-iteration count for [[pcaProject]] — interpolated into BOTH
+    * the driver loop and the oracle's unrolled CTE chain (the
+    * BPE/pageRank shared-constant convention). Exactness does NOT
+    * depend on convergence: both engines run the identical K integer
+    * iterations, so outputs match bit-for-bit at any K; K=16 is enough
+    * for the spec's Rayleigh-quotient check to sit within 1% of the
+    * double-precision [[topEigen]]. */
+  private[graft] val PowerIters = 24
+
+  /** v-vector quantization: components live in [−1e6, 1e6]. */
+  private val VScale = 1000000L
+
+  /** Covariance-matrix quantization for the integer eigensolve: the
+    * integer-rounded micro-unit covariance is SELF-SCALED by its own
+    * max-abs entry to [−1e5, 1e5] (eigenvectors are scale-invariant;
+    * the div is non-negative integer division, order-free). This gives
+    * UNIVERSAL overflow headroom independent of the data:
+    * |w| ≤ d·CScale·VScale = 6.4e12 and the normalize multiply peaks
+    * at 6.4e18 < 2⁶³ for ANY corpus — the unscaled micro-unit matrix
+    * (entries up to ~1e8 for unit-norm data) would overflow the
+    * normalize multiply, silently in JVM longs and loudly in DuckDB
+    * (caught in r8 calibration: the overflow stalled the Rayleigh
+    * quotient at 0.62·λ; self-scaled it reaches 0.987·λ by K=24). */
+  private[graft] val CScale = 100000L
+
+  /** The integer power-iteration step shared by the Spark driver loop
+    * and (textually) the oracle CTEs: w = C·v over BIGINTs, then
+    * ∞-NORM normalization via non-negative integer division —
+    * `sign(w)·((|w|·1e6) div max|w|)`. Why ∞-norm: an L2 normalize
+    * needs a sqrt and double sums (order-sensitive); max|w| is
+    * order-free and keeps every intermediate an EXACT integer, so the
+    * iteration is bit-identical on any engine and any partitioning.
+    * (Sign is handled explicitly because trunc-div (Spark/Scala) and
+    * floor-div (DuckDB `//`) disagree on negatives; on non-negative
+    * operands they agree.) Bounds: |c| ≤ [[CScale]] = 1e5 by
+    * construction (self-scaled matrix), so |w| ≤ 64·1e5·1e6 = 6.4e12
+    * and the normalize multiply peaks at 6.4e18 < 2⁶³ — for any
+    * corpus. */
+  private[graft] def powerStep(covMicro: Array[Array[Long]], v: Array[Long]): Array[Long] = {
+    val d = covMicro.length
+    val w = Array.tabulate(d) { i =>
+      var s = 0L; var j = 0
+      while (j < d) { s += covMicro(i)(j) * v(j); j += 1 }
+      s
+    }
+    val m = w.map(math.abs).max
+    require(m > 0, "power iteration collapsed: zero covariance matrix")
+    w.map(wi => if (wi < 0) -((-wi) * VScale / m) else wi * VScale / m)
+  }
+
+  /** PCA PROJECTION — the step [[gram]]'s doc promised: learn the
+    * corpus's principal axis and project every embedding onto it (the
+    * 1-D case of PCA compression / whitening; per-label projection
+    * stats are the classic "does the leading axis separate my
+    * labels?" diagnostic). ORACLE-EXACT despite being an iterative
+    * eigensolve: the micro-unit covariance rounds to integers and
+    * self-scales to [[CScale]] (both steps exact and order-free), the
+    * [[PowerIters]] power iterations run in pure BIGINT
+    * arithmetic with ∞-norm normalization ([[powerStep]]), and the
+    * projection Σ qᵢ·vᵢ is a BIGINT dot of quantized components —
+    * every emitted number is an exact integer both engines compute
+    * identically (the k-means/BPE iterative-oracle family, extended
+    * to spectral methods).
+    *
+    * Scale shape: the gram pass is the one corpus scan (model-sized
+    * aggregate, [[gramAggCore]]); the eigensolve is driver-side d×d
+    * integer math; the projection is a second corpus scan with v as a
+    * constant-folded literal — map-side partial aggregation by label,
+    * zero joins, zero corpus shuffle (the DSIR scoring shape). */
+  val pcaProject: GraftQuery = checked("ns_vec_pca_project", {
+    val base = s"""WITH q AS MATERIALIZED (
+      SELECT vec_id, label, i, CAST(FLOOR(CAST(e AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS qq
+      FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    sums AS (SELECT i, CAST(SUM(qq) AS BIGINT) AS s FROM q GROUP BY i),
+    gram AS (
+      SELECT a.i AS dim_i, b.i AS dim_j, CAST(SUM(a.qq * b.qq) AS BIGINT) AS s_ij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2),
+    covi AS (
+      SELECT g.dim_i, g.dim_j,
+             CAST(ROUND(ROUND((CAST(g.s_ij AS DOUBLE) - CAST(sa.s AS DOUBLE) * sb.s / n.n)
+                              / (n.n - 1), 4)) AS BIGINT) AS ci
+      FROM gram g
+      JOIN sums sa ON sa.i = g.dim_i
+      JOIN sums sb ON sb.i = g.dim_j
+      CROSS JOIN n),
+    cm AS (SELECT MAX(ABS(ci)) AS m FROM covi),
+    cov AS (
+      SELECT dim_i, dim_j,
+             CAST(CASE WHEN ci < 0 THEN -(((-ci) * $CScale) // m)
+                       ELSE (ci * $CScale) // m END AS BIGINT) AS c
+      FROM covi CROSS JOIN cm),
+    covf AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j, c FROM cov
+      UNION ALL
+      SELECT dim_j, dim_i, c FROM cov WHERE dim_i <> dim_j),
+    v0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($VScale AS BIGINT) AS v
+           FROM range(1, ${Dim + 1}) t(i))"""
+    val iters = (1 to PowerIters).map { t =>
+      s""",
+    w$t AS MATERIALIZED (SELECT covf.i AS i, CAST(SUM(covf.c * v${t - 1}.v) AS BIGINT) AS w
+            FROM covf JOIN v${t - 1} ON v${t - 1}.i = covf.j GROUP BY 1),
+    m$t AS (SELECT MAX(ABS(w)) AS m FROM w$t),
+    v$t AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -(((-w) * $VScale) // m)
+                                ELSE (w * $VScale) // m END AS BIGINT) AS v
+            FROM w$t CROSS JOIN m$t)"""
+    }.mkString
+    base + iters + s""",
+    pr AS (SELECT q.vec_id, q.label, CAST(SUM(q.qq * vf.v) AS BIGINT) AS proj
+           FROM q JOIN v$PowerIters vf ON vf.i = q.i
+           GROUP BY 1, 2)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(proj) AS proj_min,
+           MAX(proj) AS proj_max,
+           CAST(SUM(proj) AS BIGINT) AS proj_sum
+    FROM pr GROUP BY label ORDER BY label"""
+  }) { (spark, dir) =>
+    val covRows = gram.run(spark, dir)
+      .select(col("dim_i"), col("dim_j"), round(col("cov")).cast("long").as("ci"))
+      .collect()
+    val covI = Array.ofDim[Long](Dim, Dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getLong(2))
+      covI(i)(j) = c; covI(j)(i) = c
+    }
+    val cmax = covI.flatten.map(math.abs).max
+    require(cmax > 0, "zero covariance matrix")
+    val covM = covI.map(_.map(ci =>
+      if (ci < 0) -((-ci) * CScale / cmax) else ci * CScale / cmax))
+    var v = Array.fill(Dim)(VScale)
+    for (_ <- 1 to PowerIters) v = powerStep(covM, v)
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        aggregate(
+          zip_with(
+            expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $Scale + 0.5d) as bigint))"),
+            vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("proj").as("proj_min"),
+        max("proj").as("proj_max"), sum("proj").as("proj_sum"))
+      .orderBy("label")
+  }
+
+  val all: Seq[GraftQuery] = Seq(gram, pcaProject)
 }

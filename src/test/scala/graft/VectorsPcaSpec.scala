@@ -39,4 +39,43 @@ class VectorsPcaSpec extends AnyFunSuite {
     assert(lambda >= maxVar - 1e-9,
       s"λ = $lambda below max diagonal variance $maxVar — not the top eigenpair")
   }
+
+  test("integer power iteration (ns_vec_pca_project's axis) reaches the top of the spectrum") {
+    // This corpus's covariance is NEAR-DEGENERATE at the top (random
+    // unit vectors: λ1/λ2 ≈ 1.013), so "the" top eigenvector is
+    // ill-conditioned and axis alignment is not a meaningful claim —
+    // the Rayleigh quotient is: every vector in the near-top subspace
+    // scores ≈ λ, and K=24 integer iterations measured 0.987·λ in
+    // calibration. Gate at 0.97·λ.
+    val d = cov.length
+    // replay the operator's exact integer loop: round to micro-units,
+    // self-scale to CScale, iterate
+    val covI = Array.tabulate(d, d)((i, j) => math.round(cov(i)(j)))
+    val cmax = covI.flatten.map(math.abs).max
+    val covM = covI.map(_.map(ci =>
+      if (ci < 0) -((-ci) * 100000L / cmax) else ci * 100000L / cmax))
+    var vi = Array.fill(d)(1000000L)
+    for (_ <- 1 to VectorsPca.PowerIters) vi = VectorsPca.powerStep(covM, vi)
+    val v = {
+      val dv = vi.map(_.toDouble)
+      val n = math.sqrt(dv.map(x => x * x).sum)
+      dv.map(_ / n)
+    }
+    val (lambda, _) = VectorsPca.topEigen(cov)
+    val rq = (0 until d).map(i => (0 until d).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+    assert(rq > 0.97 * lambda, s"Rayleigh $rq below 0.97·λ ($lambda)")
+  }
+
+  test("pca projection stats: per-label totals cover the corpus and bounds order correctly") {
+    val rows = VectorsPca.pcaProject.run(spark, SparkSuite.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "proj_min <= proj_max")
+      assert(r.getLong(4) >= r.getLong(1) * r.getLong(2) &&
+        r.getLong(4) <= r.getLong(1) * r.getLong(3), "sum inside n*[min, max]")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val nVec = graft.sources.Tables.embeddings(spark, SparkSuite.sfDir).count()
+    assert(total == nVec, s"label groups must cover all $nVec vectors, got $total")
+  }
 }
