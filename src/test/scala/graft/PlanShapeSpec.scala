@@ -411,6 +411,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-100 selection must be bounded, not a full sort:\n$p")
   }
 
+  test("ns_vec_pca_project: projection is a map with the axis as a literal — no join, one label-keyed exchange") {
+    // the eigensolve happens at plan-construction time (driver-side
+    // integer math over the collected d×d gram — model-sized); the
+    // RETURNED plan must be scan → HOF-dot projection → partial-agg'd
+    // label aggregate, nothing else
+    val p = plan(graft.operators.VectorsPca.pcaProject.run(spark, dir))
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"projection must not window:\n$p")
+    // exchange #1: label-keyed partial aggregate; exchange #2: range
+    // partitioning for the final ORDER BY over the label-sized result
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"only the label agg + final order may exchange:\n$p")
+    assert(p.contains("partial_sum"), s"label sums must partial-aggregate map-side:\n$p")
+  }
+
   test("ns_vec_decontam_semantic: eval set broadcasts; argmax is a partial-aggregated max-of-struct, not a window") {
     // the corpus side must stream once: broadcast-probe the (small)
     // eval set, reduce map-side to one row per (task, eval_id); a
