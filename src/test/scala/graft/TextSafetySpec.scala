@@ -64,6 +64,28 @@ class TextSafetySpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"blocklist scan must not aggregate:\n$p")
   }
 
+  test("blocklist is stateless: the same expression streams, replay == batch flag set") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val srcDir = SparkSuite.tempDir("blocklist-src")
+    docs.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(srcDir)
+    val q = stream
+      .select(col("doc_id"),
+        TextExpressions.blocklistMatches(col("text"), graft.operators.TextSafety.Terms).as("m"))
+      .where(size(col("m")) > 0)
+      .select(col("doc_id"), array_join(col("m"), ",").as("terms_csv"))
+      .writeStream.format("memory").queryName("blk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming blocklist did not finish")
+    q.stop()
+    val streamed = spark.table("blk_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = TextSafety.blocklist.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("bpe fertility: ratios bounded below by 1 and language totals cover the corpus token count") {
     val rows = TextBpe.bpeFertility.run(spark, dir).collect()
     assert(rows.nonEmpty)
