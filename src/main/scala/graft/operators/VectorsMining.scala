@@ -147,5 +147,111 @@ object VectorsMining {
       .orderBy("eval_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(hardNegatives, semanticDecontam)
+  /** MARGIN-BASED PAIR MINING — the bitext-mining criterion of
+    * Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings", the LASER/CCMatrix recipe):
+    * raw cosine over-pairs "hub" vectors that are close to everything,
+    * so each candidate pair (x, y) is scored by its cosine RELATIVE to
+    * the two endpoints' average k-NN cosines —
+    * margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2) — and only
+    * ratios above 1 are mined. Sides here are the corpus's parity
+    * halves (even vec_id = "source", odd = "target"); queries are the
+    * bounded even slice < 32 (the repo's top-k query convention; at
+    * 100 TB the query side streams through the same plan and avgₖ(y)
+    * is unchanged since it is computed ROW-LOCALLY).
+    *
+    * Exact-integer contract: cosines quantize to micro units
+    * (`round(dround(cos, 4)·1e4)`), the k-NN sums are BIGINT sums of 4
+    * integers (order-free), and the margin is
+    * `floor(cosm·8/(sx4+sy4)·1e6)` — one deterministic IEEE division
+    * of exact integers, so both engines emit identical BIGINTs.
+    *
+    * Scale shape: the query matrix ships as Q literal vectors; each
+    * target row computes its Q cosines AND its own top-4 sum in one
+    * map (zero shuffle for avgₖ(y) — the corpus side never groups);
+    * avgₖ(x) reduces through the bounded [[graft.functions.TopKAggregator]]
+    * (Q groups, O(k) state); the final top-1-per-query rides the same
+    * aggregator. No corpus-keyed exchange anywhere. */
+  val marginPairs: GraftQuery = GraftQuery.checked("ns_vec_margin_pairs",
+    """WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 2 = 0 AND vec_id < 32),
+    b AS (SELECT vec_id AS yid, embedding AS ye FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT q.qid, b.yid,
+             CAST(ROUND(ROUND(list_sum(list_transform(list_zip(q.qe, b.ye),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) * 10000) AS BIGINT) AS cosm
+      FROM q CROSS JOIN b),
+    sx AS (SELECT qid, CAST(SUM(cosm) AS BIGINT) AS sx4 FROM (
+             SELECT qid, cosm,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosm DESC, yid) AS rn
+             FROM pairs) WHERE rn <= 4 GROUP BY qid),
+    sy AS (SELECT yid, CAST(SUM(cosm) AS BIGINT) AS sy4 FROM (
+             SELECT yid, cosm,
+                    ROW_NUMBER() OVER (PARTITION BY yid ORDER BY cosm DESC, qid) AS rn
+             FROM pairs) WHERE rn <= 4 GROUP BY yid),
+    m AS (SELECT p.qid, p.yid, p.cosm,
+                 CAST(FLOOR(CAST(p.cosm * 8 AS DOUBLE) / (sx.sx4 + sy.sy4) * 1000000) AS BIGINT)
+                   AS margin_micro
+          FROM pairs p JOIN sx USING (qid) JOIN sy USING (yid)
+          WHERE sx.sx4 + sy.sy4 > 0),
+    best AS (SELECT qid, yid, cosm, margin_micro,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY margin_micro DESC, yid) AS rn
+             FROM m)
+    SELECT qid AS query_id, yid AS pair_id, cosm AS cos_micro, margin_micro
+    FROM best WHERE rn = 1 AND margin_micro > 1000000
+    ORDER BY query_id""") { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val emb = Tables.embeddings(spark, dir)
+    val qRows = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 32)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+    val qIds = qRows.map(_.getLong(0))
+    val qIdArr = array(qIds.map(lit).toIndexedSeq: _*)
+    // per-target-row cosines vs EVERY query (native codegen'd dots
+    // against literal query vectors), as micro-unit BIGINTs
+    val cosCols = qRows.map { r =>
+      val qv = array(r.getSeq[Float](1).map(lit).toIndexedSeq: _*)
+      round(dround(Vectors.dot(qv, col("embedding")), 4) * 10000).cast("long")
+    }
+    val targets = emb.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("yid"), array(cosCols.toIndexedSeq: _*).as("cm"))
+      // avg-k(y) sum, ROW-LOCALLY: top-4 of this row's own Q cosines
+      .withColumn("sy4", expr("aggregate(slice(array_sort(cm, (a, b) -> case when a > b then -1 when a < b then 1 else 0 end), 1, 4), 0L, (acc, x) -> acc + x)"))
+    val pairs = targets
+      .select(col("yid"), col("sy4"), posexplode(col("cm")).as(Seq("pos", "cosm")))
+      .select(element_at(qIdArr, col("pos") + 1).as("qid"),
+        col("yid"), col("cosm"), col("sy4"))
+    // avg-k(x) sum via the bounded aggregator (Q groups, O(4) state)
+    val topk4 = new TopKAggregator(4).toColumn
+    val sx = pairs.select(col("qid"), col("yid"), col("cosm"))
+      .as[(Long, Long, Long)]
+      .map { case (q, y, c) => (q, ScoredId(y, c.toDouble)) }
+      .groupByKey(_._1).mapValues(_._2).agg(topk4.name("topk"))
+      .map { case (q, tk) => (q, tk.map(_.score.toLong).sum) }
+      .toDF("qid", "sx4")
+    val margins = pairs.join(broadcast(sx), Seq("qid"))
+      .where(col("sx4") + col("sy4") > 0)
+      .select(col("qid"), col("yid"), col("cosm"),
+        floor((col("cosm") * 8).cast("double") / (col("sx4") + col("sy4")) * 1000000)
+          .cast("long").as("margin_micro"))
+    // top-1 per query by (margin DESC, yid) through the same aggregator
+    val top1 = new TopKAggregator(1).toColumn
+    val best = margins.as[(Long, Long, Long, Long)]
+      .map { case (q, y, _, mm) => (q, ScoredId(y, mm.toDouble)) }
+      .groupByKey(_._1).mapValues(_._2).agg(top1.name("top1"))
+      .flatMap { case (q, tk) => tk.headOption.map(s => (q, s.id)) }
+      .toDF("query_id", "pair_id")
+    // winners join back against the pair stream for their cosine —
+    // broadcast the Q-sized winner set, never the corpus-sized stream
+    margins
+      .select(col("qid").as("query_id"), col("yid").as("pair_id"),
+        col("cosm").as("cos_micro"), col("margin_micro"))
+      .join(broadcast(best), Seq("query_id", "pair_id"))
+      .where(col("margin_micro") > 1000000L)
+      .select("query_id", "pair_id", "cos_micro", "margin_micro")
+      .orderBy("query_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(hardNegatives, semanticDecontam, marginPairs)
 }

@@ -411,6 +411,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-100 selection must be bounded, not a full sort:\n$p")
   }
 
+  test("ns_vec_margin_pairs: corpus never windows or SMJs — row-local avg-k(y), bounded aggregators, broadcast winner join") {
+    val p = plan(graft.operators.VectorsMining.marginPairs.run(spark, dir))
+    assert(!p.contains("windowspecdefinition"),
+      s"margins must never rank through a window (Q-partition funnel):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never SMJ:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"avg-k(x)/top-1 must ride the bounded aggregator:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"winner set must broadcast:\n$p")
+  }
+
   test("ns_vec_pca_project: projection is a map with the axis as a literal — no join, one label-keyed exchange") {
     // the eigensolve happens at plan-construction time (driver-side
     // integer math over the collected d×d gram — model-sized); the

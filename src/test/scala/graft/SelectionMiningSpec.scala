@@ -117,6 +117,37 @@ class SelectionMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("margin pairs: sides respected, margins exceed 1, and the winner maximizes margin (replayed)") {
+    val emb = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosm(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      // the operator's exact path: dround(s,4)·1e4 rounded — dround is
+      // round(s·1e4, 0)/1e4, i.e. scale-0 HALF_UP on the scaled binary
+      java.math.BigDecimal.valueOf(s * 10000).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val qs = emb.keys.filter(id => id % 2 == 0 && id < 32).toSeq.sorted
+    val ys = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    val cm = qs.map(q => q -> ys.map(y => y -> cosm(emb(q), emb(y))).toMap).toMap
+    val sx = qs.map(q => q -> cm(q).toSeq.sortBy { case (y, c) => (-c, y) }.take(4).map(_._2).sum).toMap
+    val sy = ys.map(y => y -> qs.map(q => cm(q)(y)).sorted(Ordering[Long].reverse).take(4).sum).toMap
+    def margin(q: Long, y: Long): Long =
+      math.floor(cm(q)(y) * 8.0 / (sx(q) + sy(y)) * 1000000).toLong
+    val rows = VectorsMining.marginPairs.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, y, c, mm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(q % 2 == 0 && q < 32 && y % 2 == 1, "sides: even query, odd pair")
+      assert(mm > 1000000L, "only ratio-margin > 1 is mined")
+      assert(c == cm(q)(y), "winner's cosine must match the replay")
+      assert(mm == margin(q, y), "winner's margin must match the replay")
+      val bestY = ys.map(yy => (margin(q, yy), yy)).max(Ordering.by((t: (Long, Long)) => (t._1, -t._2)))
+      assert((bestY._1, bestY._2) == ((mm, y)), s"winner for $q must maximize margin: $bestY vs ($mm, $y)")
+    }
+  }
+
   test("semantic decontam: eval slice probed against train only, one row per eval vector") {
     val rows = VectorsMining.semanticDecontam.run(spark, dir).collect()
     val nEval = Tables.embeddings(spark, dir).where(col("vec_id") % 10 === 7).count()
