@@ -139,6 +139,23 @@ object SelectionScaleProbe {
       f"${th10}%.2f s = ${th10 / th1}%.2fx wall; window 1x ${thw1}%.2f s, 10x ${thw10}%.2f s = ${thw10 / thw1}%.2fx")
     require(h1 == h10, "Q and k are fixed: output must stay Q*k-sized as the corpus grows")
 
+    // --- 6. margin pairs: target side 10x, queries fixed ---------------
+    // embBig keeps ids < 8 fixed and shifts replicas by multiples of 8;
+    // even/odd parity is preserved by the 8-multiple shift, so the
+    // Q=16 even-id query slice stays fixed while odd targets grow 10x.
+    // Write the grown frame out and probe the REGISTERED operator
+    // (whose query collect reads vec_id < 32 — unchanged under growth).
+    val mDir = java.nio.file.Files.createTempDirectory("margin-probe").toString
+    def marginAt(k: Int): (Long, Double) = {
+      embGrown(k) // reuse decontam's 10-multiple shift: parity preserved
+        .write.mode("overwrite").parquet(s"$mDir/k$k/embeddings.parquet")
+      time(VectorsMining.marginPairs.run(spark, s"$mDir/k$k").count())
+    }
+    val (m1, tm1) = marginAt(1)
+    val (m10, tm10) = marginAt(10)
+    println(f"[sel] margin pairs: 1x $m1 rows ${tm1}%.2f s, 10x targets -> $m10 rows " +
+      f"${tm10}%.2f s = ${tm10 / tm1}%.2fx wall (row-local avg-k, bounded aggs)")
+
     spark.stop()
   }
 }
