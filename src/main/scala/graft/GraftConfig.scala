@@ -25,6 +25,13 @@ final case class GraftConfig(
     concurrencyDebounceSeconds: Long = 300L,
     incubatingJobAgeOutSeconds: Long = 86400L,
 
+    // MQ replay-dedup horizon: how far back the per-poll event-log
+    // probe looks for already-applied event_ids. Bounds the probe to
+    // recent history (row-group stats skip older files); generous
+    // because exceeding it only degrades to at-least-once for that
+    // replay, never to loss.
+    mqDedupHorizonDays: Long = 7L,
+
     // retry (retry.py:9)
     operationRetryCount: Int = 3,
 

@@ -8,7 +8,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 import scala.concurrent.duration._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.GraftConfig
@@ -150,23 +150,28 @@ final class GraftService(
         .option("checkpointLocation", s"$checkpointRoot/mq-ingest")
         .outputMode("append")
         .trigger(Trigger.ProcessingTime(pollInterval.toMillis))
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val parsed = EventIngest.parse(batch)
           quarantineDir.foreach { d =>
             val bad = parsed.corrupt.select(col("_raw"))
-            if (!bad.isEmpty) bad.write.mode("append").text(d)
+            // per-batch OVERWRITE, not a flat append: corrupt rows have
+            // no event_id to dedup by, so a replayed batch would append
+            // the same forensic rows again forever — keyed on the
+            // stream's batchId, the replay overwrites its own dir and
+            // the quarantine stays idempotent (r8 review #3)
+            if (!bad.isEmpty) bad.write.mode("overwrite").text(s"$d/batch_$batchId")
           }
           // poll-sized batch -> the shared ingress (catalog regime).
           // MQ delivery is at-least-once against the service's own
-          // durable state (history append + dispatch + persist all
-          // happen BEFORE the stream checkpoint commits the offset), so
-          // a crash in that window replays the batch — dedup by
-          // event_id against the event log makes the replay a no-op
-          // instead of duplicating history rows and re-dispatching
-          // already-applied events (r7 advice, medium). event_id is the
-          // idempotency key: the poll-sized id set probes the log with
-          // a pushed-down isin filter (the reference's per-event Mongo
-          // lookup regime).
+          // durable state (dispatch + persist happen BEFORE the stream
+          // checkpoint commits the offset), so a crash in that window
+          // replays the batch — dedup by event_id against the DURABLE
+          // event log makes the replay a no-op instead of duplicating
+          // history rows and re-dispatching already-applied events
+          // (r7 advice, medium). Since r8 the log append runs AFTER
+          // effects apply (HttpFacade.ingest), so a logged id always
+          // means an applied event — the dedup can never drop a batch
+          // whose effects were lost mid-apply.
           // distinctBy first: SQS-style redelivery can land the same
           // event_id TWICE IN ONE POLL, which the log probe alone
           // cannot catch (neither copy is persisted yet)
@@ -177,8 +182,20 @@ final class GraftService(
             if (events.isEmpty) events
             else {
               val ids = events.map(_.event_id)
+              // probe cost (r8 review #5): the log grows for the
+              // process's lifetime, but a replayed id's logged copy
+              // carries the RECEIVED time of its first processing —
+              // minutes (broker redelivery) to one restart gap
+              // (checkpoint replay) ago — so the probe only reads the
+              // dedup horizon. received_time rises monotonically across
+              // appended files, so parquet row-group stats skip the
+              // older history; the horizon is generous (7 days) because
+              // a miss only costs falling back to at-least-once.
+              val cutoff = new Timestamp(
+                nowProvider().getTime - cfg.mqDedupHorizonDays * 86400000L)
               val seen = facade.eventLog.get()
-                .where(col("event_id").isin(ids: _*))
+                .where(col("received_time") >= lit(cutoff) &&
+                  col("event_id").isin(ids: _*))
                 .select("event_id").collect().map(_.getLong(0)).toSet
               events.filterNot(e => seen(e.event_id))
             }
@@ -392,7 +409,15 @@ final class GraftService(
           run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
           callback(sub, "success")
         } catch {
-          case e: Throwable => callback(sub, "failure"); throw e
+          // a USER-ABORTED run (cancelJobGroup — the engine's own
+          // `cancelled` classification, Engine.scala:88) must not post
+          // a failure event: the P3 retry gate would resubmit the run
+          // the user just killed (r8 review #2); the engine stamps it
+          // `aborted` and the lifecycle stays silent, like a deleted pod
+          case e: Throwable =>
+            val aborted = String.valueOf(e.getMessage).contains("cancelled")
+            if (!aborted) callback(sub, "failure")
+            throw e
         }
       }
     }

@@ -221,13 +221,18 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       mutate.synchronized {
         val now = reqNow(r)
         val res = r.session.dispatch(events, running.get(), incubating.get(), now)
-        // log append BEFORE applyStep: the service's persistence hook
-        // rides the submissionSink inside applyStep and must see a log
-        // that already contains this batch
-        eventLog.set(eventLog.get().unionByName(
+        // same ordering contract as [[ingest]]: in-memory union first
+        // (the persistence hook inside applyStep must see the batch),
+        // DURABLE append only after effects applied — so a logged event
+        // is always an applied event (r8 review #1)
+        val prevLog = eventLog.get()
+        eventLog.set(prevLog.unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
+        val subs =
+          try applyStep(res)
+          catch { case e: Throwable => eventLog.set(prevLog); throw e }
         eventSink.get()(events)
-        subsJson(applyStep(res))
+        subsJson(subs)
       }
     }),
     "/pipeline/dispatcher/event/history" -> Map[String, Handler]("GET" -> { r =>
@@ -284,13 +289,30 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
   private[graft] def ingest(events: Seq[LifecycleEvent], now: Timestamp): Seq[Submission] =
     mutate.synchronized {
       val res = api.dispatch(events, running.get(), incubating.get(), now)
-      // log append BEFORE applyStep — see the /event route
-      if (events.nonEmpty) {
-        eventLog.set(eventLog.get().unionByName(
+      // IN-MEMORY log union BEFORE applyStep (the service's persistence
+      // hook rides the submissionSink inside it and must see a log that
+      // already contains this batch) — but the DURABLE append happens
+      // AFTER applyStep succeeds, so presence-in-the-durable-log ⇒
+      // effects applied & persisted. With the MQ replay dedup keyed on
+      // the durable log, the old durable-append-first order turned a
+      // crash between append and apply into PERMANENT event loss (the
+      // replay matched the log and no-op'd; r8 review #1) — append-last
+      // restores at-least-once for that window, which the dedup then
+      // bounds to exactly that window.
+      val prevLog = eventLog.get()
+      if (events.nonEmpty)
+        eventLog.set(prevLog.unionByName(
           spark.createDataset(events)(Encoders.product[LifecycleEvent])))
-        eventSink.get()(events)
-      }
-      applyStep(res)
+      val subs =
+        try applyStep(res)
+        catch {
+          case e: Throwable =>
+            // roll the phantom union back: an un-applied batch must not
+            // satisfy the in-memory dedup probe either
+            eventLog.set(prevLog); throw e
+        }
+      if (events.nonEmpty) eventSink.get()(events)
+      subs
     }
 
   /** One culler pass IF anything is incubating — the emptiness check
@@ -301,11 +323,12 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     * (FAILED_READ_FILE → a silently skipped cull pass; r7 advice). */
   private[graft] def cullStep(now: Timestamp): Unit =
     mutate.synchronized {
-      if (!incubating.get().isEmpty) {
-        val res = api.dispatch(Seq.empty, running.get(), incubating.get(), now)
-        applyStep(res)
-        ()
-      }
+      // reentrant lock: the emptiness pre-check and the step share ONE
+      // acquisition, and the step itself is [[ingest]]'s empty-batch
+      // branch — one code path, so a future change to the state
+      // contract cannot silently diverge between the event ingress and
+      // the culler (r8 review #6)
+      if (!incubating.get().isEmpty) { ingest(Seq.empty, now); () }
     }
 
   /** Refresh the concurrency-gate snapshot from live engine state —

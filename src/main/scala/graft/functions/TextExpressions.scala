@@ -200,6 +200,10 @@ case class BlocklistMatchesExpr(child: Expression, terms: Seq[String])
   require(terms.nonEmpty && terms.size <= 64, s"1..64 terms, got ${terms.size}")
   require(terms == terms.sorted && terms.distinct == terms,
     "terms must be sorted and distinct so emitted arrays are canonical")
+  // the automaton only reports matches at visited states, so the empty
+  // pattern (which `contains` matches everywhere) would silently never
+  // fire — reject it rather than diverge from the contains() contract
+  require(terms.forall(_.nonEmpty), "blocklist terms must be non-empty")
   @transient private lazy val ac = new AhoCorasick(terms.toArray)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {

@@ -137,8 +137,10 @@ class GraftServiceSpec extends AnyFunSuite {
       // 3. a malformed MQ message lands in the quarantine, not the log
       broker.publish("""{"this is": not json""")
       poll("corrupt message quarantined") {
-        val q = spark.read.text(
-          service.quarantineDir.get).collect().map(_.getString(0))
+        // quarantine writes one subdir per stream batch (replay
+        // idempotence) — read the tree recursively
+        val q = spark.read.option("recursiveFileLookup", "true")
+          .text(service.quarantineDir.get).collect().map(_.getString(0))
         q.exists(_.contains("not json"))
       }
 

@@ -56,6 +56,31 @@ class HttpFacadeSpec extends AnyFunSuite {
     assert(newFacade().routeCount == 18)
   }
 
+  test("logged => applied: the durable event append runs only AFTER effects apply; a failed step rolls the in-memory log back (r8 review)") {
+    import java.sql.Timestamp
+    import graft.model.LifecycleEvent
+    val facade = newFacade()
+    val now = new Timestamp(System.currentTimeMillis())
+    val ev = LifecycleEvent(9901L, "job_exec_update", "origination", "report-weekly",
+      "exec-ordering-1", now, now, 0, disable_downstream = false)
+    val durable = scala.collection.mutable.ArrayBuffer.empty[Seq[LifecycleEvent]]
+    facade.eventSink.set(batch => durable += batch)
+    // first attempt: the submission sink (where the service persists
+    // state and submits) throws — the step fails mid-apply
+    facade.submissionSink.set(_ => throw new RuntimeException("boom: persist failed"))
+    intercept[RuntimeException](facade.ingest(Seq(ev), now))
+    assert(durable.isEmpty,
+      "a batch whose effects failed must NOT reach the durable log — a replay deduped on that log would be lost forever")
+    assert(facade.eventLog.get().filter(_.event_id == 9901L).isEmpty,
+      "the in-memory log union must roll back with the failed step")
+    // retry (the MQ stream's replay): with the sink healthy the same
+    // batch applies and only then reaches the durable log
+    facade.submissionSink.set(_ => ())
+    facade.ingest(Seq(ev), now)
+    assert(durable.map(_.map(_.event_id)) == Seq(Seq(9901L)))
+    assert(facade.eventLog.get().filter(_.event_id == 9901L).count() == 1)
+  }
+
   test("list/describe/downstream/fetch_body over HTTP with a read token") {
     withFacade { (_, base) =>
       val list = call(base, "POST", "/pipeline/config/list?pipeline_prefix=report-", Some(Read))
