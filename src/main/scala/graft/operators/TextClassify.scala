@@ -143,5 +143,112 @@ object TextClassify {
     GROUP BY e.doc_id, e.lang, s.prior_micro, s.w_oov
     ORDER BY e.doc_id""")((s, d) => nbClassify(s, d))
 
-  val all: Seq[GraftQuery] = Seq(nbClassifyQ)
+  // ---- batch perceptron ---------------------------------------------------
+
+  /** Iterations — interpolated into BOTH the driver loop and the
+    * oracle's unrolled CTE chain (the BPE/pageRank/PCA convention). */
+  private[graft] val PerceptronIters = 8
+
+  /** TRAINED linear classifier #2: a BATCH PERCEPTRON over hashed
+    * bigram features (B = 256 buckets, first md5 byte — the DSIR
+    * feature space), label `lang = 'en'` as y = ±1. Per iteration:
+    * margin_d = Σ_f w[f]·cnt_d[f]; every doc with y·margin ≤ 0 is
+    * misclassified and contributes y·cnt to the weight update — the
+    * classic parallel (batch) perceptron (Rosenblatt's rule summed
+    * over the misclassified set), chosen over logistic regression
+    * because it is TRANSCENDENTAL-FREE: weights, margins and updates
+    * are exact BIGINTs end to end (no exp/σ whose last-ulp behavior
+    * differs between libm implementations), so the oracle replays the
+    * identical [[PerceptronIters]] iterations and hash-matches.
+    * Emits the training curve: (iter, n_misclassified, upd_l1).
+    *
+    * Scale shape (the DSIR-rowwise lesson): the corpus collapses ONCE
+    * to per-doc feature vectors (doc, y, [(f, cnt)]); each iteration
+    * is then a JOIN-FREE map — the margin is a row-local fold with the
+    * weight vector as a constant-folded literal — plus one B-bounded
+    * update aggregate (map-side partials, 256 keys) collected to the
+    * driver exactly like the k-means centroid update. K iterations =
+    * K corpus scans, zero corpus shuffles, model traffic 256 longs per
+    * iteration. */
+  private[graft] def docVectors(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("y"),
+        explode(expr(
+          "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+          .as("g"))
+      .select(col("doc_id"), col("y"),
+        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int").as("f"))
+      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "y")
+      .agg(collect_list(struct(col("f"), col("cnt"))).as("fs"))
+      // collect_list order is nondeterministic — sound here because
+      // every consumer is an order-invariant integer sum
+
+  val perceptron: GraftQuery = GraftQuery.checked("ns_text_perceptron", {
+    val base = """WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2),
+    df AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+             (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS f,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY 1, 2, 3),
+    w0 AS MATERIALIZED (
+      SELECT CAST(t.i AS BIGINT) - 1 AS f, CAST(0 AS BIGINT) AS w
+      FROM range(1, 257) t(i))"""
+    val iters = (1 to PerceptronIters).map { t =>
+      s""",
+    m$t AS MATERIALIZED (
+      SELECT d.doc_id, d.y, CAST(SUM(w.w * d.cnt) AS BIGINT) AS margin
+      FROM df d JOIN w${t - 1} w USING (f) GROUP BY 1, 2),
+    mc$t AS MATERIALIZED (SELECT doc_id, y FROM m$t WHERE y * margin <= 0),
+    u$t AS MATERIALIZED (
+      SELECT d.f, CAST(SUM(d.y * d.cnt) AS BIGINT) AS u
+      FROM df d JOIN mc$t USING (doc_id) GROUP BY 1),
+    w$t AS MATERIALIZED (
+      SELECT w.f, w.w + COALESCE(u.u, 0) AS w
+      FROM w${t - 1} w LEFT JOIN u$t u USING (f)),
+    c$t AS (SELECT CAST($t AS BIGINT) AS iter,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM mc$t) AS n_misclassified,
+                   (SELECT CAST(COALESCE(SUM(ABS(u)), 0) AS BIGINT) FROM u$t) AS upd_l1)"""
+    }.mkString
+    base + iters + "\n    " +
+      (1 to PerceptronIters).map(t => s"SELECT * FROM c$t").mkString("\n    UNION ALL ") +
+      "\n    ORDER BY iter"
+  }) { (spark, dir) =>
+    import spark.implicits._
+    val dv = OpMemo.cached(spark, dir, "perceptron-docvec") {
+      docVectors(Tables.documents(spark, dir))
+    }
+    var w = Array.fill(256)(0L)
+    val curve = Seq.newBuilder[(Int, Long, Long)]
+    for (t <- 1 to PerceptronIters) {
+      val wArr = array(w.toIndexedSeq.map(lit): _*)
+      val miscl = dv.withColumn("margin",
+          aggregate(col("fs"), lit(0L),
+            (acc, x) => acc + element_at(wArr, x.getField("f") + 1) * x.getField("cnt")))
+        .where(col("y") * col("margin") <= 0)
+      val upd = miscl
+        .select(col("y"), explode(col("fs")).as("e"))
+        .groupBy(col("e.f").as("f"))
+        .agg(sum(col("y") * col("e.cnt")).as("u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nMiscl = miscl.count()
+      curve += ((t, nMiscl, upd.values.map(math.abs).sum))
+      upd.foreach { case (f, u) => w(f) += u }
+    }
+    curve.result().toDF("iter", "n_misclassified", "upd_l1")
+      .select(col("iter").cast("long").as("iter"), col("n_misclassified"), col("upd_l1"))
+      .orderBy("iter")
+  }
+
+  val all: Seq[GraftQuery] = Seq(nbClassifyQ, perceptron)
 }

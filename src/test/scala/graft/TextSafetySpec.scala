@@ -86,6 +86,26 @@ class TextSafetySpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("perceptron: the batch rule learns — misclassifications fall from everything toward a separating margin") {
+    val curve = graft.operators.TextClassify.perceptron.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == (1L to 8L), "one curve row per iteration")
+    // same tokenization as the operator (space split, DSIR's feature
+    // contract) — not the \s+ kernel
+    val nDocs = graft.sources.Tables.documents(spark, dir)
+      .where(size(split(col("text"), " ")) >= 2).count()
+    // iteration 1 runs against w = 0: EVERY featured doc has margin 0
+    // and is misclassified
+    assert(curve.head._2 == nDocs, s"w0 = 0 must misclassify all $nDocs docs, got ${curve.head._2}")
+    // learning: the final error is well below the starting point (the
+    // en/non-en bigram distributions are separable enough on this
+    // corpus for the linear rule to make real progress)
+    assert(curve.last._2 < nDocs / 2,
+      s"after 8 iterations errors must at least halve: ${curve.map(_._2).mkString(",")}")
+    // every update has mass while errors remain
+    curve.foreach { case (_, n, l1) => assert(n == 0 || l1 > 0) }
+  }
+
   test("bpe fertility: ratios bounded below by 1 and language totals cover the corpus token count") {
     val rows = TextBpe.bpeFertility.run(spark, dir).collect()
     assert(rows.nonEmpty)
