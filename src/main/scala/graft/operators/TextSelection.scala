@@ -282,5 +282,82 @@ object TextSelection {
           (acc, f) => acc + element_at(wArr, f + 1)).as("score_micro"))
   }
 
-  val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir)
+  /** Per-source DISTRIBUTION DRIFT — smoothed KL divergence of each
+    * source's hashed-bigram distribution from the corpus mixture (the
+    * text-side sibling of `ns_events_psi`): the mixture-monitoring
+    * number a training-data pipeline watches per ingest source — a
+    * source whose KL jumps changed its content distribution (scraper
+    * drift, spam influx, template change) before any downstream metric
+    * moves. Laplace-smoothed over the fixed B=256 bucket space so
+    * every term is defined; KL ≥ 0 with equality iff the source
+    * matches the mixture.
+    *
+    * Exact-integer contract: each of the B terms quantizes
+    * independently — `FLOOR(1e6 · p_sf · (ln(c_sf+1) − ln(N_s+B)
+    * − ln(c_f+1) + ln(N+B)))`, the `microLnRatio` ln-chain both
+    * engines compute identically — and the per-source sum is a BIGINT
+    * of 256 integers, immune to accumulation order.
+    *
+    * Scale shape: ONE corpus pass (explode + two bounded aggregates:
+    * sources×B and B keys, map-side partials), then all arithmetic on
+    * the model-sized grid. Nothing grows with the corpus but the scan. */
+  val sourceDrift: GraftQuery = GraftQuery.checked("ns_text_source_drift",
+    """WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents),
+    fb AS (
+      SELECT source,
+             (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS f
+      FROM (SELECT source,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+            FROM toks WHERE len(t) >= 2)),
+    sc AS (SELECT source, f, COUNT(*) AS c FROM fb GROUP BY 1, 2),
+    ns AS (SELECT source, COUNT(*) AS n FROM fb GROUP BY 1),
+    cf AS (SELECT f, COUNT(*) AS c FROM fb GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n FROM fb),
+    grid AS (SELECT s.source, CAST(t.i AS BIGINT) - 1 AS f
+             FROM (SELECT DISTINCT source FROM fb) s CROSS JOIN range(1, 257) t(i)),
+    terms AS (
+      SELECT g.source, ns.n,
+             CAST(FLOOR(1000000.0 * (COALESCE(sc.c, 0) + 1.0) / (ns.n + 256)
+                  * (ln(COALESCE(sc.c, 0) + 1.0) - ln(ns.n + 256.0)
+                     - ln(COALESCE(cf.c, 0) + 1.0) + ln(nt.n + 256.0))) AS BIGINT) AS t
+      FROM grid g
+      LEFT JOIN sc ON sc.source = g.source AND sc.f = g.f
+      LEFT JOIN cf ON cf.f = g.f
+      JOIN ns ON ns.source = g.source
+      CROSS JOIN nt)
+    SELECT source, CAST(n AS BIGINT) AS n_bigrams, CAST(SUM(t) AS BIGINT) AS kl_micro
+    FROM terms GROUP BY source, n
+    ORDER BY source""") { (spark, dir) =>
+    val occ = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long").as("f"))
+    val sc = occ.groupBy("source", "f").agg(count(lit(1)).as("c"))
+    val nsF = occ.groupBy("source").agg(count(lit(1)).as("n"))
+    val cfF = occ.groupBy("f").agg(count(lit(1)).as("cf"))
+    val nt = occ.count() // ONE scalar action; the corpus total is model state
+    val grid = nsF.select("source")
+      .crossJoin(spark.range(0, 256).select(col("id").as("f")))
+    grid
+      .join(sc, Seq("source", "f"), "left")
+      .join(broadcast(cfF), Seq("f"), "left")
+      .join(broadcast(nsF), Seq("source"))
+      .select(col("source"), col("n"),
+        floor(lit(1000000.0) * (coalesce(col("c"), lit(0L)) + 1.0) / (col("n") + lit(256L))
+          * (log(coalesce(col("c"), lit(0L)) + 1.0) - log(col("n") + lit(256.0))
+             - log(coalesce(col("cf"), lit(0L)) + 1.0) + log(lit(nt + 256.0))))
+          .cast("long").as("t"))
+      .groupBy("source", "n")
+      .agg(sum("t").as("kl_micro"))
+      .select(col("source"), col("n").as("n_bigrams"), col("kl_micro"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir, sourceDrift)
 }

@@ -148,6 +148,24 @@ class SelectionMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("source drift: one row per source, KL non-negative (within per-term floor loss), totals cover the corpus") {
+    val rows = TextSelection.sourceDrift.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nSources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(rows.length == nSources)
+    // true KL >= 0; each of the 256 quantized terms floors away < 1
+    // micro, so the integer sum can undershoot by at most 256 micro
+    rows.foreach { case (s, n, kl) =>
+      assert(n > 0, s"$s must have bigrams")
+      assert(kl >= -256, s"$s kl_micro $kl below the quantization floor bound")
+    }
+    val total = rows.map(_._2).sum
+    val corpusBigrams = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).as("k")).where(col("k") >= 2)
+      .agg(sum(col("k") - 1)).collect()(0).getLong(0)
+    assert(total == corpusBigrams, s"per-source bigram totals $total != corpus $corpusBigrams")
+  }
+
   test("semantic decontam: eval slice probed against train only, one row per eval vector") {
     val rows = VectorsMining.semanticDecontam.run(spark, dir).collect()
     val nEval = Tables.embeddings(spark, dir).where(col("vec_id") % 10 === 7).count()
