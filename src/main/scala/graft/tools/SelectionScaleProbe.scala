@@ -156,6 +156,20 @@ object SelectionScaleProbe {
     println(f"[sel] margin pairs: 1x $m1 rows ${tm1}%.2f s, 10x targets -> $m10 rows " +
       f"${tm10}%.2f s = ${tm10 / tm1}%.2fx wall (row-local avg-k, bounded aggs)")
 
+    // --- 7. perceptron: corpus 10x, model traffic fixed ---------------
+    // the claim: K iterations = K corpus scans; per-iteration driver
+    // traffic stays 256 longs regardless of corpus size. Probe via the
+    // registered operator over a written-out replicated corpus.
+    val pDir = java.nio.file.Files.createTempDirectory("perceptron-probe").toString
+    def perceptronAt(k: Int): Double = {
+      replicated(k).write.mode("overwrite").parquet(s"$pDir/k$k/documents.parquet")
+      time(graft.operators.TextClassify.perceptron.run(spark, s"$pDir/k$k").count())._2
+    }
+    val tp1 = perceptronAt(1)
+    val tp10 = perceptronAt(10)
+    println(f"[sel] perceptron  : 1x ${tp1}%.2f s, 10x corpus -> ${tp10}%.2f s = " +
+      f"${tp10 / tp1}%.2fx wall (8 iterations, 256-long model traffic per iteration)")
+
     spark.stop()
   }
 }
