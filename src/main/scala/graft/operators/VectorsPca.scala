@@ -225,7 +225,10 @@ object VectorsPca {
     * integer math; the projection is a second corpus scan with v as a
     * constant-folded literal — map-side partial aggregation by label,
     * zero joins, zero corpus shuffle (the DSIR scoring shape). */
-  val pcaProject: GraftQuery = checked("ns_vec_pca_project", {
+  /** Shared oracle prefix: quantized scan → gram → self-scaled integer
+    * covariance → the [[PowerIters]] axis-1 iterations (final vector
+    * CTE `v$PowerIters`). */
+  private def pcaOraclePrefix: String = {
     val base = s"""WITH q AS MATERIALIZED (
       SELECT vec_id, label, i, CAST(FLOOR(CAST(e AS DOUBLE) * $Scale + 0.5) AS BIGINT) AS qq
       FROM (SELECT vec_id, label, unnest(embedding) AS e,
@@ -266,7 +269,11 @@ object VectorsPca {
                                 ELSE (w * $VScale) // m END AS BIGINT) AS v
             FROM w$t CROSS JOIN m$t)"""
     }.mkString
-    base + iters + s""",
+    base + iters
+  }
+
+  val pcaProject: GraftQuery = checked("ns_vec_pca_project",
+    pcaOraclePrefix + s""",
     pr AS (SELECT q.vec_id, q.label, CAST(SUM(q.qq * vf.v) AS BIGINT) AS proj
            FROM q JOIN v$PowerIters vf ON vf.i = q.i
            GROUP BY 1, 2)
@@ -275,8 +282,15 @@ object VectorsPca {
            MIN(proj) AS proj_min,
            MAX(proj) AS proj_max,
            CAST(SUM(proj) AS BIGINT) AS proj_sum
-    FROM pr GROUP BY label ORDER BY label"""
-  }) { (spark, dir) =>
+    FROM pr GROUP BY label ORDER BY label""") { (spark, dir) =>
+    val covM = scaledCov(spark, dir)
+    var v = Array.fill(Dim)(VScale)
+    for (_ <- 1 to PowerIters) v = powerStep(covM, v)
+    projectByLabel(spark, dir, v)
+  }
+
+  /** The self-scaled integer covariance grid (see [[CScale]]). */
+  private def scaledCov(spark: SparkSession, dir: String): Array[Array[Long]] = {
     val covRows = gram.run(spark, dir)
       .select(col("dim_i"), col("dim_j"), round(col("cov")).cast("long").as("ci"))
       .collect()
@@ -287,10 +301,11 @@ object VectorsPca {
     }
     val cmax = covI.flatten.map(math.abs).max
     require(cmax > 0, "zero covariance matrix")
-    val covM = covI.map(_.map(ci =>
-      if (ci < 0) -((-ci) * CScale / cmax) else ci * CScale / cmax))
-    var v = Array.fill(Dim)(VScale)
-    for (_ <- 1 to PowerIters) v = powerStep(covM, v)
+    covI.map(_.map(ci => sdiv(ci * CScale, cmax)))
+  }
+
+  /** Map-only per-label projection stats onto an integer axis. */
+  private def projectByLabel(spark: SparkSession, dir: String, v: Array[Long]) = {
     val vLit = array(v.map(lit).toIndexedSeq: _*)
     Tables.embeddings(spark, dir)
       .select(col("label"),
@@ -305,5 +320,104 @@ object VectorsPca {
       .orderBy("label")
   }
 
-  val all: Seq[GraftQuery] = Seq(gram, pcaProject)
+  /** Sign-split truncating division — Scala's `/` semantics, spelled
+    * so the oracle (whose `//` FLOORS on negatives) can mirror it with
+    * the identical CASE split. */
+  @inline private[graft] def sdiv(a: Long, b: Long): Long =
+    if (a < 0) -((-a) / b) else a / b
+
+  /** The SECOND principal axis via Hotelling DEFLATION, still
+    * oracle-exact: λ̂₁ = (v·(Cv div V)) div ((v·v) div V) in scaled
+    * integer units (the div-before-multiply order keeps every
+    * intermediate under 2⁶³ — vᵀCv computed directly overflows),
+    * D = C − (λ̂₁·((vᵢvⱼ) div V)) div ((v·v) div V) — i.e. the rank-1
+    * term over ‖v‖², NOT V² — re-self-scaled to [[CScale]],
+    * then the same [[PowerIters]] BIGINT iterations on D. Every step
+    * is order-free integer arithmetic, so the oracle replays axis 1,
+    * the deflation grid, and axis 2 as one CTE chain and the per-label
+    * projection stats hash-match. Emits axis-2 projections — with
+    * [[pcaProject]] this is top-2 PCA, the 2-D visualization /
+    * compression basis. */
+  val pcaAxis2: GraftQuery = checked("ns_vec_pca_axis2", {
+    val k = PowerIters
+    val axis2Iters = (1 to k).map { t =>
+      val prev = if (t == 1) "b0" else s"bv${t - 1}"
+      s""",
+    bw$t AS MATERIALIZED (SELECT covf2.i AS i, CAST(SUM(covf2.c * $prev.v) AS BIGINT) AS w
+            FROM covf2 JOIN $prev ON $prev.i = covf2.j GROUP BY 1),
+    bm$t AS (SELECT MAX(ABS(w)) AS m FROM bw$t),
+    bv$t AS MATERIALIZED (SELECT i, CAST(CASE WHEN w < 0 THEN -(((-w) * $VScale) // m)
+                                ELSE (w * $VScale) // m END AS BIGINT) AS v
+            FROM bw$t CROSS JOIN bm$t)"""
+    }.mkString
+    pcaOraclePrefix + s""",
+    wx AS (SELECT covf.i AS i, CAST(SUM(covf.c * vk.v) AS BIGINT) AS w
+           FROM covf JOIN v$k vk ON vk.i = covf.j GROUP BY 1),
+    wd AS (SELECT i, CAST(CASE WHEN w < 0 THEN -((-w) // $VScale)
+                               ELSE w // $VScale END AS BIGINT) AS wd FROM wx),
+    lnum AS (SELECT CAST(SUM(vk.v * wd.wd) AS BIGINT) AS x
+             FROM v$k vk JOIN wd ON wd.i = vk.i),
+    lden AS (SELECT CAST(SUM(v * v) // $VScale AS BIGINT) AS d FROM v$k),
+    lam AS (SELECT CAST(CASE WHEN num.x < 0 THEN -((-num.x) // den.d)
+                             ELSE num.x // den.d END AS BIGINT) AS l
+            FROM lnum num CROSS JOIN lden den),
+    vv AS (SELECT a.i AS i, b.i AS j,
+                  CAST(CASE WHEN a.v * b.v < 0 THEN -((-(a.v * b.v)) // $VScale)
+                            ELSE (a.v * b.v) // $VScale END AS BIGINT) AS p
+           FROM v$k a CROSS JOIN v$k b),
+    defl AS MATERIALIZED (
+      SELECT f.i, f.j,
+             f.c - (CASE WHEN lam.l * vv.p < 0 THEN -((-(lam.l * vv.p)) // den.d)
+                         ELSE (lam.l * vv.p) // den.d END) AS dd
+      FROM covf f JOIN vv ON vv.i = f.i AND vv.j = f.j
+      CROSS JOIN lam CROSS JOIN lden den),
+    dm AS (SELECT MAX(ABS(dd)) AS m FROM defl),
+    covf2 AS MATERIALIZED (
+      SELECT i, j, CAST(CASE WHEN dd < 0 THEN -(((-dd) * $CScale) // m)
+                             ELSE (dd * $CScale) // m END AS BIGINT) AS c
+      FROM defl CROSS JOIN dm),
+    b0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($VScale AS BIGINT) AS v
+           FROM range(1, ${Dim + 1}) t(i))""" + axis2Iters + s""",
+    pr AS (SELECT q.vec_id, q.label, CAST(SUM(q.qq * vf.v) AS BIGINT) AS proj
+           FROM q JOIN bv$k vf ON vf.i = q.i
+           GROUP BY 1, 2)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(proj) AS proj_min,
+           MAX(proj) AS proj_max,
+           CAST(SUM(proj) AS BIGINT) AS proj_sum
+    FROM pr GROUP BY label ORDER BY label"""
+  }) { (spark, dir) =>
+    val covM = scaledCov(spark, dir)
+    var v = Array.fill(Dim)(VScale)
+    for (_ <- 1 to PowerIters) v = powerStep(covM, v)
+    val v2 = deflatedAxis(covM, v)
+    projectByLabel(spark, dir, v2)
+  }
+
+  /** Axis-2 driver math — exposed for the orthogonality spec. */
+  private[graft] def deflatedAxis(covM: Array[Array[Long]], v: Array[Long]): Array[Long] = {
+    val d = covM.length
+    val wx = Array.tabulate(d)(i => (0 until d).map(j => covM(i)(j) * v(j)).sum)
+    val wd = wx.map(sdiv(_, VScale))
+    val lnum = (0 until d).map(i => v(i) * wd(i)).sum
+    val lden = v.map(x => x * x).sum / VScale // non-negative: plain div
+    val lam = sdiv(lnum, lden)
+    // rank-1 removal is λ̂·v vᵀ/‖v‖² — divide by Σv² (as lden·V, done
+    // as sdiv-by-V then sdiv-by-lden), NOT by V²: the ∞-normalized v
+    // has ‖v‖² up to d·V², and dividing by V² overshoots the
+    // subtraction by that ratio, leaving a large NEGATIVE eigenvalue
+    // along v1 that power iteration converges straight back to
+    // (caught by the orthogonality spec: |cos| read 0.99999)
+    val defl = Array.tabulate(d, d)((i, j) =>
+      covM(i)(j) - sdiv(lam * sdiv(v(i) * v(j), VScale), lden))
+    val dmax = defl.flatten.map(math.abs).max
+    require(dmax > 0, "deflation collapsed: rank-1 covariance")
+    val covM2 = defl.map(_.map(x => sdiv(x * CScale, dmax)))
+    var v2 = Array.fill(d)(VScale)
+    for (_ <- 1 to PowerIters) v2 = powerStep(covM2, v2)
+    v2
+  }
+
+  val all: Seq[GraftQuery] = Seq(gram, pcaProject, pcaAxis2)
 }

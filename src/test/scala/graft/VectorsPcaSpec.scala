@@ -66,6 +66,27 @@ class VectorsPcaSpec extends AnyFunSuite {
     assert(rq > 0.97 * lambda, s"Rayleigh $rq below 0.97·λ ($lambda)")
   }
 
+  test("axis 2: deflation yields a near-orthogonal direction with a smaller Rayleigh quotient") {
+    val d = cov.length
+    val covI = Array.tabulate(d, d)((i, j) => math.round(cov(i)(j)))
+    val cmax = covI.flatten.map(math.abs).max
+    val covM = covI.map(_.map(ci =>
+      if (ci < 0) -((-ci) * 100000L / cmax) else ci * 100000L / cmax))
+    var v1 = Array.fill(d)(1000000L)
+    for (_ <- 1 to VectorsPca.PowerIters) v1 = VectorsPca.powerStep(covM, v1)
+    val v2 = VectorsPca.deflatedAxis(covM, v1)
+    def unit(v: Array[Long]) = {
+      val dv = v.map(_.toDouble); val n = math.sqrt(dv.map(x => x * x).sum); dv.map(_ / n)
+    }
+    val (u1, u2) = (unit(v1), unit(v2))
+    val cos = math.abs((0 until d).map(i => u1(i) * u2(i)).sum)
+    assert(cos < 0.1, s"axis 2 must be near-orthogonal to axis 1: |cos| = $cos")
+    def rq(u: Array[Double]) =
+      (0 until d).map(i => (0 until d).map(j => u(i) * cov(i)(j) * u(j)).sum).sum
+    val (r1, r2) = (rq(u1), rq(u2))
+    assert(r2 > 0 && r2 <= r1 * 1.001, s"RQ order violated: axis1 $r1, axis2 $r2")
+  }
+
   test("pca projection stats: per-label totals cover the corpus and bounds order correctly") {
     val rows = VectorsPca.pcaProject.run(spark, SparkSuite.sfDir).collect()
     assert(rows.nonEmpty)
