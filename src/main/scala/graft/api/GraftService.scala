@@ -176,31 +176,34 @@ final class GraftService(
           // event_id TWICE IN ONE POLL, which the log probe alone
           // cannot catch (neither copy is persisted yet)
           val batchIds = scala.collection.mutable.Set.empty[Long]
+          val now = nowProvider()
           val events = parsed.events.collect().toSeq
             .filter(e => batchIds.add(e.event_id)) // keep FIRST copy, preserve arrival order
-          val fresh =
-            if (events.isEmpty) events
-            else {
-              val ids = events.map(_.event_id)
-              // probe cost (r8 review #5): the log grows for the
-              // process's lifetime, but a replayed id's logged copy
-              // carries the RECEIVED time of its first processing —
-              // minutes (broker redelivery) to one restart gap
-              // (checkpoint replay) ago — so the probe only reads the
-              // dedup horizon. received_time rises monotonically across
-              // appended files, so parquet row-group stats skip the
-              // older history; the horizon is generous (7 days) because
-              // a miss only costs falling back to at-least-once.
-              val cutoff = new Timestamp(
-                nowProvider().getTime - cfg.mqDedupHorizonDays * 86400000L)
-              val seen = facade.eventLog.get()
-                .where(col("received_time") >= lit(cutoff) &&
-                  col("event_id").isin(ids: _*))
-                .select("event_id").collect().map(_.getLong(0)).toSet
-              events.filterNot(e => seen(e.event_id))
-            }
-          if (fresh.nonEmpty) onEvents(fresh, nowProvider())
-          ()
+            // SINK-STAMP received_time (the reference stamps at the
+            // data provider, `data_provider.py:130`; GraftStream's
+            // history sink does the same): producer-supplied times can
+            // be null or arbitrarily old, which would both hide rows
+            // from history queries AND make the dedup horizon below
+            // never match a replayed id (r8 review #2.1). Stamping at
+            // first ingest also makes received_time rise monotonically
+            // across appended log files, which is what lets parquet
+            // row-group stats skip old history in the probe.
+            .map(_.copy(received_time = now))
+          if (events.nonEmpty) {
+            // probe + dispatch under ONE facade-lock acquisition
+            // (facade.ingestDedup): probing outside the lock could read
+            // an in-memory union that a concurrent HTTP step later
+            // rolls back — dropping an event that was never applied
+            // (r8 review #2.3). Horizon: a replayed id's logged copy
+            // carries its first-processing stamp — minutes (broker
+            // redelivery) to one restart gap (checkpoint replay) old —
+            // so the probe reads only recent history; generous (7 days)
+            // because a miss only degrades to at-least-once.
+            val cutoff = new Timestamp(
+              now.getTime - cfg.mqDedupHorizonDays * 86400000L)
+            facade.ingestDedup(events, now, cutoff)
+            ()
+          }
         }
         .start()
     }
@@ -409,14 +412,29 @@ final class GraftService(
           run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
           callback(sub, "success")
         } catch {
-          // a USER-ABORTED run (cancelJobGroup — the engine's own
-          // `cancelled` classification, Engine.scala:88) must not post
-          // a failure event: the P3 retry gate would resubmit the run
-          // the user just killed (r8 review #2); the engine stamps it
-          // `aborted` and the lifecycle stays silent, like a deleted pod
+          // a USER-ABORTED run (cancelJobGroup) must not post a failure
+          // event: the P3 retry gate would resubmit the run the user
+          // just killed (r8 review); the engine stamps it `aborted` and
+          // the lifecycle stays silent, like a deleted pod. Detection
+          // (r8 review round 2 — a bare contains("cancelled") failed
+          // BOTH ways): Spark's cancellation message names the JOB
+          // GROUP (= this exec uuid), so require "cancel" AND the uuid
+          // together — an executor-lost failure that merely mentions
+          // "cancelled" still posts its failure event; and because
+          // interruptOnCancel=true can surface the abort as a
+          // null-message InterruptedException mid-commit, treat a
+          // (possibly wrapped) interrupt or an interrupted thread as
+          // cancellation too.
           case e: Throwable =>
-            val aborted = String.valueOf(e.getMessage).contains("cancelled")
-            if (!aborted) callback(sub, "failure")
+            def canceled(t: Throwable, depth: Int = 0): Boolean =
+              t != null && depth < 10 && {
+                val m = String.valueOf(t.getMessage).toLowerCase
+                (m.contains("cancel") && m.contains(sub.exec_uuid.toLowerCase)) ||
+                t.isInstanceOf[InterruptedException] ||
+                canceled(t.getCause, depth + 1)
+              }
+            if (!canceled(e) && !Thread.currentThread().isInterrupted)
+              callback(sub, "failure")
             throw e
         }
       }

@@ -9,7 +9,7 @@ import java.util.concurrent.atomic.AtomicReference
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.functions.{col, explode}
+import org.apache.spark.sql.functions.{col, explode, lit}
 
 import graft.model._
 import graft.orchestration.{Dispatcher, EngineJob}
@@ -313,6 +313,31 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
         }
       if (events.nonEmpty) eventSink.get()(events)
       subs
+    }
+
+  /** Idempotent MQ ingress: drop events whose `event_id` is already in
+    * the log within the horizon, dispatch the remainder — probe and
+    * step under ONE lock acquisition, so the probe can never observe
+    * an in-memory union that a concurrent step later rolls back (an
+    * unlocked probe could match a phantom batch, report the event
+    * applied, and let the stream checkpoint past it — permanent loss).
+    * Since the durable append runs AFTER effects ([[ingest]]), a
+    * logged id always means an applied event. Returns the fresh set. */
+  private[graft] def ingestDedup(events: Seq[LifecycleEvent], now: Timestamp,
+      horizonCutoff: Timestamp): Seq[LifecycleEvent] =
+    mutate.synchronized {
+      val fresh =
+        if (events.isEmpty) events
+        else {
+          val ids = events.map(_.event_id)
+          val seen = eventLog.get()
+            .where(col("received_time") >= lit(horizonCutoff) &&
+              col("event_id").isin(ids: _*))
+            .select("event_id").collect().map(_.getLong(0)).toSet
+          events.filterNot(e => seen(e.event_id))
+        }
+      if (fresh.nonEmpty) ingest(fresh, now)
+      fresh
     }
 
   /** One culler pass IF anything is incubating — the emptiness check

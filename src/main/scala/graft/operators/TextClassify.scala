@@ -232,16 +232,22 @@ object TextClassify {
     val curve = Seq.newBuilder[(Int, Long, Long)]
     for (t <- 1 to PerceptronIters) {
       val wArr = array(w.toIndexedSeq.map(lit): _*)
+      // persist per iteration: the margin fold is an interpreted
+      // 256-literal HOF over every doc (the known array-HOF gotcha) and
+      // BOTH the update aggregate and the count consume it — uncached,
+      // each iteration paid the fold twice (r8 review round 2)
       val miscl = dv.withColumn("margin",
           aggregate(col("fs"), lit(0L),
             (acc, x) => acc + element_at(wArr, x.getField("f") + 1) * x.getField("cnt")))
         .where(col("y") * col("margin") <= 0)
+        .persist()
       val upd = miscl
         .select(col("y"), explode(col("fs")).as("e"))
         .groupBy(col("e.f").as("f"))
         .agg(sum(col("y") * col("e.cnt")).as("u"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val nMiscl = miscl.count()
+      miscl.unpersist()
       curve += ((t, nMiscl, upd.values.map(math.abs).sum))
       upd.foreach { case (f, u) => w(f) += u }
     }

@@ -338,10 +338,18 @@ object TextSelection {
         .as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long").as("f"))
-    val sc = occ.groupBy("source", "f").agg(count(lit(1)).as("c"))
-    val nsF = occ.groupBy("source").agg(count(lit(1)).as("n"))
-    val cfF = occ.groupBy("f").agg(count(lit(1)).as("cf"))
-    val nt = occ.count() // ONE scalar action; the corpus total is model state
+    // ONE corpus pass: aggregate to the (sources × 256)-bounded sc
+    // frame, LOCALIZE it (KB-sized model state), and derive every
+    // other statistic from the local copy — the first formulation
+    // re-scanned the exploded corpus for each of ns/cf/nt (r8 review
+    // round 2: four scans on an operator documented as one-pass)
+    import spark.implicits._
+    val scRows = occ.groupBy("source", "f").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sc = scRows.toSeq.toDF("source", "f", "c")
+    val nsF = sc.groupBy("source").agg(sum("c").as("n"))
+    val cfF = sc.groupBy("f").agg(sum("c").as("cf"))
+    val nt = scRows.map(_._3).sum
     val grid = nsF.select("source")
       .crossJoin(spark.range(0, 256).select(col("id").as("f")))
     grid

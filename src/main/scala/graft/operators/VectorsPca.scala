@@ -283,10 +283,15 @@ object VectorsPca {
            MAX(proj) AS proj_max,
            CAST(SUM(proj) AS BIGINT) AS proj_sum
     FROM pr GROUP BY label ORDER BY label""") { (spark, dir) =>
-    val covM = scaledCov(spark, dir)
-    var v = Array.fill(Dim)(VScale)
+    projectByLabel(spark, dir, axis1(scaledCov(spark, dir)))
+  }
+
+  /** The converged axis-1 vector — the one driver loop both queries
+    * and [[deflatedAxis]]'s second solve share. */
+  private[graft] def axis1(covM: Array[Array[Long]]): Array[Long] = {
+    var v = Array.fill(covM.length)(VScale)
     for (_ <- 1 to PowerIters) v = powerStep(covM, v)
-    projectByLabel(spark, dir, v)
+    v
   }
 
   /** The self-scaled integer covariance grid (see [[CScale]]). */
@@ -389,10 +394,7 @@ object VectorsPca {
     FROM pr GROUP BY label ORDER BY label"""
   }) { (spark, dir) =>
     val covM = scaledCov(spark, dir)
-    var v = Array.fill(Dim)(VScale)
-    for (_ <- 1 to PowerIters) v = powerStep(covM, v)
-    val v2 = deflatedAxis(covM, v)
-    projectByLabel(spark, dir, v2)
+    projectByLabel(spark, dir, deflatedAxis(covM, axis1(covM)))
   }
 
   /** Axis-2 driver math — exposed for the orthogonality spec. */
@@ -414,9 +416,7 @@ object VectorsPca {
     val dmax = defl.flatten.map(math.abs).max
     require(dmax > 0, "deflation collapsed: rank-1 covariance")
     val covM2 = defl.map(_.map(x => sdiv(x * CScale, dmax)))
-    var v2 = Array.fill(d)(VScale)
-    for (_ <- 1 to PowerIters) v2 = powerStep(covM2, v2)
-    v2
+    axis1(covM2)
   }
 
   val all: Seq[GraftQuery] = Seq(gram, pcaProject, pcaAxis2)
