@@ -143,6 +143,31 @@ final class GraftService(
     val addr = facade.start(port)
 
     mqQuery = mqEndpoint.map { ep =>
+      // per-checkpoint-incarnation token: batch ids restart at 0
+      // whenever the checkpoint is deleted/reset, and a batchId-only
+      // quarantine key would then overwrite the PREVIOUS incarnation's
+      // forensic rows (r8 advice). The token is the streaming QUERY ID
+      // from the checkpoint's own metadata file — stable across
+      // restarts that keep the checkpoint (so a replayed batch still
+      // overwrites its own dir, staying idempotent), fresh exactly
+      // when the checkpoint is reset (so incarnations never collide).
+      // Read lazily (the file exists once the query starts, before the
+      // first batch); Hadoop FS so any checkpoint filesystem works.
+      lazy val runToken: String = {
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$checkpointRoot/mq-ingest/metadata")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+            .map(m => s"run_${m.group(1)}")
+            .getOrElse(sys.error("no id in stream metadata"))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            val now = java.time.Instant.now()
+            s"run_${now.getEpochSecond}_${now.getNano}"
+        }
+      }
       val raw = spark.readStream.format("http-mq").option("endpoint", ep).load()
         .selectExpr("CAST(value AS STRING) AS value")
       raw.writeStream
@@ -159,7 +184,7 @@ final class GraftService(
             // the same forensic rows again forever — keyed on the
             // stream's batchId, the replay overwrites its own dir and
             // the quarantine stays idempotent (r8 review #3)
-            if (!bad.isEmpty) bad.write.mode("overwrite").text(s"$d/batch_$batchId")
+            if (!bad.isEmpty) bad.write.mode("overwrite").text(s"$d/$runToken/batch_$batchId")
           }
           // poll-sized batch -> the shared ingress (catalog regime).
           // MQ delivery is at-least-once against the service's own
@@ -406,34 +431,34 @@ final class GraftService(
     else
       EngineJob.SparkClosure { s =>
         try {
-          val (query, inputDir, outputDir) = GraftService.parseQueryCommand(engineArgs).get
+          val (query, inputRaw, outputDir, table) =
+            GraftService.parseQueryCommand(engineArgs).get
           val run = graft.SparkEntry.queries.getOrElse(query,
             throw new IllegalArgumentException(s"unknown graft query: $query"))
-          run(s, inputDir).write.mode("overwrite").parquet(s"$outputDir/${sub.exec_uuid}")
+          // `graft-run:<base>` inputs bind to the upstream's newest
+          // completed exec dir at run start (chained-DAG contract)
+          val inputDir = GraftService.resolveInputDir(s, inputRaw)
+          val target = table match {
+            case Some(t) => s"$outputDir/${sub.exec_uuid}/$t.parquet"
+            case None => s"$outputDir/${sub.exec_uuid}"
+          }
+          run(s, inputDir).write.mode("overwrite").parquet(target)
           callback(sub, "success")
         } catch {
           // a USER-ABORTED run (cancelJobGroup) must not post a failure
           // event: the P3 retry gate would resubmit the run the user
           // just killed (r8 review); the engine stamps it `aborted` and
           // the lifecycle stays silent, like a deleted pod. Detection
-          // (r8 review round 2 — a bare contains("cancelled") failed
-          // BOTH ways): Spark's cancellation message names the JOB
-          // GROUP (= this exec uuid), so require "cancel" AND the uuid
-          // together — an executor-lost failure that merely mentions
-          // "cancelled" still posts its failure event; and because
-          // interruptOnCancel=true can surface the abort as a
-          // null-message InterruptedException mid-commit, treat a
-          // (possibly wrapped) interrupt or an interrupted thread as
-          // cancellation too.
+          // (r9, closing the r8 advice): the ENGINE'S OWN RECORD is the
+          // authoritative signal — `abort()` stamps the run `aborted`
+          // BEFORE cancelling the job group, so by the time the
+          // interrupt reaches this catch the stamp is visible. The
+          // earlier interrupt-status inference misclassified every
+          // non-cancel interrupt (task reaper, timeout, executor
+          // teardown) as a user abort, leaving those runs with no
+          // lifecycle event at all — invisible to the retry gate.
           case e: Throwable =>
-            def canceled(t: Throwable, depth: Int = 0): Boolean =
-              t != null && depth < 10 && {
-                val m = String.valueOf(t.getMessage).toLowerCase
-                (m.contains("cancel") && m.contains(sub.exec_uuid.toLowerCase)) ||
-                t.isInstanceOf[InterruptedException] ||
-                canceled(t.getCause, depth + 1)
-              }
-            if (!canceled(e) && !Thread.currentThread().isInterrupted)
+            if (!api.engines.wasAborted(sub.exec_uuid))
               callback(sub, "failure")
             throw e
         }
@@ -449,7 +474,7 @@ final class GraftService(
     safely(s"callback($subtype)") {
       val now = nowProvider()
       onEvents(Seq(LifecycleEvent(
-        event_id = GraftService.callbackIds.incrementAndGet(),
+        event_id = GraftService.callbackIds.decrementAndGet(),
         event_type = "job_exec_update", event_subtype = subtype,
         pipeline_uuid = sub.pipeline_uuid, exec_uuid = sub.exec_uuid,
         event_time = now, received_time = now,
@@ -504,30 +529,83 @@ object GraftService {
   def defaultJob(d: Option[PipelineDef], sub: Submission): EngineJob =
     EngineJob.SparkClosure(_ => ())
 
-  /** Callback event-id space: wall-clock-seeded strictly-increasing
-    * longs (≈1.7e15 at 2026 epoch millis ×1000) — disjoint by
-    * construction from cron's minute-slot ids (≈3e13) and the small
-    * fixture/HTTP ids, so a callback can never alias an applied MQ
-    * event through the ingress dedup. */
-  private val callbackIds =
-    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+  /** Callback event-id space: the NEGATIVE half-space, nanosecond-
+    * seeded and strictly DECREASING. External producers own every
+    * non-negative id (enforced at the MQ ingress — see EventIngest
+    * validation), engine-internal callbacks own the negative ids, so
+    * no external event can ever alias a logged callback through the
+    * ingress dedup regardless of what ids producers pick (r8 advice:
+    * the former wall-clock-×1000 positive seed claimed disjointness
+    * external producers never agreed to). Restart safety: a new
+    * incarnation seeds at −epochNanos, which the previous incarnation
+    * can only have reached by issuing more callbacks than elapsed
+    * NANOSECONDS — a JVM restart takes ~10⁹ of them. */
+  private val callbackIds = {
+    val now = java.time.Instant.now()
+    new java.util.concurrent.atomic.AtomicLong(
+      -(now.getEpochSecond * 1000000000L + now.getNano))
+  }
 
-  /** engine_args → (query, input dir, output dir) when the def's
-    * `pipeline_command` is the `graft-query` interpreter. Reuses the
-    * exact `engine.py:110-118` unmarshalling (shared with
+  /** engine_args → (query, input dir, output dir, optional output
+    * TABLE name) when the def's `pipeline_command` is the
+    * `graft-query` interpreter. Reuses the exact `engine.py:110-118`
+    * unmarshalling (shared with
     * [[graft.orchestration.ProcessEngine]]) so the Spark closure and a
-    * process/pod backend read ONE contract. */
-  private[graft] def parseQueryCommand(engineArgs: String): Option[(String, String, String)] =
+    * process/pod backend read ONE contract.
+    *
+    * The optional 4th arg names the output TABLE: the run then writes
+    * `<out>/<exec_uuid>/<table>.parquet` instead of the bare exec dir
+    * — the layout [[graft.sources.Tables]] reads, which is what lets a
+    * DOWNSTREAM graft-query def consume this run's output as its
+    * input corpus (the chained-DAG contract; r8 verdict item 2). */
+  private[graft] def parseQueryCommand(
+      engineArgs: String): Option[(String, String, String, Option[String])] =
     graft.orchestration.ProcessEngine
       .commandFromEngineArgs(engineArgs, defaultCommand = Nil).argv match {
-      case Seq("graft-query", q, in, out) => Some((q, in, out))
+      case Seq("graft-query", q, in, out) => Some((q, in, out, None))
+      case Seq("graft-query", q, in, out, table) => Some((q, in, out, Some(table)))
       case bad if bad.headOption.contains("graft-query") =>
         // an explicitly-declared graft-query def with the wrong arity
         // must FAIL its run (caught by the closure → failure callback →
         // P3 retry gate), never silently degrade to a no-op success
         throw new IllegalArgumentException(
-          s"graft-query expects [query, inputDir, outputDir], got ${bad.tail}")
+          s"graft-query expects [query, inputDir, outputDir] (+ optional outputTable), got ${bad.tail}")
       case _ => None
+    }
+
+  /** Late-bound input resolution for chained defs: an input dir of the
+    * form `graft-run:<base>` resolves AT RUN TIME to the newest
+    * completed exec dir under `<base>` — `<base>/<exec_uuid>` whose
+    * write finished (a `_SUCCESS` marker directly inside it, or inside
+    * any of its `*.parquet` table dirs). Pipeline defs stay STATIC
+    * (the reference's `pipeline_args` are plain strings,
+    * `engine.py:110-118`) while each run reads its upstream's latest
+    * successful artifact — partial writes have no marker and are never
+    * selected, and a retry's fresh exec dir never clobbers what a
+    * downstream might be reading. Hadoop FS throughout, so any
+    * cluster filesystem works. */
+  private[graft] def resolveInputDir(spark: SparkSession, in: String): String =
+    if (!in.startsWith("graft-run:")) in
+    else {
+      val base = in.stripPrefix("graft-run:")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def completedAt(d: org.apache.hadoop.fs.Path): Option[Long] = {
+        val direct = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
+        if (fs.exists(direct)) Some(fs.getFileStatus(direct).getModificationTime)
+        else fs.listStatus(d).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.endsWith(".parquet"))
+          .map(s => new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+          .filter(fs.exists)
+          .map(p => fs.getFileStatus(p).getModificationTime)
+          .sorted.lastOption
+      }
+      val candidates = fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
+        .filter(_.isDirectory)
+        .flatMap(s => completedAt(s.getPath).map(s.getPath -> _))
+      if (candidates.isEmpty)
+        throw new IllegalStateException(s"no completed upstream run under $base")
+      candidates.maxBy(_._2)._1.toString
     }
 
   /** Deployable entrypoint. Environment:

@@ -172,32 +172,39 @@ private[graft] final class AhoCorasick(patterns: Array[String]) extends Serializ
   private val gotoFlat = goto_.toArray
   private val outFlat = out.map(_.toArray).toArray
 
-  /** Distinct matched pattern IDS (ascending) in one byte walk. */
+  /** Distinct matched pattern IDS (ascending) in one byte walk. The
+    * accumulator is a `ceil(n/64)`-word bitset, so the walk stays
+    * O(bytes + matches) for ANY blocklist size (r8 verdict item 2:
+    * the former single-`Long` bitmask capped the expression at 64
+    * terms, making a 10⁴-term list cost 157 shard walks). */
   def matchIds(bytes: Array[Byte]): Array[Int] = {
     var s = 0
-    var hits = 0L // blocklists in the expression are capped at 64 — a bitmask suffices
+    val hits = new Array[Long]((pats.length + 63) >> 6)
     var i = 0
     while (i < bytes.length) {
       s = gotoFlat(s)(bytes(i) & 0xff)
       val o = outFlat(s)
       var j = 0
-      while (j < o.length) { hits |= 1L << o(j); j += 1 }
+      while (j < o.length) { val id = o(j); hits(id >> 6) |= 1L << (id & 63); j += 1 }
       i += 1
     }
     val res = mutable.ArrayBuffer.empty[Int]
     var id = 0
-    while (id < pats.length) { if ((hits & (1L << id)) != 0) res += id; id += 1 }
+    while (id < pats.length) {
+      if ((hits(id >> 6) & (1L << (id & 63))) != 0) res += id
+      id += 1
+    }
     res.toArray
   }
 }
 
 /** Distinct blocklist terms occurring in a text column, as a sorted
   * ARRAY<STRING> — terms are matched as UTF-8 byte substrings via one
-  * Aho–Corasick walk. ≤64 terms (bitmask accumulator); callers with
-  * larger lists shard into several expressions. */
+  * Aho–Corasick walk over a single automaton, any blocklist size
+  * (bitset accumulator sized ceil(n/64) words). */
 case class BlocklistMatchesExpr(child: Expression, terms: Seq[String])
     extends UnaryExpression with CodegenFallback {
-  require(terms.nonEmpty && terms.size <= 64, s"1..64 terms, got ${terms.size}")
+  require(terms.nonEmpty, "at least one term")
   require(terms == terms.sorted && terms.distinct == terms,
     "terms must be sorted and distinct so emitted arrays are canonical")
   // the automaton only reports matches at visited states, so the empty

@@ -58,13 +58,15 @@ object Dedup {
     // the _sound checks emit false violations on general input (r7
     // review; sourceGrams/chunkFrame already filter). Codegen-safe form
     // (array_remove, not the interpreted filter HOF — r8).
+    // No post-filter needed: tokens are non-empty, so `concat_ws` of a
+    // w-token window is never "" — the former `filter(…, s => s =!= "")`
+    // wrapper was a provable no-op that dragged this path into
+    // interpreted eval (r8 verdict item 3).
     val toks = TextOps.tokensNonEmpty(text)
     when(size(toks) >= w,
       array_distinct(
-        filter(
-          transform(sequence(lit(0), size(toks) - w),
-            i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
-          s => s =!= "")))
+        transform(sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -32,6 +32,15 @@ object OpMemo {
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Memo keys currently materialized for (session, dir) — lets the
+    * bench stamp WHICH query paid each shared training memo (r8
+    * verdict #4b: `ns_text_bpe_fertility` read 2 s in the artifact
+    * because it happened to run first and absorb the BPE training that
+    * `ns_text_bpe_tokens` then rode for 0.12 s, and the artifact could
+    * not say so). */
+  def keys(spark: SparkSession, dir: String): Set[String] =
+    memos.keys.collect { case (s, d, k) if (s eq spark) && d == dir => k }.toSet
+
   def cached(spark: SparkSession, dir: String, key: String)
             (build: => DataFrame): DataFrame = {
     hook(spark)

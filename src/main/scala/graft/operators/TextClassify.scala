@@ -44,11 +44,11 @@ object TextClassify {
     docs.select(col("doc_id"), col("lang"), (col("lang") === "en").as("pos"),
       explode(split(col("text"), " ")).as("w"))
 
-  /** FLOOR(((ln a − ln b − ln c) + ln d) · 10⁶) as BIGINT — the shared
-    * quantizer; identical association to the oracle's expression. */
+  /** The shared four-ln quantizer — hoisted to
+    * [[graft.functions.ExactMath]] (r8 advice: `ns_text_source_drift`
+    * re-derived the chain inline instead of reusing it). */
   private def microLnRatio(a: Column, b: Column, c: Column, d: Column): Column =
-    floor((log(a.cast("double")) - log(b.cast("double"))
-      - log(c.cast("double")) + log(d.cast("double"))) * 1000000.0).cast("long")
+    graft.functions.ExactMath.microLnRatio(a, b, c, d)
 
   /** Per-eval-doc NB scores: (doc_id, lang, n_toks, score_micro, pred_en, is_en). */
   def nbClassify(spark: SparkSession, dir: String): DataFrame =

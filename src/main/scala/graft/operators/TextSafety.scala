@@ -10,7 +10,7 @@ import graft.sources.Tables
   * drop (or flag) documents containing any term from a curated list
   * (C4 used the "List of Dirty, Naughty …" list; every production
   * corpus pipeline runs some variant before training). The reference
-  * (`/root/reference/src/kalytical/api.py`) would run this as an
+  * (`/root/reference/src/kalytical/facade.py`) would run this as an
   * opaque engine job; here the matcher is the engine's own native
   * expression.
   *

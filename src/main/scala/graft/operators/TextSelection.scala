@@ -43,6 +43,16 @@ object TextSelection {
     * while staying rank-order-consistent with the tercile sort key. */
   private val RankBinWidth = 1000L
 
+  /** Boundary bins above this row count are recursively refined
+    * (sub-ranked by exact value + doc-id band) instead of sorted in
+    * one task. Sized so a boundary partition sort stays executor-local
+    * cheap at any corpus scale. */
+  private[graft] val BoundaryRowCap: Long = 1L << 20
+  /** Doc-id bands a whale bin is split into; ties on the rounded logp
+    * spread by doc_id (uniform by construction at ingest), so each
+    * band sorts ~bin_n / 256 rows. */
+  private val BandCount = 256
+
   /** Per-doc tercile assignment WITHOUT a per-lang global window:
     *  1. lkey = −lmicro (ascending lkey ⇔ avg_logp DESC, the NTILE
     *     sort direction); bin = floor(lkey / RankBinWidth).
@@ -53,40 +63,80 @@ object TextSelection {
     *     rank land in the same bucket the whole bin is UNIFORM — its
     *     docs take that bucket by comparison alone, zero data movement.
     *     Only BOUNDARY bins (a tercile cut falls inside: at most 2 per
-    *     language, sized by the 0.1-logp value bound, independent of
-    *     corpus size) rank their docs via bin_off + row_number within
+    *     language) rank their docs via bin_off + row_number within
     *     (lang, bin) — the `valueRanks` two-phase core restricted to
     *     the bins that need intra-bin order (r8: the unrestricted form
     *     shuffled the whole corpus into the rank window and measured 2×
     *     the NTILE window locally; this form moves boundary rows only).
-    *  4. integer `div`, no double rounding at bucket boundaries; exact
+    *  4. a fixed-value-width bin holds a corpus-PROPORTIONAL fraction
+    *     of its language (density at the cut × 0.1 logp — and on a
+    *     tie-heavy corpus most of it; r8 verdict #1), so a boundary
+    *     bin above `boundaryCap` rows is REFINED: sub-ranked by the
+    *     exact (lkey, doc-id band) composite — order-consistent with
+    *     (lkey, doc_id) because bands are doc-id RANGES — with a
+    *     second count/offset frame per (lang,bin,lkey,band) and
+    *     row_number only within each band. A tied-logp whale thus
+    *     sorts ≤ ~bin_n/256 rows per task instead of the whole bin
+    *     (probe: SelectionScaleProbe whale section).
+    *  5. integer `div`, no double rounding at bucket boundaries; exact
     *     for row_number-ranked NTILE.
-    * Exposed for the window-equivalence spec. */
-  private[graft] def langTerciles(perdoc: DataFrame): DataFrame = {
+    * Exposed for the window-equivalence spec (which also pins the
+    * refined path via `boundaryCap = 1`). */
+  private[graft] def langTerciles(perdoc: DataFrame,
+      boundaryCap: Long = BoundaryRowCap): DataFrame = {
     val keyed = perdoc
       .withColumn("lkey", -round(col("avg_logp") * 10000).cast("long"))
       .withColumn("bin", floor(col("lkey").cast("double") / RankBinWidth).cast("long"))
     val wOff = Window.partitionBy("lang").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
     // ONE broadcast frame: per-(lang,bin) rank offset, per-lang total,
-    // and the bucket of the bin's first and last rank
-    val offsets = keyed.groupBy("lang", "bin").agg(count(lit(1)).as("bin_n"))
+    // the bucket of the bin's first and last rank, and the bin's doc-id
+    // range (band geometry for whale refinement)
+    val offsets = keyed.groupBy("lang", "bin")
+      .agg(count(lit(1)).as("bin_n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
       .withColumn("n_lang", sum("bin_n").over(Window.partitionBy("lang").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("b_lo", expr("bin_off * 3 div n_lang + 1").cast("long"))
       .withColumn("b_hi", expr("(bin_off + bin_n - 1) * 3 div n_lang + 1").cast("long"))
-      .select("lang", "bin", "bin_off", "n_lang", "b_lo", "b_hi")
+      .select("lang", "bin", "bin_n", "min_id", "max_id", "bin_off", "n_lang", "b_lo", "b_hi")
     val annotated = keyed.join(broadcast(offsets), Seq("lang", "bin"))
+    val outCols = (perdoc.columns :+ "bucket").map(col)
     val uniform = annotated.where(col("b_lo") === col("b_hi"))
       .withColumn("bucket", col("b_lo"))
+      .select(outCols: _*)
     val wLocal = Window.partitionBy("lang", "bin").orderBy(col("lkey"), col("doc_id"))
-    val boundary = annotated.where(col("b_lo") =!= col("b_hi"))
+    val boundary = annotated
+      .where(col("b_lo") =!= col("b_hi") && col("bin_n") <= boundaryCap)
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))
       .withColumn("bucket", expr("(rk - 1) * 3 div n_lang + 1").cast("long"))
-      .drop("rk")
-    uniform.unionByName(boundary)
-      .drop("lkey", "bin", "bin_off", "n_lang", "b_lo", "b_hi")
+      .select(outCols: _*)
+    // WHALE boundary bins: refine by (exact lkey, doc-id band). The
+    // band is a doc-id RANGE (div by a width derived from the bin's
+    // id span), so (lkey, band, doc_id) sorts lexicographically
+    // identical to (lkey, doc_id) — rank composition stays exact.
+    val whale = annotated
+      .where(col("b_lo") =!= col("b_hi") && col("bin_n") > boundaryCap)
+      .withColumn("band",
+        expr(s"(doc_id - min_id) div ((max_id - min_id) div $BandCount + 1)"))
+    val wSubOff = Window.partitionBy("lang", "bin").orderBy("lkey", "band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // second offset frame: distinct (lkey, band) only — ≤ RankBinWidth
+    // × BandCount rows per whale bin, and only for the ≤2 boundary
+    // bins per language. Not forced broadcast: the join key is the
+    // fine (lang,bin,lkey,band), so even the shuffle form distributes
+    // the whale bin across all bands; AQE broadcasts when small.
+    val suboff = whale.groupBy("lang", "bin", "lkey", "band")
+      .agg(count(lit(1)).as("sub_n"))
+      .withColumn("sub_off", coalesce(sum("sub_n").over(wSubOff), lit(0L)))
+      .select("lang", "bin", "lkey", "band", "sub_off")
+    val wBand = Window.partitionBy("lang", "bin", "lkey", "band").orderBy("doc_id")
+    val whaleRanked = whale.join(suboff, Seq("lang", "bin", "lkey", "band"))
+      .withColumn("rk", col("bin_off") + col("sub_off") + row_number().over(wBand))
+      .withColumn("bucket", expr("(rk - 1) * 3 div n_lang + 1").cast("long"))
+      .select(outCols: _*)
+    uniform.unionByName(boundary).unionByName(whaleRanked)
   }
 
   /** CCNet head/middle/tail terciles per language over the bigram-LM
@@ -292,11 +342,19 @@ object TextSelection {
     * every term is defined; KL ≥ 0 with equality iff the source
     * matches the mixture.
     *
-    * Exact-integer contract: each of the B terms quantizes
-    * independently — `FLOOR(1e6 · p_sf · (ln(c_sf+1) − ln(N_s+B)
-    * − ln(c_f+1) + ln(N+B)))`, the `microLnRatio` ln-chain both
-    * engines compute identically — and the per-source sum is a BIGINT
-    * of 256 integers, immune to accumulation order.
+    * Exact-integer contract (r9, closing the r8 advice): the ln chain
+    * quantizes FIRST through the shared
+    * [[graft.functions.ExactMath.microLnRatio]] — `Lm = FLOOR(1e6 ·
+    * (ln(c_sf+1) − ln(N_s+B) − ln(c_f+1) + ln(N+B)))` — and the
+    * probability weight is then applied as PURE INTEGER arithmetic,
+    * `t = ((c_sf+1) · Lm) div (N_s+B)` (Spark `div` and DuckDB `//`
+    * both truncate toward zero). The former form multiplied the float
+    * p_sf into the chain before its floor, widening the cross-libm
+    * boundary-flip surface to every term; now the only float boundary
+    * is the one FLOOR inside the shared quantizer. The per-source sum
+    * is a BIGINT of 256 integers, immune to accumulation order.
+    * (|Lm| ≤ ~6e7 and c_sf+1 ≤ N_s, so the intermediate product stays
+    * far inside BIGINT even at 100 TB bucket counts.)
     *
     * Scale shape: ONE corpus pass (explode + two bounded aggregates:
     * sources×B and B keys, map-side partials), then all arithmetic on
@@ -319,9 +377,11 @@ object TextSelection {
              FROM (SELECT DISTINCT source FROM fb) s CROSS JOIN range(1, 257) t(i)),
     terms AS (
       SELECT g.source, ns.n,
-             CAST(FLOOR(1000000.0 * (COALESCE(sc.c, 0) + 1.0) / (ns.n + 256)
-                  * (ln(COALESCE(sc.c, 0) + 1.0) - ln(ns.n + 256.0)
-                     - ln(COALESCE(cf.c, 0) + 1.0) + ln(nt.n + 256.0))) AS BIGINT) AS t
+             ((COALESCE(sc.c, 0) + 1) *
+              CAST(FLOOR(1000000.0 *
+                   (ln(COALESCE(sc.c, 0) + 1.0) - ln(ns.n + 256.0)
+                    - ln(COALESCE(cf.c, 0) + 1.0) + ln(nt.n + 256.0))) AS BIGINT))
+             // (ns.n + 256) AS t
       FROM grid g
       LEFT JOIN sc ON sc.source = g.source AND sc.f = g.f
       LEFT JOIN cf ON cf.f = g.f
@@ -357,10 +417,12 @@ object TextSelection {
       .join(broadcast(cfF), Seq("f"), "left")
       .join(broadcast(nsF), Seq("source"))
       .select(col("source"), col("n"),
-        floor(lit(1000000.0) * (coalesce(col("c"), lit(0L)) + 1.0) / (col("n") + lit(256L))
-          * (log(coalesce(col("c"), lit(0L)) + 1.0) - log(col("n") + lit(256.0))
-             - log(coalesce(col("cf"), lit(0L)) + 1.0) + log(lit(nt + 256.0))))
-          .cast("long").as("t"))
+        ((coalesce(col("c"), lit(0L)) + lit(1L)) *
+          graft.functions.ExactMath.microLnRatio(
+            coalesce(col("c"), lit(0L)) + 1, col("n") + lit(256L),
+            coalesce(col("cf"), lit(0L)) + 1, lit(nt + 256L))).as("num"))
+      .withColumn("t", expr("num div (n + 256)"))
+      .drop("num")
       .groupBy("source", "n")
       .agg(sum("t").as("kl_micro"))
       .select(col("source"), col("n").as("n_bigrams"), col("kl_micro"))

@@ -44,6 +44,14 @@ trait EngineBackend {
   def jobs(spark: SparkSession): Dataset[RunningJob]
   /** E5 — tail of the run's captured log, byte-capped. */
   def logs(execUuid: String, maxKb: Int = 10): String
+  /** Whether this backend recorded a user abort for the run — the
+    * AUTHORITATIVE cancellation signal a running closure consults
+    * before deciding a thrown interrupt means "user killed me"
+    * (suppress the failure callback) vs "infrastructure killed me"
+    * (post it, so the P3 retry gate sees the failure). Backends that
+    * cannot observe aborts (a deleted pod just vanishes) keep the
+    * default `false`. */
+  def wasAborted(execUuid: String): Boolean = false
 }
 
 /** Local backend: runs each submission as a Spark action in its own
@@ -98,14 +106,22 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
   }
 
   def abort(execUuid: String): Unit = {
-    spark.sparkContext.cancelJobGroup(execUuid)
+    // stamp BEFORE cancelling: the job-group interrupt can reach the
+    // running closure's catch block immediately, and that block
+    // consults [[wasAborted]] to decide whether to suppress its
+    // failure callback (r8 advice: interrupt-status inference
+    // misclassified task-reaper/timeout interrupts as user aborts) —
+    // the stamp must already be visible when the interrupt lands
     runs.computeIfPresent(execUuid, (_, st) =>
       if (st.status == "running")
         st.copy(status = "aborted",
           end = Some(new Timestamp(System.currentTimeMillis())))
       else st)
-    ()
+    spark.sparkContext.cancelJobGroup(execUuid)
   }
+
+  override def wasAborted(execUuid: String): Boolean =
+    Option(runs.get(execUuid)).exists(_.status == "aborted")
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
@@ -143,6 +159,10 @@ final class EngineManager(engines: Seq[EngineBackend]) {
     submit(engineName, sub, EngineJob.SparkClosure(body))
 
   def abort(execUuid: String): Unit = engines.foreach(_.abort(execUuid))
+
+  /** True if ANY backend recorded a user abort for the run (the abort
+    * endpoint fans out to every backend the same way). */
+  def wasAborted(execUuid: String): Boolean = engines.exists(_.wasAborted(execUuid))
 
   /** E2 — union of all engines' snapshots with filter/limit pushed into
     * the plan (the reference applied these client-side). */

@@ -100,6 +100,9 @@ final class ProcessEngine extends EngineBackend {
     toKill.foreach(_.destroyForcibly())
   }
 
+  override def wasAborted(execUuid: String): Boolean =
+    Option(runs.get(execUuid)).exists(_.status == "aborted")
+
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
     val rows = runs.asScala.map { case (id, st) =>

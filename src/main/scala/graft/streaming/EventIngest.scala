@@ -39,12 +39,20 @@ object EventIngest {
       col(jsonCol).as("_raw"),
       from_json(col(jsonCol), parseSchema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")).as("e"))
+    // event_id < 0 is INVALID from an external producer: the negative
+    // id half-space is reserved for the engine's own callback events
+    // (GraftService.callbackIds), which is what lets the ingress dedup
+    // key on the bare id without a producer ever aliasing a logged
+    // callback (r8 advice). Enforced here, not just documented: a
+    // negative external id goes to quarantine like any malformed line.
     val good = parsed
-      .where(col("e").isNotNull && col("e._corrupt").isNull && col("e.event_id").isNotNull)
+      .where(col("e").isNotNull && col("e._corrupt").isNull &&
+        col("e.event_id").isNotNull && col("e.event_id") >= 0)
       .select(eventSchema.fieldNames.map(f => col(s"e.$f")): _*)
       .as[LifecycleEvent]
     val bad = parsed
-      .where(col("e").isNull || col("e._corrupt").isNotNull || col("e.event_id").isNull)
+      .where(col("e").isNull || col("e._corrupt").isNotNull ||
+        col("e.event_id").isNull || col("e.event_id") < 0)
       .select(col("_raw"))
     Parsed(good, bad)
   }

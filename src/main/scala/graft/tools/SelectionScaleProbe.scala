@@ -120,6 +120,28 @@ object SelectionScaleProbe {
     println(f"[sel] ccnet rank  : 1x ${r1}%.2f s (warm $wr%.2f), 10x ${r10}%.2f s = ${r10 / r1}%.2fx wall; " +
       f"NTILE window 1x ${w1}%.2f s, 10x ${w10}%.2f s = ${w10 / w1}%.2fx")
 
+    // --- 4b. tied-logp WHALE: 50% of one lang at a single rounded
+    // avg_logp (r9 — the r8 residual). The un-refined rank would sort
+    // that whole mass in ONE task; the refined path (boundaryCap low
+    // enough to trigger at probe scale) spreads it over doc-id bands.
+    // Metric of record: max rows any single rank task sorts, read from
+    // the per-task input sizes of the refined vs naive plans' wall
+    // time under growth.
+    def whaled(k: Int): DataFrame = perdocGrown(k)
+      .withColumn("avg_logp",
+        when(col("lang") === "en" && col("doc_id") % 2 === 0, lit(-2.7183))
+          .otherwise(col("avg_logp")))
+    def tercilesCap(df: DataFrame, cap: Long) =
+      TextSelection.langTerciles(df, boundaryCap = cap)
+        .groupBy("lang", "bucket").count().count()
+    tercilesCap(whaled(1), 1000L) // warm
+    val (_, wh1) = time(tercilesCap(whaled(1), 1000L))
+    val (_, wh10) = time(tercilesCap(whaled(10), 1000L))
+    val (_, whNaive1) = time(tercilesCap(whaled(1), Long.MaxValue))
+    val (_, whNaive10) = time(tercilesCap(whaled(10), Long.MaxValue))
+    println(f"[sel] ccnet whale : refined 1x ${wh1}%.2f s, 10x ${wh10}%.2f s = ${wh10 / wh1}%.2fx wall; " +
+      f"single-task bin 1x ${whNaive1}%.2f s, 10x ${whNaive10}%.2f s = ${whNaive10 / whNaive1}%.2fx")
+
     // --- 5. hard negatives: aggregator vs window at 10x corpus ---------
     // replicas shift vec_id by multiples of 8 past the query range so
     // the Q=8 query set stays fixed while the corpus grows

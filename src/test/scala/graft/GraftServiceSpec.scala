@@ -456,6 +456,86 @@ class GraftServiceSpec extends AnyFunSuite {
     } finally service.shutdown()
   }
 
+  test("data plane CHAIN: quality -> dedup -> pack, each stage consuming the previous stage's parquet (r8 verdict #2)") {
+    import org.apache.spark.sql.functions.col
+    val inDir = "/root/testdata/sf0.001"
+    val out1 = SparkSuite.tempDir("dag-out1")
+    val out2 = SparkSuite.tempDir("dag-out2")
+    val out3 = SparkSuite.tempDir("dag-out3")
+    val service = newDataPlaneService()
+    try {
+      val base = s"http://127.0.0.1:${service.start(0).getPort}"
+      def queryArgs(args: String*): String =
+        s"""{"pipeline_command":["graft-query"],"pipeline_args":[${args.map("\"" + _ + "\"").mkString(",")}]}"""
+      // stage 1 materializes the curated corpus AS a documents table;
+      // stages 2/3 bind their input to the upstream's newest completed
+      // run at dispatch time (graft-run:), so the defs stay static
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("stage-quality",
+          queryArgs("ns_stage_quality_docs", inDir, out1, "documents"))).statusCode() == 200)
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("stage-dedup",
+          queryArgs("ns_stage_dedup_docs", s"graft-run:$out1", out2, "documents"),
+          triggersOp = Some("any"),
+          triggers = Seq("stage-dedup" -> "stage-quality"))).statusCode() == 200)
+      assert(call(base, "POST", "/pipeline/config/create_or_replace",
+        upsertBody("stage-pack",
+          queryArgs("ns_text_pack", s"graft-run:$out2", out3),
+          triggersOp = Some("any"),
+          triggers = Seq("stage-pack" -> "stage-dedup"))).statusCode() == 200)
+
+      // ONE manual dispatch at the head; everything else must cascade
+      // off success callbacks (P2 fan-out from real data runs)
+      assert(call(base, "POST",
+        "/pipeline/dispatcher/run_by_pipeline_uuid?pipeline_uuid=stage-quality")
+        .statusCode() == 200)
+
+      def execDirs(out: String): Seq[java.io.File] =
+        Option(new java.io.File(out).listFiles()).getOrElse(Array.empty).toSeq
+      def completed(out: String): Option[java.io.File] =
+        execDirs(out).find { d =>
+          new java.io.File(d, "_SUCCESS").exists() ||
+            Option(d.listFiles()).getOrElse(Array.empty)
+              .exists(t => t.getName.endsWith(".parquet") && new java.io.File(t, "_SUCCESS").exists())
+        }
+      poll("terminal stage-3 artifact", timeoutMs = 120000)(completed(out3).nonEmpty)
+
+      // stage 1 == the registered query over the corpus
+      val stage1 = spark.read.parquet(s"${completed(out1).get}/documents.parquet")
+      val expected1 = SparkEntry.queries("ns_stage_quality_docs")(spark, inDir)
+      assert(stage1.count() == expected1.count() && stage1.count() > 0)
+
+      // stage 2 DERIVES from stage 1's artifact: survivor set ⊆ stage-1
+      // docs and equals the dedup query run over stage 1's output dir
+      val stage2Dir = completed(out2).get.getAbsolutePath
+      val stage2 = spark.read.parquet(s"$stage2Dir/documents.parquet")
+      val s1Ids = stage1.select("doc_id").collect().map(_.getLong(0)).toSet
+      val s2Ids = stage2.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s2Ids.nonEmpty && s2Ids.subsetOf(s1Ids),
+        "stage-2 survivors must come from stage-1's curated corpus")
+      val expected2 = SparkEntry.queries("ns_stage_dedup_docs")(
+        spark, completed(out1).get.getAbsolutePath)
+      assert(stage2.count() == expected2.count())
+
+      // stage 3 == packing the stage-2 corpus (the terminal report is
+      // a function of the chain's real intermediate artifact)
+      val stage3 = spark.read.parquet(completed(out3).get.getAbsolutePath)
+      val expected3 = SparkEntry.queries("ns_text_pack")(spark, stage2Dir)
+      assert(stage3.count() == expected3.count() && stage3.count() > 0)
+      val got = stage3.orderBy("lang", "bin").collect().map(_.toSeq).toSeq
+      val want = expected3.orderBy("lang", "bin").collect().map(_.toSeq).toSeq
+      assert(got == want, "terminal pack report must match packing stage-2's corpus")
+
+      // all three stages posted success callbacks through the ingress
+      poll("three success events in the log") {
+        service.facade.eventLog.get()
+          .where(col("event_subtype") === "success" &&
+            col("pipeline_uuid").isin("stage-quality", "stage-dedup", "stage-pack"))
+          .select("pipeline_uuid").distinct().count() == 3
+      }
+    } finally service.shutdown()
+  }
+
   test("data plane: an unknown query name fails the run and posts a failure event (the P3 retry-gate input)") {
     import org.apache.spark.sql.functions.col
     val service = newDataPlaneService()

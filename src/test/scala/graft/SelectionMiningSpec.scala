@@ -43,6 +43,27 @@ class SelectionMiningSpec extends AnyFunSuite {
       "rank-identity buckets must be bit-identical to NTILE")
   }
 
+  test("ccnet terciles: the WHALE-refined path (boundaryCap=1) is also bit-identical to NTILE, ties included") {
+    // boundaryCap=1 forces EVERY boundary bin through the refined
+    // (lkey, doc-id band) sub-rank — including its tie-splitting
+    // arithmetic, which the default cap never exercises at test SF.
+    // Tie-heavy input: half of one lang collapsed onto a single
+    // rounded avg_logp (the r8 verdict's whale scenario).
+    val perdoc = graft.operators.TextOps.perplexityFrame(spark, dir)
+      .withColumn("avg_logp",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("doc_id") % 2 === 0,
+          org.apache.spark.sql.functions.lit(-3.1416)).otherwise(
+          org.apache.spark.sql.functions.col("avg_logp")))
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val refined = buckets(TextSelection.langTerciles(perdoc, boundaryCap = 1))
+    val ref = buckets(TextSelection.langTercilesWindow(perdoc))
+    assert(refined.nonEmpty && refined == ref,
+      "whale-refined buckets must be bit-identical to NTILE")
+  }
+
   test("hard negatives: bounded-aggregator ranking equals the window formulation (r7 verdict)") {
     val emb = Tables.embeddings(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

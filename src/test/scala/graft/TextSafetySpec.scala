@@ -45,6 +45,24 @@ class TextSafetySpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("blocklists beyond 64 terms: bitset accumulator matches naive contains across word boundaries") {
+    // 300 terms — ids land in all five bitset words; the matching ids
+    // are chosen to straddle the 64/128/192/256 word boundaries where
+    // a wrong shift (the old single-Long bitmask) would alias or drop
+    val terms = (0 until 300).map(i => f"term$i%03d").sorted
+    val texts = Seq(
+      terms.mkString(" "),                           // all 300
+      "term063 term064 term065",                     // first word boundary
+      "xxterm191yy term192",                         // substring + boundary
+      terms(255) + terms(256),                       // concatenated, no space
+      "no hits here",
+      "")
+    val fast = matchesOf(terms, texts)
+    val ref = texts.map(t => terms.filter(t.contains).toList)
+    assert(fast == ref)
+    assert(fast.head.size == 300, "the all-terms text must surface every id")
+  }
+
   test("corpus run is non-degenerate and exercises the prefix-sharing pair") {
     val rows = TextSafety.blocklist.run(spark, dir).collect()
     assert(rows.nonEmpty, "blocklist must flag documents on the test corpus")
