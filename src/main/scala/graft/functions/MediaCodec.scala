@@ -102,6 +102,78 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** FULL pixel decode of an 8-bit grayscale PNG: concatenate the
+    * IDAT chunks, inflate, and reverse the per-scanline filter — all
+    * five filter types (None/Sub/Up/Average/Paeth, PNG spec §9) are
+    * implemented, not just the filter-0 our encoder emits, and the
+    * spec proves it by pixel-matching PNGs written by `ImageIO`
+    * (whose encoder picks Sub/Up/Paeth adaptively). Returns row-major
+    * gray values 0–255, or None for non-gray-8 or corrupt streams. */
+  def pngPixels(b: Array[Byte]): Option[Array[Int]] = {
+    val info = pngInfo(b).getOrElse(return None)
+    if (info.bitDepth != 8 || info.colorType != 0) return None
+    val w = info.width; val h = info.height
+    if (w.toLong * h > (1 << 26)) return None // 64M-pixel sanity cap
+    // walk chunks, concatenating IDAT payloads
+    val idat = new ByteArrayOutputStream(b.length)
+    var i = 8
+    var ok = true
+    while (ok && i + 8 <= b.length) {
+      val len = beInt(b, i)
+      if (len < 0 || i + 12 + len > b.length) ok = false
+      else {
+        val name = new String(b, i + 4, 4, "US-ASCII")
+        if (name == "IDAT") idat.write(b, i + 8, len)
+        if (name == "IEND") i = b.length // stop
+        else i += 12 + len
+      }
+    }
+    if (!ok) return None
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // defilter (bpp = 1 for gray-8)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (w + 1)
+      val filter = raw(base) & 0xff
+      var x = 0
+      while (x < w) {
+        val cur = raw(base + 1 + x) & 0xff
+        val left = if (x > 0) out(y * w + x - 1) else 0
+        val up = if (y > 0) out((y - 1) * w + x) else 0
+        val upLeft = if (x > 0 && y > 0) out((y - 1) * w + x - 1) else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            // Paeth predictor (PNG spec §9.4)
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(y * w + x) = recon & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   final case class PngInfo(width: Int, height: Int, bitDepth: Int, colorType: Int)
 
   /** Parse a PNG header: signature + IHDR (always the first chunk). */
@@ -111,7 +183,11 @@ object MediaCodec {
     while (i < 8) { if (b(i) != PngSig(i)) return None; i += 1 }
     // bytes 8..11 = IHDR length (13), 12..15 = "IHDR"
     if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
-    Some(PngInfo(beInt(b, 16), beInt(b, 20), b(24) & 0xff, b(25) & 0xff))
+    val w = beInt(b, 16); val h = beInt(b, 20)
+    // PNG dims are 31-bit positive; a crafted/corrupt header with a
+    // sign-flipped or zero dimension is malformed, not a decode result
+    if (w <= 0 || h <= 0) None
+    else Some(PngInfo(w, h, b(24) & 0xff, b(25) & 0xff))
   }
 
   private def beInt(b: Array[Byte], off: Int): Int =
@@ -136,7 +212,12 @@ object MediaCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream(2048)
-    val ok = javax.imageio.ImageIO.write(img, "jpg", out)
+    // explicit memory-cached stream: the OutputStream overload of
+    // `ImageIO.write` goes through the default FILE-backed stream
+    // cache — a temp-file create/write/delete per encoded row, fatal
+    // in a per-row executor path (r9 review)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val ok = try javax.imageio.ImageIO.write(img, "jpg", ios) finally ios.close()
     require(ok, "no JPEG writer in this JVM")
     out.toByteArray
   }
@@ -153,7 +234,8 @@ object MediaCodec {
     while (i + 3 < end) {
       if ((b(i) & 0xff) != 0xff) return None // desynced
       var m = b(i + 1) & 0xff
-      while (m == 0xff && i + 2 < end) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+      while (m == 0xff && i + 3 < end) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+      if (i + 3 >= end) return None // truncated after fill run
       if (m == 0xd9 || m == 0xda) return None // EOI / SOS before any SOF
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
@@ -260,6 +342,33 @@ object MediaCodec {
   final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
       nFrames: Int, durationMs: Long)
 
+  /** FULL sample decode of a 16-bit PCM WAV: the `data` chunk as
+    * signed little-endian int16 values in interleaved frame order
+    * (frame-major, channel-minor — the RIFF layout). None for
+    * non-16-bit or corrupt files. */
+  def wavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    val info = wavInfo(b).getOrElse(return None)
+    if (info.bitsPerSample != 16) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = leInt(b, i + 4)
+      if (size < 0) return None
+      if (id == "data") {
+        val n = math.min(size, b.length - i - 8) / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) {
+          out(k) = ((b(i + 8 + 2 * k) & 0xff) | (b(i + 9 + 2 * k) << 8)).toShort
+          k += 1
+        }
+        return Some(out)
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
   /** RIFF chunk walk: fmt (format params) + data (payload size). */
   def wavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 44) return None
@@ -270,6 +379,10 @@ object MediaCodec {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = leInt(b, i + 4)
+      // a chunk size with the high bit set (>2 GiB uint32) reads as a
+      // negative Int here and would walk the cursor BACKWARDS — an
+      // infinite loop on a corrupt file; treat as malformed
+      if (size < 0) return None
       if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
         channels = leShort(b, i + 10)
         rate = leInt(b, i + 12)

@@ -266,6 +266,89 @@ object Multimodal {
     }
   }
 
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      gray_sum: Long, gray_min: Int, gray_max: Int)
+
+  /** REAL pixel decode: inflate + defilter every image's PNG scanlines
+    * ([[MediaCodec.pngPixels]] — all five PNG filter types, proven
+    * against `ImageIO`-encoded files in MediaCodecSpec) and aggregate
+    * per-image brightness stats. The oracle replays the generator's
+    * pixel formula arithmetically over the w×h grid, so the hash-match
+    * proves the DEFLATE round-trip and defiltering byte-exactly — the
+    * multimodal family's content plane, not just its header plane.
+    * Exact-integer contract: sums of 8-bit values, no floats. */
+  val pixelStats: GraftQuery = GraftQuery.checked("ns_mm_pixel_stats",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id * 13) % 120 AS BIGINT) AS w,
+             CAST(8 + (doc_id * 29) % 120 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM p)
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 251) AS BIGINT) AS gray_sum,
+           CAST(MIN((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 251) AS INTEGER) AS gray_min,
+           CAST(MAX((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 251) AS INTEGER) AS gray_max
+    FROM g GROUP BY doc_id, w, h ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "image")
+      .map { row =>
+        val info = MediaCodec.pngInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
+        val px = MediaCodec.pngPixels(row.payload)
+          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
+        var s = 0L; var mn = 255; var mx = 0
+        var k = 0
+        while (k < px.length) {
+          val v = px(k); s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        PixelStats(row.doc_id, info.width, info.height, s, mn, mx)
+      }.toDF().orderBy("doc_id")
+  }
+
+  final case class AudioStats(doc_id: Long, n_frames: Int, channels: Int,
+      amp_sum: Long, amp_min: Int, amp_max: Int)
+
+  /** REAL PCM decode: parse every audio doc's 16-bit samples
+    * ([[MediaCodec.wavSamples]], signed little-endian int16) and
+    * aggregate per-doc amplitude stats; the oracle replays the
+    * generator's sample formula over the (frame, channel) grid —
+    * proving the byte-level int16 parse, sign handling included. */
+  val audioStats: GraftQuery = GraftQuery.checked("ns_mm_audio_stats",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(1 + (doc_id * 5) % 2 AS BIGINT) AS ch,
+             CAST(64 + (doc_id * 17) % 441 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 1),
+    g AS (SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i FROM p)
+    SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, CAST(ch AS INTEGER) AS channels,
+           CAST(SUM((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS BIGINT) AS amp_sum,
+           CAST(MIN((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS INTEGER) AS amp_min,
+           CAST(MAX((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS INTEGER) AS amp_max
+    FROM g GROUP BY doc_id, nf, ch ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "audio")
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val samples = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var k = 0
+        while (k < samples.length) {
+          val v = samples(k).toInt; s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        AudioStats(row.doc_id, info.nFrames, info.channels, s, mn, mx)
+      }.toDF().orderBy("doc_id")
+  }
+
   final case class SampledFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int)
 
   /** REAL frame sampling: split each video doc's MJPEG stream into its
@@ -380,5 +463,5 @@ object Multimodal {
   }
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
-    pairedGate)
+    pairedGate, pixelStats, audioStats)
 }

@@ -69,6 +69,53 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(truncated.length == dims.length - 1)
   }
 
+  test("pngPixels decodes ImageIO-written PNGs pixel-exactly (adaptive filters included)") {
+    // content with strong horizontal AND vertical gradients pushes the
+    // JDK encoder into the Sub/Up/Average/Paeth filters our decoder
+    // must reverse — a filter-0-only decoder fails this test
+    val (w, h) = (61, 43)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 3 + y * 5 + (x * y) % 7) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val px = MediaCodec.pngPixels(out.toByteArray)
+    assert(px.isDefined, "our decoder rejected a JDK-written gray PNG")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px.get(y * w + x) == img.getRaster.getSample(x, y, 0),
+        s"pixel ($x,$y) wrong after defilter")
+  }
+
+  test("pngPixels round-trips our own encoder against the pixel formula") {
+    val (w, h, seed) = (29, 31, 77L)
+    val px = MediaCodec.pngPixels(MediaCodec.encodePng(w, h, seed))
+    assert(px.isDefined)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(px.get(y * w + x) == MediaCodec.pixel(seed, x, y))
+  }
+
+  test("wavSamples decodes signed 16-bit PCM exactly, negative values included") {
+    val bytes = MediaCodec.encodeWav(8000, 2, 100, 13L)
+    val got = MediaCodec.wavSamples(bytes)
+    assert(got.isDefined && got.get.length == 200)
+    for (f <- 0 until 100; c <- 0 until 2) {
+      val want = (((13L * 131 + f * 17 + c * 7919) % 32003) - 16001).toShort
+      assert(got.get(f * 2 + c) == want, s"sample ($f,$c)")
+    }
+    assert(got.get.exists(_ < 0), "the fixture wave must exercise negative amplitudes")
+    // and a javax.sound-written file decodes to the same PCM we put in
+    import javax.sound.sampled._
+    val pcm = Array.tabulate(64)(k => ((k * 1000 - 30000) & 0xffff))
+    val raw = new Array[Byte](128)
+    for (k <- 0 until 64) { raw(2 * k) = (pcm(k) & 0xff).toByte; raw(2 * k + 1) = ((pcm(k) >> 8) & 0xff).toByte }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, 64)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val jdk = MediaCodec.wavSamples(out.toByteArray)
+    assert(jdk.isDefined && jdk.get.toSeq == pcm.map(_.toShort).toSeq)
+  }
+
   test("our WAV plays in javax.sound: format and frame count match") {
     val bytes = MediaCodec.encodeWav(16000, 2, 345, 7L)
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -89,6 +136,27 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(info.get.sampleRate == 22050 && info.get.channels == 1 && info.get.bitsPerSample == 16)
     assert(info.get.nFrames == 200)
     assert(info.get.durationMs == 200L * 1000 / 22050)
+  }
+
+  test("parsers reject malformed headers instead of overrunning or spinning") {
+    // truncated JPEG: cut inside the header segments (before any SOF)
+    val jpeg = MediaCodec.encodeJpeg(16, 16, 5L)
+    for (cut <- Seq(3, 4, 6, 10, 20))
+      assert(MediaCodec.jpegInfo(jpeg.take(cut)).isEmpty, s"cut=$cut must not parse")
+    // a JPEG whose header ends in a run of 0xFF fill bytes (the
+    // fill-skip loop must not read past the buffer)
+    assert(MediaCodec.jpegInfo(Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte)).isEmpty)
+    // WAV with a >2GiB (sign-flipped) chunk size: must return None,
+    // not walk the cursor backwards forever
+    val wav = MediaCodec.encodeWav(8000, 1, 10, 1L)
+    val evil = wav.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt size := -1
+    assert(MediaCodec.wavInfo(evil).isEmpty)
+    // PNG with a sign-flipped width
+    val png = MediaCodec.encodePng(9, 9, 1L)
+    val badPng = png.clone(); badPng(16) = 0x80.toByte
+    assert(MediaCodec.pngInfo(badPng).isEmpty)
   }
 
   test("parsers reject non-media bytes instead of mis-parsing") {
