@@ -309,6 +309,56 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  final case class Thumb(doc_id: Long, src_w: Int, src_h: Int, thumb_sum: Long,
+      tl: Int, tr: Int, bl: Int, br: Int)
+
+  /** REAL image resize: decode each PNG's pixels, nearest-neighbor
+    * downsample to an 8×8 thumbnail (dst pixel (x,y) ← src
+    * (x·w div 8, y·h div 8) — the standard NN mapping, pure integer),
+    * and emit the thumbnail's exact-BIGINT checksum plus its four
+    * corners. The oracle replays the generator formula AT THE MAPPED
+    * COORDINATES, so the hash-match proves decode + the resampling
+    * arithmetic (a real thumbnail stage, not the byte-downsample of
+    * [[resize]], which remains the payload-agnostic plumbing twin).
+    * A production variant swaps NN for area-average in the same slot;
+    * the decode→resample→featurize shape is identical. */
+  val thumbnails: GraftQuery = GraftQuery.checked("ns_mm_thumbnail",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id * 13) % 120 AS BIGINT) AS w,
+             CAST(8 + (doc_id * 29) % 120 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, w, h, unnest(range(0, 64)) AS i FROM p),
+    px AS (
+      SELECT doc_id, w, h, i,
+             (doc_id * 31 + ((i % 8) * w // 8) * 7 + ((i // 8) * h // 8) * 13) % 251 AS v
+      FROM g)
+    SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+           CAST(SUM(v) AS BIGINT) AS thumb_sum,
+           CAST(MAX(CASE WHEN i = 0 THEN v END) AS INTEGER) AS tl,
+           CAST(MAX(CASE WHEN i = 7 THEN v END) AS INTEGER) AS tr,
+           CAST(MAX(CASE WHEN i = 56 THEN v END) AS INTEGER) AS bl,
+           CAST(MAX(CASE WHEN i = 63 THEN v END) AS INTEGER) AS br
+    FROM px GROUP BY doc_id, w, h ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "image")
+      .map { row =>
+        val info = MediaCodec.pngInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
+        val px = MediaCodec.pngPixels(row.payload)
+          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
+        val (w, h) = (info.width, info.height)
+        val thumb = Array.tabulate(64) { i =>
+          val sx = (i % 8) * w / 8
+          val sy = (i / 8) * h / 8
+          px(sy * w + sx)
+        }
+        Thumb(row.doc_id, w, h, thumb.map(_.toLong).sum,
+          thumb(0), thumb(7), thumb(56), thumb(63))
+      }.toDF().orderBy("doc_id")
+  }
+
   final case class AudioStats(doc_id: Long, n_frames: Int, channels: Int,
       amp_sum: Long, amp_min: Int, amp_max: Int)
 
@@ -463,5 +513,5 @@ object Multimodal {
   }
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
-    pairedGate, pixelStats, audioStats)
+    pairedGate, pixelStats, audioStats, thumbnails)
 }

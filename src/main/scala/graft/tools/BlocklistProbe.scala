@@ -49,10 +49,18 @@ object BlocklistProbe {
     def nativeMatches(terms: Seq[String]): Long =
       docs.select(size(TextExpressions.blocklistMatches(col("text"), terms)).as("n"))
         .agg(sum("n")).collect()(0).getLong(0)
+    // balanced tree fold: a left-nested reduce builds a |terms|-deep Add
+    // chain that overflows the analyzer's recursion at ~10³ terms
+    def treeSum(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cols.size == 1) cols.head
+      else {
+        val (a, b) = cols.splitAt(cols.size / 2)
+        treeSum(a) + treeSum(b)
+      }
     def chainMatches(terms: Seq[String]): Long = {
       // the oracle shape: one contains() per term, summed
       val flags = terms.map(t => when(col("text").contains(t), 1L).otherwise(0L))
-      docs.select(flags.reduce(_ + _).as("n")).agg(sum("n")).collect()(0).getLong(0)
+      docs.select(treeSum(flags).as("n")).agg(sum("n")).collect()(0).getLong(0)
     }
 
     Seq(4, 16, 64, 256, 1024).foreach { k =>
@@ -67,25 +75,34 @@ object BlocklistProbe {
     // 10⁴ terms: the contains-chain is O(bytes × 10⁴) — time the
     // native walk on the full corpus (the claim under test: FLAT in
     // terms) and check equality against the chain on a 200-doc sample
-    // where the chain is still affordable.
-    val big = phrases.take(10000)
+    // where the chain is still affordable. The corpus vocabulary only
+    // yields ~10³ distinct phrases, so the list is padded to 10⁴ with
+    // vocabulary-prefixed terms that DON'T occur — precisely the
+    // real-badword-list shape (most of a curated list never matches,
+    // but every term still costs the chain a full scan and costs the
+    // automaton only trie nodes).
+    val filler = (0 until 20000).iterator
+      .map(k => s"${vocab(k % vocab.length)}_${k}q")
+      .filterNot(phrases.contains).take(10000 - math.min(phrases.size, 9000)).toSeq
+    val big = (phrases.take(9000) ++ filler).distinct.sorted.take(10000)
     nativeMatches(big) // warm
     val (rnBig, tnBig) = time(nativeMatches(big))
-    val sample = docs.orderBy("doc_id").limit(200).cache()
-    sample.count()
-    def sampleCount(df: DataFrame, terms: Seq[String], native: Boolean): Long =
-      if (native)
-        df.select(size(TextExpressions.blocklistMatches(col("text"), terms)).as("n"))
-          .agg(sum("n")).collect()(0).getLong(0)
-      else {
-        val flags = terms.map(t => when(col("text").contains(t), 1L).otherwise(0L))
-        df.select(flags.reduce(_ + _).as("n")).agg(sum("n")).collect()(0).getLong(0)
-      }
-    val sn = sampleCount(sample, big, native = true)
-    val sc = sampleCount(sample, big, native = false)
-    require(sn == sc, s"native ($sn) != contains-chain ($sc) at ${big.size} terms on sample")
+    // Equality reference at 10⁴ terms: plain JVM contains() on a
+    // 200-doc sample. The SQL contains-chain is not even buildable at
+    // this size — 10⁴ `when(contains)` nodes blow Spark's generated
+    // method past the JVM's 64 KB limit (InternalCompilerException) —
+    // which is itself part of the finding: the naive formulation stops
+    // being expressible long before the automaton breaks a sweat.
+    val sampleRows = docs.orderBy("doc_id").limit(200)
+      .collect().map(_.getString(1))
+    val refCount = sampleRows.map(t => big.count(t.contains(_)).toLong).sum
+    val sn = docs.orderBy("doc_id").limit(200)
+      .select(size(TextExpressions.blocklistMatches(col("text"), big)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    require(sn == refCount,
+      s"native ($sn) != JVM contains reference ($refCount) at ${big.size} terms on sample")
     println(f"[blk] ${big.size}%5d terms: native $tnBig%.2f s full corpus ($rnBig matches); " +
-      f"sample equality vs chain OK ($sn)")
+      f"sample equality vs JVM contains OK ($sn)")
     spark.stop()
   }
 }

@@ -170,6 +170,29 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.jpegInfo(png).isEmpty && MediaCodec.wavInfo(png).isEmpty)
   }
 
+  test("media decode is stateless: the same typed map streams, replay == batch (quality-filter convention)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val media = graft.operators.Multimodal.realMedia(spark, SparkSuite.sfDir)
+    val srcDir = SparkSuite.tempDir("media-stream-src")
+    media.coalesce(2).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(srcDir)
+    val q = graft.operators.Multimodal.decodeMedia(stream.toDF())
+      .toDF()
+      .writeStream.format("memory").queryName("media_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming media decode did not finish")
+    q.stop()
+    val streamed = spark.table("media_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.operators.Multimodal.decodeMedia(media).toDF().collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ns_mm_features end-to-end: decoded fields equal the doc_id arithmetic") {
     val spark = SparkSuite.spark
     val rows = graft.operators.Multimodal.features.run(spark, SparkSuite.sfDir).collect()
