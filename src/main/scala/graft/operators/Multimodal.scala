@@ -512,6 +512,260 @@ object Multimodal {
       .orderBy("lang", "label")
   }
 
+  // ------------------------------------------------------------------
+  // Content-level image dedup: perceptual hash + banded Hamming join
+  // ------------------------------------------------------------------
+
+  final case class PHash(doc_id: Long, width: Int, height: Int, phash_hi: Long, phash_lo: Long)
+
+  /** Difference hash (dHash) of a decoded grayscale image: sample a
+    * 9-wide × 8-tall grid by the same integer nearest-neighbor mapping
+    * as [[thumbnails]] (`sx = gx·w div 9`, `sy = gy·h div 8`), and set
+    * bit `gy·8+gx` iff the right neighbor is strictly brighter — the
+    * standard horizontal-gradient perceptual hash (Krawetz's dHash),
+    * invariant to global brightness shifts except where the 8-bit
+    * range wraps. Returned as two 32-bit halves because the oracle
+    * replays the bit sum in DuckDB, whose BIGINT `<<` refuses bit 63. */
+  private[graft] def dHash(px: Array[Int], w: Int, h: Int): (Long, Long) = {
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      val gx = b % 8; val gy = b / 8
+      val row = (gy * h / 8) * w
+      val v0 = px(row + gx * w / 9)
+      val v1 = px(row + (gx + 1) * w / 9)
+      if (v1 > v0) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Decode every image payload and compute its [[dHash]] — a map-only
+    * stage over real PNG bytes (inflate + defilter + grid sample). */
+  def phashOf(media: DataFrame): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "image")
+      .map { row =>
+        val info = MediaCodec.pngInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
+        val px = MediaCodec.pngPixels(row.payload)
+          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
+        val (hi, lo) = dHash(px, info.width, info.height)
+        PHash(row.doc_id, info.width, info.height, hi, lo)
+      }
+  }
+
+  /** Per-image perceptual hash over the [[realMedia]] corpus. The
+    * oracle replays the generator pixel formula at the 2×64 grid
+    * coordinates and re-derives every bit — the hash-match proves
+    * decode + NN sampling + the gradient-bit packing end to end. */
+  val phash: GraftQuery = GraftQuery.checked("ns_mm_phash",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id * 13) % 120 AS BIGINT) AS w,
+             CAST(8 + (doc_id * 29) % 120 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    bits AS (
+      SELECT doc_id, w, h, b,
+             CASE WHEN (doc_id*31 + ((((b%8)+1)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+                     > (doc_id*31 + (((b%8)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, w, h, unnest(range(0, 64)) AS b FROM p)),
+    ph AS (
+      SELECT doc_id, w, h,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM bits GROUP BY doc_id, w, h)
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           phash_hi, phash_lo
+    FROM ph ORDER BY doc_id""") { (spark, dir) =>
+    phashOf(realMedia(spark, dir)).toDF().orderBy("doc_id")
+  }
+
+  /** Near-dup-planted image corpus: groups of 5 image docs (15
+    * consecutive doc_ids) share dims and content; member `m` of a
+    * group is the SAME image brightness-shifted by exactly +m gray
+    * levels (mod 251) — the "slightly re-encoded re-upload" model.
+    * The generator's pixel term is `seed·31 mod 251`, and 31⁻¹ ≡ 81
+    * (mod 251), so `seed = gb·97 + 81·m` shifts every pixel by
+    * exactly m. dHash compares neighbors, so a global +m shift flips
+    * a bit only where the mod-251 wrap separates the pair — a few
+    * bits at most, which is precisely what a perceptual-dup detector
+    * must tolerate.
+    *
+    * Dims use PRIME moduli (113/109), not realMedia's 120: the
+    * generator's pixel formula makes any two SAME-dim images pure
+    * brightness shifts of each other (content varies only via seed,
+    * which shifts globally), so same-dim groups would be genuine
+    * hash-twins — and group bases are multiples of 15, which mod 120
+    * collapse to 8 dim classes (quadratic cross-group candidate
+    * mass, the LSH whale-band pathology, manufactured by the
+    * fixture, not the data). With primes, (w,h) pairs are distinct
+    * for the first lcm(113,109)=12,317 groups (~185k docs), keeping
+    * cross-group hashes decorrelated at every test SF. */
+  def dupMedia(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_dup_media") {
+      import spark.implicits._
+      Tables.documents(spark, dir).select("doc_id").as[Long]
+        .filter(_ % 3 == 0)
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val gb = id / 15 * 15
+            val m = (id % 15) / 3
+            RealMediaRow(id, "image",
+              MediaCodec.encodePng((8 + gb * 13 % 113).toInt, (8 + gb * 29 % 109).toInt,
+                gb * 97 + 81 * m))
+          }
+        }.toDF()
+    }
+
+  /** Perceptual near-dup pairs over [[dupMedia]]: 4×16-bit LSH bands
+    * over the 64-bit dHash generate candidates (pairs agreeing on at
+    * least one band — NO all-pairs term anywhere), then the exact
+    * Hamming distance filters at ≤ 6 bits. The oracle replays hash,
+    * banding, band-join and popcount arithmetically, so the match
+    * proves the whole detect pipeline over real decoded bytes.
+    *
+    * Scale shape: explode ×4 then one shuffle keyed (band_idx,
+    * band_val) — the MinHash-LSH band-join layout ([[Dedup]] family);
+    * candidate count is corpus-linear for near-dup data because only
+    * matching 16-bit bands meet, and a 64-bit hash has no whale bands
+    * on real imagery (a constant-color corpus would degrade the band
+    * key, the documented LSH caveat, same as minhash). */
+  val phashDups: GraftQuery = GraftQuery.checked("ns_mm_phash_dups",
+    """WITH img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT doc_id,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 97 + 81 * m AS BIGINT) AS seed
+      FROM img),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN (seed*31 + ((((b%8)+1)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+                     > (seed*31 + (((b%8)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, w, h, seed, unnest(range(0, 64)) AS b FROM p)),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6
+    ORDER BY a_id, b_id""") { (spark, dir) =>
+    val h = phashOf(dupMedia(spark, dir)).toDF()
+    val banded = h.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_lo"), 16),
+        col("phash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_hi"), 16))))
+      .toDF("doc_id", "phash_hi", "phash_lo", "band_idx", "band_val")
+    val a = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"),
+      col("phash_hi").as("a_hi"), col("phash_lo").as("a_lo"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"),
+      col("phash_hi").as("b_hi"), col("phash_lo").as("b_lo"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) AS INT)"))
+      .where(col("hamming") <= 6)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Audio resample: integer-exact linear interpolation to 16 kHz
+  // ------------------------------------------------------------------
+
+  final case class Resampled(doc_id: Long, sr_in: Int, n_in: Int, n_out: Int,
+      out_sum: Long, out_min: Int, out_max: Int)
+
+  /** REAL PCM resample: decode each audio doc's 16-bit samples, take
+    * channel 0, and linearly resample to 16 kHz in EXACT integer
+    * arithmetic — output sample i sits at source position
+    * `i·sr/16000`; with `idx = (i·sr) div 16000` and
+    * `rem = (i·sr) mod 16000`, the value is
+    * `s[idx] + ((s[idx+1]−s[idx])·rem) quot 16000` (truncating
+    * division, matching DuckDB's integer `//` on signed values, so
+    * the oracle replays every interpolated sample bit-exactly).
+    * `n_out = ((n_in−1)·16000) div sr + 1` guarantees `idx+1 ≤
+    * n_in−1` whenever `rem > 0`. A production variant swaps linear
+    * for windowed-sinc in the same map-only slot. */
+  val audioResample: GraftQuery = GraftQuery.checked("ns_mm_audio_resample",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(CASE CAST((doc_id * 7) % 4 AS INTEGER)
+                  WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+                  ELSE 22050 END AS BIGINT) AS sr,
+             CAST(64 + (doc_id * 17) % 441 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 1),
+    q AS (SELECT doc_id, sr, nf, ((nf - 1) * 16000) // sr + 1 AS n_out FROM p),
+    g AS (SELECT doc_id, sr, nf, n_out, unnest(range(0, n_out)) AS i FROM q),
+    v AS (SELECT doc_id, sr, nf, n_out, (i * sr) // 16000 AS idx, (i * sr) % 16000 AS rem FROM g),
+    o AS (SELECT doc_id, sr, nf, n_out,
+            ((doc_id*131 + idx*17) % 32003 - 16001)
+            + CASE WHEN rem > 0
+                   THEN ((((doc_id*131 + (idx+1)*17) % 32003 - 16001)
+                          - ((doc_id*131 + idx*17) % 32003 - 16001)) * rem) // 16000
+                   ELSE 0 END AS val
+          FROM v)
+    SELECT doc_id, CAST(sr AS INTEGER) AS sr_in, CAST(nf AS INTEGER) AS n_in,
+           CAST(n_out AS INTEGER) AS n_out,
+           CAST(SUM(val) AS BIGINT) AS out_sum,
+           CAST(MIN(val) AS INTEGER) AS out_min,
+           CAST(MAX(val) AS INTEGER) AS out_max
+    FROM o GROUP BY doc_id, sr, nf, n_out ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "audio")
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val all = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        val ch = info.channels
+        val nf = info.nFrames
+        val s = Array.tabulate(nf)(f => all(f * ch).toInt)
+        val sr = info.sampleRate
+        val nOut = (((nf - 1).toLong * 16000L) / sr + 1L).toInt
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < nOut) {
+          val num = i.toLong * sr
+          val idx = (num / 16000L).toInt
+          val rem = num % 16000L
+          val v =
+            if (rem > 0L) s(idx) + (((s(idx + 1) - s(idx)).toLong * rem) / 16000L).toInt
+            else s(idx)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Resampled(row.doc_id, sr, nf, nOut, sum, mn, mx)
+      }.toDF().orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
-    pairedGate, pixelStats, audioStats, thumbnails)
+    pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample)
 }

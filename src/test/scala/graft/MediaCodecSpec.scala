@@ -217,4 +217,65 @@ class MediaCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dHash is brightness-shift tolerant: +1 gray level flips at most a few bits") {
+    // seed → seed+81 shifts every pixel by exactly +1 (31·81 ≡ 1 mod 251)
+    val (w, h) = (53, 41)
+    def hashOf(seed: Long): (Long, Long) = {
+      val px = MediaCodec.pngPixels(MediaCodec.encodePng(w, h, seed)).get
+      graft.operators.Multimodal.dHash(px, w, h)
+    }
+    val (h0hi, h0lo) = hashOf(9000L)
+    val (h1hi, h1lo) = hashOf(9000L + 81L)
+    val near = java.lang.Long.bitCount(h0hi ^ h1hi) + java.lang.Long.bitCount(h0lo ^ h1lo)
+    assert(near <= 6, s"brightness twin at hamming $near")
+    // an unrelated image (different dims ⇒ different sampling grid) is far
+    val px2 = MediaCodec.pngPixels(MediaCodec.encodePng(67, 29, 777L)).get
+    val (fhi, flo) = graft.operators.Multimodal.dHash(px2, 67, 29)
+    val far = java.lang.Long.bitCount(h0hi ^ fhi) + java.lang.Long.bitCount(h0lo ^ flo)
+    assert(far > 6, s"unrelated image at hamming $far")
+  }
+
+  test("ns_mm_phash_dups finds every planted near-dup pair (recall = 1.0)") {
+    val spark = SparkSuite.spark
+    val found = graft.operators.Multimodal.phashDups.run(spark, SparkSuite.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val imgs = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 3 == 0)
+    val planted = for {
+      a <- imgs; b <- imgs
+      if a < b && a / 15 == b / 15
+    } yield (a, b)
+    assert(planted.nonEmpty)
+    val missed = planted.toSet -- found
+    assert(missed.isEmpty, s"missed planted pairs: $missed")
+  }
+
+  test("audio resample at the target rate is the identity; stats replay the formula") {
+    val spark = SparkSuite.spark
+    val rows = graft.operators.Multimodal.audioResample.run(spark, SparkSuite.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, sr, nIn, nOut) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      def s(f: Long): Long = (id * 131 + f * 17) % 32003 - 16001
+      if (sr == 16000) {
+        // identity: every output sample is an input sample
+        assert(nOut == nIn)
+        assert(r.getLong(4) == (0L until nIn).map(s).sum)
+      } else {
+        assert(nOut == (nIn - 1).toLong * 16000 / sr + 1)
+        // exact replay of the integer interpolation
+        var sum = 0L
+        var i = 0L
+        while (i < nOut) {
+          val num = i * sr
+          val idx = num / 16000
+          val rem = num % 16000
+          sum += (if (rem > 0) s(idx) + (s(idx + 1) - s(idx)) * rem / 16000 else s(idx))
+          i += 1
+        }
+        assert(r.getLong(4) == sum, s"doc $id resample sum")
+      }
+    }
+  }
 }
