@@ -339,6 +339,29 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** A real RIFF/WAVE file from caller-supplied interleaved 16-bit
+    * samples (`samples.length` must be a multiple of `channels`) —
+    * the general-purpose encoder; [[encodeWav]] is the seeded-signal
+    * special case. */
+  def encodeWav16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    out.write("RIFF".getBytes("US-ASCII")); writeIntLE(out, 36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); writeIntLE(out, 16)
+    writeShortLE(out, 1) // PCM
+    writeShortLE(out, channels)
+    writeIntLE(out, sampleRate)
+    writeIntLE(out, sampleRate * channels * 2)
+    writeShortLE(out, channels * 2)
+    writeShortLE(out, 16)
+    out.write("data".getBytes("US-ASCII")); writeIntLE(out, dataLen)
+    var i = 0
+    while (i < samples.length) { writeShortLE(out, samples(i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
   final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
       nFrames: Int, durationMs: Long)
 

@@ -635,6 +635,35 @@ object Multimodal {
     * matching 16-bit bands meet, and a 64-bit hash has no whale bands
     * on real imagery (a constant-color corpus would degrade the band
     * key, the documented LSH caveat, same as minhash). */
+  /** Shared LSH band-join over a 64-bit (two-half) hash frame
+    * `(doc_id, hi, lo)`: explode into 4×16-bit bands, self-join on
+    * (band index, band value) — candidates are pairs agreeing on at
+    * least one band; NO all-pairs term — then filter by exact Hamming
+    * distance. One shuffle keyed (band_idx, band_val); the MinHash-LSH
+    * band layout ([[Dedup]] family). Used by both the image
+    * ([[phashDups]]) and audio ([[audioDups]]) dup detectors. */
+  private def bandedHammingPairs(h: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = h.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16))))
+      .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+    val a = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"),
+      col("hi").as("a_hi"), col("lo").as("a_lo"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"),
+      col("hi").as("b_hi"), col("lo").as("b_lo"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) AS INT)"))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
   val phashDups: GraftQuery = GraftQuery.checked("ns_mm_phash_dups",
     """WITH img AS (
       SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
@@ -671,26 +700,133 @@ object Multimodal {
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    val h = phashOf(dupMedia(spark, dir)).toDF()
-    val banded = h.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
-      posexplode(array(
-        col("phash_lo").bitwiseAND(lit(65535L)),
-        shiftright(col("phash_lo"), 16),
-        col("phash_hi").bitwiseAND(lit(65535L)),
-        shiftright(col("phash_hi"), 16))))
-      .toDF("doc_id", "phash_hi", "phash_lo", "band_idx", "band_val")
-    val a = banded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"),
-      col("phash_hi").as("a_hi"), col("phash_lo").as("a_lo"))
-    val b = banded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"),
-      col("phash_hi").as("b_hi"), col("phash_lo").as("b_lo"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
-      .withColumn("hamming",
-        expr("CAST(bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo) AS INT)"))
-      .where(col("hamming") <= 6)
-      .select("a_id", "b_id", "hamming")
-      .orderBy("a_id", "b_id")
+    bandedHammingPairs(
+      phashOf(dupMedia(spark, dir)).toDF()
+        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
+      maxHamming = 6)
+  }
+
+  // ------------------------------------------------------------------
+  // Acoustic-fingerprint audio dedup: the dHash idea on the time axis
+  // ------------------------------------------------------------------
+
+  /** 63-bit acoustic fingerprint of a channel-0 PCM stream: split the
+    * first 64·q samples (q = n div 64) into 64 equal windows, sum each
+    * window, and set bit b iff window b+1's sum is strictly greater —
+    * the energy-gradient analog of [[dHash]], invariant to a uniform
+    * DC/amplitude offset (equal windows shift by the same m·q) except
+    * where the int16 range wraps. */
+  private[graft] def audioFingerprint(samples: Array[Int]): (Long, Long) = {
+    val q = samples.length / 64
+    val e = new Array[Long](64)
+    var i = 0
+    val n = 64 * q
+    while (i < n) { e(i / q) += samples(i); i += 1 }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 63) {
+      if (e(b + 1) > e(b)) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Near-dup-planted audio corpus, mirroring [[dupMedia]]: groups of
+    * 5 audio docs (15 consecutive doc_ids) share rate/length and
+    * content; member m is the SAME signal DC-shifted by exactly +m
+    * pre-wrap (`s_f = (gb·977 + 31f² + 17f + m) mod 32003 − 16001` —
+    * the "re-leveled re-encode" model; the wrap flips a window bit
+    * only where the shift crosses the int16 range, the tolerance a
+    * fingerprint must have). The QUADRATIC term matters: encodeWav's
+    * built-in signal is a linear ramp (slope 17/sample) whose window
+    * gradient is almost always positive, so EVERY doc fingerprints
+    * near-all-ones and unrelated docs collide (measured: 13.5k
+    * cross-group pairs at sf0.01) — a low-entropy-signal pathology of
+    * the fixture, not the algorithm; 31f² scatters the mod-32003
+    * wraps pseudo-uniformly across windows. Frame counts use PRIME
+    * modulus 433 (realMedia's 441 would fold the 15-multiple group
+    * bases into few length classes whose same-length signals are
+    * genuine fingerprint twins — the same fixture pathology
+    * [[dupMedia]] documents for dims). */
+  def dupAudio(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_dup_audio") {
+      import spark.implicits._
+      Tables.documents(spark, dir).select("doc_id").as[Long]
+        .filter(_ % 3 == 1)
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val gb = id / 15 * 15
+            val m = (id % 15) / 3
+            val nf = (64 + gb * 17 % 433).toInt
+            val samples = Array.tabulate(nf) { f =>
+              ((gb * 977 + 31L * f * f + 17L * f + m) % 32003 - 16001).toShort
+            }
+            RealMediaRow(id, "audio",
+              MediaCodec.encodeWav16(Rates((gb * 7 % 4).toInt), 1, samples))
+          }
+        }.toDF()
+    }
+
+  /** Acoustic near-dup pairs over [[dupAudio]]: decode real PCM,
+    * fingerprint ([[audioFingerprint]]), then the shared
+    * [[bandedHammingPairs]] LSH band join at Hamming ≤ 6. The oracle
+    * replays window sums (LEAD over the per-window energy frame), bit
+    * packing, banding and popcount arithmetically — same proof shape
+    * as [[phashDups]], second modality. */
+  val audioDups: GraftQuery = GraftQuery.checked("ns_mm_audio_dups",
+    """WITH aud AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 1),
+    p AS (
+      SELECT doc_id,
+             CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
+             CAST(gb * 977 + m AS BIGINT) AS base
+      FROM aud),
+    s AS (
+      SELECT doc_id, nf // 64 AS q, base, unnest(range(0, (nf // 64) * 64)) AS f
+      FROM p),
+    w AS (
+      SELECT doc_id, f // q AS win,
+             SUM((base + 31 * f * f + 17 * f) % 32003 - 16001) AS e
+      FROM s GROUP BY doc_id, f // q),
+    bits AS (
+      SELECT doc_id, win AS b,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY win) > e
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM w),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 AND b < 63 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6
+    ORDER BY a_id, b_id""") { (spark, dir) =>
+    import spark.implicits._
+    val fp = dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val all = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        val ch = info.channels
+        val s = Array.tabulate(info.nFrames)(f => all(f * ch).toInt)
+        val (hi, lo) = audioFingerprint(s)
+        (row.doc_id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+    bandedHammingPairs(fp, maxHamming = 6)
   }
 
   // ------------------------------------------------------------------
@@ -767,5 +903,6 @@ object Multimodal {
   }
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
-    pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample)
+    pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
+    audioDups)
 }

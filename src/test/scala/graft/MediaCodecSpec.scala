@@ -251,6 +251,46 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"missed planted pairs: $missed")
   }
 
+  test("audio fingerprint is DC-shift tolerant; unrelated signals are far") {
+    // quadratic-mod signal (the dup-fixture shape); +3 pre-wrap DC shift
+    def sig(base: Long, nf: Int, m: Long): Array[Int] =
+      Array.tabulate(nf)(f => ((base + 31L * f * f + 17L * f + m) % 32003 - 16001).toInt)
+    val (h0hi, h0lo) = graft.operators.Multimodal.audioFingerprint(sig(90000L, 300, 0))
+    val (h1hi, h1lo) = graft.operators.Multimodal.audioFingerprint(sig(90000L, 300, 3))
+    val near = java.lang.Long.bitCount(h0hi ^ h1hi) + java.lang.Long.bitCount(h0lo ^ h1lo)
+    assert(near <= 6, s"DC twin at hamming $near")
+    val (fhi, flo) = graft.operators.Multimodal.audioFingerprint(sig(123456L, 287, 0))
+    val far = java.lang.Long.bitCount(h0hi ^ fhi) + java.lang.Long.bitCount(h0lo ^ flo)
+    assert(far > 6, s"unrelated signal at hamming $far")
+  }
+
+  test("ns_mm_audio_dups finds every planted near-dup pair (recall = 1.0)") {
+    val spark = SparkSuite.spark
+    val found = graft.operators.Multimodal.audioDups.run(spark, SparkSuite.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auds = graft.sources.Tables.documents(spark, SparkSuite.sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 3 == 1)
+    val planted = for {
+      a <- auds; b <- auds
+      if a < b && a / 15 == b / 15
+    } yield (a, b)
+    assert(planted.nonEmpty)
+    val missed = planted.toSet -- found
+    assert(missed.isEmpty, s"missed planted pairs: $missed")
+  }
+
+  test("encodeWav16 round-trips arbitrary interleaved samples through wavSamples and javax.sound") {
+    val samples = Array.tabulate(402)(i => ((i * 7919 + 13) % 32003 - 16001).toShort)
+    val bytes = MediaCodec.encodeWav16(22050, 2, samples)
+    assert(MediaCodec.wavSamples(bytes).get.sameElements(samples))
+    val info = MediaCodec.wavInfo(bytes).get
+    assert(info.sampleRate == 22050 && info.channels == 2 && info.nFrames == 201)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getChannels == 2 && ais.getFormat.getSampleRate == 22050f)
+    assert(ais.getFrameLength == 201L)
+  }
+
   test("audio resample at the target rate is the identity; stats replay the formula") {
     val spark = SparkSuite.spark
     val rows = graft.operators.Multimodal.audioResample.run(spark, SparkSuite.sfDir).collect()
