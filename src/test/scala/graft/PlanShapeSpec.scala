@@ -458,4 +458,20 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(p.contains("WholeStageCodegen"), s"expected WSCG spans:\n$p")
   }
+
+  test("ns_mm_phash_dups / ns_mm_audio_dups: candidates come from the band equi-join — never an all-pairs term") {
+    // the LSH band join must stay a (band_idx, band_val)-keyed equi-join
+    // at every size: a cartesian/BNLJ here is the O(n²) pair explosion
+    // the banding exists to avoid (both corpus sides are big at 100 TB,
+    // so a broadcast would also be wrong — but AQE may legally pick one
+    // at toy SF; only the nested-loop shapes are banned).
+    for (q <- Seq(graft.operators.Multimodal.phashDups,
+                  graft.operators.Multimodal.audioDups)) {
+      val p = plan(q.run(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"${q.name}: cartesian pair term:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"${q.name}: BNLJ pair term:\n$p")
+      assert(p.contains("band_idx") && p.contains("band_val"),
+        s"${q.name}: join should key on the band columns:\n$p")
+    }
+  }
 }
