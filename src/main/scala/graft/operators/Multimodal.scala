@@ -773,6 +773,11 @@ object Multimodal {
     * DC/amplitude offset (equal windows shift by the same m·q) except
     * where the int16 range wraps. */
   private[graft] def audioFingerprint(samples: Array[Int]): (Long, Long) = {
+    // < 64 samples would make q = 0 and fingerprint (0, 0) for EVERY
+    // such doc — all of them band-colliding with each other (silent
+    // quadratic candidate mass). Fail loudly; callers pad or drop
+    // sub-64-sample clips before fingerprinting.
+    require(samples.length >= 64, s"audioFingerprint needs >= 64 samples, got ${samples.length}")
     val q = samples.length / 64
     val e = new Array[Long](64)
     var i = 0

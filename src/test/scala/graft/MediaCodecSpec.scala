@@ -236,6 +236,33 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(far > 6, s"unrelated image at hamming $far")
   }
 
+  test("audioFingerprint refuses sub-64-sample clips (degenerate all-zero hash)") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.audioFingerprint(Array.fill(63)(5))
+    }
+  }
+
+  test("phash is stateless: the same typed map streams, replay == batch (quality-filter convention)") {
+    val spark = SparkSuite.spark
+    import org.apache.spark.sql.streaming.Trigger
+    val media = graft.operators.Multimodal.dupMedia(spark, SparkSuite.sfDir)
+    val srcDir = SparkSuite.tempDir("phash-stream-src")
+    media.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(srcDir)
+    val q = graft.operators.Multimodal.phashOf(stream.toDF())
+      .toDF()
+      .writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming phash did not finish")
+    q.stop()
+    val streamed = spark.table("phash_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val batch = graft.operators.Multimodal.phashOf(media).toDF().collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ns_mm_phash_dups finds every planted near-dup pair (recall = 1.0)") {
     val spark = SparkSuite.spark
     val found = graft.operators.Multimodal.phashDups.run(spark, SparkSuite.sfDir)
