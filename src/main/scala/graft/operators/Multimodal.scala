@@ -706,6 +706,70 @@ object Multimodal {
       maxHamming = 6)
   }
 
+  final case class ImageGate(doc_id: Long, width: Int, height: Int, gray_sum: Long,
+      keep: Int, reason: String)
+
+  /** DataComp-style image CURATION GATE on decoded CONTENT stats: an
+    * image survives iff it is large enough (min dim ≥ 32 — thumbnails
+    * and tracking pixels carry no training signal) and its mean
+    * brightness sits in the useful band (mean gray in [50, 200] —
+    * near-black/near-white images are decode failures or blanks).
+    * The brightness test is EXACT integer algebra on the pixel sum
+    * (`50·w·h ≤ gray_sum ≤ 200·w·h`), no division, so both engines
+    * agree bit-for-bit. Reason precedence: size before brightness
+    * (a tiny dark image reports `too_small`). Map-only over the
+    * decoded pixels — the same one-pass decode [[pixelStats]] runs,
+    * composing the content plane into the keep/drop stage every
+    * multimodal corpus runs before featurization. */
+  /** The gate decision, exact integer algebra only. Factored out
+    * because the fixture's modular pixel formula always means ≈125
+    * gray — the brightness arm is unreachable on fixture data (the
+    * oracle proves it green but never exercises it), so the spec
+    * drives all three arms directly, dark/bright ImageIO-built PNGs
+    * included. */
+  private[graft] def gateOf(w: Int, h: Int, graySum: Long): (Int, String) = {
+    val area = w.toLong * h
+    if (math.min(w, h) < 32) (0, "too_small")
+    else if (graySum < 50L * area || graySum > 200L * area) (0, "brightness")
+    else (1, "ok")
+  }
+
+  val imageGate: GraftQuery = GraftQuery.checked("ns_mm_image_gate",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id * 13) % 120 AS BIGINT) AS w,
+             CAST(8 + (doc_id * 29) % 120 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM p),
+    s AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 251) AS gray_sum
+      FROM g GROUP BY doc_id, w, h)
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(gray_sum AS BIGINT) AS gray_sum,
+           CAST(CASE WHEN LEAST(w, h) >= 32
+                      AND gray_sum >= 50 * w * h AND gray_sum <= 200 * w * h
+                THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           CASE WHEN LEAST(w, h) < 32 THEN 'too_small'
+                WHEN gray_sum < 50 * w * h OR gray_sum > 200 * w * h THEN 'brightness'
+                ELSE 'ok' END AS reason
+    FROM s ORDER BY doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "image")
+      .map { row =>
+        val info = MediaCodec.pngInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
+        val px = MediaCodec.pngPixels(row.payload)
+          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
+        val (w, h) = (info.width, info.height)
+        var s = 0L; var k = 0
+        while (k < px.length) { s += px(k); k += 1 }
+        val (keep, reason) = gateOf(w, h, s)
+        ImageGate(row.doc_id, w, h, s, keep, reason)
+      }.toDF().orderBy("doc_id")
+  }
+
   /** Image near-dup CLUSTERS: the [[phashDups]] pair set closed into
     * connected components ([[Dedup.connectedComponents]], reused
     * verbatim — composition of registered operators, the capstone
@@ -965,5 +1029,5 @@ object Multimodal {
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
-    audioDups, phashClusters)
+    audioDups, phashClusters, imageGate)
 }

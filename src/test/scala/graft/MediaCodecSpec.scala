@@ -318,6 +318,28 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(ais.getFrameLength == 201L)
   }
 
+  test("image gate: all three arms fire, brightness measured on real decoded PNG bytes") {
+    import graft.operators.Multimodal.gateOf
+    // size check dominates, even for a dark image
+    assert(gateOf(31, 500, 0L) == ((0, "too_small")))
+    assert(gateOf(500, 31, 0L) == ((0, "too_small")))
+    // brightness bounds are inclusive integer algebra (no division)
+    assert(gateOf(40, 40, 50L * 1600) == ((1, "ok")))
+    assert(gateOf(40, 40, 50L * 1600 - 1) == ((0, "brightness")))
+    assert(gateOf(40, 40, 200L * 1600) == ((1, "ok")))
+    assert(gateOf(40, 40, 200L * 1600 + 1) == ((0, "brightness")))
+    // the brightness arm over REAL bytes: an ImageIO-encoded all-black
+    // gray-8 PNG (the fixture generator can't produce one — its pixel
+    // formula always means ~125) decodes through OUR parser and fails
+    // the gate for brightness, not size
+    val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val px = MediaCodec.pngPixels(out.toByteArray).get
+    assert(px.length == 64 * 48 && px.forall(_ == 0))
+    assert(gateOf(64, 48, px.map(_.toLong).sum) == ((0, "brightness")))
+  }
+
   test("audio resample at the target rate is the identity; stats replay the formula") {
     val spark = SparkSuite.spark
     val rows = graft.operators.Multimodal.audioResample.run(spark, SparkSuite.sfDir).collect()
