@@ -67,9 +67,21 @@ object MediaCodec {
   def pixel(seed: Long, x: Int, y: Int): Int =
     (((seed * 31 + x * 7 + y * 13) % 251 + 251) % 251).toInt
 
+  /** A real, spec-compliant 8-bit grayscale PNG from caller-supplied
+    * row-major pixels (0–255) — the general-purpose encoder;
+    * [[encodePng]] is the seeded-signal special case. */
+  def encodePngGray(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height)
+    encodePngRaw(width, height, (x, y) => pixels(y * width + x))
+  }
+
   /** A real, spec-compliant 8-bit grayscale PNG. */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
     require(width > 0 && height > 0)
+    encodePngRaw(width, height, (x, y) => pixel(seed, x, y))
+  }
+
+  private def encodePngRaw(width: Int, height: Int, px: (Int, Int) => Int): Array[Byte] = {
     val out = new ByteArrayOutputStream(1024)
     out.write(PngSig)
     val ihdr = new Array[Byte](13)
@@ -88,7 +100,7 @@ object MediaCodec {
       val base = y * (width + 1)
       raw(base) = 0
       var x = 0
-      while (x < width) { raw(base + 1 + x) = pixel(seed, x, y).toByte; x += 1 }
+      while (x < width) { raw(base + 1 + x) = px(x, y).toByte; x += 1 }
       y += 1
     }
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)

@@ -588,24 +588,37 @@ object Multimodal {
   /** Near-dup-planted image corpus: groups of 5 image docs (15
     * consecutive doc_ids) share dims and content; member `m` of a
     * group is the SAME image brightness-shifted by exactly +m gray
-    * levels (mod 251) — the "slightly re-encoded re-upload" model.
-    * The generator's pixel term is `seed·31 mod 251`, and 31⁻¹ ≡ 81
-    * (mod 251), so `seed = gb·97 + 81·m` shifts every pixel by
-    * exactly m. dHash compares neighbors, so a global +m shift flips
-    * a bit only where the mod-251 wrap separates the pair — a few
-    * bits at most, which is precisely what a perceptual-dup detector
-    * must tolerate.
+    * levels pre-wrap (`v = ((31·gb+5)x² + (17·gb+3)y² + (23·gb+7)xy
+    * + 7x + 13y + m) mod 251` — the "slightly re-encoded re-upload"
+    * model). dHash compares neighbors, so a global +m shift flips a
+    * bit only where the mod-251 wrap separates the pair — a few bits
+    * at most, which is precisely what a perceptual-dup detector must
+    * tolerate.
     *
-    * Dims use PRIME moduli (113/109), not realMedia's 120: the
-    * generator's pixel formula makes any two SAME-dim images pure
-    * brightness shifts of each other (content varies only via seed,
-    * which shifts globally), so same-dim groups would be genuine
-    * hash-twins — and group bases are multiples of 15, which mod 120
-    * collapse to 8 dim classes (quadratic cross-group candidate
-    * mass, the LSH whale-band pathology, manufactured by the
-    * fixture, not the data). With primes, (w,h) pairs are distinct
-    * for the first lcm(113,109)=12,317 groups (~185k docs), keeping
-    * cross-group hashes decorrelated at every test SF. */
+    * THREE fixture-entropy lessons, all MEASURED before this shape
+    * was chosen (dHash is gradient-based and brightness-invariant,
+    * which constrains the fixture more than it first appears — the
+    * audio fixture hit the same three walls, [[dupAudio]]):
+    *
+    *  1. Dims use PRIME moduli (113/109), not realMedia's 120: group
+    *     bases are multiples of 15, which mod 120 collapse to 8 dim
+    *     classes whose same-dim images would be hash-twins (229
+    *     cross pairs at sf0.01 before the fix). With primes, (w,h)
+    *     pairs are distinct for the first lcm(113,109)=12,317 groups.
+    *  2. encodePng's LINEAR pixel gradient: the horizontal pre-wrap
+    *     delta is the constant 7·Δsx, so dHash bits are heavily
+    *     biased toward 1 and the low-entropy hashes collide across
+    *     groups — measured 10.0 dup-pairs/image at sf0.1 (≈13.3k
+    *     cross-group pairs, growing ~quadratically) vs 2.35 at
+    *     sf0.01.
+    *  3. Quadratic scatter with gb only ADDITIVE: dHash's own
+    *     brightness-invariance makes any two groups with NEARBY dims
+    *     (mostly-equal sampled coordinates) DC-TWINS — cross pairs
+    *     down to hamming 4 at sf0.1 even size-gated. The group id
+    *     must change the gradient SHAPE, not the level: with gb in
+    *     the quadratic/xy COEFFICIENTS (this form), all 1,670 sf0.1
+    *     member hashes measure within-group ≤ 9, cross-group ≥ 14 —
+    *     threshold 10 separates with margin both ways. */
   def dupMedia(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "mm_dup_media") {
       import spark.implicits._
@@ -615,9 +628,23 @@ object Multimodal {
           ids.map { id =>
             val gb = id / 15 * 15
             val m = (id % 15) / 3
-            RealMediaRow(id, "image",
-              MediaCodec.encodePng((8 + gb * 13 % 113).toInt, (8 + gb * 29 % 109).toInt,
-                gb * 97 + 81 * m))
+            val w = (8 + gb * 13 % 113).toInt
+            val h = (8 + gb * 29 % 109).toInt
+            val ca = gb * 31 + 5
+            val cb = gb * 17 + 3
+            val cc = gb * 23 + 7
+            val pixels = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                pixels(y * w + x) =
+                  ((ca * x * x + cb * y * y + cc * x * y + 7L * x + 13L * y + m) % 251).toInt
+                x += 1
+              }
+              y += 1
+            }
+            RealMediaRow(id, "image", MediaCodec.encodePngGray(w, h, pixels))
           }
         }.toDF()
     }
@@ -625,7 +652,10 @@ object Multimodal {
   /** Perceptual near-dup pairs over [[dupMedia]]: 4×16-bit LSH bands
     * over the 64-bit dHash generate candidates (pairs agreeing on at
     * least one band — NO all-pairs term anywhere), then the exact
-    * Hamming distance filters at ≤ 6 bits. The oracle replays hash,
+    * Hamming distance filters at ≤ 10 bits (measured at sf0.01 over ALL
+    * pairs: within-group ≤ 7, cross-group ≥ 12 — 10 separates with
+    * margin both ways, and is the conventional dHash near-dup cut).
+    * The oracle replays hash,
     * banding, band-join and popcount arithmetically, so the match
     * proves the whole detect pipeline over real decoded bytes.
     *
@@ -672,14 +702,19 @@ object Multimodal {
       SELECT doc_id,
              CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
              CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
-             CAST(gb * 97 + 81 * m AS BIGINT) AS seed
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
       FROM img),
     bits AS (
       SELECT doc_id, b,
-             CASE WHEN (seed*31 + ((((b%8)+1)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
-                     > (seed*31 + (((b%8)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-      FROM (SELECT doc_id, w, h, seed, unnest(range(0, 64)) AS b FROM p)),
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM p))),
     ph AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
@@ -698,12 +733,12 @@ object Multimodal {
     SELECT a_id, b_id,
            CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10
     ORDER BY a_id, b_id""") { (spark, dir) =>
     bandedHammingPairs(
       phashOf(dupMedia(spark, dir)).toDF()
         .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-      maxHamming = 6)
+      maxHamming = 10)
   }
 
   final case class ImageGate(doc_id: Long, width: Int, height: Int, gray_sum: Long,
@@ -786,14 +821,19 @@ object Multimodal {
       SELECT doc_id,
              CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
              CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
-             CAST(gb * 97 + 81 * m AS BIGINT) AS seed
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
       FROM img),
     bits AS (
       SELECT doc_id, b,
-             CASE WHEN (seed*31 + ((((b%8)+1)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
-                     > (seed*31 + (((b%8)*w)//9)*7 + (((b//8)*h)//8)*13) % 251
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-      FROM (SELECT doc_id, w, h, seed, unnest(range(0, 64)) AS b FROM p)),
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM p))),
     ph AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
@@ -811,7 +851,7 @@ object Multimodal {
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
     pairs AS (
       SELECT a_id, b_id FROM cand
-      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6),
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10),
     und AS (SELECT a_id AS a, b_id AS b FROM pairs
             UNION SELECT b_id, a_id FROM pairs),
     reach(a, b) AS (SELECT a, b FROM und
@@ -821,7 +861,7 @@ object Multimodal {
     val pairs = bandedHammingPairs(
       phashOf(dupMedia(spark, dir)).toDF()
         .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-      maxHamming = 6)
+      maxHamming = 10)
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
     Dedup.connectedComponents(pairs)
   }
@@ -859,20 +899,33 @@ object Multimodal {
   /** Near-dup-planted audio corpus, mirroring [[dupMedia]]: groups of
     * 5 audio docs (15 consecutive doc_ids) share rate/length and
     * content; member m is the SAME signal DC-shifted by exactly +m
-    * pre-wrap (`s_f = (gb·977 + 31f² + 17f + m) mod 32003 − 16001` —
-    * the "re-leveled re-encode" model; the wrap flips a window bit
-    * only where the shift crosses the int16 range, the tolerance a
-    * fingerprint must have). The QUADRATIC term matters: encodeWav's
-    * built-in signal is a linear ramp (slope 17/sample) whose window
-    * gradient is almost always positive, so EVERY doc fingerprints
-    * near-all-ones and unrelated docs collide (measured: 13.5k
-    * cross-group pairs at sf0.01) — a low-entropy-signal pathology of
-    * the fixture, not the algorithm; 31f² scatters the mod-32003
-    * wraps pseudo-uniformly across windows. Frame counts use PRIME
-    * modulus 433 (realMedia's 441 would fold the 15-multiple group
-    * bases into few length classes whose same-length signals are
-    * genuine fingerprint twins — the same fixture pathology
-    * [[dupMedia]] documents for dims). */
+    * (`s_f = ((31·gb+7)f² + (17·gb+5)f) mod 32003 − 16001 + m` — the
+    * "re-leveled re-encode" model; |s| ≤ 16005 so the shift never
+    * wraps int16 and within-group fingerprints are structurally
+    * identical).
+    *
+    * THREE fixture-entropy lessons, all MEASURED before this shape
+    * was chosen (the fingerprint is gradient-based and DC-invariant,
+    * which constrains the fixture more than it first appears):
+    *
+    *  1. encodeWav's built-in LINEAR ramp (slope 17/sample): window
+    *     gradients almost always positive → every doc fingerprints
+    *     near-all-ones → 13.5k cross-group pairs at sf0.01.
+    *  2. Quadratic scatter with gb only ADDITIVE
+    *     (`gb·977 + 31f² + 17f`): the fingerprint's own DC-invariance
+    *     makes any two groups whose `gb·977 mod 32003` land near each
+    *     other DC-TWINS of each other — 5,935 hamming-0 cross pairs
+    *     at sf0.1, and a multiplicative hash of (gb+f) has the same
+    *     flaw. The group id must change the SHAPE, not the level.
+    *  3. gb as the quadratic/linear COEFFICIENTS (this form): 32003
+    *     is prime, so coefficient pairs are distinct until
+    *     gb ≡ gb' (mod 32003) — measured over all 334 sf0.1 groups:
+    *     334 distinct fingerprints, min cross-group hamming 14, max
+    *     within-group 0 (threshold 6 separates with margin ≥ 8).
+    *
+    * Frame counts use PRIME modulus 433 (realMedia's 441 would fold
+    * the 15-multiple group bases into few length classes — the
+    * [[dupMedia]] dims pathology). */
   def dupAudio(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "mm_dup_audio") {
       import spark.implicits._
@@ -883,8 +936,10 @@ object Multimodal {
             val gb = id / 15 * 15
             val m = (id % 15) / 3
             val nf = (64 + gb * 17 % 433).toInt
+            val ca = gb * 31 + 7
+            val cb = gb * 17 + 5
             val samples = Array.tabulate(nf) { f =>
-              ((gb * 977 + 31L * f * f + 17L * f + m) % 32003 - 16001).toShort
+              ((ca * f.toLong * f + cb * f.toLong) % 32003 - 16001 + m).toShort
             }
             RealMediaRow(id, "audio",
               MediaCodec.encodeWav16(Rates((gb * 7 % 4).toInt), 1, samples))
@@ -905,14 +960,16 @@ object Multimodal {
     p AS (
       SELECT doc_id,
              CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
-             CAST(gb * 977 + m AS BIGINT) AS base
+             CAST(gb * 31 + 7 AS BIGINT) AS ca,
+             CAST(gb * 17 + 5 AS BIGINT) AS cb,
+             CAST(m AS BIGINT) AS m
       FROM aud),
     s AS (
-      SELECT doc_id, nf // 64 AS q, base, unnest(range(0, (nf // 64) * 64)) AS f
+      SELECT doc_id, nf // 64 AS q, ca, cb, m, unnest(range(0, (nf // 64) * 64)) AS f
       FROM p),
     w AS (
       SELECT doc_id, f // q AS win,
-             SUM((base + 31 * f * f + 17 * f) % 32003 - 16001) AS e
+             SUM((ca * f * f + cb * f) % 32003 - 16001 + m) AS e
       FROM s GROUP BY doc_id, f // q),
     bits AS (
       SELECT doc_id, win AS b,

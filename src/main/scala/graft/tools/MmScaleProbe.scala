@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Round-9 weak-scaling probe for the multimodal content-dedup
+  * family — the repo convention: every operator family's Scaladoc
+  * scale claim gets a measured growth number in BASELINE.md.
+  *
+  *  1. Perceptual-hash LSH band join ([[Multimodal.phashDups]] core):
+  *     candidate-pair count and wall-clock at sf0.01 vs sf0.1 (10×
+  *     images). Claim: candidates grow ~linearly with the corpus
+  *     because only matching 16-bit bands meet (planted groups are
+  *     corpus-proportional; cross-group collisions stay a small
+  *     constant share) — no all-pairs term anywhere.
+  *  2. The degenerate-fixture counterexample MEASURED: the same band
+  *     join over all-identical-band hashes (the pathology the
+  *     [[Multimodal.dupMedia]] prime-modulus dims and the
+  *     linear-ramp audio lesson document) — candidates go quadratic.
+  *     Published so the LSH caveat has a number, not an adjective.
+  *
+  * Run: `sbt "runMain graft.tools.MmScaleProbe"`
+  */
+object MmScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. real band join at 1× and 10× ---------------------------------
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val hashes = Multimodal.phashOf(Multimodal.dupMedia(spark, dir)).toDF()
+        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+        .cache()
+      val n = hashes.count()
+      val (pairs, t) = time {
+        val out = Multimodal.phashDups.run(spark, dir)
+        out.count()
+      }
+      println(f"[mm-probe] band-join $dir: images=$n%d dup_pairs=$pairs%d wall=$t%.2fs " +
+        f"pairs_per_image=${pairs.toDouble / n}%.2f")
+      hashes.unpersist()
+      ()
+    }
+
+    // 2. the measured pathology: identical-band hashes go quadratic ---
+    import spark.implicits._
+    for (n <- Seq(500, 5000)) {
+      val flat = (0L until n.toLong).map(i => (i, 0L, 0L)).toDF("doc_id", "hi", "lo")
+      val bandedA = flat.select(col("doc_id").as("a_id"), col("lo").as("a_lo"))
+      val bandedB = flat.select(col("doc_id").as("b_id"), col("lo").as("b_lo"))
+      val (cands, t) = time {
+        bandedA.join(bandedB, col("a_lo") === col("b_lo") && col("a_id") < col("b_id")).count()
+      }
+      println(f"[mm-probe] degenerate flat-hash corpus n=$n%d candidates=$cands%d " +
+        f"(n²/2=${n.toLong * (n - 1) / 2}%d) wall=$t%.2fs — the quadratic wall the " +
+        "prime-modulus fixture dims and signal-entropy checks exist to avoid")
+    }
+    spark.stop()
+  }
+}
