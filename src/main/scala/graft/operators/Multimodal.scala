@@ -858,12 +858,101 @@ object Multimodal {
                     UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a ORDER BY doc_id""") { (spark, dir) =>
-    val pairs = bandedHammingPairs(
-      phashOf(dupMedia(spark, dir)).toDF()
-        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-      maxHamming = 10)
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
-    Dedup.connectedComponents(pairs)
+    phashClusterLabels(spark, dir).orderBy("doc_id")
+  }
+
+  /** The converged (doc_id, cluster_id) label frame, memoized like
+    * [[Dedup.dedupClusters]]' — [[phashClusters]] reports it and
+    * [[dedupPropagation]] consumes it; the CC fixpoint runs once per
+    * (session, dir). */
+  private def phashClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_phash_cluster_labels") {
+      val pairs = bandedHammingPairs(
+        phashOf(dupMedia(spark, dir)).toDF()
+          .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
+        maxHamming = 10)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+    }
+
+  /** PERCEPTUAL-DEDUP verdicts propagated to the PAIRED vector store —
+    * the multimodal capstone composition (three registered operators:
+    * [[phashDups]] pairs → [[Dedup.connectedComponents]] labels →
+    * the [[pairedGate]] bridge): every embedding whose paired image
+    * (vec_id = doc_id, the paired-corpus contract) is a NON-CANONICAL
+    * member of a perceptual cluster is dropped from the index without
+    * re-featurizing anything; singleton images (in no pair) survive
+    * by construction. Output = the per-label keep/drop tally the
+    * index-maintenance job reads.
+    *
+    * Scale shape: the label frame is dup-subset-sized (memoized CC);
+    * the bridge join is 1:1 id-keyed (bucketed-at-rest → exchange-
+    * free); the tally partial-aggregates to |labels| rows per task. */
+  val dedupPropagation: GraftQuery = GraftQuery.checked("ns_mm_dedup_propagation",
+    """WITH RECURSIVE img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT doc_id,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
+      FROM img),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM p))),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10),
+    und AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a)
+    SELECT e.label,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id AND d.doc_id % 3 = 0
+    LEFT JOIN dropped dr ON dr.doc_id = e.vec_id
+    GROUP BY e.label ORDER BY e.label""") { (spark, dir) =>
+    val dropped = phashClusterLabels(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    val imgs = Tables.documents(spark, dir).select("doc_id")
+      .where(col("doc_id") % 3 === 0)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    imgs.join(emb, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("label")
+      .agg(sum(when(col("is_dropped").isNull, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("is_dropped").isNull, 0).otherwise(1)).cast("long").as("n_dropped"))
+      .orderBy("label")
   }
 
   // ------------------------------------------------------------------
@@ -1086,5 +1175,5 @@ object Multimodal {
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
-    audioDups, phashClusters, imageGate)
+    audioDups, phashClusters, imageGate, dedupPropagation)
 }
