@@ -875,6 +875,90 @@ object Multimodal {
       Dedup.connectedComponents(pairs)
     }
 
+  /** INCREMENTAL perceptual dedup — the [[Dedup.incremental]] contract
+    * on the image plane: a NEW batch (each group's m=4 member, the
+    * freshest re-upload) checks against the EXISTING index (members
+    * 0–3) only. The band join is ASYMMETRIC — new×index, never
+    * new×new (a batch's internal dups resolve next round, same as the
+    * text incremental) — so per-ingest cost is |batch|-proportional
+    * candidates against the indexed bands, not a corpus re-scan; the
+    * banded index is exactly what a 100 TB media store keeps warm.
+    * Output per new image: how many index images it near-dups
+    * (Hamming ≤ 10 over real decoded pixels) and the keep verdict. */
+  val phashIncremental: GraftQuery = GraftQuery.checked("ns_mm_phash_incremental",
+    """WITH img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT doc_id, m = 4 AS is_new,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
+      FROM img),
+    bits AS (
+      SELECT doc_id, is_new, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, is_new, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, is_new, w, h, ca, cb, cc, m,
+                    unnest(range(0, 64)) AS b FROM p))),
+    ph AS (
+      SELECT doc_id, is_new,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id, is_new),
+    banded AS (
+      SELECT doc_id, is_new, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+             n.hi AS n_hi, n.lo AS n_lo, i.hi AS i_hi, i.lo AS i_lo
+      FROM banded n JOIN banded i
+        ON n.band_idx = i.band_idx AND n.band_val = i.band_val
+       AND n.is_new AND NOT i.is_new),
+    dups AS (
+      SELECT new_id, COUNT(*) AS n_dups FROM cand
+      WHERE bit_count(xor(n_hi, i_hi)) + bit_count(xor(n_lo, i_lo)) <= 10
+      GROUP BY new_id)
+    SELECT ph.doc_id, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+           COALESCE(d.n_dups, 0) = 0 AS keep
+    FROM ph LEFT JOIN dups d ON d.new_id = ph.doc_id
+    WHERE ph.is_new ORDER BY ph.doc_id""") { (spark, dir) =>
+    val h = phashOf(dupMedia(spark, dir)).toDF()
+      .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
+    val banded = h.select(col("doc_id"), col("is_new"),
+      col("phash_hi").as("hi"), col("phash_lo").as("lo"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_lo"), 16),
+        col("phash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("phash_hi"), 16))))
+      .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
+    val nw = banded.where(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
+        col("hi").as("n_hi"), col("lo").as("n_lo"))
+    val ix = banded.where(!col("is_new"))
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
+        col("hi").as("i_hi"), col("lo").as("i_lo"))
+    val dups = nw.join(ix, Seq("band_idx", "band_val"))
+      .select("new_id", "idx_id", "n_hi", "n_lo", "i_hi", "i_lo").distinct()
+      .where(expr("CAST(bit_count(n_hi ^ i_hi) + bit_count(n_lo ^ i_lo) AS INT)") <= 10)
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"))
+      .withColumnRenamed("new_id", "doc_id")
+    h.where(col("is_new")).select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** PERCEPTUAL-DEDUP verdicts propagated to the PAIRED vector store —
     * the multimodal capstone composition (three registered operators:
     * [[phashDups]] pairs → [[Dedup.connectedComponents]] labels →
@@ -1175,5 +1259,5 @@ object Multimodal {
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
-    audioDups, phashClusters, imageGate, dedupPropagation)
+    audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental)
 }
