@@ -318,6 +318,50 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(ais.getFrameLength == 201L)
   }
 
+  test("streaming incremental media dedup: stream-static band join replays the batch verdicts") {
+    // the 100 TB ingest shape: new media arrives as a STREAM, checks
+    // against the STATIC banded phash index (stream-static inner join
+    // + per-doc aggregation), and must produce exactly the batch
+    // incremental detector's dup counts
+    val spark = SparkSuite.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val mm = graft.operators.Multimodal
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("phash_lo"), 16),
+          col("phash_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("phash_hi"), 16))))
+        .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+    val media = mm.dupMedia(spark, SparkSuite.sfDir)
+    val isNew = expr("(doc_id % 15) div 3 = 4")
+    val index = bands(mm.phashOf(media.where(!isNew)).toDF())
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
+        col("hi").as("i_hi"), col("lo").as("i_lo"))
+    val srcDir = SparkSuite.tempDir("mm-ingest-src")
+    media.where(isNew).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(srcDir)
+    val streamed = bands(mm.phashOf(stream.toDF()).toDF())
+      .join(index, Seq("band_idx", "band_val"))   // stream-static join
+      .select("doc_id", "idx_id", "hi", "lo", "i_hi", "i_lo").dropDuplicates()
+      .where(expr("CAST(bit_count(hi ^ i_hi) + bit_count(lo ^ i_lo) AS INT)") <= 10)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dups"))
+    val q = streamed.writeStream.format("memory").queryName("mm_ingest")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming media dedup did not finish")
+    q.stop()
+    val got = spark.table("mm_ingest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = mm.phashIncremental.run(spark, SparkSuite.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0)
+    assert(want.nonEmpty && got == want,
+      s"stream verdicts != batch: got $got want $want")
+  }
+
   test("image gate: all three arms fire, brightness measured on real decoded PNG bytes") {
     import graft.operators.Multimodal.gateOf
     // size check dominates, even for a dark image
