@@ -153,20 +153,28 @@ final class GraftService(
       // when the checkpoint is reset (so incarnations never collide).
       // Read lazily (the file exists once the query starts, before the
       // first batch); Hadoop FS so any checkpoint filesystem works.
-      lazy val runToken: String = {
-        try {
-          val p = new org.apache.hadoop.fs.Path(s"$checkpointRoot/mq-ingest/metadata")
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val in = fs.open(p)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-          """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
-            .map(m => s"run_${m.group(1)}")
-            .getOrElse(sys.error("no id in stream metadata"))
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            val now = java.time.Instant.now()
-            s"run_${now.getEpochSecond}_${now.getNano}"
-        }
+      // Memoized ONLY on a successful read (r9 advice: a `lazy val`
+      // caches whatever the FIRST evaluation produced — after one
+      // transient FS error the wall-clock fallback was pinned for the
+      // whole incarnation, so a post-restart replayed batch wrote its
+      // forensic rows under a FRESH token dir instead of overwriting
+      // its own, re-introducing the duplicate-rows non-idempotency on
+      // the error path). Every batch retries the metadata read until
+      // one succeeds; a failed read fails THAT batch loudly (the
+      // stream retries it) rather than silently minting an unstable
+      // token — quarantine writes target the same filesystem, so a
+      // metadata read that fails means forensics writes would too.
+      val runTokenCache = new java.util.concurrent.atomic.AtomicReference[String](null)
+      def runToken: String = Option(runTokenCache.get()).getOrElse {
+        val p = new org.apache.hadoop.fs.Path(s"$checkpointRoot/mq-ingest/metadata")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val tok = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body)
+          .map(m => s"run_${m.group(1)}")
+          .getOrElse(sys.error(s"no id in stream metadata at $p"))
+        runTokenCache.compareAndSet(null, tok)
+        runTokenCache.get()
       }
       val raw = spark.readStream.format("http-mq").option("endpoint", ep).load()
         .selectExpr("CAST(value AS STRING) AS value")

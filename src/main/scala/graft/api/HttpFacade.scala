@@ -501,6 +501,16 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       .json(Seq(body).toDS())
       .as[LifecycleEvent](Encoders.product[LifecycleEvent]).collect().toSeq
     require(evs.nonEmpty, "no lifecycle events in request body")
+    // the reserved-negative-id invariant holds at EVERY ingress, not
+    // just the MQ path (r9 advice): external producers own the
+    // non-negative id half-space, engine callbacks own the negatives
+    // (GraftService.callbackIds) — an HTTP producer minting a negative
+    // id would alias a logged callback in the durable event log and
+    // undermine the uniqueness/forensics contract. require → 400,
+    // mirroring the EventIngest quarantine split.
+    require(evs.forall(_.event_id >= 0),
+      s"negative event_id is reserved for engine callbacks: " +
+        evs.filter(_.event_id < 0).map(_.event_id).mkString(","))
     evs
   }
 

@@ -277,18 +277,27 @@ object TextSelection {
     * exploded bigram stream four times (benched 1.49 s vs DuckDB 0.37
     * at sf0.1); this one scans once for the model, once for scoring. */
   def dsirModel(docs: DataFrame): Map[Int, Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counts = bigramBuckets(docs)
       .groupBy("f").agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val rtot = counts.map(_._2).sum
+    val rtot = counts.map(_._2).sum // exact integer totals, driver-side
     val ctot = counts.map(_._3).sum
-    // identical double math to the executor/oracle expression:
-    // Math.log == Spark's log == DuckDB's ln on the same inputs
-    counts.map { case (f, cr, ct) =>
-      f -> math.floor((math.log(ct + 1.0) - math.log(ctot + B.toDouble)
-        - math.log(cr + 1.0) + math.log(rtot + B.toDouble)) * 1000000.0).toLong
-    }.toMap
+    // The ln→floor quantization goes through the SHARED
+    // ExactMath.microLnRatio expression (r9 verdict wrong #3, closing
+    // the same class the r8 advice flagged for ns_text_source_drift):
+    // one implementation of the four-ln chain for every scorer, so a
+    // divergence can only live between the two ENGINES' libms inside
+    // one floor — never between two of our own call sites. Evaluated
+    // as a local 256-row job (the collected model frame re-lifted; no
+    // corpus rescan, model-sized driver traffic only).
+    counts.toSeq.toDF("f", "cr", "ct")
+      .select(col("f"), graft.functions.ExactMath.microLnRatio(
+        col("ct") + 1L, lit(ctot + B.toLong),
+        col("cr") + 1L, lit(rtot + B.toLong)).as("w_micro"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** The model as a constant-folded ARRAY literal indexed by bucket

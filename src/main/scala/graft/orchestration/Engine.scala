@@ -93,10 +93,18 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
       } catch {
         case e: Throwable =>
           st.log.append(s"run ${sub.exec_uuid} failed: ${e.getMessage}\n")
-          val aborted = e.getMessage != null && e.getMessage.contains("cancelled")
+          // status is AUTHORITATIVE (r9 advice): abort() stamps
+          // "aborted" before it cancels, and this update only fires
+          // while the status is still "running" — so reaching here
+          // un-stamped means nobody aborted and the run FAILED. The
+          // old `getMessage.contains("cancelled")` heuristic let an
+          // infrastructure failure that merely mentioned the word
+          // stamp itself "aborted" while the closure posted a failure
+          // event — jobs endpoint and lifecycle log disagreeing about
+          // the same run.
           runs.computeIfPresent(sub.exec_uuid, (_, cur) =>
             if (cur.status == "running")
-              cur.copy(status = if (aborted) "aborted" else "failed",
+              cur.copy(status = "failed",
                 end = Some(new Timestamp(System.currentTimeMillis())))
             else cur)
       } finally spark.sparkContext.clearJobGroup()

@@ -56,7 +56,8 @@ object MmScaleProbe {
       ()
     }
 
-    // 2. the measured pathology: identical-band hashes go quadratic ---
+    // 2. the measured pathology: identical-band hashes go quadratic
+    //    UNGUARDED, and the r10 whale-band guard caps it -------------
     import spark.implicits._
     for (n <- Seq(500, 5000)) {
       val flat = (0L until n.toLong).map(i => (i, 0L, 0L)).toDF("doc_id", "hi", "lo")
@@ -65,9 +66,18 @@ object MmScaleProbe {
       val (cands, t) = time {
         bandedA.join(bandedB, col("a_lo") === col("b_lo") && col("a_id") < col("b_id")).count()
       }
-      println(f"[mm-probe] degenerate flat-hash corpus n=$n%d candidates=$cands%d " +
+      println(f"[mm-probe] degenerate flat-hash corpus n=$n%d UNGUARDED candidates=$cands%d " +
         f"(n²/2=${n.toLong * (n - 1) / 2}%d) wall=$t%.2fs — the quadratic wall the " +
         "prime-modulus fixture dims and signal-entropy checks exist to avoid")
+      // the same adversarial corpus through the PRODUCTION path
+      // (bandedHammingPairs, whale-band guard at its default cap):
+      // every band bucket is one n-sized whale, all dropped → zero
+      // candidates, subquadratic by construction (r9 verdict weak #1)
+      val (guarded, tg) = time {
+        Multimodal.bandedHammingPairs(flat, maxHamming = 10).count()
+      }
+      println(f"[mm-probe] degenerate flat-hash corpus n=$n%d GUARDED candidates=$guarded%d " +
+        f"wall=$tg%.2fs — whale-band guard drops the n-sized buckets")
     }
     spark.stop()
   }

@@ -2,33 +2,86 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The in-artifact bench regression triage (r7 verdict #4) hinges on
-  * recovering per-query bands from the DRIVER's wrapper artifact —
-  * whose `tail` field escapes quotes and truncates the line's head, so
-  * the parser must work on escaped fragments, not clean JSON. Pinned
-  * against the real `BENCH_r{N}.json` checked into the repo root. */
+/** The in-artifact bench regression triage (r7 verdict #4) recovers
+  * per-query bands from the previous bench run. r9 verdict #1: the
+  * registry outgrew the driver's ~2–4 KB stdout-tail capture
+  * (BENCH_r09.json kept ZERO flat per-query pairs → two rounds of
+  * `"parsed": null` and a red gate), so the artifact of record is now
+  * the bench's own committed `BENCH_SELF.json`; the driver's escaped,
+  * head-truncated `BENCH_r{N}.json` wrapper is only a fallback. Both
+  * paths are pinned here against synthetic fixtures (deterministic —
+  * the old spec pinned the real driver artifact and went red the
+  * moment the driver dropped a truncated one), plus one integration
+  * check against the committed self artifact in cwd. */
 class BenchTriageSpec extends AnyFunSuite {
 
-  test("prevBench recovers per-query bands from the driver's escaped, head-truncated artifact") {
-    val prev = Bench.prevBench("/root/testdata/sf0.1")
-    // the driver keeps only the LAST ~4 KB of output, so a partial
-    // window (the r7 artifact preserves 57 of 146 rows) is expected —
-    // triage covers whatever bands survive truncation
-    assert(prev.size > 40, s"expected >40 recovered query bands, got ${prev.size}")
-    // every recovered name is a registered query with a plausible timing
+  private def inTempDir(files: (String, String)*)(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    try {
+      files.foreach { case (name, text) =>
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath, text.getBytes("UTF-8"))
+      }
+      body(dir.getAbsolutePath)
+    } finally {
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete()); dir.delete()
+    }
+  }
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("prevBench prefers the committed BENCH_SELF.json (clean, full map)") {
+    val self =
+      s"""{"metric":"total","value":1.3,"unit":"sec","queries":{"ns_dedup_minhash":0.091,"ns_dedup_exact":0.177,"k01_table_counts":0.205,"not_a_query":9.9},"sf":"$sf01","loadavg1m_start":0.2,"loadavg1m":3.1}"""
+    // a wrapper with a DIFFERENT value proves precedence, not fallback
+    val wrapper =
+      s"""{"n": 9, "sf": 0.1, "tail": "\\"ns_dedup_minhash\\":0.5", "parsed": null}"""
+    inTempDir("BENCH_SELF.json" -> self, "BENCH_r09.json" -> wrapper) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev("ns_dedup_minhash") == 0.091, "self artifact must win over the wrapper")
+      assert(prev("ns_dedup_exact") == 0.177 && prev("k01_table_counts") == 0.205)
+      assert(!prev.contains("not_a_query"), "unregistered names must be filtered")
+      assert(!prev.contains("value") && !prev.contains("loadavg1m_start"),
+        "scalar summary fields must not leak in as bands")
+    }
+  }
+
+  test("prevBench falls back to the driver's escaped, head-truncated wrapper") {
+    // the driver wraps the bench stdout tail in {"tail": "…"} with
+    // quotes escaped and the line's HEAD truncated mid-token — the
+    // parser works on the escaped fragment, not clean JSON
+    val wrapper =
+      """{"n": 8, "rc": 0, "cpus": 32, "sf": 0.1, "tail": "558,\"ns_vec_topk_lsh\":0.060505209,\"ns_dedup_minhash\":0.097872784,\"k01_table_counts\":0.205603534,\"ns_dedup_exact\":0.210145514}", "parsed": null}"""
+    inTempDir("BENCH_r08.json" -> wrapper) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev("ns_dedup_minhash") == 0.097872784)
+      assert(prev("ns_vec_topk_lsh") == 0.060505209)
+      assert(prev.size == 4, s"expected exactly the 4 registered rows, got $prev")
+    }
+  }
+
+  test("prevBench refuses a cross-SF band (sf mismatch -> no triage)") {
+    val self =
+      s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"ns_dedup_exact":0.2},"sf":"$sf01"}"""
+    inTempDir("BENCH_SELF.json" -> self) { dir =>
+      assert(Bench.prevBench("/root/testdata/sf0.01", dir).isEmpty,
+        "bands from an sf0.1 artifact must not gate an sf0.01 run")
+    }
+    assert(Bench.prevBench("/root/testdata/sf0.01").isEmpty,
+      "cwd artifacts are sf0.1 — must not gate an sf0.01 run")
+  }
+
+  test("cwd integration: the committed self artifact carries full bands") {
+    // BENCH_SELF.json is committed every round (r9 verdict #1's 'done'
+    // bar: triage has bands to gate the next round even when the
+    // driver's tail window keeps zero flat pairs)
+    assert(new java.io.File("BENCH_SELF.json").isFile,
+      "BENCH_SELF.json must be committed at the repo root")
+    val prev = Bench.prevBench(sf01)
+    assert(prev.size > 100, s"expected >100 recovered query bands, got ${prev.size}")
     val names = SparkEntry.queries.keySet
     prev.foreach { case (n, v) =>
       assert(names(n), s"unregistered name leaked through: $n")
       assert(v > 0 && v < 600, s"implausible timing for $n: $v")
     }
-    // rows from deep inside the truncated tail are recovered too
-    // (value pinned loosely: later rounds overwrite the latest artifact)
-    assert(prev.contains("ns_events_anomaly") && prev.contains("ns_dedup_survivors"),
-      "rows the r7 verdict triaged must be recoverable from the artifact")
-  }
-
-  test("prevBench refuses a cross-SF band (sf mismatch -> no triage)") {
-    assert(Bench.prevBench("/root/testdata/sf0.01").isEmpty,
-      "bands from an sf0.1 artifact must not gate an sf0.01 run")
   }
 }

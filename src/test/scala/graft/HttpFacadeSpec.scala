@@ -192,6 +192,14 @@ class HttpFacadeSpec extends AnyFunSuite {
       // read token cannot dispatch
       assert(call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Read), ev)
         .statusCode() == 403)
+
+      // reserved-negative-id invariant holds on the HTTP ingress too
+      // (r9 advice: it was only enforced on the MQ path, so an HTTP
+      // producer could mint ids that alias engine callbacks in the log)
+      val neg = ev.replace("\"event_id\":900", "\"event_id\":-900")
+      val rn = call(base, "POST", s"/pipeline/dispatcher/event?now_epoch_ms=$now", Some(Admin), neg)
+      assert(rn.statusCode() == 400, s"negative external id must be rejected: ${rn.body()}")
+      assert(rn.body().contains("reserved"), rn.body())
     }
   }
 

@@ -3,6 +3,7 @@ package graft
 import java.io.ByteArrayInputStream
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.functions.MediaCodec
 
@@ -410,5 +411,41 @@ class MediaCodecSpec extends AnyFunSuite {
         assert(r.getLong(4) == sum, s"doc $id resample sum")
       }
     }
+  }
+
+  test("whale-band guard: constant-hash corpus yields zero candidates; real dups survive") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    // the published MmScaleProbe degenerate: every hash identical →
+    // every band bucket one n-sized whale → unguarded candidates n²/2.
+    // The r10 guard drops whale buckets, so the production path emits
+    // NOTHING for a constant-color corpus (r9 verdict weak #1)
+    val flat = (0L until 200L).map(i => (i, 0L, 0L)).toDF("doc_id", "hi", "lo")
+    assert(graft.operators.Multimodal.bandedHammingPairs(flat, maxHamming = 10).count() == 0)
+    // a whale cap SMALLER than a planted group still finds pairs whose
+    // flips leave at least one sub-cap band intact? No — these hashes
+    // are identical, so instead check the positive arm on DISTINCT
+    // hashes: two near-dups (1-bit apart) among unrelated high-entropy
+    // hashes survive the guard untouched
+    val mixed = (Seq((1L, 0x1234567890abcdefL, 0x0fedcba987654321L),
+      (2L, 0x1234567890abcdefL, 0x0fedcba987654320L)) ++
+      (10L until 60L).map(i => (i, i * 0x9e3779b97f4a7c15L, i * 0xc2b2ae3d27d4eb4fL)))
+      .toDF("doc_id", "hi", "lo")
+    val pairs = graft.operators.Multimodal.bandedHammingPairs(mixed, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)), s"expected the planted pair only, got ${pairs.toSeq}")
+    // fixture safety: the dup fixtures' largest band bucket sits far
+    // below the cap, so the guard is a no-op on the oracle-gated rows
+    val hashes = graft.operators.Multimodal
+      .phashOf(graft.operators.Multimodal.dupMedia(spark, SparkSuite.sfDir)).toDF()
+      .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+    val maxBucket = hashes.select(col("doc_id"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+          col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+      .toDF("doc_id", "band_idx", "band_val")
+      .groupBy("band_idx", "band_val").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket <= 32, s"fixture band bucket $maxBucket endangers the 64 cap headroom")
   }
 }

@@ -81,6 +81,29 @@ class TextBpeSpec extends AnyFunSuite {
       s"pair counts increased along ranks: ${counts.mkString(",")}")
   }
 
+  test("bounded-vocab contract: the collect is capped and the defaults are a fixture no-op") {
+    import spark.implicits._
+    // a vocabulary larger than the cap: the trainer sees only the
+    // maxVocab most frequent words (freq DESC, word ASC) — merges from
+    // the dropped tail are impossible
+    val words = ((0 until 200).map(i => (f"tail$i%03d", 1L)) :+ ("abab", 100L) :+ ("abac", 90L))
+      .toDF("word", "freq")
+    val capped = TextBpe.bpeTrainFast(words, numMerges = 4, minCount = 1L, maxVocab = 2)
+    // only the two frequent words survive the cap: first merge (a,b) 3
+    // occurrences; tail words' single-letter pairs never counted
+    assert(capped.nonEmpty && capped.head._2 == "a" && capped.head._3 == "b" &&
+      capped.head._4 == 290L, s"capped trainer saw tail words: $capped")
+    // minCount floor: freq-1 words drop, the frequent pair count is unchanged
+    val floored = TextBpe.bpeTrainFast(words, numMerges = 1, minCount = 2L, maxVocab = 2000000)
+    assert(floored.head._4 == 290L, s"floor changed the frequent-pair count: $floored")
+    // defaults are a no-op on the gated fixture path: same merges as an
+    // explicitly-unbounded run (the oracle-hash-unchanged guarantee)
+    val real = TextBpe.wordFreqs(spark, SparkSuite.sfDir)
+    val a = TextBpe.bpeTrainFast(real, numMerges = 8)
+    val b = TextBpe.bpeTrainFast(real, numMerges = 8, minCount = 1L, maxVocab = Int.MaxValue)
+    assert(a == b, "default cap altered fixture training")
+  }
+
   test("applied segmentation is lossless: subwords concat back to every word") {
     val seg = TextBpe.segmented(spark, SparkSuite.sfDir)
     val broken = seg
