@@ -310,6 +310,40 @@ object MediaCodec {
   }
 
   // ------------------------------------------------------------------
+  // Concatenated-PNG clip (lossless frame stream)
+  // ------------------------------------------------------------------
+
+  /** Split a concatenated-PNG clip into (offset, length) frame spans —
+    * the [[mjpegFrames]] walk for a LOSSLESS frame codec: each frame
+    * is a full PNG (8-byte signature, then length-prefixed chunks to
+    * IEND), so the span walk is exact, no entropy scan needed. Used by
+    * the video-dedup fixture, whose per-frame PIXELS must decode
+    * bit-exactly for the arithmetic oracle to replay them (JPEG's
+    * entropy coding is lossy; [[mjpegFrames]] clips only ever have
+    * their headers parsed). Malformed tails are dropped, same contract
+    * as MJPEG. */
+  def pngFrames(b: Array[Byte]): Array[(Int, Int)] = {
+    val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = 0
+    while (p + 8 <= b.length && sig.indices.forall(k => (b(p + k) & 0xff) == sig(k))) {
+      var i = p + 8
+      var end = -1
+      while (end < 0 && i + 8 <= b.length) {
+        val len = beInt(b, i)
+        val isEnd = b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D'
+        if (len < 0 || i + 12 + len > b.length) return frames.toArray // truncated chunk
+        if (isEnd) end = i + 12 + len
+        else i += 12 + len
+      }
+      if (end < 0) return frames.toArray
+      frames += ((p, end - p))
+      p = end
+    }
+    frames.toArray
+  }
+
+  // ------------------------------------------------------------------
   // WAV (RIFF/WAVE, PCM 16-bit)
   // ------------------------------------------------------------------
 

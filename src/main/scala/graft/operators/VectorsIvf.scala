@@ -111,5 +111,91 @@ object VectorsIvf {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => ivfTopK(s, d))
 
-  val all: Seq[GraftQuery] = Seq(topKIvf)
+  /** INCREMENTAL index maintenance — the [[Dedup.incremental]] /
+    * [[Multimodal.phashIncremental]] contract on the ANN plane (r9
+    * verdict missing #2): a NEW batch of embeddings (vec_id % 10 = 7,
+    * the ingest slice) probes the WARM index (everything else, already
+    * cell-assigned) — ASYMMETRIC new×index, never new×new (a batch's
+    * internal dups resolve next round) and never a batch re-assignment
+    * of the corpus. Per new vector: its assigned cell (what the index
+    * writer appends), the candidate count its `nProbe` probes touched,
+    * and the exact-re-ranked nearest index neighbor — the
+    * attach-at-ingest output an embedding store's write path needs.
+    *
+    * Scale shape: the trained centroids are the model (K×dim driver
+    * literals, the [[centroids]] contract); the index side stays
+    * partitioned by cell at rest and is scanned once; the BATCH side
+    * broadcasts (ingest batches are small by definition), so
+    * per-ingest cost is |batch|·nProbe/K of the index — candidates
+    * ∝ |batch|, measured by IvfIngestProbe. */
+  /** The new×index candidate frame (batch membership parametrized so
+    * IvfIngestProbe can measure candidates ∝ |batch| directly). */
+  private[graft] def candidates(spark: SparkSession, dir: String, isNew: Column,
+      nProbe: Int = NumProbes): DataFrame = {
+    val cents = centroids(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val index = emb.where(!isNew).select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding"), cents).as("cell"))
+    val nw = emb.where(isNew)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        cellOf(col("embedding"), cents).as("own_cell"),
+        explode(probeCells(col("embedding"), cents, nProbe)).as("cell"))
+    index.join(broadcast(nw), Seq("cell"))
+      .select(col("query_id"), col("own_cell"), col("vec_id").as("neighbor_id"),
+        dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
+  }
+
+  def ivfIncremental(spark: SparkSession, dir: String,
+      nProbe: Int = NumProbes): DataFrame = {
+    val cand = candidates(spark, dir, col("vec_id") % 10 === 7, nProbe)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .withColumn("n_cand", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
+      .where(col("rn") === 1)
+      .select(col("query_id").as("vec_id"), col("own_cell").as("cell"),
+        col("n_cand"), col("neighbor_id").as("nearest_id"), col("sim_r"))
+      .orderBy("vec_id")
+  }
+
+  val incrementalIvf: GraftQuery = GraftQuery.checked("ns_vec_incremental_ivf",
+    s"""WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCells),
+    cellscore AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.embedding, c.cemb),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS score
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM cellscore) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+        FROM cellscore WHERE vec_id % 10 = 7) WHERE rn <= $NumProbes),
+    cand AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, e.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id % 10 <> 7
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    agg AS (SELECT query_id, COUNT(*) AS n_cand FROM cand GROUP BY query_id),
+    top1 AS (
+      SELECT query_id, neighbor_id, sim_r FROM (
+        SELECT query_id, neighbor_id, sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1)
+    SELECT t.query_id AS vec_id, CAST(a2.cell AS INTEGER) AS cell,
+           CAST(g.n_cand AS BIGINT) AS n_cand,
+           t.neighbor_id AS nearest_id, t.sim_r
+    FROM top1 t JOIN agg g USING (query_id) JOIN assign a2 ON a2.vec_id = t.query_id
+    ORDER BY vec_id""")((s, d) => ivfIncremental(s, d))
+
+  val all: Seq[GraftQuery] = Seq(topKIvf, incrementalIvf)
 }

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorsIvf
+
+/** Per-ingest cost probe for [[VectorsIvf.ivfIncremental]] (r9 verdict
+  * missing #2's "done" bar: show cost ∝ |batch|, never batch×batch or
+  * a corpus re-assignment). Two measurements:
+  *
+  *  1. CANDIDATE COUNT vs batch size at fixed corpus: the same warm
+  *     index probed by a 1× and a ~2× ingest slice — candidates (the
+  *     only corpus-touching term) must scale with the batch, because
+  *     each new vector probes nProbe cells of the index regardless of
+  *     how many other new vectors exist.
+  *  2. Wall-clock at 1× vs 10× corpus with the proportional batch
+  *     (both grow 10×): candidates grow ~linearly (batch ×10, cell
+  *     size ×10 — the product would be quadratic ONLY if the batch
+  *     joined itself, which it structurally cannot).
+  *
+  * Run: `sbt "runMain graft.tools.IvfIngestProbe"`
+  */
+object IvfIngestProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. candidates ∝ |batch| at fixed corpus: count candidate rows
+    //    (pre-top1) for the registered 10% slice vs a 20% slice by
+    //    re-deriving the candidate frame with the public pieces
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      for ((label, pred) <- Seq(
+        "batch=10%" -> (col("vec_id") % 10 === 7),
+        "batch=20%" -> (col("vec_id") % 10 === 7 || col("vec_id") % 10 === 3))) {
+        val cands = VectorsIvf.candidates(spark, dir, pred).count()
+        println(f"[ivf-ingest] $dir $label corpus=$n%d candidates=$cands%d " +
+          f"per_new=${cands.toDouble / (n / (if (label.endsWith("10%")) 10 else 5))}%.1f")
+      }
+      val (rows, t) = time { VectorsIvf.ivfIncremental(spark, dir).count() }
+      println(f"[ivf-ingest] $dir full incremental: new_rows=$rows%d wall=$t%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -413,6 +413,72 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("video temporal dedup: planted recall exact, cross-group zero, re-encode changes bytes not hashes") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val dir = SparkSuite.sfDir
+    val media = graft.operators.Multimodal.dupVideo(spark, dir).cache()
+    // frame split + decode: every clip is 8 real PNG frames
+    val counts = media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .map { case (_, p) => MediaCodec.pngFrames(p).length }.collect()
+    assert(counts.nonEmpty && counts.forall(_ == 8), "every clip must split into 8 PNG frames")
+    // ImageIO cross-check on a sliced frame (independent decoder)
+    val (id0, p0) = media.select("doc_id", "payload").as[(Long, Array[Byte])].head()
+    val (off, len) = MediaCodec.pngFrames(p0)(3)
+    val sliced = java.util.Arrays.copyOfRange(p0, off, off + len)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(sliced))
+    val ours = MediaCodec.pngPixels(sliced).get
+    val theirs = Array.tabulate(img.getHeight * img.getWidth)(i =>
+      img.getRaster.getSample(i % img.getWidth, i / img.getWidth, 0))
+    assert(ours.sameElements(theirs), s"frame 3 of doc $id0 disagrees with ImageIO")
+    // MEASURED margins (the r9 image/audio convention): within-group
+    // shingle overlap is exactly 7-d for shift d; cross-group is ZERO
+    // over ALL pairs (not just the thresholded output)
+    val sh = graft.operators.Multimodal.videoShingles(media).toDF().distinct()
+    val a = sh.toDF("a_id", "h1_hi", "h1_lo", "h2_hi", "h2_lo")
+    val b = sh.toDF("b_id", "h1_hi", "h1_lo", "h2_hi", "h2_lo")
+    val allShared = a.join(b, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
+      .where($"a_id" < $"b_id")
+      .groupBy("a_id", "b_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (within, cross) = allShared.partition { case (x, y, _) => x / 15 == y / 15 }
+    assert(cross.isEmpty, s"cross-group clips share shingles: ${cross.take(5).mkString(",")}")
+    val ids = media.select("doc_id").as[Long].collect()
+    val withinMap = within.map { case (x, y, n) => (x, y) -> n }.toMap
+    for {
+      g <- ids.map(_ / 15 * 15).distinct
+      x <- ids.filter(_ / 15 * 15 == g); y <- ids.filter(_ / 15 * 15 == g) if x < y
+    } {
+      val d = math.abs((x % 15) / 3 - (y % 15) / 3)
+      val expect = 7 - d
+      assert(withinMap.getOrElse((x, y), 0L) == expect,
+        s"pair ($x,$y) shift $d: expected $expect shared shingles, got ${withinMap.get((x, y))}")
+    }
+    // within a group every member's FRAME hashes are identical per
+    // scene (the +m re-encode never wraps) while payload BYTES differ
+    val fhs = graft.operators.Multimodal.videoShingles(media).collect()
+      .groupBy(_.doc_id / 15 * 15)
+    fhs.foreach { case (g, rows) =>
+      // members present span scenes min(m)..max(m)+7 -> exactly
+      // 7 + (max-min) distinct shingles iff aligned AND per-scene
+      // hashes are distinct (a hash collision would collapse two)
+      val ms = rows.map(r => (r.doc_id % 15) / 3).distinct
+      val expect = 7 + (ms.max - ms.min)
+      val distinctShingles = rows.map(r => (r.h1_hi, r.h1_lo, r.h2_hi, r.h2_lo)).distinct
+      assert(distinctShingles.length == expect,
+        s"group $g (members ${ms.sorted.mkString(",")}): expected $expect distinct " +
+          s"scene shingles, got ${distinctShingles.length}")
+    }
+    val payloads = media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().groupBy(_._1 / 15 * 15)
+    payloads.values.take(3).foreach { g =>
+      val bodies = g.map(_._2.toSeq).distinct
+      assert(bodies.length == g.length, "re-encoded members must differ byte-wise")
+    }
+    media.unpersist()
+    ()
+  }
+
   test("whale-band guard: constant-hash corpus yields zero candidates; real dups survive") {
     val spark = SparkSuite.spark
     import spark.implicits._

@@ -474,4 +474,26 @@ class PlanShapeSpec extends AnyFunSuite {
         s"${q.name}: join should key on the band columns:\n$p")
     }
   }
+
+  test("ns_mm_video_dups: shingle equi-join on the 4-long hash tuple — never an all-pairs term") {
+    val p = plan(graft.operators.Multimodal.videoDups.run(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian pair term:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ pair term:\n$p")
+    assert(p.contains("h1_hi") && p.contains("h2_lo"),
+      s"join should key on the shingle hash columns:\n$p")
+  }
+
+  test("ns_vec_incremental_ivf: batch side broadcasts; index is scanned once, never self-joined") {
+    val p = plan(graft.operators.VectorsIvf.ivfIncremental(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected the ingest batch broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop term in the ingest path:\n$p")
+  }
+
+  test("ns_mm_crossmodal_gate: 1:1 id-keyed bridge, gate algebra is a map — no window, no nested loop") {
+    val p = plan(graft.operators.Multimodal.crossmodalGate.run(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop term:\n$p")
+    assert(!p.contains(" Window"), s"gate must not window the corpus:\n$p")
+  }
 }
