@@ -332,7 +332,10 @@ object MediaCodec {
       while (end < 0 && i + 8 <= b.length) {
         val len = beInt(b, i)
         val isEnd = b(i + 4) == 'I' && b(i + 5) == 'E' && b(i + 6) == 'N' && b(i + 7) == 'D'
-        if (len < 0 || i + 12 + len > b.length) return frames.toArray // truncated chunk
+        // Long arithmetic: a crafted len near 2^31 would wrap
+        // `i + 12 + len` negative and walk the cursor out of bounds
+        // (the malformed-header overrun contract, MediaCodecSpec)
+        if (len < 0 || i.toLong + 12L + len > b.length) return frames.toArray
         if (isEnd) end = i + 12 + len
         else i += 12 + len
       }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -839,6 +839,49 @@ object Multimodal {
 
   final case class PixelFeat(doc_id: Long, p1: Long, p2: Long, p3: Long, p4: Long)
 
+  /** Decoded-pixel-stat projection of every image in `media` — width,
+    * height, integer mean gray, gray-sum residue mod 251; all EXACT
+    * integers from the really-decoded bytes, one map-only pass (the
+    * [[pixelStats]] decode). The 4-dim image-side vector of the
+    * cross-modal gate ([[crossmodalGate]], [[multimodalFunnel]]). */
+  private def pixelFeats(media: DataFrame): Dataset[PixelFeat] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "image")
+      .map { row =>
+        val info = MediaCodec.pngInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
+        val px = MediaCodec.pngPixels(row.payload)
+          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
+        var s = 0L; var k = 0
+        while (k < px.length) { s += px(k); k += 1 }
+        val area = info.width.toLong * info.height
+        PixelFeat(row.doc_id, info.width.toLong, info.height.toLong, s / area, s % 251)
+      }
+  }
+
+  /** Milli-quantized leading embedding dims (vec_id aliased to doc_id,
+    * the paired-corpus contract) — the vector side of the gate. */
+  private def quantEmb(spark: SparkSession, dir: String): DataFrame = {
+    def eQ(i: Int) =
+      floor(element_at(col("embedding"), i).cast("double") * 1000.0).cast("long").as(s"e$i")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"), eQ(1), eQ(2), eQ(3), eQ(4))
+  }
+
+  /** The sqrt-free exact-integer gate test: `dot > 0 ∧ dot²·10⁶ ≥
+    * τ_m²·|p|²·|e|²` with τ_m = 100 (cos ≥ 0.1). Static bounds:
+    * |dot| ≤ 7.5·10⁵ → dot²·10⁶ ≤ 5.7·10¹⁷ < 2⁶³. */
+  private def cmKeep: Column = {
+    val dt = col("p1") * col("e1") + col("p2") * col("e2") +
+      col("p3") * col("e3") + col("p4") * col("e4")
+    val np = col("p1") * col("p1") + col("p2") * col("p2") +
+      col("p3") * col("p3") + col("p4") * col("p4")
+    val ne = col("e1") * col("e1") + col("e2") * col("e2") +
+      col("e3") * col("e3") + col("e4") * col("e4")
+    dt > 0 && dt * dt * lit(1000000L) >= lit(10000L) * np * ne
+  }
+
   /** CROSS-MODAL pair-consistency gate (r9 verdict missing #3) — the
     * CLIP-score-shaped check a paired-corpus curation pipeline runs
     * before training: [[pairedGate]] propagates the TEXT verdict and
@@ -898,33 +941,9 @@ object Multimodal {
     SELECT label, CAST(SUM(keep) AS BIGINT) AS n_kept,
            CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
     FROM gate GROUP BY label ORDER BY label""") { (spark, dir) =>
-    import spark.implicits._
-    val feat = realMedia(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
-      .filter(_.media_type == "image")
-      .map { row =>
-        val info = MediaCodec.pngInfo(row.payload)
-          .getOrElse(sys.error(s"unparseable PNG header for doc ${row.doc_id}"))
-        val px = MediaCodec.pngPixels(row.payload)
-          .getOrElse(sys.error(s"undecodable PNG pixels for doc ${row.doc_id}"))
-        var s = 0L; var k = 0
-        while (k < px.length) { s += px(k); k += 1 }
-        val area = info.width.toLong * info.height
-        PixelFeat(row.doc_id, info.width.toLong, info.height.toLong, s / area, s % 251)
-      }.toDF()
-    def eQ(i: Int) =
-      floor(element_at(col("embedding"), i).cast("double") * 1000.0).cast("long").as(s"e$i")
-    val eq = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("doc_id"), col("label"), eQ(1), eQ(2), eQ(3), eQ(4))
-    val dt = col("p1") * col("e1") + col("p2") * col("e2") +
-      col("p3") * col("e3") + col("p4") * col("e4")
-    val np = col("p1") * col("p1") + col("p2") * col("p2") +
-      col("p3") * col("p3") + col("p4") * col("p4")
-    val ne = col("e1") * col("e1") + col("e2") * col("e2") +
-      col("e3") * col("e3") + col("e4") * col("e4")
-    feat.join(eq, "doc_id")
-      .select(col("label"),
-        when(dt > 0 && dt * dt * lit(1000000L) >= lit(10000L) * np * ne, 1L)
-          .otherwise(0L).as("keep"))
+    pixelFeats(realMedia(spark, dir)).toDF()
+      .join(quantEmb(spark, dir), "doc_id")
+      .select(col("label"), when(cmKeep, 1L).otherwise(0L).as("keep"))
       .groupBy("label")
       .agg(sum("keep").cast("long").as("n_kept"),
         sum(lit(1L) - col("keep")).cast("long").as("n_dropped"))
@@ -1332,6 +1351,164 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** The round-10 CAPSTONE: the image plane's FULL curation funnel —
+    * the three verdicts every paired multimodal corpus computes, run
+    * in precedence order with funnel attribution (first failing stage
+    * takes the blame, the [[Curation.funnel]] convention):
+    *
+    *   1. TEXT gate — the paired caption fails [[TextOps.qualityFilter]]
+    *      (reused verbatim, the [[pairedGate]] bridge);
+    *   2. PERCEPTUAL DEDUP — the image is a non-canonical member of a
+    *      [[phashClusters]] cluster over the dup-planted corpus (the
+    *      [[dedupPropagation]] drop set, memoized CC labels);
+    *   3. CROSS-MODAL consistency — the decoded-pixel projection of
+    *      the SAME dup-corpus bytes fails the exact-integer cosine
+    *      gate against the paired embedding ([[crossmodalGate]]
+    *      algebra, [[cmKeep]]).
+    *
+    * Output: per (lang, label) the stage-attributed tally the curation
+    * dashboard reads. FOUR registered operators composed; the oracle
+    * replays text stats, the full phash→band→CC chain AND the w·h
+    * pixel-grid sum arithmetically, so one hash match pins the whole
+    * funnel end to end.
+    *
+    * Scale shape: three map-only verdict stages (quality algebra,
+    * decode-in-map feats) + the dup-subset-sized CC label frame, all
+    * bridged by 1:1 id-keyed joins (bucketed-at-rest → exchange-free);
+    * the tally partial-aggregates to |langs|×|labels| rows per task. */
+  val multimodalFunnel: GraftQuery = GraftQuery.checked("ns_mm_multimodal_funnel",
+    """WITH RECURSIVE img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT doc_id,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
+      FROM img),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM p))),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10),
+    und AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    tb AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) AS awl,
+             CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE)
+               / len(toks) AS stop_ratio,
+             CASE WHEN len(toks) > 2
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+                  ELSE 1.0 END AS rep_frac
+      FROM (SELECT doc_id, n_chars,
+              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+            FROM documents WHERE doc_id % 3 = 0)),
+    tgate AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
+                   AND stop_ratio >= 0.01 AND rep_frac <= 0.2
+                  THEN 1 ELSE 0 END AS text_keep
+      FROM tb),
+    g AS (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, w * h)) AS i FROM p),
+    s AS (
+      SELECT doc_id, w, h,
+             SUM((ca*(i%w)*(i%w) + cb*(i//w)*(i//w) + cc*(i%w)*(i//w)
+                  + 7*(i%w) + 13*(i//w) + m) % 251) AS gray_sum
+      FROM g GROUP BY doc_id, w, h),
+    feat AS (
+      SELECT doc_id, w AS p1, h AS p2,
+             gray_sum // (w * h) AS p3, gray_sum % 251 AS p4
+      FROM s),
+    eq AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS e1,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS e2,
+             CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS e3,
+             CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT) AS e4
+      FROM embeddings),
+    cm AS (
+      SELECT f.doc_id, e.label,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM feat f JOIN eq e ON e.vec_id = f.doc_id),
+    staged AS (
+      SELECT d.lang, c.label,
+             CASE WHEN t.text_keep = 0 THEN 'text'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM img i
+      JOIN documents d ON d.doc_id = i.doc_id
+      JOIN tgate t ON t.doc_id = i.doc_id
+      JOIN cm c ON c.doc_id = i.doc_id
+      LEFT JOIN dropped dr ON dr.doc_id = i.doc_id)
+    SELECT lang, label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN stage = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_fail,
+           CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fail,
+           CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    val textKeep = TextOps.qualityFilter.run(spark, dir)
+      .select(col("doc_id"), col("keep").as("text_keep"))
+    val dropped = phashClusterLabels(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    val feats = pixelFeats(dupMedia(spark, dir)).toDF()
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val stage = when(col("text_keep") === 0, "text")
+      .when(col("is_dropped").isNotNull, "dup")
+      .when(!cmKeep, "crossmodal")
+      .otherwise("kept")
+    feats.join(quantEmb(spark, dir), "doc_id")
+      .join(textKeep, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .join(langs, "doc_id")
+      .select(col("lang"), col("label"), stage.as("stage"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "text", 1L).otherwise(0L)).as("n_text_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
   // ------------------------------------------------------------------
   // Acoustic-fingerprint audio dedup: the dHash idea on the time axis
   // ------------------------------------------------------------------
@@ -1553,5 +1730,5 @@ object Multimodal {
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
-    crossmodalGate)
+    crossmodalGate, multimodalFunnel)
 }

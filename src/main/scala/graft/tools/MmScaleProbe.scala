@@ -56,6 +56,16 @@ object MmScaleProbe {
       ()
     }
 
+    // 1b. video shingle join at 1× and 10× (r10): dup pairs per clip
+    //     must stay flat — the shingle key is content-derived, planted
+    //     groups are corpus-proportional, no all-pairs term
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val clips = Multimodal.dupVideo(spark, dir).count()
+      val (pairs, t) = time { Multimodal.videoDups.run(spark, dir).count() }
+      println(f"[mm-probe] video-shingle-join $dir: clips=$clips%d dup_pairs=$pairs%d " +
+        f"wall=$t%.2fs pairs_per_clip=${pairs.toDouble / clips}%.2f")
+    }
+
     // 2. the measured pathology: identical-band hashes go quadratic
     //    UNGUARDED, and the r10 whale-band guard caps it -------------
     import spark.implicits._

@@ -363,6 +363,42 @@ class MediaCodecSpec extends AnyFunSuite {
       s"stream verdicts != batch: got $got want $want")
   }
 
+  test("streaming video ingest dedup: stream-static shingle join replays the batch pairs") {
+    // the video analog of the image ingest twin above: new clips
+    // arrive as a STREAM, shingle against the STATIC index (members
+    // 0-3), stream-static equi-join on the 4-long shingle key — the
+    // asymmetric new×index contract, replay ≡ batch
+    val spark = SparkSuite.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val mm = graft.operators.Multimodal
+    val media = mm.dupVideo(spark, SparkSuite.sfDir)
+    val isNew = expr("(doc_id % 15) div 3 = 4")
+    val index = mm.videoShingles(media.where(!isNew)).toDF().distinct()
+      .toDF("idx_id", "h1_hi", "h1_lo", "h2_hi", "h2_lo")
+    val srcDir = SparkSuite.tempDir("mm-video-src")
+    media.where(isNew).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(srcDir)
+    val streamed = mm.videoShingles(stream.toDF()).toDF().dropDuplicates()
+      .join(index, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo")) // stream-static join
+      .groupBy("doc_id", "idx_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+    val q = streamed.writeStream.format("memory").queryName("mm_video_ingest")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming video dedup did not finish")
+    q.stop()
+    val got = spark.table("mm_video_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = mm.videoShingles(media.where(isNew)).toDF().distinct()
+      .join(index, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
+      .groupBy("doc_id", "idx_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && got == want,
+      s"stream shingle pairs != batch: got ${got.size} want ${want.size}")
+  }
+
   test("image gate: all three arms fire, brightness measured on real decoded PNG bytes") {
     import graft.operators.Multimodal.gateOf
     // size check dominates, even for a dark image
@@ -477,6 +513,23 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     media.unpersist()
     ()
+  }
+
+  test("pngFrames rejects malformed streams instead of overrunning") {
+    // a crafted chunk length near 2^31 must not wrap the cursor
+    val good = MediaCodec.encodePngGray(9, 8, Array.fill(72)(100))
+    val evil = good.clone()
+    // first chunk length field (offset 8..11) -> 0x7ffffff0
+    evil(8) = 0x7f.toByte; evil(9) = 0xff.toByte; evil(10) = 0xff.toByte; evil(11) = 0xf0.toByte
+    assert(MediaCodec.pngFrames(evil).isEmpty, "overflowing chunk length must drop the frame")
+    // truncated tail: first frame parses, partial second is dropped
+    val two = good ++ good.take(30)
+    val spans = MediaCodec.pngFrames(two)
+    assert(spans.length == 1 && spans(0) == ((0, good.length)),
+      s"expected one full frame span, got ${spans.toSeq}")
+    // non-PNG bytes: no frames, no crash
+    assert(MediaCodec.pngFrames("not a png stream at all".getBytes).isEmpty)
+    assert(MediaCodec.pngFrames(Array.emptyByteArray).isEmpty)
   }
 
   test("whale-band guard: constant-hash corpus yields zero candidates; real dups survive") {

@@ -496,4 +496,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no nested-loop term:\n$p")
     assert(!p.contains(" Window"), s"gate must not window the corpus:\n$p")
   }
+
+  test("ns_mm_multimodal_funnel: verdict stages bridge on id-keyed joins — no window, no nested loop") {
+    val p = plan(graft.operators.Multimodal.multimodalFunnel.run(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop term:\n$p")
+    assert(!p.contains(" Window"), s"funnel must not window the corpus:\n$p")
+  }
 }
