@@ -20,29 +20,29 @@ object Bench {
     * or the wrapper's numeric field) must match the current SF dir or
     * no triage runs (cross-SF bands are meaningless). */
   private[graft] def prevBench(sfDir: String, dir: String = "."): Map[String, Double] = try {
-    val self = new java.io.File(dir, "BENCH_SELF.json")
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+    val self = Some(new java.io.File(dir, "BENCH_SELF.json")).filter(_.isFile)
+    val wrapper = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-    val source =
-      if (self.isFile) Some(self)
-      else if (files.nonEmpty) Some(files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt))
-      else None
-    source match {
-      case None => Map.empty
-      case Some(latest) =>
-        val text = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
-        val sfOk =
-          "\\\\?\"sf\\\\?\":\\\\?\"([^\"\\\\]+)\\\\?\"".r.findFirstMatchIn(text).map(_.group(1) == sfDir)
-            .orElse("\"sf\": ?([0-9.]+)".r.findFirstMatchIn(text)
-              .map(m => sfDir.endsWith("sf" + m.group(1))))
-            .getOrElse(false)
-        if (!sfOk) return Map.empty
+      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).headOption
+    // first source whose SF matches wins: a self file left behind by an
+    // off-SF smoke run must not DISABLE triage while a still-valid
+    // driver wrapper sits next to it (r10 review #2)
+    (self.toSeq ++ wrapper.toSeq).iterator.map { latest =>
+      val text = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+      val sfOk =
+        "\\\\?\"sf\\\\?\":\\\\?\"([^\"\\\\]+)\\\\?\"".r.findFirstMatchIn(text).map(_.group(1) == sfDir)
+          .orElse("\"sf\": ?([0-9.]+)".r.findFirstMatchIn(text)
+            .map(m => sfDir.endsWith("sf" + m.group(1))))
+          .getOrElse(false)
+      if (!sfOk) Map.empty[String, Double]
+      else {
         val names = SparkEntry.queries.keySet
         "\\\\?\"([A-Za-z0-9_]+)\\\\?\": ?([0-9]+(?:\\.[0-9Ee+-]+)?)".r.findAllMatchIn(text)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (n, _) => names(n) }
           .toMap
-    }
+      }
+    }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -156,8 +156,13 @@ object Bench {
     // LAST stdout line is a compact summary sized to survive the tail:
     // total + triage verdict + the slowest rows only, plus a pointer.
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$triageJson$memoJson$loadWarning}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    // best-effort: a read-only cwd / full disk must not cost the round
+    // its stdout artifact line after minutes of measured work (r10
+    // review #3) — the println below is unconditional
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (fullJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = triage.count { case (_, (p, _, b3)) =>

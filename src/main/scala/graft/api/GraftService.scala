@@ -160,10 +160,15 @@ final class GraftService(
       // forensic rows under a FRESH token dir instead of overwriting
       // its own, re-introducing the duplicate-rows non-idempotency on
       // the error path). Every batch retries the metadata read until
-      // one succeeds; a failed read fails THAT batch loudly (the
-      // stream retries it) rather than silently minting an unstable
-      // token — quarantine writes target the same filesystem, so a
-      // metadata read that fails means forensics writes would too.
+      // one succeeds; a failed read throws, which the QUARANTINE
+      // try-guard below converts to a loudly-logged skip of THAT
+      // batch's forensic write — never an unstable wall-clock token,
+      // and never a dead ingest stream (a foreachBatch exception
+      // would TERMINATE the query permanently, r10 review #1: nothing
+      // watches/restarts mqQuery, so 'fail the batch loudly' here
+      // would actually mean 'halt all MQ ingest until process
+      // restart'). Quarantine is best-effort forensics; the EVENT
+      // path below never depends on the token.
       val runTokenCache = new java.util.concurrent.atomic.AtomicReference[String](null)
       def runToken: String = Option(runTokenCache.get()).getOrElse {
         val p = new org.apache.hadoop.fs.Path(s"$checkpointRoot/mq-ingest/metadata")
@@ -186,13 +191,26 @@ final class GraftService(
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val parsed = EventIngest.parse(batch)
           quarantineDir.foreach { d =>
-            val bad = parsed.corrupt.select(col("_raw"))
-            // per-batch OVERWRITE, not a flat append: corrupt rows have
-            // no event_id to dedup by, so a replayed batch would append
-            // the same forensic rows again forever — keyed on the
-            // stream's batchId, the replay overwrites its own dir and
-            // the quarantine stays idempotent (r8 review #3)
-            if (!bad.isEmpty) bad.write.mode("overwrite").text(s"$d/$runToken/batch_$batchId")
+            // BEST-EFFORT guard (r10 review #1): a throw here — token
+            // metadata read OR the text write itself — would kill the
+            // 'graft-mq-ingest' query permanently and silently halt
+            // ALL event ingest while the HTTP facade keeps answering.
+            // Forensics must never outrank the data path: on failure,
+            // log loudly and move on; the next batch retries the
+            // (success-memoized) token read.
+            try {
+              val bad = parsed.corrupt.select(col("_raw"))
+              // per-batch OVERWRITE, not a flat append: corrupt rows have
+              // no event_id to dedup by, so a replayed batch would append
+              // the same forensic rows again forever — keyed on the
+              // stream's batchId, the replay overwrites its own dir and
+              // the quarantine stays idempotent (r8 review #3)
+              if (!bad.isEmpty) bad.write.mode("overwrite").text(s"$d/$runToken/batch_$batchId")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft] quarantine write skipped for batch $batchId: ${e.getMessage}")
+            }
           }
           // poll-sized batch -> the shared ingress (catalog regime).
           // MQ delivery is at-least-once against the service's own

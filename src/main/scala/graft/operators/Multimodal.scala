@@ -683,8 +683,13 @@ object Multimodal {
     * RecallFloorsSpec), but that is a fixture MEASUREMENT, not a
     * banding guarantee — a contract of guaranteed recall at ≤ 7 would
     * need 8×8-bit bands (and the oracle replays re-banded to match). */
+  /** One source of truth for every whale-band/shingle bucket cap
+    * (r10 review #4): the three guarded joins and the fixture-headroom
+    * spec all reference this constant. */
+  private[graft] val WhaleBandCap = 64
+
   private[graft] def bandedHammingPairs(h: DataFrame, maxHamming: Int,
-      whaleBandCap: Int = 64): DataFrame = {
+      whaleBandCap: Int = WhaleBandCap): DataFrame = {
     val banded = h.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(array(
         col("lo").bitwiseAND(lit(65535L)),
@@ -1097,7 +1102,7 @@ object Multimodal {
     val ix = banded.where(!col("is_new"))
       .withColumn("band_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
-      .where(col("band_n") <= lit(64))
+      .where(col("band_n") <= lit(WhaleBandCap))
       .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
         col("hi").as("i_hi"), col("lo").as("i_lo"))
     val dups = nw.join(ix, Seq("band_idx", "band_val"))
@@ -1340,7 +1345,7 @@ object Multimodal {
     val guarded = sh
       .withColumn("key_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")))
-      .where(col("key_n") <= lit(64))
+      .where(col("key_n") <= lit(WhaleBandCap))
       .drop("key_n")
     val a = guarded.withColumnRenamed("doc_id", "a_id")
     val b = guarded.withColumnRenamed("doc_id", "b_id")

@@ -59,6 +59,21 @@ class BenchTriageSpec extends AnyFunSuite {
     }
   }
 
+  test("prevBench falls PAST an off-SF self file to a valid wrapper (r10 review #2)") {
+    // a smoke run at another SF overwrites BENCH_SELF.json; the next
+    // canonical run must not lose triage while a still-valid driver
+    // wrapper sits next to it
+    val offSf =
+      """{"metric":"total","value":0.5,"unit":"sec","queries":{"ns_dedup_exact":0.05},"sf":"/root/testdata/sf0.01"}"""
+    val wrapper =
+      """{"n": 8, "sf": 0.1, "tail": "\"ns_dedup_minhash\":0.097872784", "parsed": null}"""
+    inTempDir("BENCH_SELF.json" -> offSf, "BENCH_r08.json" -> wrapper) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev == Map("ns_dedup_minhash" -> 0.097872784),
+        s"expected the wrapper band after the off-SF self file, got $prev")
+    }
+  }
+
   test("prevBench refuses a cross-SF band (sf mismatch -> no triage)") {
     val self =
       s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"ns_dedup_exact":0.2},"sf":"$sf01"}"""

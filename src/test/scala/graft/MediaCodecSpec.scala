@@ -565,6 +565,7 @@ class MediaCodecSpec extends AnyFunSuite {
       .toDF("doc_id", "band_idx", "band_val")
       .groupBy("band_idx", "band_val").count()
       .agg(max("count")).as[Long].head()
-    assert(maxBucket <= 32, s"fixture band bucket $maxBucket endangers the 64 cap headroom")
+    assert(maxBucket <= graft.operators.Multimodal.WhaleBandCap / 2,
+      s"fixture band bucket $maxBucket endangers the whale-cap headroom")
   }
 }
