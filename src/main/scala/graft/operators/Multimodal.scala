@@ -1341,19 +1341,181 @@ object Multimodal {
      AND a.doc_id < b.doc_id
     GROUP BY a_id, b_id HAVING COUNT(*) >= 2
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    val sh = videoShingles(dupVideo(spark, dir)).toDF().distinct()
-    val guarded = sh
-      .withColumn("key_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")))
-      .where(col("key_n") <= lit(WhaleBandCap))
-      .drop("key_n")
-    val a = guarded.withColumnRenamed("doc_id", "a_id")
-    val b = guarded.withColumnRenamed("doc_id", "b_id")
-    a.join(b, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= 2)
-      .orderBy("a_id", "b_id")
+    videoDupPairs(spark, dir).orderBy("a_id", "b_id")
+  }
+
+  /** The thresholded video dup-pair frame (unordered), shared by
+    * [[videoDups]] and [[videoClusters]]; memoized because the CC
+    * consumer re-reads it per fixpoint round. */
+  private def videoDupPairs(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_video_dup_pairs") {
+      val sh = videoShingles(dupVideo(spark, dir)).toDF().distinct()
+      val guarded = sh
+        .withColumn("key_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")))
+        .where(col("key_n") <= lit(WhaleBandCap))
+        .drop("key_n")
+      val a = guarded.withColumnRenamed("doc_id", "a_id")
+      val b = guarded.withColumnRenamed("doc_id", "b_id")
+      a.join(b, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+    }
+
+  /** Video near-dup CLUSTERS — the [[phashClusters]] symmetry on the
+    * temporal plane: the [[videoDups]] pair set closed into connected
+    * components ([[Dedup.connectedComponents]] reused verbatim),
+    * cluster id = min member; the canonical-cut selection a video
+    * store runs after temporal dedup so only one cut per scene family
+    * reaches training. Oracle = the full shingle-join replay closed by
+    * a recursive CTE. */
+  val videoClusters: GraftQuery = GraftQuery.checked("ns_mm_video_clusters",
+    """WITH RECURSIVE vid AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 2),
+    grp AS (
+      SELECT DISTINCT gb,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h
+      FROM vid),
+    sc AS (
+      SELECT gb, w, h, s,
+             CAST(gb * 31 + 5 + 19 * s AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 + 7 * s AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 + 29 * s AS BIGINT) AS cc
+      FROM (SELECT gb, w, h, unnest(range(0, 12)) AS s FROM grp)),
+    bits AS (
+      SELECT gb, s, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy) % 241
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy) % 241
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT gb, s, ca, cb, cc, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT gb, w, h, s, ca, cb, cc, unnest(range(0, 64)) AS b FROM sc))),
+    fh AS (
+      SELECT gb, s,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY gb, s),
+    sh AS (
+      SELECT DISTINCT v.doc_id, f1.hi AS h1_hi, f1.lo AS h1_lo,
+             f2.hi AS h2_hi, f2.lo AS h2_lo
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM vid) v
+      JOIN fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1),
+    dup AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b
+        ON a.h1_hi = b.h1_hi AND a.h1_lo = b.h1_lo
+       AND a.h2_hi = b.h2_hi AND a.h2_lo = b.h2_lo
+       AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id HAVING COUNT(*) >= 2),
+    und AS (SELECT a_id AS a, b_id AS b FROM dup
+            UNION SELECT b_id, a_id FROM dup),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id""") { (spark, dir) =>
+    Dedup.connectedComponents(
+      videoDupPairs(spark, dir).select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+      .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL acoustic dedup — the [[phashIncremental]] contract on
+    * the AUDIO plane, completing the per-modality ingest-path symmetry
+    * (text [[Dedup.incremental]], image, video-via-shingles, audio): a
+    * NEW batch (each group's m=4 member) band-probes the EXISTING
+    * fingerprint index (members 0–3) only — asymmetric new×index,
+    * index side whale-capped — and reports per new clip its dup count
+    * at Hamming ≤ 6 and the keep verdict. */
+  val audioIncremental: GraftQuery = GraftQuery.checked("ns_mm_audio_incremental",
+    """WITH aud AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 1),
+    p AS (
+      SELECT doc_id, m = 4 AS is_new,
+             CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
+             CAST(gb * 31 + 7 AS BIGINT) AS ca,
+             CAST(gb * 17 + 5 AS BIGINT) AS cb,
+             CAST(m AS BIGINT) AS m
+      FROM aud),
+    s AS (
+      SELECT doc_id, is_new, nf // 64 AS q, ca, cb, m,
+             unnest(range(0, (nf // 64) * 64)) AS f
+      FROM p),
+    w AS (
+      SELECT doc_id, is_new, f // q AS win,
+             SUM((ca * f * f + cb * f) % 32003 - 16001 + m) AS e
+      FROM s GROUP BY doc_id, is_new, f // q),
+    bits AS (
+      SELECT doc_id, is_new, win AS b,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY win) > e
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM w),
+    ph AS (
+      SELECT doc_id, is_new,
+             CAST(SUM(CASE WHEN b >= 32 AND b < 63 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id, is_new),
+    banded AS (
+      SELECT doc_id, is_new, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+             n.hi AS n_hi, n.lo AS n_lo, i.hi AS i_hi, i.lo AS i_lo
+      FROM banded n JOIN banded i
+        ON n.band_idx = i.band_idx AND n.band_val = i.band_val
+       AND n.is_new AND NOT i.is_new),
+    dups AS (
+      SELECT new_id, COUNT(*) AS n_dups FROM cand
+      WHERE bit_count(xor(n_hi, i_hi)) + bit_count(xor(n_lo, i_lo)) <= 6
+      GROUP BY new_id)
+    SELECT ph.doc_id, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+           COALESCE(d.n_dups, 0) = 0 AS keep
+    FROM ph LEFT JOIN dups d ON d.new_id = ph.doc_id
+    WHERE ph.is_new ORDER BY ph.doc_id""") { (spark, dir) =>
+    import spark.implicits._
+    val fp = dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val all = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        val ch = info.channels
+        val sArr = Array.tabulate(info.nFrames)(f => all(f * ch).toInt)
+        val (hi, lo) = audioFingerprint(sArr)
+        (row.doc_id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+      .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
+    val banded = fp.select(col("doc_id"), col("is_new"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16))))
+      .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
+    val nw = banded.where(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
+        col("hi").as("n_hi"), col("lo").as("n_lo"))
+    val ix = banded.where(!col("is_new"))
+      .withColumn("band_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_val")))
+      .where(col("band_n") <= lit(WhaleBandCap))
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
+        col("hi").as("i_hi"), col("lo").as("i_lo"))
+    val dups = nw.join(ix, Seq("band_idx", "band_val"))
+      .select("new_id", "idx_id", "n_hi", "n_lo", "i_hi", "i_lo").distinct()
+      .where(expr("CAST(bit_count(n_hi ^ i_hi) + bit_count(n_lo ^ i_lo) AS INT)") <= 6)
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"))
+      .withColumnRenamed("new_id", "doc_id")
+    fp.where(col("is_new")).select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
   }
 
   /** The round-10 CAPSTONE: the image plane's FULL curation funnel —
@@ -1735,5 +1897,5 @@ object Multimodal {
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
-    crossmodalGate, multimodalFunnel)
+    crossmodalGate, multimodalFunnel, videoClusters, audioIncremental)
 }
