@@ -1651,8 +1651,15 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
-    val textKeep = TextOps.qualityFilter.run(spark, dir)
-      .select(col("doc_id"), col("keep").as("text_keep"))
+    // the SHARED quality predicate ([[TextOps.qualityKeep]], the same
+    // column algebra qualityFilter registers) over a scan PRE-FILTERED
+    // to image docs — running the registered query over the whole
+    // documents table and joining down to a third of it afterward
+    // would triple the text-gate work at 100 TB
+    val textKeep = Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        when(TextOps.qualityKeep(col("text"), col("n_chars")), 1).otherwise(0).as("text_keep"))
     val dropped = phashClusterLabels(spark, dir)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("is_dropped"))
