@@ -118,6 +118,59 @@ case class FloatDoubleVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]] variant for two DOUBLE arrays (the random-projection
+  * sketches are double vectors): left-to-right accumulation, the same
+  * arithmetic as the interpreted `zip_with`+`aggregate` form it
+  * replaces in rpTopK's O(N·Q) candidate-scoring hot path — array HOF
+  * lambdas evaluate interpreted outside codegen (the repo's measured
+  * gotcha), and this is the one place a projected dot runs per
+  * (query, corpus) pair. */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_dd requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity of two SORTED long arrays (set semantics assumed
   * upstream via `array_distinct` + `sort_array`): single merge pass,
   * no per-row hash-set allocation — replaces
@@ -185,6 +238,10 @@ object VectorExpressions {
   /** Column API for [[FloatDoubleVecDot]]. */
   def vecDotFD(a: Column, b: Column): Column =
     ColumnShim.column(FloatDoubleVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[DoubleVecDot]]. */
+  def vecDotDD(a: Column, b: Column): Column =
+    ColumnShim.column(DoubleVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Column API for [[JaccardSortedLongs]]. */
   def jaccardSorted(a: Column, b: Column): Column =

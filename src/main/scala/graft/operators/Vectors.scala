@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
 import graft.functions.dround
-import graft.functions.VectorExpressions.vecDot
+import graft.functions.VectorExpressions.{vecDot, vecDotDD}
 import graft.sources.Tables
 
 /** Vector/similarity-search operators over the `embeddings` table
@@ -31,6 +31,21 @@ object Vectors {
     * identical arithmetic to the interpreted HOF form (see test). */
   def dot(a: Column, b: Column): Column = vecDot(a, b)
 
+  /** Shared exact top-k tail over a `(query_id, neighbor_id, sim_r)`
+    * candidate frame: rank per query by (sim_r DESC, neighbor_id),
+    * keep `n`, order for the oracle compare. ONE implementation of the
+    * ranking contract (r10 review #5: this block was copy-pasted
+    * across eight ANN call sites — a tie-break change had eight places
+    * to silently miss). */
+  private[operators] def rankTail(pairs: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select("query_id", "neighbor_id", "sim_r")
+      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+  }
+
   /** Interpreted reference implementation of [[dot]] (HOF lambdas);
     * kept for the equivalence test. */
   def dotHof(a: Column, b: Column): Column =
@@ -42,17 +57,31 @@ object Vectors {
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Per-label embedding statistics incl. average L2 norm (K25). */
+  /** Per-label embedding statistics incl. average L2 norm (K25).
+    *
+    * Quantized-exact discipline (r10 review #2 closed the one
+    * remaining fp-AVG rank in the family): a raw AVG of doubles is a
+    * partition-order-dependent sum, so its 4-dp rounding could flip
+    * at a .5 boundary between engines (or between runs at a new
+    * partitioning). Instead each ROW quantizes to micro units in ONE
+    * floor (the [[graft.functions.ExactMath]] narrow-surface rule —
+    * sqrt is the only transcendental and sits inside that floor), the
+    * per-label sums are exact BIGINTs, and the average is a single
+    * deterministic double division evaluated identically by both
+    * engines. */
   val norms: GraftQuery = GraftQuery.checked("ns_vec_norms",
     """SELECT label, COUNT(*) AS n,
-           ROUND(AVG(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
-           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first
+           ROUND(CAST(SUM(CAST(FLOOR(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_norm,
+           ROUND(CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_first
     FROM embeddings GROUP BY label ORDER BY label""") { (spark, dir) =>
     Tables.embeddings(spark, dir)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        dround(avg(l2norm(col("embedding"))), 4).as("avg_norm"),
-        dround(avg(element_at(col("embedding"), 1).cast("double")), 4).as("avg_first"))
+        sum(floor(l2norm(col("embedding")) * lit(1000000.0)).cast("long")).as("nm"),
+        sum(floor(element_at(col("embedding"), 1).cast("double") * lit(1000000.0)).cast("long")).as("fm"))
+      .select(col("label"), col("n"),
+        dround(col("nm").cast("double") / col("n") / lit(1000000.0), 4).as("avg_norm"),
+        dround(col("fm").cast("double") / col("n") / lit(1000000.0), 4).as("avg_first"))
       .orderBy("label")
   }
 
@@ -66,12 +95,7 @@ object Vectors {
     val pairs = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+    rankTail(pairs, k)
   }
 
   /** Shared DuckDB oracle of the exact top-k contract (window
@@ -149,12 +173,7 @@ object Vectors {
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+    rankTail(pairs, k)
   }
 
   val topKLsh: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_lsh")((s, d) => lshTopK(s, d))
@@ -237,17 +256,12 @@ object Vectors {
       .select("query_id", "neighbor_id")
     val qv = q.select(col("query_id"), col("q_emb"))
     val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    refinedIds
+    rankTail(
+      refinedIds
       .join(broadcast(qv), "query_id")
       .join(nv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r")), k)
   }
 
   /** MATRYOSHKA-truncation ANN (Kusupati et al. 2022 — MRL-trained
@@ -284,18 +298,13 @@ object Vectors {
       .withColumn("qrn", row_number().over(wq))
       .where(col("qrn") <= refine)
       .select("query_id", "neighbor_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    refinedIds
+    rankTail(
+      refinedIds
       .join(broadcast(q.select(col("query_id"), col("q_emb"))), "query_id")
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r")), k)
   }
 
   val topKTrunc: GraftQuery = GraftQuery.checked("ns_vec_topk_trunc",
@@ -492,8 +501,13 @@ object Vectors {
       .select(col("vec_id"), col("embedding"), rpProject(col("embedding")).as("p"))
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("p").as("q_p"))
-    val pdot = aggregate(
-      zip_with(col("q_p"), col("p"), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    // native codegen'd double-double dot (r10 review #4): this runs per
+    // (query, corpus) pair - the operator's hottest expression - and
+    // array HOF lambdas evaluate interpreted outside codegen; the
+    // accumulation is the same left-to-right double sum, so the
+    // bit-for-bit oracle agreement is preserved (spec-pinned equal to
+    // the HOF form).
+    val pdot = vecDotDD(col("q_p"), col("p"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("pdot").desc, col("neighbor_id"))
     val refinedIds = emb.join(broadcast(q.select("query_id", "q_p")), col("vec_id") =!= col("query_id"))
@@ -503,17 +517,12 @@ object Vectors {
       .select("query_id", "neighbor_id")
     val qv = q.select(col("query_id"), col("q_emb"))
     val nv = Tables.embeddings(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    refinedIds
+    rankTail(
+      refinedIds
       .join(broadcast(qv), "query_id")
       .join(nv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+        dround(dot(col("q_emb"), col("n_emb")), 4).as("sim_r")), k)
   }
 
   private def rpMatSql: String =
@@ -560,7 +569,7 @@ object Vectors {
     * and both engines evaluate the same closed moment formula. */
   val standardize: GraftQuery = GraftQuery.checked("ns_vec_standardize",
     """WITH q AS (
-      SELECT i AS dim, CAST(FLOOR(embedding[i + 1] * 1000000 + 0.5) AS BIGINT) AS qv
+      SELECT i AS dim, CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
       FROM embeddings
       CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
       WHERE i < len(embedding))
@@ -572,7 +581,12 @@ object Vectors {
     Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast("long").as("dim"),
-        floor(col("v") * 1000000 + 0.5).as("qv"))
+        // explicit double BEFORE the multiply (r10 review #3): float *
+        // int promotes to FLOAT32 on both engines today, which only
+        // hash-matches by accident of matching promotion rules - the
+        // quantization contract is floor(double(v) * 1e6 + .5), the
+        // refined()/iterSql convention
+        floor(col("v").cast("double") * lit(1000000.0) + 0.5).as("qv"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("qv").as("s"),
         sum(col("qv").cast("decimal(38,0)") * col("qv")).as("q"))

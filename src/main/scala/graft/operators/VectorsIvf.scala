@@ -65,12 +65,7 @@ object VectorsIvf {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+    Vectors.rankTail(pairs, k)
   }
 
   /** The IVF path is deterministic (fixed centroid sample, argmax cell
@@ -111,23 +106,6 @@ object VectorsIvf {
     SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
     ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => ivfTopK(s, d))
 
-  /** INCREMENTAL index maintenance — the [[Dedup.incremental]] /
-    * [[Multimodal.phashIncremental]] contract on the ANN plane (r9
-    * verdict missing #2): a NEW batch of embeddings (vec_id % 10 = 7,
-    * the ingest slice) probes the WARM index (everything else, already
-    * cell-assigned) — ASYMMETRIC new×index, never new×new (a batch's
-    * internal dups resolve next round) and never a batch re-assignment
-    * of the corpus. Per new vector: its assigned cell (what the index
-    * writer appends), the candidate count its `nProbe` probes touched,
-    * and the exact-re-ranked nearest index neighbor — the
-    * attach-at-ingest output an embedding store's write path needs.
-    *
-    * Scale shape: the trained centroids are the model (K×dim driver
-    * literals, the [[centroids]] contract); the index side stays
-    * partitioned by cell at rest and is scanned once; the BATCH side
-    * broadcasts (ingest batches are small by definition), so
-    * per-ingest cost is |batch|·nProbe/K of the index — candidates
-    * ∝ |batch|, measured by IvfIngestProbe. */
   /** The new×index candidate frame (batch membership parametrized so
     * IvfIngestProbe can measure candidates ∝ |batch| directly). */
   private[graft] def candidates(spark: SparkSession, dir: String, isNew: Column,
@@ -145,17 +123,47 @@ object VectorsIvf {
         dround(dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
   }
 
+  /** INCREMENTAL index maintenance — the [[Dedup.incremental]] /
+    * [[Multimodal.phashIncremental]] contract on the ANN plane (r9
+    * verdict missing #2): a NEW batch of embeddings (vec_id % 10 = 7,
+    * the ingest slice) probes the WARM index (everything else, already
+    * cell-assigned) — ASYMMETRIC new×index, never new×new (a batch's
+    * internal dups resolve next round) and never a batch re-assignment
+    * of the corpus. Per new vector: its assigned cell (what the index
+    * writer appends), the candidate count its `nProbe` probes touched,
+    * and the exact-re-ranked nearest index neighbor — the
+    * attach-at-ingest output an embedding store's write path needs.
+    *
+    * Scale shape: the trained centroids are the model (K×dim driver
+    * literals, the [[centroids]] contract); the index side stays
+    * partitioned by cell at rest and is scanned once; the BATCH side
+    * broadcasts (ingest batches are small by definition), so
+    * per-ingest cost is |batch|·nProbe/K of the index — candidates
+    * ∝ |batch|, measured by IvfIngestProbe. */
   def ivfIncremental(spark: SparkSession, dir: String,
       nProbe: Int = NumProbes): DataFrame = {
-    val cand = candidates(spark, dir, col("vec_id") % 10 === 7, nProbe)
+    val cents = centroids(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    // EVERY new vector emits its cell-append row, candidates or not
+    // (r10 review #1: the inner-join shape silently dropped a batch
+    // vector whose probed cells were all empty in the warm index -
+    // tiny or skewed indexes - losing the append record; the oracle
+    // mirrored the drop, so only the contract text caught it)
+    val newAssign = emb.where(isNew)
+      .select(col("vec_id"), cellOf(col("embedding"), cents).as("cell"))
+    val cand = candidates(spark, dir, isNew, nProbe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    cand.withColumn("rn", row_number().over(w))
+    val top = cand.withColumn("rn", row_number().over(w))
       .withColumn("n_cand", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
       .where(col("rn") === 1)
-      .select(col("query_id").as("vec_id"), col("own_cell").as("cell"),
+      .select(col("query_id").as("vec_id"),
         col("n_cand"), col("neighbor_id").as("nearest_id"), col("sim_r"))
+    newAssign.join(top, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("nearest_id"), col("sim_r"))
       .orderBy("vec_id")
   }
 
@@ -191,10 +199,12 @@ object VectorsIvf {
         SELECT query_id, neighbor_id, sim_r,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rn
         FROM cand) WHERE rn = 1)
-    SELECT t.query_id AS vec_id, CAST(a2.cell AS INTEGER) AS cell,
-           CAST(g.n_cand AS BIGINT) AS n_cand,
+    SELECT na.vec_id, CAST(na.cell AS INTEGER) AS cell,
+           CAST(COALESCE(g.n_cand, 0) AS BIGINT) AS n_cand,
            t.neighbor_id AS nearest_id, t.sim_r
-    FROM top1 t JOIN agg g USING (query_id) JOIN assign a2 ON a2.vec_id = t.query_id
+    FROM (SELECT vec_id, cell FROM assign WHERE vec_id % 10 = 7) na
+    LEFT JOIN top1 t ON t.query_id = na.vec_id
+    LEFT JOIN agg g ON g.query_id = na.vec_id
     ORDER BY vec_id""")((s, d) => ivfIncremental(s, d))
 
   val all: Seq[GraftQuery] = Seq(topKIvf, incrementalIvf)

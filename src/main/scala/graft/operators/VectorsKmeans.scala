@@ -84,13 +84,24 @@ object VectorsKmeans {
     // two steps, not one select: a generator (posexplode) alongside the
     // HOF-bearing struct getField trips the same analyzer ordering
     // quirk assignCol's doc describes — resolve the assignment first
-    val sums = Tables.embeddings(spark, dir)
-      .withColumn("cluster", assignCol(col("embedding"), cents))
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cluster", "pos")
+    quantizedMeans(Tables.embeddings(spark, dir)
+      .withColumn("cluster", assignCol(col("embedding"), cents)), "cluster")
+  }
+
+  /** Quantized-exact per-key embedding means — the ONE implementation
+    * of the posexplode → floor(x·Scale+.5) BIGINT sum → collect →
+    * sort-by-pos reassembly pipeline (r10 review #6: [[refined]] and
+    * [[labelOutliers]] had token-for-token copies keyed by cluster vs
+    * label; a quantization-discipline fix to one would silently miss
+    * the other). Collect is keys×Dim rows — model-sized, never
+    * corpus-sized. */
+  private def quantizedMeans(df: DataFrame, keyCol: String): Seq[(Int, Seq[Double])] = {
+    val sums = df
+      .select(col(keyCol), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(keyCol, "pos")
       .agg(sum(floor(col("x").cast("double") * Scale + 0.5).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .collect() // K×Dim rows — model-sized, never corpus-sized
+      .collect()
     sums.groupBy(_.getInt(0)).view.mapValues { rows =>
       rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / (Scale * r.getLong(3))).toSeq
     }.toSeq.sortBy(_._1).map { case (cid, c) => (cid, c) }
@@ -124,7 +135,13 @@ object VectorsKmeans {
         lit(cid).as("cid"))
     }
     // ||v−c||² = |v|² + |c|² − 2v·c; |v|² is assignment-invariant, so
-    // argmin over (|c|² − 2v·c) matches assignCol's argmax tie-break
+    // argmin over (|c|² − 2v·c) yields the same OBJECTIVE VALUE as
+    // assignCol's argmax. NOTE the tie-breaks differ on exactly-equal
+    // scores (least → MIN cid, assignCol/greatest → MAX cid): tied
+    // centroids have identical d2adj so the value is unaffected, but
+    // do NOT read the cid field off this struct for per-cluster
+    // objectives — it can disagree with the oracle's cid DESC rule
+    // (r10 review #7)
     val row = Tables.embeddings(spark, dir)
       .select((least(sqDist: _*).getField("d2adj") +
         aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
@@ -240,12 +257,7 @@ object VectorsKmeans {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         dround(Vectors.dot(col("q_emb"), col("embedding")), 4).as("sim_r"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+    Vectors.rankTail(pairs, k)
   }
 
   val ivfKmeans: GraftQuery = GraftQuery.checked("ns_vec_topk_ivf_kmeans",
@@ -294,15 +306,8 @@ object VectorsKmeans {
     * (‖v‖² − 2·v·c + ‖c‖², clamped at 0 against fp negatives). */
   def labelOutliers(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     import spark.implicits._
-    val sums = Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(sum(floor(col("x").cast("double") * Scale + 0.5).cast("long")).as("sq"),
-        count(lit(1)).as("n"))
-      .collect() // labels × Dim rows — model-sized
-    val cents: Seq[(Int, Seq[Double])] = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
-      rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / (Scale * r.getLong(3))).toSeq
-    }.toSeq.sortBy(_._1)
+    val cents: Seq[(Int, Seq[Double])] =
+      quantizedMeans(Tables.embeddings(spark, dir), "label")
     val centsDf = broadcast(cents.toDF("label", "cemb")
       .select(col("label"), col("cemb"),
         aggregate(col("cemb"), lit(0.0), (a, x) => a + x * x).as("c2")))
@@ -389,7 +394,7 @@ object VectorsKmeans {
   /** Within-cluster pair scan over an injected
     * `(cluster_id, vec_id, embedding)` frame, with oversized clusters
     * salt-split into bounded tasks — also driven standalone by the
-    * whale-cluster probe ([[graft.tools.ScaleProbeR4]]).
+    * whale-cluster probe ([[graft.tools.ScaleProbeR5]]).
     *
     * Decomposition (lossless): a cluster with n > maxClusterRows rows
     * gets S = ⌈n / maxClusterRows⌉ shards; each row salts to shard

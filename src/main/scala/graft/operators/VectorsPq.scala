@@ -197,12 +197,7 @@ object VectorsPq {
       .select(col("query_id"), col("neighbor_id"),
         dround(aggregate(zip_with(col("n_emb"), col("q_emb"),
           (x, y) => x.cast("double") * y), lit(0.0), (a, p) => a + p), 4).as("sim_r"))
-    val wFinal = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    exact.withColumn("rn", row_number().over(wFinal))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "sim_r")
-      .orderBy(col("query_id"), col("sim_r").desc, col("neighbor_id"))
+    Vectors.rankTail(exact, k)
   }
 
   // ---- IVF-PQ: coarse cells prune, PQ codes score, exact re-rank -------
