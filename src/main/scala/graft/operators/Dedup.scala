@@ -224,7 +224,13 @@ object Dedup {
       .toDF("corpus_id", "band_idx", "band_hash")
     val pb = minhashBands(minhashSignatures(probeDocs))
       .toDF("probe_id", "band_idx", "band_hash")
-    val candidates = cb.join(broadcast(pb), Seq("band_idx", "band_hash"))
+    // NO forced broadcast on the probe side (r10 review: decontamPairs
+    // feeds a probe that is 10% of the corpus here, and a hinted
+    // broadcast would be an unconditional OOM once that side outgrows
+    // the driver — the "probe typically tiny" premise belongs to the
+    // planner, not a hint). The join stays a (band_idx, band_hash)
+    // equi-join; AQE broadcasts it size-based when it actually fits.
+    val candidates = cb.join(pb, Seq("band_idx", "band_hash"))
       .select("probe_id", "corpus_id").distinct()
     candidates
       .join(probeDocs.toDF("probe_id", "sh_p"), "probe_id")

@@ -63,9 +63,15 @@ object TextBpe {
     * Shared with [[TextFuzzy]] so the two vocabulary operators can't
     * drift on tokenization. */
   private[graft] def wordFreqs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(TextOps.tokensNonEmpty(lower(col("text")))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // memoized (r10 review #4): training (mergesDf -> bpeTrainFast's
+    // capped collect) and apply ([[segmented]]) both consume this frame
+    // - without the memo the corpus explode + word-keyed shuffle, the
+    // file's ONE corpus-sized stage, ran twice per session
+    OpMemo.cached(spark, dir, "bpe_wordfreqs") {
+      Tables.documents(spark, dir)
+        .select(explode(TextOps.tokensNonEmpty(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+    }
 
   /** Greedy left-to-right merge of adjacent symbol pair (l, r) inside
     * a space-free symbol sequence — the codegen'd per-row fold shared
@@ -119,13 +125,30 @@ object TextBpe {
         merges += ((t, l, r, cnt))
         val next = vocab.select(mergeFold(col("seq"), l, r).as("seq"), col("freq"))
           .localCheckpoint() // eager: materializes before the old blocks drop
-        vocab.unpersist()
+        releaseCheckpoint(vocab)
         vocab = next
       }
     }
-    vocab.unpersist()
+    releaseCheckpoint(vocab)
     merges.toSeq
   }
+
+  /** Free a `localCheckpoint`ed frame's storage blocks EAGERLY.
+    * `Dataset.unpersist` is a no-op here (r10 review #5): checkpointing
+    * persists the internal RDD directly, bypassing the CacheManager
+    * that unpersist consults, so the old iterations' blocks piled up
+    * until GC + ContextCleaner got around to them — at a real ~30k-
+    * merge vocabulary that accumulation evicts executor storage. The
+    * checkpointed RDD sits behind the plan's LogicalRDD leaf;
+    * best-effort by design (a plan shape we don't recognize just falls
+    * back to lazy cleanup, never an error). */
+  private def releaseCheckpoint(ds: DataFrame): Unit =
+    try {
+      ds.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** UTF-8 byte order — the string collation BOTH engines sort by
     * (Spark UTF8String binary compare, DuckDB default collation), so
@@ -271,6 +294,12 @@ object TextBpe {
 
   /** Shared oracle prefix: the word-count pass plus `n` unrolled
     * (pair-count, argmax, fold-merge) iterations. */
+  /** Merge-exhaustion contract (r10 review #1): when the vocabulary
+    * runs out of pairs before `n` merges, `m$i` is EMPTY — the Spark
+    * trainer skips the null argmax and keeps its segmentation, so the
+    * oracle must too: `v$i` LEFT JOINs the 1-row merge and passes
+    * `seq` through unchanged when it is absent (a CROSS JOIN would
+    * annihilate the vocabulary and every later CTE). */
   private def oracleCtes(n: Int): String = {
     val base = """WITH words AS (
       SELECT word, COUNT(*) AS freq FROM (
@@ -287,10 +316,11 @@ object TextBpe {
              FROM v${i - 1})
        GROUP BY 1, 2),
     m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-    v$i AS (SELECT string_split(list_reduce(seq, (acc, x) ->
-         CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
-              THEN acc || x ELSE acc || ' ' || x END), ' ') AS seq, freq
-       FROM v${i - 1} CROSS JOIN m$i m)"""
+    v$i AS (SELECT CASE WHEN m.l IS NULL THEN seq
+                 ELSE string_split(list_reduce(seq, (acc, x) ->
+                   CASE WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+                        THEN acc || x ELSE acc || ' ' || x END), ' ') END AS seq, freq
+       FROM v${i - 1} LEFT JOIN m$i m ON TRUE)"""
     }.mkString
     base + iters
   }
@@ -372,7 +402,9 @@ object TextBpe {
     * multilingual LM work, e.g. Rust et al. 2021).
     *
     * Scale shape: the corpus tokens join the SEGMENTATION DICTIONARY
-    * (the [[segmented]] frame — vocabulary-sized, broadcast), then one
+    * (the [[segmented]] frame — vocabulary-sized; broadcast only when
+    * the planner sizes it as fitting, word-keyed shuffle join at
+    * Heaps-law scale), then one
     * lang-keyed aggregate of map-side partials. This is precisely the
     * production tokenize-by-dictionary join, so the metric pass costs
     * one corpus scan at any scale; counts are exact BIGINTs, ratios
@@ -402,7 +434,13 @@ object TextBpe {
       .select(col("word"), size(col("seq")).cast("long").as("n_sub"))
     Tables.documents(spark, dir)
       .select(col("lang"), explode(TextOps.tokensNonEmpty(lower(col("text")))).as("word"))
-      .join(broadcast(dict), Seq("word"))
+      // no forced broadcast (r10 review #2): the segmentation dict is
+      // the FULL distinct-word frame - Heaps-law unbounded at web
+      // scale, the very collection the capped trainer refuses to pull
+      // to the driver - so the hint would mandate an OOM; AQE
+      // broadcasts size-based when the dict actually fits, and the
+      // word-keyed shuffle join is the scale path otherwise
+      .join(dict, Seq("word"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum("n_sub").as("n_subwords"),

@@ -81,6 +81,28 @@ class TextBpeSpec extends AnyFunSuite {
       s"pair counts increased along ranks: ${counts.mkString(",")}")
   }
 
+  test("merge exhaustion: both trainers stop early and keep the segmentation (r10 review)") {
+    import spark.implicits._
+    // one two-char word: exactly ONE merge exists; asking for 4 must
+    // yield 1 and leave the vocabulary intact (the oracle CTE chain
+    // mirrors this with its LEFT JOIN pass-through)
+    val words = Seq(("ab", 5L)).toDF("word", "freq")
+    val fast = TextBpe.bpeTrainFast(words, numMerges = 4)
+    val dist = TextBpe.bpeTrain(words, numMerges = 4)
+    assert(fast == Seq((1, "a", "b", 5L)), s"fast: $fast")
+    assert(dist == Seq((1, "a", "b", 5L)), s"dist: $dist")
+  }
+
+  test("bpeTrain releases each iteration's checkpoint blocks eagerly (r10 review)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextBpe.bpeTrain(Seq(("abab", 4L), ("abba", 3L), ("baba", 2L)).toDF("word", "freq"),
+      numMerges = 4)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"localCheckpoint blocks must be freed eagerly, leaked RDD ids: $leaked")
+  }
+
   test("bounded-vocab contract: the collect is capped and the defaults are a fixture no-op") {
     import spark.implicits._
     // a vocabulary larger than the cap: the trainer sees only the
