@@ -146,10 +146,17 @@ object TextOps {
       struct(size(filter(toks, w => array_contains(wordArr, w))).as("hits"),
         lit(lang).as("lang"))
     }
+    // ONE greatest tree (r10 review #5): each score holds an
+    // interpreted filter() HOF per language profile, and two
+    // independent getField extractions evaluated the whole 10-HOF tree
+    // twice per row; referenced-twice non-cheap projections are not
+    // re-inlined by CollapseProject, so the struct evaluates once
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("label_lang"),
-        greatest(scores: _*).getField("lang").as("predicted_lang"),
-        greatest(scores: _*).getField("hits").as("score"))
+        greatest(scores: _*).as("best"))
+      .select(col("doc_id"), col("label_lang"),
+        col("best").getField("lang").as("predicted_lang"),
+        col("best").getField("hits").as("score"))
       .orderBy("doc_id")
   }
 
@@ -197,7 +204,14 @@ object TextOps {
     * per-row column algebra over the one-pass native shingle kernel —
     * no shuffle until the final order. */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val toks = size(split(col("text"), " "))
+    // NON-EMPTY \s+ tokens (r10 review #1): the old single-space split
+    // counted "a\tb" as one token while hashedShingles (the distinct
+    // side) tokenizes on all whitespace - total and distinct came from
+    // DIFFERENT tokenizations, so rep_frac could go negative and the
+    // row filter diverged from the oracle's filtered len (the same
+    // class the r7 review fixed in qualityFilter; latent on the
+    // single-space fixtures)
+    val toks = size(tokensNonEmpty(col("text")))
     val total = (toks - 2).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), total.as("total_3grams"),
@@ -237,8 +251,15 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val rates = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("rate", least(lit(1.0), lit(quotaPerSource.toDouble) / col("n_docs")))
-      .withColumn("th", format_string("%08x",
-        least(floor(col("rate") * 4294967296.0), lit(4294967295.0)).cast("long")))
+      // rate >= 1.0 means accept-all: 'g' sorts above every hex digit,
+      // so the prefix compare is always true. The clamped threshold
+      // 'ffffffff' silently dropped any doc whose first 8 md5 hex
+      // chars are all f - deterministically, forever, for that doc_id
+      // (r10 review #2; the oracle mirrored the clamp so the gate
+      // could never surface it)
+      .withColumn("th", when(col("rate") >= 1.0, lit("g"))
+        .otherwise(format_string("%08x",
+          floor(col("rate") * 4294967296.0).cast("long"))))
     val sampled = docs.join(broadcast(rates.select("source", "th")), "source")
       .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) < col("th"))
       .groupBy("source").agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sampled_chars"))
@@ -254,8 +275,9 @@ object TextOps {
     """WITH rates AS (
       SELECT source, COUNT(*) AS n_docs,
              LEAST(1.0, 40.0 / COUNT(*)) AS rate,
-             printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0, 40.0 / COUNT(*)) * 4294967296.0),
-                                       4294967295) AS BIGINT)) AS th
+             CASE WHEN LEAST(1.0, 40.0 / COUNT(*)) >= 1.0 THEN 'g'
+                  ELSE printf('%08x', CAST(FLOOR(LEAST(1.0, 40.0 / COUNT(*)) * 4294967296.0) AS BIGINT))
+             END AS th
       FROM documents GROUP BY source),
     sampled AS (
       SELECT d.source, COUNT(*) AS n_sampled, CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
@@ -449,6 +471,21 @@ object TextOps {
     FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
     GROUP BY t ORDER BY n DESC, t LIMIT 20""")((s, d) => heavyHitters(s, d))
 
+  /** The Gopher-style gate thresholds — ONE source of truth for
+    * [[qualityKeep]] (the funnel/pairedGate column), [[qualityFilter]]'s
+    * Spark verdict AND its interpolated oracle (r10 review #3: the five
+    * literals lived in three places; tuning one in qualityFilter but
+    * not qualityKeep would silently diverge the funnel gate from the
+    * registered verdict, and only an aggregate fixture count guarded
+    * it). The pairedGate/multimodalFunnel ORACLES still inline the
+    * values — a drift there turns the selfcheck red, which is the
+    * detection those replicas rely on. */
+  private[operators] val QMinTokens = 40
+  private[operators] val QAwlMin = 3.0
+  private[operators] val QAwlMax = 10.0
+  private[operators] val QStopMin = 0.01
+  private[operators] val QRepMax = 0.2
+
   /** The composite keep predicate of [[qualityFilter]] as a reusable
     * column (also the quality stage of the round-4 pipeline funnel). */
   def qualityKeep(text: Column, nChars: Column): Column = {
@@ -460,7 +497,8 @@ object TextOps {
     val rep = when(nTok > 2,
       lit(1.0) - size(graft.operators.Dedup.hashedShingles(text, 3)).cast("double") / (nTok - 2))
       .otherwise(lit(1.0))
-    nTok >= 40 && awl >= 3.0 && awl <= 10.0 && stopR >= 0.01 && rep <= 0.2
+    nTok >= QMinTokens && awl >= QAwlMin && awl <= QAwlMax &&
+      stopR >= QStopMin && rep <= QRepMax
   }
 
   /** Composite QUALITY FILTER — the Gopher-style keep/drop verdict that
@@ -484,13 +522,13 @@ object TextOps {
               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
             FROM documents))
     SELECT doc_id, n_tokens,
-           CASE WHEN n_tokens < 40 THEN 'too_short'
-                WHEN awl < 3.0 OR awl > 10.0 THEN 'word_len'
-                WHEN stop_ratio < 0.01 THEN 'low_stopwords'
-                WHEN rep_frac > 0.2 THEN 'repetitive'
+           CASE WHEN n_tokens < $QMinTokens THEN 'too_short'
+                WHEN awl < $QAwlMin OR awl > $QAwlMax THEN 'word_len'
+                WHEN stop_ratio < $QStopMin THEN 'low_stopwords'
+                WHEN rep_frac > $QRepMax THEN 'repetitive'
                 ELSE 'ok' END AS reason,
-           CASE WHEN n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
-                 AND stop_ratio >= 0.01 AND rep_frac <= 0.2
+           CASE WHEN n_tokens >= $QMinTokens AND awl >= $QAwlMin AND awl <= $QAwlMax
+                 AND stop_ratio >= $QStopMin AND rep_frac <= $QRepMax
                 THEN 1 ELSE 0 END AS keep
     FROM b ORDER BY doc_id""") { (spark, dir) =>
     // NON-EMPTY tokens: this oracle filters empties
@@ -511,13 +549,13 @@ object TextOps {
             (size(toks) - 2))
           .otherwise(lit(1.0)).as("rep_frac"))
     base.select(col("doc_id"), col("n_tokens"),
-      when(col("n_tokens") < 40, "too_short")
-        .when(col("awl") < 3.0 || col("awl") > 10.0, "word_len")
-        .when(col("stop_ratio") < 0.01, "low_stopwords")
-        .when(col("rep_frac") > 0.2, "repetitive")
+      when(col("n_tokens") < QMinTokens, "too_short")
+        .when(col("awl") < QAwlMin || col("awl") > QAwlMax, "word_len")
+        .when(col("stop_ratio") < QStopMin, "low_stopwords")
+        .when(col("rep_frac") > QRepMax, "repetitive")
         .otherwise("ok").as("reason"),
-      when(col("n_tokens") >= 40 && col("awl") >= 3.0 && col("awl") <= 10.0 &&
-        col("stop_ratio") >= 0.01 && col("rep_frac") <= 0.2, 1).otherwise(0).as("keep"))
+      when(col("n_tokens") >= QMinTokens && col("awl") >= QAwlMin && col("awl") <= QAwlMax &&
+        col("stop_ratio") >= QStopMin && col("rep_frac") <= QRepMax, 1).otherwise(0).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -843,9 +881,8 @@ object TextOps {
     val chunks = chunkFrame(spark, dir)
     val canonical = chunks
       .groupBy("chunk_md5")
-      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("lang"))).as("m"),
-        count(lit(1)).as("copies"))
-      .select(col("m.lang").as("lang"), col("copies"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("lang"))).as("m"))
+      .select(col("m.lang").as("lang"))
     val totals = chunks.groupBy("lang").agg(count(lit(1)).as("n_chunks"))
     val kept = canonical.groupBy("lang").agg(count(lit(1)).as("n_kept"))
     totals.join(kept, Seq("lang"), "left")

@@ -207,15 +207,19 @@ object TextSelection {
     * for pure row-local SCORING the HOF form wins 0.70× by moving zero
     * rows, interpreted evaluation and all. Both measurements stand:
     * HOFs lose inside exchange-bearing plans, win in map-only ones.) */
-  private def bigramBuckets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+  private def bigramBuckets(docs: DataFrame,
+      keys: Seq[String] = Seq("doc_id", "lang")): DataFrame =
+    // key columns are a parameter (r10 review #4: sourceDrift carried a
+    // token-for-token copy keyed by source — the B=256 first-md5-byte
+    // feature definition must live ONCE or the dsir and drift feature
+    // spaces can silently diverge)
+    docs.select(keys.map(col) :+ split(col("text"), " ").as("t"): _*)
       .where(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
-          .as("g"))
-      .select(col("doc_id"), col("lang"),
-        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int").as("f"))
+      .select(keys.map(col) :+ explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("g"): _*)
+      .select(keys.map(col) :+
+        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int").as("f"): _*)
 
   /** DSIR importance scores, target = the English slice (the stand-in
     * for "looks like my high-quality target set"), features = hashed
@@ -399,14 +403,8 @@ object TextSelection {
     SELECT source, CAST(n AS BIGINT) AS n_bigrams, CAST(SUM(t) AS BIGINT) AS kl_micro
     FROM terms GROUP BY source, n
     ORDER BY source""") { (spark, dir) =>
-    val occ = Tables.documents(spark, dir)
-      .select(col("source"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
-        .as("g"))
-      .select(col("source"),
-        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("long").as("f"))
+    val occ = bigramBuckets(Tables.documents(spark, dir), keys = Seq("source"))
+      .select(col("source"), col("f").cast("long").as("f"))
     // ONE corpus pass: aggregate to the (sources × 256)-bounded sc
     // frame, LOCALIZE it (KB-sized model state), and derive every
     // other statistic from the local copy — the first formulation

@@ -56,6 +56,46 @@ class GeneralInputSpec extends AnyFunSuite {
       "sanity: the HOF form is the interpreted one being avoided")
   }
 
+  test("repetition metrics: total and distinct count the SAME tokenization on irregular whitespace (r10 review)") {
+    // "a\tb c d": a single-space split sees 3 tokens (total_3grams=1)
+    // while the shingle kernel tokenizes all whitespace (4 tokens,
+    // 2 distinct 3-grams) — the old mismatch made rep_frac NEGATIVE
+    val dir = SparkSuite.tempDir("rep-messy")
+    Seq((1L, "en", "a\tb c d"), (2L, "en", " a b c d"), (3L, "en", "w w w w w"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("s")).withColumn("ts", current_timestamp())
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.repetitionMetrics(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: 4 ws-tokens -> total 2, distinct 2, rep 0.0
+    assert(rows(1L) == ((2L, 2L, 0.0)), s"doc1: ${rows.get(1L)}")
+    // doc 2 (leading space): filtered 4 tokens -> total 2 (the
+    // unfiltered split said 3 and diverged from the oracle's row set)
+    assert(rows(2L) == ((2L, 2L, 0.0)), s"doc2: ${rows.get(2L)}")
+    // doc 3: 5 identical tokens -> 3 total, 1 distinct, rep 0.6667
+    assert(rows(3L)._1 == 3L && rows(3L)._2 == 1L, s"doc3: ${rows.get(3L)}")
+    rows.values.foreach { case (_, _, f) =>
+      assert(f >= 0.0 && f <= 1.0, s"rep_frac out of [0,1]: $f") }
+  }
+
+  test("mixture sampling at rate 1.0 accepts every doc, including all-f md5 prefixes (r10 review)") {
+    // a source small enough for rate = 1.0: the old clamped threshold
+    // 'ffffffff' deterministically dropped any doc whose first 8 md5
+    // hex chars are all f; 'g' sorts above every hex digit
+    val dir = SparkSuite.tempDir("mix-rate1")
+    (1L to 10L).map(i => (i, "en", s"doc number $i", s"src"))
+      .toDF("doc_id", "lang", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("ts", current_timestamp())
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextOps.mixtureSample(spark, dir, quotaPerSource = 40).collect()
+    assert(row.length == 1)
+    assert(row(0).getDouble(2) == 1.0, s"rate: ${row(0)}")
+    assert(row(0).getLong(3) == row(0).getLong(1),
+      s"rate 1.0 must sample every doc: ${row(0)}")
+  }
+
   test("string shingles match the hashed kernel on irregular whitespace") {
     val texts = Seq(
       " a b c d",        // leading space
