@@ -162,11 +162,12 @@ object GraftStream {
     val cullMs = if (trigger == Trigger.AvailableNow()) 0L else 10000L
     val released = IncubationStream.submissions(depSats, metas, fixedNow,
       cullIntervalMs = cullMs)
-    // catalog concurrency flags as a map-literal Catalyst expression
-    // (bounded: one entry per pipeline def) — codegen'd, no Scala UDF
-    val concMap =
-      if (metas.isEmpty) map()
-      else map(metas.toSeq.flatMap { case (k, m) => Seq(lit(k), lit(m.concurrency)) }: _*)
+    // catalog concurrency flags as a tiny broadcast frame: the old
+    // map-literal element_at was a per-row LINEAR scan of all K defs
+    // (the repo's measured literal-map gotcha, r10 review) where the
+    // broadcast hash join — the shape the adjacent `running` join
+    // already uses — probes in O(1)
+    val concRows = metas.toSeq.map { case (k, m) => (k, m.concurrency) }
 
     val submissions = candNow.unionByName(released)
       .writeStream
@@ -182,21 +183,37 @@ object GraftStream {
         // semantics: of N same-batch submissions for a
         // concurrency=false pipeline, the first runs and the rest
         // defer (r7 review — the set-at-once gate passed all N)
+        // (length, exec_uuid) ranks numeric suffixes numerically
+        // (r10 review: plain string order put 'exec-p-100' before
+        // 'exec-p-99', so the SECOND submission ran and the first
+        // deferred — the batch dispatcher runs them in event order)
         val rankW = org.apache.spark.sql.expressions.Window
-          .partitionBy("pipeline_uuid").orderBy("exec_uuid")
+          .partitionBy("pipeline_uuid").orderBy(length(col("exec_uuid")), col("exec_uuid"))
+        import batch.sparkSession.implicits._
+        val concDf = concRows.toDF("pipeline_uuid", "_conc")
         val gated = batch.toDF()
           .join(broadcast(running.withColumn("_live", lit(true))), Seq("pipeline_uuid"), "left")
+          .join(broadcast(concDf), Seq("pipeline_uuid"), "left")
           .withColumn("_rank", row_number().over(rankW))
           .withColumn("_pass",
-            coalesce(element_at(concMap, col("pipeline_uuid")), lit(false)) ||
+            coalesce(col("_conc"), lit(false)) ||
               (col("_live").isNull && col("_rank") === 1))
-        gated.where(col("_pass")).drop("_live", "_pass", "_rank")
-          .write.mode("append").parquet(submissionsDir)
-        // blocked runs are DEFERRED records, not silent drops — the
-        // batch dispatcher's D13 analog (see deferredDir doc)
-        val blocked = gated.where(!col("_pass")).drop("_live", "_pass", "_rank")
-        if (!blocked.isEmpty)
-          blocked.write.mode("append").parquet(deferredDir(submissionsDir))
+          // PIN the verdicts before acting twice (r10 review #1): the
+          // lineage embeds two nondeterministic inputs — the LIVE
+          // runningSnapshot() and wall-clock-bearing release ids — so
+          // re-evaluating it per action could write a submission to
+          // NEITHER sink (run finished between the two actions) or to
+          // both. persist() makes the three actions read one snapshot.
+          .persist()
+        try {
+          gated.where(col("_pass")).drop("_live", "_conc", "_pass", "_rank")
+            .write.mode("append").parquet(submissionsDir)
+          // blocked runs are DEFERRED records, not silent drops — the
+          // batch dispatcher's D13 analog (see deferredDir doc)
+          val blocked = gated.where(!col("_pass")).drop("_live", "_conc", "_pass", "_rank")
+          if (!blocked.isEmpty)
+            blocked.write.mode("append").parquet(deferredDir(submissionsDir))
+        } finally { gated.unpersist(); () }
         ()
       }.start()
 

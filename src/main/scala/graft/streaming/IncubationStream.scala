@@ -82,7 +82,16 @@ object IncubationStream {
       val meta = bMetas.value.getOrElse(key, Meta(None, Nil, 0, concurrency = false))
       val st0 = state.getOption.getOrElse(StateMachine.emptyState)
       val evs = it.map(d => DepSatisfied(d.dep, d.exec_uuid, d.event_id, d.event_time)).toSeq
-      val nowTs = fixedNow.getOrElse(new Timestamp(System.currentTimeMillis()))
+      // the BATCH's processing time, not the wall clock (r10 review):
+      // Spark pins getCurrentProcessingTimeMs to the micro-batch's
+      // timestamp (persisted in the offset log), so task retries,
+      // speculative attempts and a re-run of a failed batch all see
+      // the SAME clock — System.currentTimeMillis here made the
+      // emitted exec_uuid (which embeds the time) differ between
+      // attempts, double-submitting a release under two ids that no
+      // downstream dedup could reconcile, and could flip debounce/
+      // age-out verdicts between attempts.
+      val nowTs = fixedNow.getOrElse(new Timestamp(state.getCurrentProcessingTimeMs()))
       val (st1, releases, _) = stepKey(st0, meta, evs, nowTs, debounceSeconds, ageOutSeconds)
       if (st1.rows.isEmpty) state.remove()
       else {

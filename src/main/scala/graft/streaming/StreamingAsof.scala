@@ -34,7 +34,11 @@ object StreamingAsof {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[AsofEvent], state: GroupState[ViewState]) =>
-          val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.side, e.id))
+          // MICROSECOND key (r10 review: getTime truncates to ms, so a
+          // view and purchase inside the same millisecond sorted by
+          // (side, id) instead of time — attribution diverged from the
+          // batch asofCore, which orders by the full TIMESTAMP_MICROS)
+          val sorted = it.toIndexedSeq.sortBy(e => (tsMicros(e.ts), e.side, e.id))
           var last = state.getOption
           val out = Vector.newBuilder[AsofOut]
           sorted.foreach { e =>

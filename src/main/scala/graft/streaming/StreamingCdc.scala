@@ -45,7 +45,7 @@ object StreamingCdc {
   final case class Revision(user_id: Long, rev: Long, event_id: Long,
                             state: String, cents: Long, ts_us: Long, live: Boolean)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def us(t: Timestamp): Long = tsMicros(t) // shared precision contract
 
   def dimensionStream(events: Dataset[CdcEvent]): Dataset[Revision] = {
     implicit val stateEnc = Encoders.product[DimState]

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Content fingerprint column (matches batch `TextOps.fingerprint`). */
+  /** Content fingerprint column — DELEGATES to the one canonical
+    * normalization ([[graft.operators.Curation.fingerprint]]; r10
+    * review: this was a fourth byte-for-byte copy of the expression
+    * the r7 review de-triplicated, and a silent divergence here would
+    * split the streaming dedup key from the batch key). */
   def fingerprint(textCol: String): org.apache.spark.sql.Column =
-    md5(lower(regexp_replace(col(textCol), "\\s+", " ")))
+    graft.operators.Curation.fingerprint(col(textCol))
 
   /** Dedup a streaming document relation by content fingerprint within
     * the watermark horizon. `docs` must carry an event-time column

@@ -38,7 +38,7 @@ object StreamingFunnel {
   final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
   final case class StageReached(user_id: Long, stage_ord: Int, ts: Timestamp)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def us(t: Timestamp): Long = tsMicros(t) // shared precision contract
 
   def funnelStream(events: Dataset[FunnelEvent],
                    deadlineUs: Long = graft.operators.EventOps.FunnelUs): Dataset[StageReached] = {

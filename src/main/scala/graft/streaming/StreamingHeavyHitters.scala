@@ -44,7 +44,13 @@ object StreamingHeavyHitters {
       .groupByKey(t => math.floorMod(t.hashCode, nShards))(Encoders.scalaInt)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (shard: Int, it: Iterator[String], state: org.apache.spark.sql.streaming.GroupState[FreqSketch]) =>
-          val next = mg.reduce(state.getOption.getOrElse(mg.zero), it.toSeq)
+          // fold in capacity-sized chunks (r10 review: it.toSeq
+          // materialized the whole shard slice and reduce built a map
+          // of ALL its distinct tokens before one trim — unbounded
+          // transient memory in the operator whose point is the
+          // sketch's 2·capacity bound)
+          val next = it.grouped(capacity)
+            .foldLeft(state.getOption.getOrElse(mg.zero))((b, chunk) => mg.reduce(b, chunk))
           state.update(next)
           ShardSketch(shard, next.counts, next.decrements)
       }

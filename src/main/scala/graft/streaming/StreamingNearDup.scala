@@ -41,7 +41,7 @@ object StreamingNearDup {
   final case class BandObs(doc_id: Long, band_idx: Int, band_hash: Long,
       ingest_ts: Timestamp)
   final case class Candidate(doc_a: Long, doc_b: Long)
-  final case class BucketState(members: Seq[Long], maxTsMs: Long)
+  final case class BucketState(members: Seq[Long], memberTs: Seq[Long], maxTsMs: Long)
 
   /** The typed (doc, band, event-time) stream — batch signature/band
     * expressions applied map-side, watermark NOT yet attached. */
@@ -80,24 +80,40 @@ object StreamingNearDup {
       // deterministic processing order inside a batch (bucket members
       // arrive unordered from the shuffle)
       val obs = it.toSeq.sortBy(o => (o.ingest_ts.getTime, o.doc_id))
-      val st0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
-      var members = st0.members.toSet
+      val st0 = state.getOption.getOrElse(BucketState(Nil, Nil, Long.MinValue))
+      var members = st0.members.zip(st0.memberTs).toMap
       val out = ArrayBuffer.empty[Candidate]
       obs.foreach { o =>
+        val ts = o.ingest_ts.getTime
         if (!members.contains(o.doc_id)) {
-          members.foreach(m =>
-            out += Candidate(math.min(m, o.doc_id), math.max(m, o.doc_id)))
-          members += o.doc_id
+          // PER-PAIR horizon (r10 review: a continuously-warm bucket
+          // never hit the whole-bucket timeout, so members never aged
+          // out — pairs spanning far more than the horizon were
+          // emitted and state grew without bound on a drip-fed key).
+          // The contract is |t_a − t_b| ≤ horizon, enforced per pair.
+          members.foreach { case (m, mts) =>
+            if (math.abs(mts - ts) <= horizonMs)
+              out += Candidate(math.min(m, o.doc_id), math.max(m, o.doc_id))
+          }
+          members += o.doc_id -> ts
         }
       }
-      val maxTs = math.max(st0.maxTsMs, obs.map(_.ingest_ts.getTime).max)
-      state.update(BucketState(members.toSeq.sorted, maxTs))
-      // expire the bucket once the watermark passes maxSeen + horizon;
-      // late-data guard: the timeout must sit beyond the current
-      // watermark or Spark rejects it
+      // per-member expiry: the watermark bounds how late data can be,
+      // so a member older than (wm − horizon) can never pair again —
+      // state is horizon-bounded even when the bucket stays warm
       val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
-      out.iterator
+      members = members.filter { case (_, ts) => ts >= wm - horizonMs }
+      if (members.isEmpty) { state.remove(); out.iterator }
+      else {
+        val kept = members.toSeq.sortBy(_._1)
+        val maxTs = math.max(st0.maxTsMs, obs.map(_.ingest_ts.getTime).max)
+        state.update(BucketState(kept.map(_._1), kept.map(_._2), maxTs))
+        // expire the bucket once the watermark passes maxSeen + horizon;
+        // late-data guard: the timeout must sit beyond the current
+        // watermark or Spark rejects it
+        state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+        out.iterator
+      }
     }
   }
 }

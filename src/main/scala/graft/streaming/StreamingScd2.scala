@@ -38,7 +38,7 @@ object StreamingScd2 {
                                   valid_from_us: Long, valid_to_us: Long,
                                   n_events: Long)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def us(t: Timestamp): Long = tsMicros(t) // shared precision contract
 
   def scd2Stream(events: Dataset[Scd2Event]): Dataset[ClosedInterval] = {
     implicit val stateEnc = Encoders.product[OpenInterval]

@@ -31,7 +31,7 @@ object StreamingTransitions {
   final case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
   final case class Transition(user_id: Long, src: String, dst: String)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def us(t: Timestamp): Long = tsMicros(t) // shared precision contract
 
   def transitionStream(events: Dataset[TransitionEvent]): Dataset[Transition] = {
     implicit val stateEnc = Encoders.product[LastEvent]
