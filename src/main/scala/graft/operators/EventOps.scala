@@ -57,7 +57,13 @@ object EventOps {
     ORDER BY purchase_id""") { (spark, dir) =>
     val ev = Tables.events(spark, dir)
     val tagged = ev.select(col("user_id"), col("ts"),
-      when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+      // NULL event_type is NEITHER side (r10 review: the oracle's
+      // `t.event_type <> 'purchase'` predicate drops NULL-typed rows
+      // from the touch count, while otherwise(0) counted them - the
+      // two sides encoded opposite NULL semantics, latent on the
+      // non-null fixture vocabulary)
+      when(col("event_type") === "purchase", 1)
+        .when(col("event_type").isNotNull, 0).as("side"),
       col("event_id").as("id"),
       (col("event_type") === "click").as("is_click"))
     attributionCore(tagged).orderBy("purchase_id")
@@ -169,14 +175,20 @@ object EventOps {
     */
   val intervalJoin: GraftQuery = checked("ns_events_interval_join",
     s"""WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             -- event_id rides along for the islands tiebreak (r10
+             -- review: a ROWS running sum over ts alone leaves
+             -- tied-timestamp rows at a session break in an
+             -- underdetermined order - the brk=0 twin could land in
+             -- the OLD session while Spark's session_window puts both
+             -- in the new one; scd2's islands already carry it)
              CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events),
     islands AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked),
     sessions AS (
@@ -524,30 +536,48 @@ object EventOps {
     * digits BEFORE the window math on BOTH engines (the established
     * float contract), making the moving average an exact function of
     * already-deterministic inputs; the final round matches too. */
+  /** r10 review, two fixes in lockstep with the oracle: (1) daily
+    * revenue sums CENTS (exact BIGINT, the [[saltedAgg]] convention) —
+    * ROUND(SUM(double)) was accumulation-order-dependent, and the ma7
+    * window AVG on top of it added a segment-tree-vs-sliding
+    * association mismatch between engines; every ratio is now ONE
+    * deterministic division of exact integers. (2) `wow_delta`
+    * compares against the SAME WEEKDAY one calendar week back (a
+    * day−7 self-join) — `lag(revenue, 7)` was ROWS-based, so any
+    * zero-purchase day silently shifted the comparison to the 8th
+    * calendar day while the metric kept its week-over-week name. */
   val movingAvg: GraftQuery = checked("ns_events_moving_avg",
     """WITH daily AS (
       SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-             ROUND(SUM(value), 4) AS revenue
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase'
-      GROUP BY day)
-    SELECT day, revenue,
-           ROUND(AVG(revenue) OVER (ORDER BY day
-             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 4) AS ma7,
-           ROUND(revenue - lag(revenue, 7) OVER (ORDER BY day), 4) AS wow_delta
-    FROM daily
+      GROUP BY day),
+    j AS (
+      SELECT d.day, d.cents, p.cents AS prev_cents
+      FROM daily d LEFT JOIN daily p ON p.day = d.day - 7)
+    SELECT day, ROUND(CAST(cents AS DOUBLE) / 100.0, 4) AS revenue,
+           ROUND(CAST(SUM(cents) OVER (ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(COUNT(*) OVER (ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0, 4) AS ma7,
+           ROUND(CAST(cents - prev_cents AS DOUBLE) / 100.0, 4) AS wow_delta
+    FROM j
     ORDER BY day""") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val daily = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(dround(sum("value"), 4).as("revenue"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       .withColumn("day_n", datediff(col("day"), lit("1970-01-01")))
+    val prev = daily.select((col("day_n") + 7).as("day_n"), col("cents").as("prev_cents"))
     val wMa = Window.orderBy("day_n").rangeBetween(-6, 0)
-    val wLag = Window.orderBy("day_n")
-    daily
-      .select(col("day"), col("revenue"),
-        dround(avg("revenue").over(wMa), 4).as("ma7"),
-        dround(col("revenue") - lag("revenue", 7).over(wLag), 4).as("wow_delta"))
+    daily.join(prev, Seq("day_n"), "left")
+      .select(col("day"),
+        dround(col("cents").cast("double") / 100.0, 4).as("revenue"),
+        dround(sum("cents").over(wMa).cast("double")
+          / count(lit(1)).over(wMa).cast("double") / 100.0, 4).as("ma7"),
+        dround((col("cents") - col("prev_cents")).cast("double") / 100.0, 4).as("wow_delta"))
       .orderBy("day")
   }
 

@@ -57,14 +57,15 @@ object EventStats {
       FROM binned),
     terms AS (
       SELECT event_type, n_ref, n_cur,
-             ((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) -
-              (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))) *
-             ln((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) /
-                (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))) AS term
+             CAST(FLOOR(1000000.0 *
+               (((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) -
+                 (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))) *
+                ln((CAST(c_ref + 1 AS DOUBLE) / (n_ref + $NBins)) /
+                   (CAST(c_cur + 1 AS DOUBLE) / (n_cur + $NBins))))) AS BIGINT) AS term_micro
       FROM tot)
     SELECT event_type, CAST(MAX(n_ref) AS BIGINT) AS n_ref,
            CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-           ROUND(SUM(term), 4) AS psi
+           ROUND(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0, 4) AS psi
     FROM terms
     GROUP BY event_type
     ORDER BY event_type""") { (spark, dir) =>
@@ -80,10 +81,17 @@ object EventStats {
     binned
       .withColumn("n_ref", sum("c_ref").over(wType))
       .withColumn("n_cur", sum("c_cur").over(wType))
-      .withColumn("term", (p - q) * log(p / q))
+      // QUANTIZE-PER-TERM (r10 review: ROUND after a double SUM is
+      // accumulation-order-dependent — Spark's partial/final agg and
+      // DuckDB's grouping add the ~NBins doubles in different orders,
+      // and a last-ulp difference at a .00005 boundary flips the 4dp
+      // result. One floor per bin term — p, q exact-integer ratios,
+      // the ExactMath narrow-surface rule — then the sum is BIGINT.)
+      .withColumn("term_micro",
+        floor(lit(1000000.0) * ((p - q) * log(p / q))).cast("long"))
       .groupBy("event_type")
       .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
-        dround(sum("term"), 4).as("psi"))
+        dround(sum("term_micro").cast("double") / lit(1000000.0), 4).as("psi"))
       .orderBy("event_type")
   }
 
@@ -183,7 +191,9 @@ object EventStats {
       FROM tc)
     SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
            COUNT(*) AS n_types,
-           ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4) AS h
+           ROUND(-CAST(SUM(CAST(FLOOR(1000000.0 *
+             ((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 4) AS h
     FROM tot
     GROUP BY user_id
     ORDER BY h DESC, user_id
@@ -194,10 +204,12 @@ object EventStats {
     val wUser = Window.partitionBy("user_id") // <= |types| rows per user: post-aggregation
     val pr = col("c").cast("double") / col("n")
     tc.withColumn("n", sum("c").over(wUser))
-      .withColumn("term", pr * log(pr))
+      // quantize-per-term, the psi convention (one floor per type
+      // term over exact-integer ratios; the sum is order-free BIGINT)
+      .withColumn("term_micro", floor(lit(1000000.0) * (pr * log(pr))).cast("long"))
       .groupBy("user_id")
       .agg(max("n").as("n_events"), count(lit(1)).as("n_types"),
-        dround(-sum("term"), 4).as("h"))
+        dround(-sum("term_micro").cast("double") / lit(1000000.0), 4).as("h"))
       .orderBy(col("h").desc, col("user_id"))
       .limit(BurstTopN)
   }

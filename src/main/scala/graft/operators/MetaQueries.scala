@@ -300,6 +300,7 @@ object MetaQueries {
     val edges = edges0.cache()
     var frontier: DataFrame = edges
       .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
+      .distinct() // the core takes ANY edge list; later levels distinct, so must level 1 (r10 review)
       .localCheckpoint(true)
     // one materialization per round: the reach set is the UNION of the
     // already-checkpointed frontiers (flat lineage, depth-bounded fan-in),
@@ -325,7 +326,20 @@ object MetaQueries {
         s"dagClosure frontier still alive after $maxDepth levels — the trigger " +
         "graph has a cycle or exceeds the depth bound; a truncated closure would " +
         "under-report the blast radius, so failing loudly")
-    levels.reduce(_ unionByName _).orderBy("root", "node")
+    val closed = levels.reduce(_ unionByName _)
+    // the documented throw-on-cycle contract, actually enforced (r10
+    // review: semi-naive expansion TERMINATES NATURALLY on any cycle
+    // shorter than maxDepth — the left-anti stops the second lap — so
+    // the maxDepth throw only ever fired for deep acyclic chains, the
+    // opposite case. A cycle is detectable from the closure itself: a
+    // node reaches itself iff it sits on one; a DAG has no such row.)
+    val selfReach = closed.where(col("root") === col("node"))
+    if (!selfReach.isEmpty)
+      throw new IllegalStateException(
+        "dagClosure found a node that reaches itself — the trigger graph has a " +
+        "CYCLE, which upsert validation treats as a definition error; the " +
+        "closure/blast-radius of a cyclic graph is ill-defined, so failing loudly")
+    closed.orderBy("root", "node")
   }
 
   // withCtes can't wrap a recursive query (one WITH clause per query),
@@ -484,6 +498,11 @@ object MetaQueries {
       // job); at billion-edge scale the cadence is the tuning knob
       if (t % 4 == 0) pr = pr.localCheckpoint(true)
     }
+    // materialize the FINAL frame before releasing its inputs (r10
+    // review: iterations past the last in-loop checkpoint lived as
+    // live joins against `weighted`/`nodes`, so the caller's action
+    // re-ran the degree build plus two power iterations uncached)
+    pr = pr.localCheckpoint(true)
     weighted.unpersist()
     edges.unpersist(); nodes.unpersist()
     pr.select(col("node"), graft.functions.dround(col("pr"), 6).as("pr"))

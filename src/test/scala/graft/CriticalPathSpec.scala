@@ -48,4 +48,22 @@ class CriticalPathSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cycle"))
   }
+
+  test("dagClosure throws on a SHORT cycle too — semi-naive expansion terminates on it (r10 review)") {
+    import spark.implicits._
+    // diameter 3 << maxDepth 32: the left-anti stops the second lap, so
+    // the frontier empties NATURALLY and the old maxDepth guard never
+    // fired — the documented throw-on-cycle contract was unimplemented
+    // for exactly the graphs it describes
+    val cyclic = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      MetaQueries.dagClosureCore(cyclic, maxDepth = 32).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cycle"), e.getMessage)
+    // duplicate edges must not duplicate depth-1 closure rows
+    val dup = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val rows = MetaQueries.dagClosureCore(dup, maxDepth = 8).collect()
+    assert(rows.length == rows.map(r => (r.getString(0), r.getString(1))).distinct.length,
+      s"duplicate (root,node) rows from a non-distinct edge list: ${rows.mkString(",")}")
+  }
 }
