@@ -155,7 +155,9 @@ final class GraftApi(
     * HTTP facade can log the SAME event it dispatches (manual runs
     * used to bypass the history log, r7 review). */
   def manualOrigination(uuid: String, now: Timestamp): LifecycleEvent =
-    LifecycleEvent(now.getTime, "job_exec_update", "origination", uuid,
+    // negative id: engine-minted, the reserved half-space (see
+    // Cron.tick's sub-range note; r10 review)
+    LifecycleEvent(-now.getTime, "job_exec_update", "origination", uuid,
       s"manual-$uuid-${now.getTime}", now, now, 0, disable_downstream = false)
 
   def runByPipelineUuid(uuid: String, now: Timestamp,

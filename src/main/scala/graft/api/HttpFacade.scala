@@ -173,19 +173,19 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       ok
     }),
     "/pipeline/dispatcher/run_by_pipeline_uuid" -> Map[String, Handler]("POST" -> { r =>
-      mutate.synchronized {
-        val now = reqNow(r)
-        // the synthesized origination is a REAL lifecycle event: it
-        // joins the history log and the durability sink like every
-        // other ingress — manual runs used to leave no trace (r7
-        // review), unlike cron-fired runs of the same pipeline
-        val ev = api.manualOrigination(r.param("pipeline_uuid"), now)
-        val res = r.session.dispatch(Seq(ev), running.get(), incubating.get(), now)
-        eventLog.set(eventLog.get().unionByName(
-          spark.createDataset(Seq(ev))(Encoders.product[LifecycleEvent])))
-        eventSink.get()(Seq(ev))
-        subsJson(applyStep(res))
-      }
+      r.session.can("dispatch")
+      val now = reqNow(r)
+      // the synthesized origination is a REAL lifecycle event: it
+      // joins the history log and the durability sink like every
+      // other ingress — manual runs used to leave no trace (r7
+      // review), unlike cron-fired runs of the same pipeline.
+      // Routed through [[ingest]] (r10 review: this handler carried a
+      // THIRD inline copy of the state contract, and its copy had the
+      // durable append BEFORE applyStep with no rollback — a failed
+      // apply left a logged-but-never-applied event, exactly the
+      // permanent-loss window the r8 append-last ordering closed).
+      val ev = api.manualOrigination(r.param("pipeline_uuid"), now)
+      subsJson(ingest(Seq(ev), now))
     }),
     "/pipeline/dispatcher/run_single_use" -> Map[String, Handler]("POST" -> { r =>
       r.session.can("runSingleUse") // auth before body-parse work
@@ -217,23 +217,16 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       r.session.can("dispatch") // auth first; parse OUTSIDE the global
       // lock — an anonymous flood used to run Spark JSON jobs while
       // serializing every authorized mutation (r7 review)
-      val events = parseEvents(r.body)
-      mutate.synchronized {
-        val now = reqNow(r)
-        val res = r.session.dispatch(events, running.get(), incubating.get(), now)
-        // same ordering contract as [[ingest]]: in-memory union first
-        // (the persistence hook inside applyStep must see the batch),
-        // DURABLE append only after effects applied — so a logged event
-        // is always an applied event (r8 review #1)
-        val prevLog = eventLog.get()
-        eventLog.set(prevLog.unionByName(
-          spark.createDataset(events)(Encoders.product[LifecycleEvent])))
-        val subs =
-          try applyStep(res)
-          catch { case e: Throwable => eventLog.set(prevLog); throw e }
-        eventSink.get()(events)
-        subsJson(subs)
-      }
+      val now = reqNow(r)
+      // SINK-STAMP received_time, the MQ-ingress contract (r10 review:
+      // a null/ancient producer stamp hides the event from the
+      // history window and the durable dedup horizon — the exact r8
+      // finding GraftService fixed for MQ, left open on HTTP)
+      val events = parseEvents(r.body).map(_.copy(received_time = now))
+      // ONE ingress path: ingest() owns the union→apply→append
+      // ordering and its rollback (r10 review: this handler carried an
+      // inline copy of the contract)
+      subsJson(ingest(events, now))
     }),
     "/pipeline/dispatcher/event/history" -> Map[String, Handler]("GET" -> { r =>
       json(r.session.eventHistory(eventLog.get(), reqNow(r),
@@ -497,9 +490,19 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
     import spark.implicits._
     // accepts one event object or an array of them (Spark's JSON
     // reader explodes a top-level array into rows)
-    val evs = spark.read.schema(Encoders.product[LifecycleEvent].schema)
-      .json(Seq(body).toDS())
-      .as[LifecycleEvent](Encoders.product[LifecycleEvent]).collect().toSeq
+    val evs =
+      try spark.read.schema(Encoders.product[LifecycleEvent].schema)
+        .json(Seq(body).toDS())
+        .as[LifecycleEvent](Encoders.product[LifecycleEvent]).collect().toSeq
+      catch {
+        // permissive parse + a missing non-nullable field surfaces as
+        // an encoder RuntimeException — map it to the 400 the boundary
+        // contract promises (r10 review: the r7 oneRowJson hardening
+        // never reached this route)
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"malformed lifecycle event body: ${String.valueOf(e.getMessage).take(200)}")
+      }
     require(evs.nonEmpty, "no lifecycle events in request body")
     // the reserved-negative-id invariant holds at EVERY ingress, not
     // just the MQ path (r9 advice): external producers own the

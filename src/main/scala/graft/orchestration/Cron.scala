@@ -108,10 +108,32 @@ object Cron {
     // and execId derives exec uuids from event_id — r7 review)
     require(scheduled.length < 1000000,
       s"cron tick id space supports < 1e6 schedules, got ${scheduled.length}")
+    // per-schedule isolation (r10 review: one malformed expression in
+    // the catalog made the WHOLE tick throw forever — every schedule
+    // stopped firing until the bad def was removed, with one stderr
+    // line as evidence). A bad expr fires nothing and is logged; the
+    // rest of the catalog keeps its cadence. upsert validation rejects
+    // bad exprs at the door; this guards defs that arrived around it
+    // (externally written MetaStore parquet, direct construction).
+    def dueSafe(uuid: String, expr: String): Boolean =
+      try due(expr, now)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[cron] skipping unparsable schedule for $uuid: ${e.getMessage}")
+          false
+      }
     val fired = scheduled.zipWithIndex.collect {
-      case ((uuid, expr), i) if due(expr, now) =>
+      case ((uuid, expr), i) if dueSafe(uuid, expr) =>
         LifecycleEvent(
-          event_id = now.getTime / 60000L * 1000000L + i,
+          // NEGATIVE id: engine-minted events own the negative
+          // half-space (r10 review: cron minted non-negative ids in
+          // the space the ingress contract reserves for EXTERNAL
+          // producers, so a producer reusing such an id — epoch-ish
+          // schemes are natural — was silently dedup-dropped as a
+          // replay). Sub-ranges stay disjoint by magnitude: callbacks
+          // count down from −1, manual runs sit at −epochMs (~1e12),
+          // cron at −(minute·1e6 + i) (~3e13).
+          event_id = -(now.getTime / 60000L * 1000000L + i),
           event_type = "job_exec_update",
           event_subtype = "origination",
           pipeline_uuid = uuid,

@@ -235,7 +235,7 @@ object Dispatcher {
       val st = PipelineState(stateIt.map(r =>
         WaitRow(r.obj_id, r.create_time, r.created_by_uuid, r.retry_count, r.reason, r.triggers)).toList)
       val evsHere = evIt.map(d => DepSatisfied(d.dep, d.exec_uuid, d.event_id, d.event_time)).toSeq
-      val (st2, releases, dropped) = stepKey(st, meta, evsHere, now, debounce, ageOut)
+      val (st2, releases, dropped) = stepKey(st, meta, evsHere, now, debounce, ageOut, key)
       val keptRows = st2.rows.map(r => ("kept", IncubRow(key, r.objId, r.createTime,
         r.createdByUuid, r.reason, r.retryCount, r.triggers), 0L))
       val rel = releases.zipWithIndex.map { case (r, i) =>
@@ -321,7 +321,9 @@ object Dispatcher {
         col("source_uuids"))
       .as[(String, Int, Long, Option[String], Map[String, String])]
       .map { case (p, rc, eid, tag, src) =>
-        IncubRow(p, tag.map(t => s"inc-c-$t").getOrElse(f"inc-c-$eid%012d"),
+        // the event id alone collides when one success defers several
+        // children (r10 review) — the pipeline joins the mint
+        IncubRow(p, tag.map(t => s"inc-c-$t").getOrElse(f"inc-c-$eid%012d-$p"),
           now, None, "concurrency", rc, src)
       }
 

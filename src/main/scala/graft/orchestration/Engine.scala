@@ -84,7 +84,11 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
       // (r7 review)
       try {
         body(spark)
-        st.log.append(s"run ${sub.exec_uuid} completed\n")
+        // log access synchronized (r10 review: get_logs reads this
+        // StringBuilder from an HTTP pool thread while the Future
+        // appends — StringBuilder is not thread-safe, a torn read can
+        // return garbage or throw; the ProcessEngine pattern)
+        st.log.synchronized { st.log.append(s"run ${sub.exec_uuid} completed\n"); () }
         runs.computeIfPresent(sub.exec_uuid, (_, cur) =>
           if (cur.status == "running")
             cur.copy(status = "success",
@@ -92,7 +96,8 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
           else cur)
       } catch {
         case e: Throwable =>
-          st.log.append(s"run ${sub.exec_uuid} failed: ${e.getMessage}\n")
+          st.log.synchronized {
+            st.log.append(s"run ${sub.exec_uuid} failed: ${e.getMessage}\n"); () }
           // status is AUTHORITATIVE (r9 advice): abort() stamps
           // "aborted" before it cancels, and this update only fires
           // while the status is still "running" — so reaching here
@@ -107,29 +112,58 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
               cur.copy(status = "failed",
                 end = Some(new Timestamp(System.currentTimeMillis())))
             else cur)
-      } finally spark.sparkContext.clearJobGroup()
+      } finally { spark.sparkContext.clearJobGroup(); evictTerminal() }
       ()
     }
     ()
   }
 
-  def abort(execUuid: String): Unit = {
+  /** Accept either the run's exec_uuid or the tracking id [[jobs]]
+    * reports (r10 review: the HTTP abort/get_logs routes pass
+    * `engine_tracking_id`, which NO backend keyed on — the response
+    * was 200 while nothing was aborted and logs came back empty). A
+    * tracking id here is `exec-<pipeline>-<retry>`, which is not
+    * unique across concurrent same-retry runs — every match is the
+    * caller's target. */
+  private def resolveIds(token: String): Seq[String] =
+    if (runs.containsKey(token)) Seq(token)
+    else {
+      import scala.jdk.CollectionConverters._
+      runs.asScala.collect { case (id, st)
+        if s"exec-${st.sub.pipeline_uuid}-${st.sub.retry_count}" == token => id }.toSeq.sorted
+    }
+
+  /** Bound the terminal-run ledger (r10 review: nothing ever evicted,
+    * so a long-lived service grew this map — and the jobs() snapshot
+    * it feeds — without bound). Live runs are never evicted. */
+  private val MaxTerminalRuns = 512
+  private def evictTerminal(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val terminal = runs.asScala.toSeq.filter(_._2.status != "running")
+    if (terminal.size > MaxTerminalRuns)
+      terminal.sortBy(_._2.end.map(_.getTime).getOrElse(0L))
+        .take(terminal.size - MaxTerminalRuns)
+        .foreach { case (id, _) => runs.remove(id); () }
+  }
+
+  def abort(execUuid: String): Unit = resolveIds(execUuid).foreach { id =>
     // stamp BEFORE cancelling: the job-group interrupt can reach the
     // running closure's catch block immediately, and that block
     // consults [[wasAborted]] to decide whether to suppress its
     // failure callback (r8 advice: interrupt-status inference
     // misclassified task-reaper/timeout interrupts as user aborts) —
     // the stamp must already be visible when the interrupt lands
-    runs.computeIfPresent(execUuid, (_, st) =>
+    runs.computeIfPresent(id, (_, st) =>
       if (st.status == "running")
         st.copy(status = "aborted",
           end = Some(new Timestamp(System.currentTimeMillis())))
       else st)
-    spark.sparkContext.cancelJobGroup(execUuid)
+    spark.sparkContext.cancelJobGroup(id)
+    evictTerminal()
   }
 
   override def wasAborted(execUuid: String): Boolean =
-    Option(runs.get(execUuid)).exists(_.status == "aborted")
+    resolveIds(execUuid).exists(id => Option(runs.get(id)).exists(_.status == "aborted"))
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
@@ -142,7 +176,9 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
   }
 
   def logs(execUuid: String, maxKb: Int = 10): String = {
-    val full = Option(runs.get(execUuid)).map(_.log.toString).getOrElse("")
+    val full = resolveIds(execUuid).headOption
+      .flatMap(id => Option(runs.get(id)))
+      .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
     val cap = maxKb * 1024
     if (full.length <= cap) full else full.substring(full.length - cap)
   }

@@ -272,9 +272,13 @@ final class K8sPodEngine(cfg: K8sPodEngine.K8sConfig, api: PodApi)
   }
 
   def abort(execUuid: String): Unit = {
-    // tracking id = pod name; abort-by-exec scans labels like get_jobs
+    // accepts the exec_uuid label OR the pod name itself — the
+    // tracking id this backend reports (r10 review: the HTTP routes
+    // pass engine_tracking_id, which only matched the label scan by
+    // luck of the caller)
     api.list(cfg.namespace)
-      .filter(_.pod.metadata.labels.get("exec_uuid").contains(execUuid))
+      .filter(st => st.pod.metadata.labels.get("exec_uuid").contains(execUuid) ||
+        st.pod.metadata.name == execUuid)
       .foreach(st => api.delete(cfg.namespace, st.pod.metadata.name))
   }
 
@@ -287,7 +291,8 @@ final class K8sPodEngine(cfg: K8sPodEngine.K8sConfig, api: PodApi)
 
   def logs(execUuid: String, maxKb: Int): String = {
     val byExec = api.list(cfg.namespace)
-      .filter(_.pod.metadata.labels.get("exec_uuid").contains(execUuid))
+      .filter(st => st.pod.metadata.labels.get("exec_uuid").contains(execUuid) ||
+        st.pod.metadata.name == execUuid)
     require(byExec.nonEmpty, s"no pod for exec_uuid=$execUuid")
     api.logs(cfg.namespace, byExec.head.pod.metadata.name, maxKb * 1024)
   }

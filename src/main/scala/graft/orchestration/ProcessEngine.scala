@@ -87,21 +87,43 @@ final class ProcessEngine extends EngineBackend {
     ()
   }
 
-  def abort(execUuid: String): Unit = {
+  /** Accept either the exec_uuid or the tracking id [[jobs]] reports
+    * (r10 review: the HTTP abort/get_logs routes pass
+    * `engine_tracking_id`, which no backend keyed on). */
+  private def resolveIds(token: String): Seq[String] =
+    if (runs.containsKey(token)) Seq(token)
+    else {
+      import scala.jdk.CollectionConverters._
+      runs.asScala.collect { case (id, st) if st.trackingId == token => id }.toSeq.sorted
+    }
+
+  /** Terminal-run retention bound — the LocalSparkEngine contract. */
+  private val MaxTerminalRuns = 512
+  private def evictTerminal(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val terminal = runs.asScala.toSeq.filter(_._2.status != "running")
+    if (terminal.size > MaxTerminalRuns)
+      terminal.sortBy(_._2.end.map(_.getTime).getOrElse(0L))
+        .take(terminal.size - MaxTerminalRuns)
+        .foreach { case (id, _) => runs.remove(id); () }
+  }
+
+  def abort(execUuid: String): Unit = resolveIds(execUuid).foreach { id =>
     // same atomic transition on the abort side; the kill happens outside
     // the map lock (destroyForcibly is idempotent on an exited process)
     var toKill: Option[Process] = None
-    runs.computeIfPresent(execUuid, (_, st) =>
+    runs.computeIfPresent(id, (_, st) =>
       if (st.status == "running") {
         toKill = st.proc
         st.copy(status = "aborted",
           end = Some(new Timestamp(System.currentTimeMillis())), proc = None)
       } else st)
     toKill.foreach(_.destroyForcibly())
+    evictTerminal()
   }
 
   override def wasAborted(execUuid: String): Boolean =
-    Option(runs.get(execUuid)).exists(_.status == "aborted")
+    resolveIds(execUuid).exists(id => Option(runs.get(id)).exists(_.status == "aborted"))
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
@@ -113,7 +135,7 @@ final class ProcessEngine extends EngineBackend {
   }
 
   def logs(execUuid: String, maxKb: Int = 10): String = {
-    val full = Option(runs.get(execUuid))
+    val full = resolveIds(execUuid).headOption.flatMap(id => Option(runs.get(id)))
       .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
     val cap = maxKb * 1024
     if (full.length <= cap) full else full.substring(full.length - cap)

@@ -77,14 +77,22 @@ object StateMachine {
     * objId is derived deterministically from the triggering event so
     * replays converge (deviation from Mongo ObjectId, §1.3).
     */
-  def applyDepSatisfied(state: PipelineState, meta: Meta, ev: DepSatisfied): PipelineState = {
+  /** `key` = the pipeline this state belongs to — part of the minted
+    * obj_id (r10 review: an id from the event alone collides when ONE
+    * success event fans out to several 'all'-children: each child's
+    * fresh WaitRow got the same `inc-<eventId>` id, and the GLOBALLY
+    * obj_id-keyed point ops (delete/update incubation) then hit every
+    * sibling's dep-wait state at once). Defaulted for the single-
+    * pipeline unit specs. */
+  def applyDepSatisfied(state: PipelineState, meta: Meta, ev: DepSatisfied,
+      key: String = "p"): PipelineState = {
     val hasWaitingForDep = state.rows.exists(r =>
       r.reason == "dependencies" && r.triggers.get(ev.dep).contains(WaitRow.Waiting))
     val withRow =
       if (hasWaitingForDep) state
       else {
         val fresh = WaitRow(
-          objId = f"inc-${ev.eventId}%012d",
+          objId = f"inc-${ev.eventId}%012d-$key",
           createTime = ev.eventTime,
           createdByUuid = Some(ev.execUuid),
           retryCount = 0,
@@ -142,8 +150,9 @@ object StateMachine {
     * cull once at `now` — the batch-step formulation shared with the
     * streaming operator's per-trigger processing. */
   def stepKey(state: PipelineState, meta: Meta, events: Seq[DepSatisfied], now: Timestamp,
-              debounceSeconds: Long, ageOutSeconds: Long): (PipelineState, List[Release], List[String]) = {
-    val afterEvents = events.sortBy(_.eventId).foldLeft(state)((s, e) => applyDepSatisfied(s, meta, e))
+              debounceSeconds: Long, ageOutSeconds: Long,
+              key: String = "p"): (PipelineState, List[Release], List[String]) = {
+    val afterEvents = events.sortBy(_.eventId).foldLeft(state)((s, e) => applyDepSatisfied(s, meta, e, key))
     cull(afterEvents, now, debounceSeconds, ageOutSeconds)
   }
 

@@ -92,7 +92,7 @@ object IncubationStream {
       // downstream dedup could reconcile, and could flip debounce/
       // age-out verdicts between attempts.
       val nowTs = fixedNow.getOrElse(new Timestamp(state.getCurrentProcessingTimeMs()))
-      val (st1, releases, _) = stepKey(st0, meta, evs, nowTs, debounceSeconds, ageOutSeconds)
+      val (st1, releases, _) = stepKey(st0, meta, evs, nowTs, debounceSeconds, ageOutSeconds, key)
       if (st1.rows.isEmpty) state.remove()
       else {
         state.update(st1)
@@ -130,7 +130,7 @@ object IncubationStream {
       .flatMapGroups { (key, it) =>
         val meta = bMetas.value.getOrElse(key, Meta(None, Nil, 0, concurrency = false))
         val evs = it.map(d => DepSatisfied(d.dep, d.exec_uuid, d.event_id, d.event_time)).toSeq
-        val (_, releases, _) = stepKey(StateMachine.emptyState, meta, evs, now, debounceSeconds, ageOutSeconds)
+        val (_, releases, _) = stepKey(StateMachine.emptyState, meta, evs, now, debounceSeconds, ageOutSeconds, key)
         releases.iterator.map { r =>
           Submission(key, s"exec-$key-rel-${r.objId}-${now.getTime}", r.sources, r.retryCount)
         }

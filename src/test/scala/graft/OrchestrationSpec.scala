@@ -390,6 +390,37 @@ class OrchestrationSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("abort/logs accept the engine_tracking_id the jobs endpoint reports (r10 review)") {
+    // the HTTP routes instruct clients to pass engine_tracking_id; the
+    // backends keyed ONLY on exec_uuid, so following the API's own
+    // contract aborted nothing (200) and returned empty logs
+    val engine = new ProcessEngine
+    engine.submit(Submission("adhoc-task-00", "exec-track-1", Map.empty, 2),
+      EngineJob.Command(Seq("/bin/sh", "-c", "sleep 30")))
+    Thread.sleep(200)
+    val job = engine.jobs(spark).collect().find(_.exec_uuid == "exec-track-1").get
+    assert(job.engine_tracking_id == "exec-track-1-adhoc-task-00-2")
+    engine.abort(job.engine_tracking_id) // by TRACKING id, not exec_uuid
+    val d = System.currentTimeMillis() + 30000
+    def st() = engine.jobs(spark).collect().find(_.exec_uuid == "exec-track-1").get.engine_status
+    while (System.currentTimeMillis() < d && st() == "running") Thread.sleep(50)
+    assert(st() == "aborted", "abort by tracking id must reach the run")
+    assert(engine.wasAborted(job.engine_tracking_id), "wasAborted resolves tracking ids too")
+
+    val local = new LocalSparkEngine(spark)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    local.submit(Submission("p", "exec-track-2", Map.empty, 0),
+      EngineJob.SparkClosure { _ => gate.await(); () })
+    Thread.sleep(200)
+    val ljob = local.jobs(spark).collect().find(_.exec_uuid == "exec-track-2").get
+    assert(ljob.engine_tracking_id == "exec-p-0")
+    local.abort(ljob.engine_tracking_id)
+    assert(local.wasAborted("exec-track-2"), "abort by tracking id must stamp the run")
+    gate.countDown()
+    assert(local.logs(ljob.engine_tracking_id) == local.logs("exec-track-2"),
+      "logs by tracking id must read the same buffer")
+  }
+
   test("process engine: terminal statuses are never overwritten (ADVICE r3 race)") {
     val engine = new ProcessEngine
     // completion-then-abort: abort on an already-terminal run is a no-op

@@ -40,7 +40,7 @@ class StateMachineSpec extends AnyFunSuite {
     val (st2, releases, dropped) = cull(st, now, 300, 86400)
     assert(st2.rows.isEmpty && dropped.isEmpty)
     assert(releases == List(Release("dependencies", Some("exec-1"), 0,
-      Map("dep-a" -> "exec-1", "dep-b" -> "exec-2"), "inc-000000000001")))
+      Map("dep-a" -> "exec-1", "dep-b" -> "exec-2"), "inc-000000000001-p")))
   }
 
   test("oldest-first: a second event for the same dep opens a second row") {
