@@ -17,8 +17,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * injected for testability. Verifies compact-serialization JWS
   * (`header.payload.signature`, base64url), supports HS256
   * (shared-secret HMAC) and RS256 (RSA PKCS#1 v1.5 / SHA-256 — the alg
-  * Okta issues), enforces `exp`/`nbf`, and surfaces the `groups` claim
-  * the role gate consumes.
+  * Okta issues), enforces `exp` (REQUIRED — a token without a numeric
+  * exp rejects, it does not live forever) and `nbf` (optional, but
+  * malformed rejects), pins `iss`/`aud` when configured (the
+  * reference's Okta verifier checks both), and surfaces the `groups`
+  * claim the role gate consumes.
   *
   * Every failure mode — malformed token, unknown `kid`, alg/key
   * mismatch (incl. the classic alg-substitution attack: an HS256 token
@@ -30,7 +33,9 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * identity, executed driver-side per API call.
   */
 final class JwtVerifier(keys: Map[String, JwtVerifier.Key],
-                        nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L)
+                        nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L,
+                        expectedIssuer: Option[String] = None,
+                        expectedAudience: Option[String] = None)
     extends Auth.TokenVerifier {
   import JwtVerifier._
 
@@ -60,8 +65,33 @@ final class JwtVerifier(keys: Map[String, JwtVerifier.Key],
       if (!ok) return None
       val claims = mapper.readTree(b64(parts(1)))
       val now = nowEpochSeconds()
-      if (num(claims, "exp").exists(_ <= now)) return None
+      // exp is REQUIRED and must be numeric (r10 review: `exists` let a
+      // token with a missing or string-typed exp — the classic issuer
+      // misconfig — validate FOREVER; a leaked token became permanently
+      // valid). nbf stays optional per RFC 7519, but a present
+      // non-numeric nbf is malformed and rejects.
+      num(claims, "exp") match {
+        case Some(exp) if exp > now => ()
+        case _ => return None
+      }
+      if (Option(claims.get("nbf")).exists(n => !n.isNumber)) return None
       if (num(claims, "nbf").exists(_ > now)) return None
+      // issuer/audience pinning when configured (r10 review: the
+      // reference's Okta AccessTokenVerifier checks both — without
+      // them, any token signed by a shared org key for an UNRELATED
+      // service passes the role gate here). `aud` may be a string or
+      // an array per RFC 7519.
+      expectedIssuer.foreach { iss =>
+        if (!text(claims, "iss").contains(iss)) return None
+      }
+      expectedAudience.foreach { aud =>
+        val auds = Option(claims.get("aud")).toSeq.flatMap { n =>
+          if (n.isTextual) Seq(n.asText)
+          else if (n.isArray) (0 until n.size).map(n.get(_).asText)
+          else Seq.empty
+        }
+        if (!auds.contains(aud)) return None
+      }
       Some(strings(claims, "groups"))
     } catch { case _: Exception => None } // malformed base64/JSON/keys
 }

@@ -49,8 +49,20 @@ object GraftFunctions {
       (es: Seq[Expression]) => TokenHashesExpr(es(0))),
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(text, w) - sorted distinct hashes of word w-shingles"),
-      (es: Seq[Expression]) => ShingleHashesExpr(es(0),
-        es(1).eval().asInstanceOf[Int])),
+      (es: Seq[Expression]) => {
+        // named analysis-time errors instead of opaque eval/cast
+        // exceptions (r10 review: a column w threw
+        // UnsupportedOperationException, a BIGINT literal a CCE, a
+        // missing arg an IndexOutOfBounds)
+        require(es.length == 2, "shingle_hashes(text, w): expected 2 arguments")
+        require(es(1).foldable, "shingle_hashes: w must be an integer literal")
+        val w = es(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: w must be an integer literal, got $other")
+        }
+        ShingleHashesExpr(es(0), w)
+      }),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingle_hashes) - 64-element MinHash signature (engine hash family)"),
       (es: Seq[Expression]) => MinHashSigExpr(es(0),

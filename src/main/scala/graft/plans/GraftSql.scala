@@ -40,7 +40,16 @@ object GraftSql {
     require(es.length > i, s"$fn: missing argument ${i + 1}")
     val e = es(i)
     require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
-    String.valueOf(e.eval())
+    e.dataType match {
+      // a TIMESTAMP literal evaluates to INTERNAL micros; stringifying
+      // that raw Long ("1704067200000000") made the downstream
+      // cast("timestamp") yield NULL and the cutoff filter drop every
+      // row silently (r10 review) — render it as a proper timestamp
+      case org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(e.eval().asInstanceOf[Long]).toString
+      case _ => String.valueOf(e.eval())
+    }
   }
 
   private def argInt(es: Seq[Expression], i: Int, fn: String, default: Int): Int =

@@ -88,8 +88,13 @@ object Tables {
       case _ => ""
     }
     val msg = String.valueOf(e.getMessage)
-    condition.toUpperCase.contains("PARQUET_TYPE") || // ILLEGAL_PARQUET_TYPE / UNSUPPORTED_PARQUET_TYPE
-    msg.contains("TIMESTAMP(NANOS") ||
-    msg.toLowerCase.contains("illegal parquet type")
+    // the condition alone is NOT enough (r10 review: any other illegal
+    // parquet type raises the same *_PARQUET_TYPE condition, and the
+    // catch then set the session-global nanosAsLong flag as a side
+    // effect of an unrelated failure — the exact leak the r7 fix
+    // removed). The message must actually name the NANOS encoding.
+    (condition.toUpperCase.contains("PARQUET_TYPE") ||
+      msg.toLowerCase.contains("illegal parquet type")) &&
+    msg.toUpperCase.contains("NANOS")
   }
 }

@@ -46,10 +46,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object HttpMQ {
   val schema: StructType = SpoolMQ.schema // Kafka schema, shared
 
-  private lazy val client = HttpClient.newHttpClient()
+  // TIMEOUTS (r10 review: a broker that accepts the TCP connection but
+  // never responds — GC pause, half-open connection after a partition —
+  // blocked the driver's trigger thread FOREVER inside latestOffset,
+  // freezing the stream with no error and no retry). A timed-out poll
+  // throws, the trigger fails loudly, the next one retries.
+  private val RequestTimeout = java.time.Duration.ofSeconds(30)
+  private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   private def get(url: String): String = {
-    val res = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+    val res = client.send(
+      HttpRequest.newBuilder(URI.create(url)).timeout(RequestTimeout).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     require(res.statusCode() == 200, s"mq endpoint $url returned ${res.statusCode()}")
     res.body()
@@ -57,11 +65,20 @@ object HttpMQ {
 
   def tail(endpoint: String): Long = get(s"$endpoint?tail").trim.toLong
 
-  /** One (offset, epochMillis, body) per non-empty line. */
+  /** One (offset, epochMillis, body) per non-empty line. CRLF-tolerant
+    * (r10 review: a bridge emitting \r\n left \r on the base64 field —
+    * every task failed on decode though the payloads were fine), and a
+    * short line fails with a NAMED error instead of a MatchError. */
   def fetch(endpoint: String, from: Long, to: Long): Seq[(Long, Long, Array[Byte])] =
-    get(s"$endpoint?from=$from&to=$to").split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val Array(off, ts, b64) = line.split("\t", 3)
-      (off.toLong, ts.toLong, java.util.Base64.getDecoder.decode(b64))
+    get(s"$endpoint?from=$from&to=$to").split("\r?\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", 3) match {
+        case Array(off, ts, b64) =>
+          (off.toLong, ts.toLong, java.util.Base64.getDecoder.decode(b64))
+        case other =>
+          throw new IllegalArgumentException(
+            s"mq line has ${other.length} fields, expected offset\\tts\\tbase64: " +
+              line.take(80))
+      }
     }
 }
 
@@ -72,11 +89,13 @@ class HttpMQProvider extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val endpoint = Option(properties.get("endpoint")).getOrElse(
       throw new IllegalArgumentException("http-mq requires .option(\"endpoint\", url)"))
-    new HttpMQTable(endpoint)
+    val cap = Option(properties.get("maxPerTrigger")).map(_.toLong).getOrElse(100000L)
+    new HttpMQTable(endpoint, cap)
   }
 }
 
-final class HttpMQTable(endpoint: String) extends Table with SupportsRead {
+final class HttpMQTable(endpoint: String, maxPerTrigger: Long = 100000L)
+    extends Table with SupportsRead {
   override def name(): String = s"http-mq:$endpoint"
   override def schema(): StructType = HttpMQ.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -86,14 +105,46 @@ final class HttpMQTable(endpoint: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = HttpMQ.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new HttpMQStream(endpoint)
+          new HttpMQStream(endpoint, maxPerTrigger)
       }
     }
 }
 
-final class HttpMQStream(endpoint: String) extends MicroBatchStream {
+/** Backlog admission cap — the [[SpoolMQStream]] contract. */
+final class HttpMQStream(endpoint: String, maxPerTrigger: Long = 100000L)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+  // NATIVE Trigger.AvailableNow support: Spark's fallback wrapper for
+  // non-native sources IGNORES read limits (its latestOffset returns
+  // the prepared target verbatim), so the cap only holds if the source
+  // prepares its own drain target and bounds each batch itself.
+  private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(tailNow())
   override def initialOffset(): Offset = SpoolOffset(0L)
-  override def latestOffset(): Offset = SpoolOffset(HttpMQ.tail(endpoint))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+  /** True tail for Trigger.AvailableNow's drain target (see SpoolMQ). */
+  override def reportLatestOffset(): Offset = SpoolOffset(HttpMQ.tail(endpoint))
+  private def tailNow(): Long = HttpMQ.tail(endpoint)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tail = availableTarget.fold(tailNow())(t => math.min(tailNow(), t))
+    val a = start.asInstanceOf[SpoolOffset].n
+    // ReadAllAvailable is UNCAPPED — Trigger.AvailableNow's wrapper
+    // fixes its drain target by calling this with allAvailable();
+    // treating it as the default cap froze the whole drain at one
+    // batch's worth. Saturating arithmetic: a + maxRows may overflow.
+    val end = limit match {
+      case r: ReadMaxRows => if (tail - a <= r.maxRows()) tail else a + r.maxRows()
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => tail
+      case _ => if (tail - a <= maxPerTrigger) tail else a + maxPerTrigger
+    }
+    SpoolOffset(end)
+  }
   override def deserializeOffset(json: String): Offset = SpoolOffset(json.toLong)
   override def commit(end: Offset): Unit = () // non-destructive ack, see class doc
   override def stop(): Unit = ()

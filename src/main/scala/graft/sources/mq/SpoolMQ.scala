@@ -49,12 +49,27 @@ object SpoolMQ {
     StructField("timestampType", IntegerType)))
 
   /** Stable message order: filename sort (producers write
-    * monotonically-named files — ULIDs, sequence numbers, ...). */
+    * monotonically-named files — ULIDs, sequence numbers, ...).
+    *
+    * A directory that EXISTS but fails to list (transient I/O error,
+    * NFS blip — `listFiles` returns null for both) FAILS LOUDLY
+    * instead of reading as an empty queue (r10 review: the empty-queue
+    * reading rewound latestOffset to 0, and when the mount recovered
+    * the whole spool replayed — duplicate redelivery after a blip that
+    * should simply have failed the trigger). A NOT-YET-CREATED spool
+    * dir is still an empty queue (the pre-producer grace). */
   def listMessages(dir: String): Array[File] = {
     val d = new File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
+    Option(d.listFiles()) match {
+      case Some(fs) =>
+        fs.filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .sortBy(_.getName)
+      case None if !d.exists() => Array.empty
+      case None =>
+        throw new java.io.IOException(
+          s"spool dir $dir exists but cannot be listed - failing the trigger " +
+            "rather than reading it as an empty queue (offset rewind)")
+    }
   }
 }
 
@@ -74,16 +89,18 @@ final class SpoolMQTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = SpoolMQ.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cap = Option(options.get("maxPerTrigger")).map(_.toLong).getOrElse(100000L)
     new ScanBuilder {
-      override def build(): Scan = new SpoolMQScan(path)
+      override def build(): Scan = new SpoolMQScan(path, cap)
     }
+  }
 }
 
-final class SpoolMQScan(path: String) extends Scan {
+final class SpoolMQScan(path: String, maxPerTrigger: Long = 100000L) extends Scan {
   override def readSchema(): StructType = SpoolMQ.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SpoolMQStream(path)
+    new SpoolMQStream(path, maxPerTrigger)
   /** Batch mode reads the whole spool — handy for backfills/tests. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -119,9 +136,51 @@ object SpoolMQStream {
 final case class SpoolMQPartition(topic: String, msgs: Array[(String, Long, Long)])
     extends InputPartition
 
-final class SpoolMQStream(path: String) extends MicroBatchStream {
+/** `maxPerTrigger` caps how much of a BACKLOG one micro-batch admits
+  * (r10 review: a plain MicroBatchStream silently ignores
+  * maxOffsetsPerTrigger-style limits, so the first trigger after a
+  * weekend outage read the ENTIRE spool in one batch — no incremental
+  * checkpointing, executor-OOM-sized partitions). Spark drives the cap
+  * through SupportsAdmissionControl; the checkpointed end offset
+  * advances by at most the cap per trigger and the rest of the backlog
+  * drains over subsequent batches. */
+final class SpoolMQStream(path: String, maxPerTrigger: Long = 100000L)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+  // NATIVE Trigger.AvailableNow support: Spark's fallback wrapper for
+  // non-native sources IGNORES read limits (its latestOffset returns
+  // the prepared target verbatim), so the cap only holds if the source
+  // prepares its own drain target and bounds each batch itself.
+  private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(tailNow())
   override def initialOffset(): Offset = SpoolOffset(0L)
-  override def latestOffset(): Offset = SpoolOffset(SpoolMQ.listMessages(path).length.toLong)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
+  /** The TRUE tail, uncapped — Trigger.AvailableNow's wrapper captures
+    * this as the drain target, then the capped latestOffset below
+    * advances toward it batch by batch. */
+  override def reportLatestOffset(): Offset =
+    SpoolOffset(SpoolMQ.listMessages(path).length.toLong)
+  private def tailNow(): Long = SpoolMQ.listMessages(path).length.toLong
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val tail = availableTarget.fold(tailNow())(t => math.min(tailNow(), t))
+    val a = start.asInstanceOf[SpoolOffset].n
+    // ReadAllAvailable is UNCAPPED — Trigger.AvailableNow's wrapper
+    // fixes its drain target by calling this with allAvailable();
+    // treating it as the default cap froze the whole drain at one
+    // batch's worth. Saturating arithmetic: a + maxRows may overflow.
+    val end = limit match {
+      case r: ReadMaxRows => if (tail - a <= r.maxRows()) tail else a + r.maxRows()
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => tail
+      case _ => if (tail - a <= maxPerTrigger) tail else a + maxPerTrigger
+    }
+    SpoolOffset(end)
+  }
   override def deserializeOffset(json: String): Offset = SpoolOffset(json.toLong)
   /** Non-destructive ack — see class doc. */
   override def commit(end: Offset): Unit = ()

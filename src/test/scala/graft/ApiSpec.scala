@@ -310,8 +310,32 @@ class ApiSpec extends AnyFunSuite {
       .contains(Seq("Data-Engineers")))
     assert(verifier.groups(rs256(rsHdr, claims("\"Data-Analyst\",\"Extra\"")))
       .contains(Seq("Data-Analyst", "Extra")))
-    // no exp claim = non-expiring token; absent groups = valid, no roles
-    assert(verifier.groups(hs256(hsHdr, """{"sub":"u1"}""")).contains(Seq.empty))
+    // exp is REQUIRED (r10 review: `exists` semantics let a token with
+    // a missing or string-typed exp validate FOREVER); absent groups on
+    // an otherwise-valid token = valid, no roles
+    assert(verifier.groups(hs256(hsHdr, """{"sub":"u1"}""")).isEmpty)
+    assert(verifier.groups(hs256(hsHdr, s"""{"sub":"u1","exp":"${now + 3600}"}""")).isEmpty,
+      "a string-typed exp is malformed, not immortal")
+    assert(verifier.groups(hs256(hsHdr, s"""{"sub":"u1","exp":${now + 3600}}"""))
+      .contains(Seq.empty))
+    // iss/aud pinning when configured (the reference's Okta verifier
+    // checks both; aud may be a string or an array)
+    lazy val pinned = new JwtVerifier(
+      Map("hk" -> JwtVerifier.HmacKey(secret)), () => now,
+      expectedIssuer = Some("https://issuer.example"),
+      expectedAudience = Some("graft-api"))
+    def c(iss: String, aud: String) =
+      s"""{"exp":${now + 3600},"iss":$iss,"aud":$aud,"groups":["Data-Engineers"]}"""
+    assert(pinned.groups(hs256(hsHdr, c("\"https://issuer.example\"", "\"graft-api\"")))
+      .contains(Seq("Data-Engineers")))
+    assert(pinned.groups(hs256(hsHdr, c("\"https://issuer.example\"",
+      "[\"other\",\"graft-api\"]"))).contains(Seq("Data-Engineers")),
+      "array aud containing the expected audience must pass")
+    assert(pinned.groups(hs256(hsHdr, c("\"https://evil.example\"", "\"graft-api\""))).isEmpty)
+    assert(pinned.groups(hs256(hsHdr, c("\"https://issuer.example\"", "\"other-app\""))).isEmpty)
+    assert(pinned.groups(hs256(hsHdr,
+      s"""{"exp":${now + 3600},"groups":["Data-Engineers"]}""")).isEmpty,
+      "missing iss/aud must reject when pinning is configured")
     // expired / not-yet-valid / garbage / truncated
     assert(verifier.groups(hs256(hsHdr, claims("\"Data-Engineers\"", exp = now - 1))).isEmpty)
     assert(verifier.groups(

@@ -194,4 +194,26 @@ class GraftStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")))
   }
+
+  test("spool-mq admission control: a backlog drains in maxPerTrigger-sized batches (r10 review)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spool = SparkSuite.tempDir("gs-mq-cap")
+    (0 until 25).foreach { i =>
+      Files.writeString(java.nio.file.Path.of(spool, f"m$i%03d.txt"), s"msg-$i")
+    }
+    // 25 backlogged messages, cap 10: the old plain MicroBatchStream
+    // admitted all 25 in one batch regardless of any limit; with
+    // SupportsAdmissionControl the checkpointed end offset advances by
+    // <= 10 per trigger and AvailableNow drains the rest incrementally
+    val q = spark.readStream.format("spool-mq").option("maxPerTrigger", "10").load(spool)
+      .writeStream.format("memory").queryName("mq_cap")
+      .option("checkpointLocation", SparkSuite.tempDir("gs-mq-cap-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "capped drain did not finish")
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    q.stop()
+    assert(spark.table("mq_cap").count() == 25, "every backlogged message must arrive")
+    assert(batches.forall(_ <= 10), s"a batch exceeded the cap: $batches")
+    assert(batches.length >= 3, s"expected >= 3 capped batches, got $batches")
+  }
 }
