@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as bare JSON; sbt's default LoggedOutput decorates every forked line
+// with an "[info] " prefix, which broke that parse three rounds running
+// (BENCH_r{08,09,10}.json all "parsed": null). StdoutOutput hands the
+// forked JVM the real stdout/stderr, so the summary line arrives bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -154,11 +154,18 @@ final class GraftApi(
   /** The synthesized manual-run origination — one definition so the
     * HTTP facade can log the SAME event it dispatches (manual runs
     * used to bypass the history log, r7 review). */
-  def manualOrigination(uuid: String, now: Timestamp): LifecycleEvent =
+  def manualOrigination(uuid: String, now: Timestamp): LifecycleEvent = {
     // negative id: engine-minted, the reserved half-space (see
-    // Cron.tick's sub-range note; r10 review)
-    LifecycleEvent(-now.getTime, "job_exec_update", "origination", uuid,
+    // Cron.tick's sub-range note; r10 review). Strictly-decreasing
+    // per-process floor: two manual runs of DIFFERENT pipelines in the
+    // same millisecond would otherwise alias in the durable event log —
+    // the uniqueness contract the ingress negative-id guard defends for
+    // external producers (r10 advice). Magnitude stays ~epochMs (~1e12),
+    // so the documented id-space map is unchanged.
+    val id = GraftApi.manualIdFloor.updateAndGet(prev => math.min(-now.getTime, prev - 1))
+    LifecycleEvent(id, "job_exec_update", "origination", uuid,
       s"manual-$uuid-${now.getTime}", now, now, 0, disable_downstream = false)
+  }
 
   def runByPipelineUuid(uuid: String, now: Timestamp,
                         running: Dataset[RunningJob],
@@ -231,4 +238,12 @@ final class GraftApi(
   /** GET /sys/config (`facade.py:124-126`) — the config as a dict. */
   def sysConfig: Map[String, String] =
     cfg.productElementNames.zip(cfg.productIterator.map(String.valueOf)).toMap
+}
+
+object GraftApi {
+  /** Floor for minted manual-run event ids: updateAndGet keeps ids
+    * strictly decreasing even when several manual runs land in one
+    * millisecond (r10 advice — same-ms runs of different pipelines
+    * aliased on -epochMs alone). */
+  private[api] val manualIdFloor = new java.util.concurrent.atomic.AtomicLong(0L)
 }

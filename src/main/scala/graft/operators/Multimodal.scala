@@ -1652,27 +1652,28 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
     // the SHARED quality predicate ([[TextOps.qualityKeep]], the same
-    // column algebra qualityFilter registers) over a scan PRE-FILTERED
-    // to image docs — running the registered query over the whole
-    // documents table and joining down to a third of it afterward
-    // would triple the text-gate work at 100 TB
-    val textKeep = Tables.documents(spark, dir)
+    // column algebra qualityFilter registers) over ONE scan PRE-FILTERED
+    // to image docs, selecting (doc_id, lang, text_keep) together —
+    // running the registered query over the whole documents table and
+    // joining down to a third of it afterward would triple the
+    // text-gate work at 100 TB, and a second scan just for `lang` (the
+    // r10 shape) wastes a full-table read at that scale (r10 wrong #3;
+    // single-scan pinned by PlanShapeSpec)
+    val docSide = Tables.documents(spark, dir)
       .where(col("doc_id") % 3 === 0)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         when(TextOps.qualityKeep(col("text"), col("n_chars")), 1).otherwise(0).as("text_keep"))
     val dropped = phashClusterLabels(spark, dir)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1).as("is_dropped"))
     val feats = pixelFeats(dupMedia(spark, dir)).toDF()
-    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
     val stage = when(col("text_keep") === 0, "text")
       .when(col("is_dropped").isNotNull, "dup")
       .when(!cmKeep, "crossmodal")
       .otherwise("kept")
     feats.join(quantEmb(spark, dir), "doc_id")
-      .join(textKeep, "doc_id")
+      .join(docSide, "doc_id")
       .join(dropped, Seq("doc_id"), "left")
-      .join(langs, "doc_id")
       .select(col("lang"), col("label"), stage.as("stage"))
       .groupBy("lang", "label")
       .agg(count(lit(1)).as("n_total"),

@@ -130,9 +130,12 @@ object Cron {
           // the space the ingress contract reserves for EXTERNAL
           // producers, so a producer reusing such an id — epoch-ish
           // schemes are natural — was silently dedup-dropped as a
-          // replay). Sub-ranges stay disjoint by magnitude: callbacks
-          // count down from −1, manual runs sit at −epochMs (~1e12),
-          // cron at −(minute·1e6 + i) (~3e13).
+          // replay). Sub-ranges stay disjoint by magnitude: engine
+          // callbacks occupy ~−1e18 (GraftService.callbackIds seeds at
+          // −epochNanos and counts DOWN from there), manual runs sit
+          // at −epochMs (~1e12, strictly decreasing per-process), cron
+          // at −(minute·1e6 + i) (~3e13). (r10 advice: this note used
+          // to claim callbacks count down from −1.)
           event_id = -(now.getTime / 60000L * 1000000L + i),
           event_type = "job_exec_update",
           event_subtype = "origination",

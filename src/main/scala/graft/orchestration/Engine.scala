@@ -176,8 +176,13 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
   }
 
   def logs(execUuid: String, maxKb: Int = 10): String = {
-    val full = resolveIds(execUuid).headOption
-      .flatMap(id => Option(runs.get(id)))
+    // tracking ids (exec-<pipeline>-<retry>) are not unique across
+    // concurrent runs: prefer the LIVE run, then the newest start —
+    // headOption of the id-sorted matches could serve an arbitrary
+    // terminal run's logs while abort() fans out to all (r10 advice)
+    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
+      .sortBy(st => (if (st.status == "running") 0 else 1, -st.start.getTime))
+      .headOption
       .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
     val cap = maxKb * 1024
     if (full.length <= cap) full else full.substring(full.length - cap)

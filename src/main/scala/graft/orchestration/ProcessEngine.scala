@@ -135,7 +135,12 @@ final class ProcessEngine extends EngineBackend {
   }
 
   def logs(execUuid: String, maxKb: Int = 10): String = {
-    val full = resolveIds(execUuid).headOption.flatMap(id => Option(runs.get(id)))
+    // prefer the live run, then newest start, when a non-unique
+    // tracking id matches several runs (the LocalSparkEngine contract;
+    // r10 advice)
+    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
+      .sortBy(st => (if (st.status == "running") 0 else 1, -st.start.getTime))
+      .headOption
       .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
     val cap = maxKb * 1024
     if (full.length <= cap) full else full.substring(full.length - cap)

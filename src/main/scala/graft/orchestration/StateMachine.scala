@@ -83,7 +83,17 @@ object StateMachine {
     * fresh WaitRow got the same `inc-<eventId>` id, and the GLOBALLY
     * obj_id-keyed point ops (delete/update incubation) then hit every
     * sibling's dep-wait state at once). Defaulted for the single-
-    * pipeline unit specs. */
+    * pipeline unit specs.
+    *
+    * STATE-FORMAT BREAK (r10 advice): the r10 change from
+    * `inc-<eventId>` to `inc-<eventId>-<key>` (also Dispatcher's
+    * concurrency rows) is not readable-compatible with incubation
+    * state persisted by earlier builds — replaying over old-format
+    * rows mints fresh non-matching ids (duplicate WaitRows; point
+    * delete/update by the old id misses). Persisted incubation state
+    * MUST be flushed (D17 `/pipeline_incubation/flush`) when upgrading
+    * across r10; the rows are transient wait-state, so a flush loses
+    * only in-flight waits, which the next trigger event re-mints. */
   def applyDepSatisfied(state: PipelineState, meta: Meta, ev: DepSatisfied,
       key: String = "p"): PipelineState = {
     val hasWaitingForDep = state.rows.exists(r =>

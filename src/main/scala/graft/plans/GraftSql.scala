@@ -44,10 +44,19 @@ object GraftSql {
       // a TIMESTAMP literal evaluates to INTERNAL micros; stringifying
       // that raw Long ("1704067200000000") made the downstream
       // cast("timestamp") yield NULL and the cutoff filter drop every
-      // row silently (r10 review) — render it as a proper timestamp
+      // row silently (r10 review) — render it as a proper timestamp.
+      // Formatter pinned to spark.sql.session.timeZone, NOT the JVM
+      // default (java.sql.Timestamp.toString): the downstream cast
+      // parses in the session zone, so a JVM/session zone mismatch
+      // would silently shift the cutoff by the offset (r10 advice).
       case org.apache.spark.sql.types.TimestampType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaTimestamp(e.eval().asInstanceOf[Long]).toString
+        val micros = e.eval().asInstanceOf[Long]
+        val zone = java.time.ZoneId.of(
+          SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .withZone(zone)
+          .format(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
       case _ => String.valueOf(e.eval())
     }
   }

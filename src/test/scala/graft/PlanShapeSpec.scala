@@ -503,4 +503,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no nested-loop term:\n$p")
     assert(!p.contains(" Window"), s"funnel must not window the corpus:\n$p")
   }
+
+  test("ns_mm_multimodal_funnel: ONE documents scan — lang and text_keep ride the same read (r10 wrong #3)") {
+    // leaves of the EXECUTED plan: memoized frames (dupMedia, the CC
+    // labels) appear as InMemoryTableScan leaves, so every remaining
+    // FileSourceScan is a real per-run table read — documents must
+    // contribute exactly one (the pre-filtered (doc_id, lang,
+    // text_keep) projection), not one per verdict stage
+    val df = graft.operators.Multimodal.multimodalFunnel.run(spark, dir)
+    def docScans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        docScans(a.inputPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (s.relation.location.rootPaths.exists(_.toString.contains("documents"))) 1 else 0
+      case other => other.children.map(docScans).sum
+    }
+    val n = docScans(df.queryExecution.executedPlan)
+    assert(n == 1, s"expected exactly 1 documents file scan, got $n:\n${plan(df)}")
+  }
 }
