@@ -44,6 +44,18 @@ object IvfIngestProbe {
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = graft.sources.Tables.embeddings(spark, dir)
       val n = emb.count()
+      // COLD first, before anything else touches the ivfIndex memo:
+      // the first run pays the one-time cell assignment of the WHOLE
+      // index (at 100 TB that's the index writer's job, not the
+      // probe's); warm runs probe the materialized index, so
+      // per-ingest wall must track |batch|, not |index| (r10 verdict
+      // #1's "done" bar). sf0.01 → sf0.1 is the 10× index point.
+      val (rows, tCold) = time { VectorsIvf.ivfIncremental(spark, dir).count() }
+      val (_, tWarm) = time { VectorsIvf.ivfIncremental(spark, dir).count() }
+      val (_, tWarm2) = time { VectorsIvf.ivfIncremental(spark, dir).count() }
+      println(f"[ivf-ingest] $dir full incremental: new_rows=$rows%d " +
+        f"cold=$tCold%.2fs warm=${math.min(tWarm, tWarm2)}%.2fs " +
+        f"(cold pays the one-time index assignment; warm is the per-ingest cost)")
       for ((label, pred) <- Seq(
         "batch=10%" -> (col("vec_id") % 10 === 7),
         "batch=20%" -> (col("vec_id") % 10 === 7 || col("vec_id") % 10 === 3))) {
@@ -51,8 +63,14 @@ object IvfIngestProbe {
         println(f"[ivf-ingest] $dir $label corpus=$n%d candidates=$cands%d " +
           f"per_new=${cands.toDouble / (n / (if (label.endsWith("10%")) 10 else 5))}%.1f")
       }
-      val (rows, t) = time { VectorsIvf.ivfIncremental(spark, dir).count() }
-      println(f"[ivf-ingest] $dir full incremental: new_rows=$rows%d wall=$t%.2fs")
+      // FIXED batch at growing index: the same absolute 50-vector
+      //    slice (ids < 500, sf0.01's corpus size) probed at 1× and
+      //    10× index — candidates may grow with cell occupancy (exact
+      //    re-rank inside probed cells is IVF's contract) but there is
+      //    no index re-assignment term in the warm wall.
+      val fixedPred = col("vec_id") % 10 === 7 && col("vec_id") < 500
+      val (fc, tFixed) = time { VectorsIvf.candidates(spark, dir, fixedPred).count() }
+      println(f"[ivf-ingest] $dir fixed-batch(<500) warm probe: candidates=$fc%d wall=$tFixed%.2fs")
     }
     spark.stop()
   }

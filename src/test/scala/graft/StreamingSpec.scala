@@ -603,4 +603,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streaming scd2 diverged: +${(streamed diff batch).take(3)} -${(batch diff streamed).take(3)}")
   }
+
+  test("streaming IVF ingest: stream-static probe of the materialized index replays the batch attach rows") {
+    // the 100 TB embedding-store write path: NEW vectors arrive as a
+    // STREAM, score their probe cells (centroid literals — the model),
+    // and stream-static-join the MATERIALIZED cell-assigned index
+    // (VectorsIvf.ivfIndex, the r11 warm-index contract) — per new
+    // vector the candidate count and exact-re-ranked nearest neighbor
+    // must equal the batch ivfIncremental's verdicts (replay ≡ batch,
+    // the MediaCodecSpec band-join-replay convention on the ANN plane)
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sfDir
+    val ivf = graft.operators.VectorsIvf
+    val cents = ivf.centroids(spark, dir)
+    val isNew = expr("vec_id % 10 = 7")
+    val index = ivf.ivfIndex(spark, dir).where(!isNew)
+    val srcDir = SparkSuite.tempDir("ivf-ingest-src")
+    graft.sources.Tables.embeddings(spark, dir).where(isNew)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT").parquet(srcDir)
+    val probed = stream.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(ivf.probeCells(col("embedding"), cents, ivf.NumProbes)).as("cell"))
+    // stream-static equi-join on cell; top-1 via max(struct) — window
+    // functions don't stream, but (sim_r DESC, neighbor_id ASC) is
+    // exactly max over (sim_r, -neighbor_id)
+    val streamedQ = probed.join(index, Seq("cell"))
+      .select(col("query_id"),
+        graft.functions.dround(
+          graft.operators.Vectors.dot(col("q_emb"), col("embedding")), 4).as("sim_r"),
+        col("vec_id").as("neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand"),
+        max(struct(col("sim_r").as("s"), (-col("neighbor_id")).as("negid"))).as("m"))
+      .select(col("query_id"), col("n_cand"),
+        (-col("m.negid")).as("nearest_id"), col("m.s").as("sim_r"))
+    val q = streamedQ.writeStream.format("memory").queryName("ivf_ingest")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming IVF ingest did not finish")
+    q.stop()
+    val got = spark.table("ivf_ingest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = ivf.ivfIncremental(spark, dir).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(want.nonEmpty && got == want,
+      s"stream attach rows != batch: got $got want $want")
+  }
 }
