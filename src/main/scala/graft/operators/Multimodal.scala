@@ -1417,10 +1417,18 @@ object Multimodal {
                     UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a ORDER BY doc_id""") { (spark, dir) =>
-    Dedup.connectedComponents(
-      videoDupPairs(spark, dir).select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
-      .orderBy("doc_id")
+    videoClusterLabels(spark, dir).orderBy("doc_id")
   }
+
+  /** The converged temporal (doc_id, cluster_id) label frame, memoized
+    * like [[phashClusterLabels]] — [[videoClusters]] reports it and
+    * [[videoFunnel]] consumes it; the CC fixpoint runs once per
+    * (session, dir). */
+  private def videoClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_video_cluster_labels") {
+      Dedup.connectedComponents(
+        videoDupPairs(spark, dir).select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    }
 
   /** INCREMENTAL acoustic dedup — the [[phashIncremental]] contract on
     * the AUDIO plane, completing the per-modality ingest-path symmetry
@@ -1477,18 +1485,7 @@ object Multimodal {
            COALESCE(d.n_dups, 0) = 0 AS keep
     FROM ph LEFT JOIN dups d ON d.new_id = ph.doc_id
     WHERE ph.is_new ORDER BY ph.doc_id""") { (spark, dir) =>
-    import spark.implicits._
-    val fp = dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
-      .map { row =>
-        val info = MediaCodec.wavInfo(row.payload)
-          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
-        val all = MediaCodec.wavSamples(row.payload)
-          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
-        val ch = info.channels
-        val sArr = Array.tabulate(info.nFrames)(f => all(f * ch).toInt)
-        val (hi, lo) = audioFingerprint(sArr)
-        (row.doc_id, hi, lo)
-      }.toDF("doc_id", "hi", "lo")
+    val fp = audioFingerprints(spark, dir)
       .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
     val banded = fp.select(col("doc_id"), col("is_new"), col("hi"), col("lo"),
       posexplode(array(
@@ -1765,6 +1762,32 @@ object Multimodal {
         }.toDF()
     }
 
+  /** Channel-0 fingerprints of the [[dupAudio]] corpus — ONE decode
+    * map shared by [[audioDups]], [[audioIncremental]] and the
+    * cluster/funnel consumers (was duplicated inline in both, r11). */
+  private def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val all = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        val ch = info.channels
+        val s = Array.tabulate(info.nFrames)(f => all(f * ch).toInt)
+        val (hi, lo) = audioFingerprint(s)
+        (row.doc_id, hi, lo)
+      }.toDF("doc_id", "hi", "lo")
+  }
+
+  /** The thresholded acoustic dup-pair frame, memoized because the CC
+    * consumer re-reads it per fixpoint round (the [[videoDupPairs]]
+    * convention on the audio plane). */
+  private def audioDupPairsFrame(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_audio_dup_pairs") {
+      bandedHammingPairs(audioFingerprints(spark, dir), maxHamming = 6)
+    }
+
   /** Acoustic near-dup pairs over [[dupAudio]]: decode real PCM,
     * fingerprint ([[audioFingerprint]]), then the shared
     * [[bandedHammingPairs]] LSH band join at Hamming ≤ 6. The oracle
@@ -1814,19 +1837,74 @@ object Multimodal {
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    import spark.implicits._
-    val fp = dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
-      .map { row =>
-        val info = MediaCodec.wavInfo(row.payload)
-          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
-        val all = MediaCodec.wavSamples(row.payload)
-          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
-        val ch = info.channels
-        val s = Array.tabulate(info.nFrames)(f => all(f * ch).toInt)
-        val (hi, lo) = audioFingerprint(s)
-        (row.doc_id, hi, lo)
-      }.toDF("doc_id", "hi", "lo")
-    bandedHammingPairs(fp, maxHamming = 6)
+    audioDupPairsFrame(spark, dir).orderBy("a_id", "b_id")
+  }
+
+  /** The converged acoustic (doc_id, cluster_id) label frame, memoized
+    * like [[phashClusterLabels]] — [[audioClusters]] reports it and
+    * [[audioFunnel]] consumes it. */
+  private def audioClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_audio_cluster_labels") {
+      Dedup.connectedComponents(audioDupPairsFrame(spark, dir)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    }
+
+  /** Acoustic near-dup CLUSTERS — the [[phashClusters]]/[[videoClusters]]
+    * symmetry on the audio plane (closing the r10 grid's one asymmetry:
+    * audio had pairs + incremental but no registered cluster cut): the
+    * [[audioDups]] pair set closed into connected components
+    * ([[Dedup.connectedComponents]] reused verbatim), cluster id = min
+    * member — the canonical-recording selection an audio store runs
+    * after acoustic dedup. Oracle = the full fingerprint→band replay
+    * closed by a recursive CTE. */
+  val audioClusters: GraftQuery = GraftQuery.checked("ns_mm_audio_clusters",
+    """WITH RECURSIVE aud AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 1),
+    p AS (
+      SELECT doc_id,
+             CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
+             CAST(gb * 31 + 7 AS BIGINT) AS ca,
+             CAST(gb * 17 + 5 AS BIGINT) AS cb,
+             CAST(m AS BIGINT) AS m
+      FROM aud),
+    s AS (
+      SELECT doc_id, nf // 64 AS q, ca, cb, m, unnest(range(0, (nf // 64) * 64)) AS f
+      FROM p),
+    w AS (
+      SELECT doc_id, f // q AS win,
+             SUM((ca * f * f + cb * f) % 32003 - 16001 + m) AS e
+      FROM s GROUP BY doc_id, f // q),
+    bits AS (
+      SELECT doc_id, win AS b,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY win) > e
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM w),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 AND b < 63 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6),
+    und AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id""") { (spark, dir) =>
+    audioClusterLabels(spark, dir).orderBy("doc_id")
   }
 
   // ------------------------------------------------------------------
@@ -1902,8 +1980,508 @@ object Multimodal {
       }.toDF().orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // Audio & video curation gates + per-modality funnels (r11 — the
+  // modality-symmetric quality verdicts the r10 verdict listed as
+  // missing #2–#3: the image plane had ns_mm_image_gate and the
+  // composed funnel; audio and video now carry the same pair)
+  // ------------------------------------------------------------------
+
+  final case class AudioFeat(doc_id: Long, n_frames: Int, channels: Int,
+      amp_min: Int, amp_max: Int, amp_sum: Long, keep: Int, reason: String)
+
+  /** The audio gate verdict, exact integer algebra only (the
+    * [[gateOf]] convention on the PCM plane): a clip survives iff it
+    * is long enough (≥ 100 frames — sub-100-frame snippets carry no
+    * training signal), not CLIPPED (no sample beyond ±15499 — the
+    * int16 rails minus headroom flag a hot recording), and not SILENT
+    * (some sample escapes the ±2500 near-zero band). Reason
+    * precedence: length before clipping before silence. Thresholds
+    * measured against the fixture's amplitude-window structure
+    * (BASELINE.md r11): all four arms fire at sf0.01 —
+    * 15 too_short / 41 clipping / 2 silence / 109 ok. */
+  private[graft] def audioGateOf(nFrames: Int, ampMin: Int, ampMax: Int): (Int, String) =
+    if (nFrames < 100) (0, "too_short")
+    else if (ampMax >= 15500 || ampMin <= -15500) (0, "clipping")
+    else if (ampMax <= 2500 && ampMin >= -2500) (0, "silence")
+    else (1, "ok")
+
+  /** ONE decode pass over the real WAV bytes producing everything the
+    * gate AND the funnel's cross-modal projection need (min/max/sum of
+    * the decoded int16 samples, all channels, plus the verdict) —
+    * map-only, zero shuffle, the [[audioStats]] decode. */
+  private def audioFeats(media: DataFrame): Dataset[AudioFeat] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "audio")
+      .map { row =>
+        val info = MediaCodec.wavInfo(row.payload)
+          .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
+        val samples = MediaCodec.wavSamples(row.payload)
+          .getOrElse(sys.error(s"undecodable WAV samples for doc ${row.doc_id}"))
+        var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var k = 0
+        while (k < samples.length) {
+          val v = samples(k).toInt; s += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          k += 1
+        }
+        val (keep, reason) = audioGateOf(info.nFrames, mn, mx)
+        AudioFeat(row.doc_id, info.nFrames, info.channels, mn, mx, s, keep, reason)
+      }
+  }
+
+  /** Audio CURATION GATE on decoded PCM content (the [[imageGate]]
+    * convention, second modality): silence/clipping/min-length
+    * verdicts as exact integer algebra over the really-decoded
+    * samples; the oracle replays the generator's (frame, channel)
+    * grid. */
+  val audioGate: GraftQuery = GraftQuery.checked("ns_mm_audio_gate",
+    """WITH p AS (
+      SELECT doc_id,
+             CAST(1 + (doc_id * 5) % 2 AS BIGINT) AS ch,
+             CAST(64 + (doc_id * 17) % 441 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 1),
+    g AS (SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i FROM p),
+    s AS (
+      SELECT doc_id, CAST(nf AS INTEGER) AS n_frames, CAST(ch AS INTEGER) AS channels,
+             CAST(MIN((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS INTEGER) AS amp_min,
+             CAST(MAX((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS INTEGER) AS amp_max
+      FROM g GROUP BY doc_id, nf, ch)
+    SELECT doc_id, n_frames, channels, amp_min, amp_max,
+           CAST(CASE WHEN n_frames < 100 OR amp_max >= 15500 OR amp_min <= -15500
+                      OR (amp_max <= 2500 AND amp_min >= -2500) THEN 0 ELSE 1 END AS INTEGER) AS keep,
+           CASE WHEN n_frames < 100 THEN 'too_short'
+                WHEN amp_max >= 15500 OR amp_min <= -15500 THEN 'clipping'
+                WHEN amp_max <= 2500 AND amp_min >= -2500 THEN 'silence'
+                ELSE 'ok' END AS reason
+    FROM s ORDER BY doc_id""") { (spark, dir) =>
+    audioFeats(realMedia(spark, dir)).toDF()
+      .select("doc_id", "n_frames", "channels", "amp_min", "amp_max", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  final case class VideoFeat(doc_id: Long, n_frames: Int, min_delta: Int, delta_sum: Int,
+      width: Int, height: Int, f0_sum: Long, keep: Int, reason: String)
+
+  /** The video gate verdict, exact integers (the [[gateOf]] convention
+    * on the temporal plane): a clip survives iff it has enough frames
+    * (≥ 4 — stills mislabeled as video) and enough inter-frame motion
+    * (every consecutive-frame dHash delta ≥ 20 of 64 bits — a
+    * near-zero delta pair flags a static/slideshow clip). Reason
+    * precedence: frame count before motion. The static arm fires on
+    * the fixture (6 of 166 paired clips at sf0.01, min deltas 17 vs
+    * ≥ 22); the frame-count arm is structurally unreachable on the
+    * 8-frame fixture and is driven by the spec directly (the
+    * [[gateOf]] brightness-arm precedent). */
+  private[graft] def videoGateOf(nFrames: Int, minDelta: Int): (Int, String) =
+    if (nFrames < 4) (0, "too_few_frames")
+    else if (minDelta < 20) (0, "static")
+    else (1, "ok")
+
+  /** ONE decode pass over each clip's PNG frames producing everything
+    * the gate AND the funnel's cross-modal projection need: frame
+    * count, consecutive-frame dHash deltas (min + sum — the motion
+    * profile [[videoShingles]] hashes already encode), first-frame
+    * dims and pixel sum. Map-only, zero shuffle. */
+  private def videoFeats(media: DataFrame): Dataset[VideoFeat] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload").as[RealMediaRow]
+      .filter(_.media_type == "video")
+      .map { row =>
+        val spans = MediaCodec.pngFrames(row.payload)
+        require(spans.nonEmpty, s"no PNG frames for doc ${row.doc_id}")
+        var w = 0; var h = 0; var f0Sum = 0L
+        val hashes = spans.zipWithIndex.map { case ((off, len), j) =>
+          val bytes = java.util.Arrays.copyOfRange(row.payload, off, off + len)
+          val info = MediaCodec.pngInfo(bytes)
+            .getOrElse(sys.error(s"unparseable PNG frame for doc ${row.doc_id}"))
+          val px = MediaCodec.pngPixels(bytes)
+            .getOrElse(sys.error(s"undecodable PNG frame for doc ${row.doc_id}"))
+          if (j == 0) {
+            w = info.width; h = info.height
+            var k = 0
+            while (k < px.length) { f0Sum += px(k); k += 1 }
+          }
+          dHash(px, info.width, info.height)
+        }
+        var minD = 64; var sumD = 0
+        var j = 0
+        while (j < hashes.length - 1) {
+          val d = java.lang.Long.bitCount(hashes(j)._1 ^ hashes(j + 1)._1) +
+            java.lang.Long.bitCount(hashes(j)._2 ^ hashes(j + 1)._2)
+          if (d < minD) minD = d
+          sumD += d
+          j += 1
+        }
+        if (hashes.length < 2) minD = 0
+        val (keep, reason) = videoGateOf(hashes.length, minD)
+        VideoFeat(row.doc_id, hashes.length, minD, sumD, w, h, f0Sum, keep, reason)
+      }
+  }
+
+  /** Video CURATION GATE on decoded frame content (the [[imageGate]]
+    * convention, third modality): min-frame-count + static-clip
+    * verdicts over the per-clip motion profile (consecutive-frame
+    * dHash deltas of really-decoded pixels); the oracle replays scene
+    * coefficients → sampled-pixel dHash bits → popcount deltas. */
+  val videoGate: GraftQuery = GraftQuery.checked("ns_mm_video_gate",
+    """WITH vid AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 2),
+    grp AS (
+      SELECT DISTINCT gb,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h
+      FROM vid),
+    sc AS (
+      SELECT gb, w, h, s,
+             CAST(gb * 31 + 5 + 19 * s AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 + 7 * s AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 + 29 * s AS BIGINT) AS cc
+      FROM (SELECT gb, w, h, unnest(range(0, 12)) AS s FROM grp)),
+    bits AS (
+      SELECT gb, s, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy) % 241
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy) % 241
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT gb, s, ca, cb, cc, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT gb, w, h, s, ca, cb, cc, unnest(range(0, 64)) AS b FROM sc))),
+    fh AS (
+      SELECT gb, s,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY gb, s),
+    d AS (
+      SELECT v.doc_id,
+             CAST(bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo)) AS INTEGER) AS delta
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM vid) v
+      JOIN fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1),
+    a AS (
+      SELECT doc_id, CAST(COUNT(*) + 1 AS INTEGER) AS n_frames,
+             CAST(MIN(delta) AS INTEGER) AS min_delta,
+             CAST(SUM(delta) AS INTEGER) AS delta_sum
+      FROM d GROUP BY doc_id)
+    SELECT doc_id, n_frames, min_delta, delta_sum,
+           CAST(CASE WHEN n_frames < 4 OR min_delta < 20 THEN 0 ELSE 1 END AS INTEGER) AS keep,
+           CASE WHEN n_frames < 4 THEN 'too_few_frames'
+                WHEN min_delta < 20 THEN 'static'
+                ELSE 'ok' END AS reason
+    FROM a ORDER BY doc_id""") { (spark, dir) =>
+    videoFeats(dupVideo(spark, dir)).toDF()
+      .select("doc_id", "n_frames", "min_delta", "delta_sum", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  /** AUDIO curation funnel — the [[multimodalFunnel]] convention on
+    * the acoustic plane, completing the per-modality funnel symmetry
+    * (r10 verdict missing #3): the three verdicts every paired audio
+    * corpus computes, in precedence order with stage attribution
+    * (first failing stage takes the blame):
+    *
+    *   1. AUDIO gate — the decoded PCM fails [[audioGate]]'s
+    *      silence/clipping/min-length algebra ([[audioFeats]], ONE
+    *      decode pass shared with stage 3's projection);
+    *   2. ACOUSTIC DEDUP — the clip is a non-canonical member of an
+    *      [[audioClusters]] cluster over the dup-planted corpus
+    *      (memoized CC labels);
+    *   3. CROSS-MODAL consistency — the decoded-PCM projection
+    *      (n_frames, channels·100, mean-amp/100, amp-sum residue —
+    *      all exact integers) fails the sqrt-free integer cosine gate
+    *      against the paired embedding ([[cmKeep]], the
+    *      [[crossmodalGate]] algebra; static bounds: |dot| ≤ 1.2·10⁶,
+    *      dot²·10⁶ ≤ 1.5·10¹⁸ < 2⁶³).
+    *
+    * Output: per (lang, label) the stage-attributed tally. All four
+    * stages populated at sf0.01 (58 gate / dup / 58 crossmodal / 51
+    * kept pre-dup split — BASELINE.md r11). Scale shape: two map-only
+    * decode stages + the dup-subset-sized CC label frame, bridged by
+    * 1:1 id-keyed joins; the tally partial-aggregates. */
+  val audioFunnel: GraftQuery = GraftQuery.checked("ns_mm_audio_funnel",
+    """WITH RECURSIVE aud AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 1),
+    dp AS (
+      SELECT doc_id,
+             CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
+             CAST(gb * 31 + 7 AS BIGINT) AS ca,
+             CAST(gb * 17 + 5 AS BIGINT) AS cb,
+             CAST(m AS BIGINT) AS m
+      FROM aud),
+    ds AS (
+      SELECT doc_id, nf // 64 AS q, ca, cb, m, unnest(range(0, (nf // 64) * 64)) AS f
+      FROM dp),
+    dw AS (
+      SELECT doc_id, f // q AS win,
+             SUM((ca * f * f + cb * f) % 32003 - 16001 + m) AS e
+      FROM ds GROUP BY doc_id, f // q),
+    dbits AS (
+      SELECT doc_id, win AS b,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY win) > e
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM dw),
+    dph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 AND b < 63 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM dbits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM dph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id FROM cand
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6),
+    und AS (SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    gp AS (
+      SELECT doc_id,
+             CAST(1 + (doc_id * 5) % 2 AS BIGINT) AS ch,
+             CAST(64 + (doc_id * 17) % 441 AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 1),
+    gg AS (SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i FROM gp),
+    gst AS (
+      SELECT doc_id, nf, ch,
+             MIN((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_min,
+             MAX((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_max,
+             SUM((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_sum
+      FROM gg GROUP BY doc_id, nf, ch),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN nf < 100 OR amp_max >= 15500 OR amp_min <= -15500
+                   OR (amp_max <= 2500 AND amp_min >= -2500) THEN 0 ELSE 1 END AS gate_keep,
+             nf AS p1, ch * 100 AS p2,
+             (amp_sum // (nf * ch)) // 100 AS p3,
+             ((amp_sum % 251) + 251) % 251 AS p4
+      FROM gst),
+    eq AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS e1,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS e2,
+             CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS e3,
+             CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT) AS e4
+      FROM embeddings),
+    cm AS (
+      SELECT f.doc_id, e.label, f.gate_keep,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM feat f JOIN eq e ON e.vec_id = f.doc_id),
+    staged AS (
+      SELECT d.lang, c.label,
+             CASE WHEN c.gate_keep = 0 THEN 'gate'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM cm c
+      JOIN documents d ON d.doc_id = c.doc_id
+      LEFT JOIN dropped dr ON dr.doc_id = c.doc_id)
+    SELECT lang, label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN stage = 'gate' THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_fail,
+           CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fail,
+           CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    val feats = audioFeats(realMedia(spark, dir)).toDF()
+      .select(col("doc_id"), col("keep").as("gate_keep"),
+        col("n_frames").cast("long").as("p1"),
+        (col("channels") * 100L).cast("long").as("p2"),
+        expr("(amp_sum div (CAST(n_frames AS BIGINT) * channels)) div 100").as("p3"),
+        expr("((amp_sum % 251) + 251) % 251").as("p4"))
+    val dropped = audioClusterLabels(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    val docSide = Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 1).select("doc_id", "lang")
+    val stage = when(col("gate_keep") === 0, "gate")
+      .when(col("is_dropped").isNotNull, "dup")
+      .when(!cmKeep, "crossmodal")
+      .otherwise("kept")
+    feats.join(quantEmb(spark, dir), "doc_id")
+      .join(docSide, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("lang"), col("label"), stage.as("stage"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
+  /** VIDEO curation funnel — the [[multimodalFunnel]] convention on
+    * the temporal plane (the last modality without one): gate →
+    * temporal dedup → cross-modal pair consistency, stage-attributed:
+    *
+    *   1. VIDEO gate — the decoded frames fail [[videoGate]]'s
+    *      min-frame/static-clip motion algebra ([[videoFeats]], ONE
+    *      decode pass shared with stage 3's projection);
+    *   2. TEMPORAL DEDUP — the clip is a non-canonical member of a
+    *      [[videoClusters]] cluster (memoized CC labels over the
+    *      shingle-join pair set);
+    *   3. CROSS-MODAL consistency — the decoded projection (width,
+    *      height, first-frame mean gray, motion sum — exact integers
+    *      from really-decoded frames) fails [[cmKeep]] against the
+    *      paired embedding (static bounds: |dot| ≤ 1.8·10⁶,
+    *      dot²·10⁶ ≤ 3.3·10¹⁸ < 2⁶³).
+    *
+    * Output: per (lang, label) the stage-attributed tally; stages
+    * populated at sf0.01 (6 static-gated, dup + crossmodal + kept
+    * split measured in BASELINE.md r11). */
+  val videoFunnel: GraftQuery = GraftQuery.checked("ns_mm_video_funnel",
+    """WITH RECURSIVE vid AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 2),
+    grp AS (
+      SELECT DISTINCT gb,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h
+      FROM vid),
+    sc AS (
+      SELECT gb, w, h, s,
+             CAST(gb * 31 + 5 + 19 * s AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 + 7 * s AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 + 29 * s AS BIGINT) AS cc
+      FROM (SELECT gb, w, h, unnest(range(0, 12)) AS s FROM grp)),
+    bits AS (
+      SELECT gb, s, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy) % 241
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy) % 241
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT gb, s, ca, cb, cc, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT gb, w, h, s, ca, cb, cc, unnest(range(0, 64)) AS b FROM sc))),
+    fh AS (
+      SELECT gb, s,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY gb, s),
+    mo AS (
+      SELECT v.doc_id, CAST(COUNT(*) + 1 AS INTEGER) AS n_frames,
+             CAST(MIN(bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo))) AS INTEGER) AS min_delta,
+             CAST(SUM(bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo))) AS BIGINT) AS delta_sum
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM vid) v
+      JOIN fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1
+      GROUP BY v.doc_id),
+    sh AS (
+      SELECT DISTINCT v.doc_id, f1.hi AS h1_hi, f1.lo AS h1_lo,
+             f2.hi AS h2_hi, f2.lo AS h2_lo
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM vid) v
+      JOIN fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1),
+    dup AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b
+        ON a.h1_hi = b.h1_hi AND a.h1_lo = b.h1_lo
+       AND a.h2_hi = b.h2_hi AND a.h2_lo = b.h2_lo
+       AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id HAVING COUNT(*) >= 2),
+    und AS (SELECT a_id AS a, b_id AS b FROM dup
+            UNION SELECT b_id, a_id FROM dup),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    dropped AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    pv AS (
+      SELECT v.doc_id, g2.w, g2.h,
+             CAST(v.gb * 31 + 5 + 19 * v.m AS BIGINT) AS ca,
+             CAST(v.gb * 17 + 3 + 7 * v.m AS BIGINT) AS cb,
+             CAST(v.gb * 23 + 7 + 29 * v.m AS BIGINT) AS cc,
+             CAST(v.m AS BIGINT) AS m
+      FROM vid v JOIN grp g2 ON g2.gb = v.gb),
+    pg AS (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, w * h)) AS i FROM pv),
+    fs AS (
+      SELECT doc_id, w, h,
+             SUM(((ca*(i%w)*(i%w) + cb*(i//w)*(i//w) + cc*(i%w)*(i//w)
+                  + 7*(i%w) + 13*(i//w)) % 241) + m) AS f0_sum
+      FROM pg GROUP BY doc_id, w, h),
+    vfeat AS (
+      SELECT f.doc_id,
+             CASE WHEN mo.n_frames < 4 OR mo.min_delta < 20 THEN 0 ELSE 1 END AS gate_keep,
+             f.w AS p1, f.h AS p2, f.f0_sum // (f.w * f.h) AS p3,
+             mo.delta_sum AS p4
+      FROM fs f JOIN mo ON mo.doc_id = f.doc_id),
+    eq AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS e1,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS e2,
+             CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS e3,
+             CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT) AS e4
+      FROM embeddings),
+    cm AS (
+      SELECT f.doc_id, e.label, f.gate_keep,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM vfeat f JOIN eq e ON e.vec_id = f.doc_id),
+    staged AS (
+      SELECT d.lang, c.label,
+             CASE WHEN c.gate_keep = 0 THEN 'gate'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM cm c
+      JOIN documents d ON d.doc_id = c.doc_id
+      LEFT JOIN dropped dr ON dr.doc_id = c.doc_id)
+    SELECT lang, label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN stage = 'gate' THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_fail,
+           CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fail,
+           CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    val feats = videoFeats(dupVideo(spark, dir)).toDF()
+      .select(col("doc_id"), col("keep").as("gate_keep"),
+        col("width").cast("long").as("p1"), col("height").cast("long").as("p2"),
+        expr("f0_sum div (CAST(width AS BIGINT) * height)").as("p3"),
+        col("delta_sum").cast("long").as("p4"))
+    val dropped = videoClusterLabels(spark, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    val docSide = Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === 2).select("doc_id", "lang")
+    val stage = when(col("gate_keep") === 0, "gate")
+      .when(col("is_dropped").isNotNull, "dup")
+      .when(!cmKeep, "crossmodal")
+      .otherwise("kept")
+    feats.join(quantEmb(spark, dir), "doc_id")
+      .join(docSide, "doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("lang"), col("label"), stage.as("stage"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
-    crossmodalGate, multimodalFunnel, videoClusters, audioIncremental)
+    crossmodalGate, multimodalFunnel, videoClusters, audioIncremental,
+    audioClusters, audioGate, videoGate, audioFunnel, videoFunnel)
 }

@@ -421,6 +421,64 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(gateOf(64, 48, px.map(_.toLong).sum) == ((0, "brightness")))
   }
 
+  test("audio gate: all four arms fire — pure algebra and over real decoded PCM") {
+    import graft.operators.Multimodal.audioGateOf
+    // length check dominates
+    assert(audioGateOf(99, -16001, 16001) == ((0, "too_short")))
+    // clipping bounds are inclusive at ±15500
+    assert(audioGateOf(100, -100, 15500) == ((0, "clipping")))
+    assert(audioGateOf(100, -15500, 100) == ((0, "clipping")))
+    assert(audioGateOf(100, -15499, 15499) == ((1, "ok")))
+    // silence band is inclusive at ±2500 and needs BOTH extremes inside
+    assert(audioGateOf(100, -2500, 2500) == ((0, "silence")))
+    assert(audioGateOf(100, -2501, 2500) == ((1, "ok")))
+    assert(audioGateOf(100, -2500, 2501) == ((1, "ok")))
+    // all four arms fire over REAL decoded WAV bytes on the fixture
+    // (the generator's amplitude windows cover all the bands; measured
+    // 15/41/2/109 at this SF — BASELINE.md r11)
+    val spark = SparkSuite.spark
+    val reasons = graft.operators.Multimodal.audioGate.run(spark, SparkSuite.sfDir)
+      .collect().map(_.getString(6)).toSet
+    assert(reasons == Set("too_short", "clipping", "silence", "ok"),
+      s"expected all four audio-gate arms on the fixture, got $reasons")
+  }
+
+  test("video gate: all three arms fire in the algebra; static fires on real decoded frames") {
+    import graft.operators.Multimodal.videoGateOf
+    // frame-count check dominates (structurally unreachable on the
+    // 8-frame fixture — driven here, the imageGate brightness-arm
+    // convention)
+    assert(videoGateOf(3, 0) == ((0, "too_few_frames")))
+    assert(videoGateOf(3, 64) == ((0, "too_few_frames")))
+    // motion bound: min consecutive delta < 20 of 64 bits
+    assert(videoGateOf(8, 19) == ((0, "static")))
+    assert(videoGateOf(8, 20) == ((1, "ok")))
+    val spark = SparkSuite.spark
+    val rows = graft.operators.Multimodal.videoGate.run(spark, SparkSuite.sfDir).collect()
+    val reasons = rows.map(_.getString(5)).toSet
+    assert(reasons == Set("static", "ok"),
+      s"expected static+ok over real decoded frames, got $reasons")
+    // every fixture clip decodes to all 8 frames
+    assert(rows.forall(_.getInt(1) == 8))
+  }
+
+  test("audio/video funnels: stage tallies partition the paired corpus") {
+    val spark = SparkSuite.spark
+    for (name <- Seq("ns_mm_audio_funnel", "ns_mm_video_funnel")) {
+      val rows = graft.SparkEntry.queries(name)(spark, SparkSuite.sfDir).collect()
+      assert(rows.nonEmpty, s"$name empty")
+      // n_total = gate + dup + crossmodal + kept in every cell (stage
+      // attribution is a partition — one blame per doc)
+      rows.foreach { r =>
+        assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6),
+          s"$name stage tallies do not partition: $r")
+      }
+      // every stage populated somewhere on the fixture
+      for (i <- 3 to 6)
+        assert(rows.map(_.getLong(i)).sum > 0, s"$name stage column $i empty")
+    }
+  }
+
   test("audio resample at the target rate is the identity; stats replay the formula") {
     val spark = SparkSuite.spark
     val rows = graft.operators.Multimodal.audioResample.run(spark, SparkSuite.sfDir).collect()
