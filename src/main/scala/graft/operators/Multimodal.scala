@@ -1430,6 +1430,93 @@ object Multimodal {
         videoDupPairs(spark, dir).select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
     }
 
+  /** INCREMENTAL temporal dedup — the [[phashIncremental]] contract on
+    * the VIDEO plane, completing the REGISTERED per-modality ingest
+    * triple (image/audio had `_incremental` rows; video's ingest twin
+    * lived only in the MediaCodecSpec streaming spec, r11): a NEW
+    * batch of clips (each group's m=4 member, the freshest re-cut)
+    * shingle-probes the EXISTING index (members 0–3) only —
+    * asymmetric new×index on the 4-long frame-hash 2-shingle key,
+    * index side whale-capped, never new×new — and reports per new
+    * clip how many index clips share ≥ 2 shingles plus the keep
+    * verdict. A shift of d ≤ 4 frames still shares 7−d ≥ 3 shingles,
+    * so every planted re-cut is caught (33/33 at sf0.01). */
+  val videoIncremental: GraftQuery = GraftQuery.checked("ns_mm_video_incremental",
+    """WITH vid AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 2),
+    grp AS (
+      SELECT DISTINCT gb,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h
+      FROM vid),
+    sc AS (
+      SELECT gb, w, h, s,
+             CAST(gb * 31 + 5 + 19 * s AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 + 7 * s AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 + 29 * s AS BIGINT) AS cc
+      FROM (SELECT gb, w, h, unnest(range(0, 12)) AS s FROM grp)),
+    bits AS (
+      SELECT gb, s, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy) % 241
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy) % 241
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT gb, s, ca, cb, cc, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT gb, w, h, s, ca, cb, cc, unnest(range(0, 64)) AS b FROM sc))),
+    fh AS (
+      SELECT gb, s,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY gb, s),
+    sh AS (
+      SELECT DISTINCT v.doc_id, v.m = 4 AS is_new, f1.hi AS h1_hi, f1.lo AS h1_lo,
+             f2.hi AS h2_hi, f2.lo AS h2_lo
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM vid) v
+      JOIN fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1),
+    dups AS (
+      SELECT new_id, COUNT(*) AS n_dups FROM (
+        SELECT n.doc_id AS new_id, i.doc_id AS idx_id
+        FROM sh n JOIN sh i
+          ON n.h1_hi = i.h1_hi AND n.h1_lo = i.h1_lo
+         AND n.h2_hi = i.h2_hi AND n.h2_lo = i.h2_lo
+         AND n.is_new AND NOT i.is_new
+        GROUP BY new_id, idx_id HAVING COUNT(*) >= 2)
+      GROUP BY new_id)
+    SELECT v.doc_id, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+           COALESCE(d.n_dups, 0) = 0 AS keep
+    FROM (SELECT DISTINCT doc_id FROM vid WHERE m = 4) v
+    LEFT JOIN dups d ON d.new_id = v.doc_id
+    ORDER BY doc_id""") { (spark, dir) =>
+    val sh = videoShingles(dupVideo(spark, dir)).toDF().distinct()
+      .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
+    val nw = sh.where(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("h1_hi"), col("h1_lo"), col("h2_hi"), col("h2_lo"))
+    // index-side whale cap, the phashIncremental/audioIncremental
+    // contract: a static-screen index clip's identical shingles would
+    // make per-ingest candidates bucket-proportional
+    val ix = sh.where(!col("is_new"))
+      .withColumn("key_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("h1_hi", "h1_lo", "h2_hi", "h2_lo")))
+      .where(col("key_n") <= lit(WhaleBandCap))
+      .select(col("doc_id").as("idx_id"), col("h1_hi"), col("h1_lo"), col("h2_hi"), col("h2_lo"))
+    val dups = nw.join(ix, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
+      .groupBy("new_id", "idx_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"))
+      .withColumnRenamed("new_id", "doc_id")
+    // every new clip emits its row, candidates or not (the
+    // ivfIncremental r10 lesson: an inner-join shape silently drops
+    // empty-probe ingest rows)
+    Tables.documents(spark, dir).select("doc_id")
+      .where(col("doc_id") % 3 === 2 && expr("(doc_id % 15) div 3 = 4"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL acoustic dedup — the [[phashIncremental]] contract on
     * the AUDIO plane, completing the per-modality ingest-path symmetry
     * (text [[Dedup.incremental]], image, video-via-shingles, audio): a
@@ -2032,6 +2119,15 @@ object Multimodal {
       }
   }
 
+  /** The decoded audio feature frame, memoized per (session, dir) —
+    * [[audioGate]] and [[audioFunnel]] both read it, so the WAV decode
+    * of the whole corpus runs once per session (the [[realMedia]]
+    * fixture-cost convention; the bench stamps who paid it). */
+  private def audioFeatFrame(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_audio_feats") {
+      audioFeats(realMedia(spark, dir)).toDF()
+    }
+
   /** Audio CURATION GATE on decoded PCM content (the [[imageGate]]
     * convention, second modality): silence/clipping/min-length
     * verdicts as exact integer algebra over the really-decoded
@@ -2057,7 +2153,7 @@ object Multimodal {
                 WHEN amp_max <= 2500 AND amp_min >= -2500 THEN 'silence'
                 ELSE 'ok' END AS reason
     FROM s ORDER BY doc_id""") { (spark, dir) =>
-    audioFeats(realMedia(spark, dir)).toDF()
+    audioFeatFrame(spark, dir)
       .select("doc_id", "n_frames", "channels", "amp_min", "amp_max", "keep", "reason")
       .orderBy("doc_id")
   }
@@ -2121,6 +2217,14 @@ object Multimodal {
       }
   }
 
+  /** The decoded video feature frame, memoized per (session, dir) —
+    * [[videoGate]] and [[videoFunnel]] both read it, so the per-frame
+    * PNG decode of the whole clip corpus runs once per session. */
+  private def videoFeatFrame(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_video_feats") {
+      videoFeats(dupVideo(spark, dir)).toDF()
+    }
+
   /** Video CURATION GATE on decoded frame content (the [[imageGate]]
     * convention, third modality): min-frame-count + static-clip
     * verdicts over the per-clip motion profile (consecutive-frame
@@ -2171,7 +2275,7 @@ object Multimodal {
                 WHEN min_delta < 20 THEN 'static'
                 ELSE 'ok' END AS reason
     FROM a ORDER BY doc_id""") { (spark, dir) =>
-    videoFeats(dupVideo(spark, dir)).toDF()
+    videoFeatFrame(spark, dir)
       .select("doc_id", "n_frames", "min_delta", "delta_sum", "keep", "reason")
       .orderBy("doc_id")
   }
@@ -2299,7 +2403,7 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
-    val feats = audioFeats(realMedia(spark, dir)).toDF()
+    val feats = audioFeatFrame(spark, dir)
       .select(col("doc_id"), col("keep").as("gate_keep"),
         col("n_frames").cast("long").as("p1"),
         (col("channels") * 100L).cast("long").as("p2"),
@@ -2452,7 +2556,7 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
-    val feats = videoFeats(dupVideo(spark, dir)).toDF()
+    val feats = videoFeatFrame(spark, dir)
       .select(col("doc_id"), col("keep").as("gate_keep"),
         col("width").cast("long").as("p1"), col("height").cast("long").as("p2"),
         expr("f0_sum div (CAST(width AS BIGINT) * height)").as("p3"),
@@ -2483,5 +2587,5 @@ object Multimodal {
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
     crossmodalGate, multimodalFunnel, videoClusters, audioIncremental,
-    audioClusters, audioGate, videoGate, audioFunnel, videoFunnel)
+    audioClusters, audioGate, videoGate, audioFunnel, videoFunnel, videoIncremental)
 }

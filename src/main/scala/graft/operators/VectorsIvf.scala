@@ -29,10 +29,14 @@ object VectorsIvf {
 
   private[graft] def centroids(spark: SparkSession, dir: String): Array[(Int, Array[Float])] = {
     import spark.implicits._
-    graft.sources.Tables.embeddings(spark, dir)
-      .where(col("vec_id") < NumCells)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    // the K-row centroid frame is OpMemo-cached so the per-run collect
+    // is a cache read, not a parquet scan job (every IVF query calls
+    // this once per run; the model is K×dim driver literals by design)
+    OpMemo.cached(spark, dir, "vec_ivf_cents") {
+      graft.sources.Tables.embeddings(spark, dir)
+        .where(col("vec_id") < NumCells)
+        .select(col("vec_id").cast("int"), col("embedding"))
+    }.as[(Int, Array[Float])].collect().sortBy(_._1)
   }
 
   /** (dot, cellId) structs per centroid — struct ordering ranks by dot
