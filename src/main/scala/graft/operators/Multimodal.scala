@@ -1735,6 +1735,21 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    imageStaged(spark, dir)
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "text", 1L).otherwise(0L)).as("n_text_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
+  /** The image plane's per-doc staged verdict frame (lang, label,
+    * stage) — the pre-aggregation core of [[multimodalFunnel]],
+    * factored so [[corpusFunnel]] can union it with the other
+    * modalities' staged frames. */
+  private def imageStaged(spark: SparkSession, dir: String): DataFrame = {
     // the SHARED quality predicate ([[TextOps.qualityKeep]], the same
     // column algebra qualityFilter registers) over ONE scan PRE-FILTERED
     // to image docs, selecting (doc_id, lang, text_keep) together —
@@ -1759,13 +1774,6 @@ object Multimodal {
       .join(docSide, "doc_id")
       .join(dropped, Seq("doc_id"), "left")
       .select(col("lang"), col("label"), stage.as("stage"))
-      .groupBy("lang", "label")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("stage") === "text", 1L).otherwise(0L)).as("n_text_fail"),
-        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
-        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
-        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("lang", "label")
   }
 
   // ------------------------------------------------------------------
@@ -2403,6 +2411,20 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    audioStaged(spark, dir)
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
+  /** The acoustic plane's per-doc staged verdict frame (lang, label,
+    * stage) — the pre-aggregation core of [[audioFunnel]], factored
+    * for [[corpusFunnel]]. */
+  private def audioStaged(spark: SparkSession, dir: String): DataFrame = {
     val feats = audioFeatFrame(spark, dir)
       .select(col("doc_id"), col("keep").as("gate_keep"),
         col("n_frames").cast("long").as("p1"),
@@ -2422,13 +2444,6 @@ object Multimodal {
       .join(docSide, "doc_id")
       .join(dropped, Seq("doc_id"), "left")
       .select(col("lang"), col("label"), stage.as("stage"))
-      .groupBy("lang", "label")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
-        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
-        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
-        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("lang", "label")
   }
 
   /** VIDEO curation funnel — the [[multimodalFunnel]] convention on
@@ -2556,6 +2571,20 @@ object Multimodal {
            CAST(SUM(CASE WHEN stage = 'crossmodal' THEN 1 ELSE 0 END) AS BIGINT) AS n_crossmodal_fail,
            CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM staged GROUP BY lang, label ORDER BY lang, label""") { (spark, dir) =>
+    videoStaged(spark, dir)
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
+        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "label")
+  }
+
+  /** The temporal plane's per-doc staged verdict frame (lang, label,
+    * stage) — the pre-aggregation core of [[videoFunnel]], factored
+    * for [[corpusFunnel]]. */
+  private def videoStaged(spark: SparkSession, dir: String): DataFrame = {
     val feats = videoFeatFrame(spark, dir)
       .select(col("doc_id"), col("keep").as("gate_keep"),
         col("width").cast("long").as("p1"), col("height").cast("long").as("p2"),
@@ -2574,18 +2603,304 @@ object Multimodal {
       .join(docSide, "doc_id")
       .join(dropped, Seq("doc_id"), "left")
       .select(col("lang"), col("label"), stage.as("stage"))
-      .groupBy("lang", "label")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("stage") === "gate", 1L).otherwise(0L)).as("n_gate_fail"),
-        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup_fail"),
-        sum(when(col("stage") === "crossmodal", 1L).otherwise(0L)).as("n_crossmodal_fail"),
-        sum(when(col("stage") === "kept", 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("lang", "label")
+  }
+
+  /** The round-11 CAPSTONE: the CORPUS-WIDE curation funnel — all
+    * three modality funnels ([[multimodalFunnel]], [[audioFunnel]],
+    * [[videoFunnel]]) composed into the one per-(modality, stage)
+    * report a multimodal training-data pipeline publishes after a
+    * curation run: SIX registered operators' verdict planes (three
+    * gates, three dedup cluster cuts, the shared cross-modal algebra)
+    * behind one oracle hash. Stage labels keep each modality's
+    * precedence semantics ('text' is the image plane's stage-1 — its
+    * gate IS the paired caption's quality filter).
+    *
+    * Scale shape: the three staged frames are map-decode + id-keyed
+    * bridges (each documented at its factory); the union adds no
+    * shuffle (stage tallies partial-aggregate to ≤ 4 rows per
+    * modality per task). */
+  val corpusFunnel: GraftQuery = GraftQuery.checked("ns_mm_corpus_funnel",
+    """WITH RECURSIVE eq AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS e1,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS e2,
+             CAST(FLOOR(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT) AS e3,
+             CAST(FLOOR(CAST(embedding[4] AS DOUBLE) * 1000) AS BIGINT) AS e4
+      FROM embeddings),
+    i_img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    i_p AS (
+      SELECT doc_id,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
+      FROM i_img),
+    i_bits AS (
+      SELECT doc_id, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM i_p))),
+    i_ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM i_bits GROUP BY doc_id),
+    i_banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM i_ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    i_pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+        FROM i_banded a JOIN i_banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10),
+    i_und AS (SELECT a_id AS a, b_id AS b FROM i_pairs
+              UNION SELECT b_id, a_id FROM i_pairs),
+    i_reach(a, b) AS (SELECT a, b FROM i_und
+                      UNION SELECT r.a, u.b FROM i_reach r JOIN i_und u ON r.b = u.a),
+    i_dropped AS (
+      SELECT a AS doc_id FROM i_reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    i_tgate AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
+                   AND stop_ratio >= 0.01 AND rep_frac <= 0.2
+                  THEN 1 ELSE 0 END AS text_keep
+      FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) AS awl,
+               CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE)
+                 / len(toks) AS stop_ratio,
+               CASE WHEN len(toks) > 2
+                    THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
+                    ELSE 1.0 END AS rep_frac
+        FROM (SELECT doc_id, n_chars,
+                list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+              FROM documents WHERE doc_id % 3 = 0))),
+    i_s AS (
+      SELECT doc_id, w, h,
+             SUM((ca*(i%w)*(i%w) + cb*(i//w)*(i//w) + cc*(i%w)*(i//w)
+                  + 7*(i%w) + 13*(i//w) + m) % 251) AS gray_sum
+      FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, w * h)) AS i FROM i_p)
+      GROUP BY doc_id, w, h),
+    i_feat AS (
+      SELECT doc_id, w AS p1, h AS p2,
+             gray_sum // (w * h) AS p3, gray_sum % 251 AS p4
+      FROM i_s),
+    i_cm AS (
+      SELECT f.doc_id, e.label,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM i_feat f JOIN eq e ON e.vec_id = f.doc_id),
+    i_staged AS (
+      SELECT CASE WHEN t.text_keep = 0 THEN 'text'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM i_img i
+      JOIN i_tgate t ON t.doc_id = i.doc_id
+      JOIN i_cm c ON c.doc_id = i.doc_id
+      LEFT JOIN i_dropped dr ON dr.doc_id = i.doc_id),
+    a_aud AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 1),
+    a_dp AS (
+      SELECT doc_id,
+             CAST(64 + (gb * 17) % 433 AS BIGINT) AS nf,
+             CAST(gb * 31 + 7 AS BIGINT) AS ca,
+             CAST(gb * 17 + 5 AS BIGINT) AS cb,
+             CAST(m AS BIGINT) AS m
+      FROM a_aud),
+    a_dw AS (
+      SELECT doc_id, f // q AS win,
+             SUM((ca * f * f + cb * f) % 32003 - 16001 + m) AS e
+      FROM (SELECT doc_id, nf // 64 AS q, ca, cb, m,
+              unnest(range(0, (nf // 64) * 64)) AS f FROM a_dp)
+      GROUP BY doc_id, f // q),
+    a_dbits AS (
+      SELECT doc_id, win AS b,
+             CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY win) > e
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM a_dw),
+    a_dph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 AND b < 63 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM a_dbits GROUP BY doc_id),
+    a_banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM a_dph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    a_pairs AS (
+      SELECT a_id, b_id FROM (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+        FROM a_banded a JOIN a_banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 6),
+    a_und AS (SELECT a_id AS a, b_id AS b FROM a_pairs
+              UNION SELECT b_id, a_id FROM a_pairs),
+    a_reach(a, b) AS (SELECT a, b FROM a_und
+                      UNION SELECT r.a, u.b FROM a_reach r JOIN a_und u ON r.b = u.a),
+    a_dropped AS (
+      SELECT a AS doc_id FROM a_reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    a_gst AS (
+      SELECT doc_id, nf, ch,
+             MIN((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_min,
+             MAX((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_max,
+             SUM((doc_id * 131 + (i // ch) * 17 + (i % ch) * 7919) % 32003 - 16001) AS amp_sum
+      FROM (SELECT doc_id, ch, nf, unnest(range(0, nf * ch)) AS i
+            FROM (SELECT doc_id,
+                    CAST(1 + (doc_id * 5) % 2 AS BIGINT) AS ch,
+                    CAST(64 + (doc_id * 17) % 441 AS BIGINT) AS nf
+                  FROM documents WHERE doc_id % 3 = 1))
+      GROUP BY doc_id, nf, ch),
+    a_feat AS (
+      SELECT doc_id,
+             CASE WHEN nf < 100 OR amp_max >= 15500 OR amp_min <= -15500
+                   OR (amp_max <= 2500 AND amp_min >= -2500) THEN 0 ELSE 1 END AS gate_keep,
+             nf AS p1, ch * 100 AS p2,
+             (amp_sum // (nf * ch)) // 100 AS p3,
+             ((amp_sum % 251) + 251) % 251 AS p4
+      FROM a_gst),
+    a_cm AS (
+      SELECT f.doc_id, e.label, f.gate_keep,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM a_feat f JOIN eq e ON e.vec_id = f.doc_id),
+    a_staged AS (
+      SELECT CASE WHEN c.gate_keep = 0 THEN 'gate'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM a_cm c
+      LEFT JOIN a_dropped dr ON dr.doc_id = c.doc_id),
+    v_vid AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 2),
+    v_grp AS (
+      SELECT DISTINCT gb,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h
+      FROM v_vid),
+    v_sc AS (
+      SELECT gb, w, h, s,
+             CAST(gb * 31 + 5 + 19 * s AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 + 7 * s AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 + 29 * s AS BIGINT) AS cc
+      FROM (SELECT gb, w, h, unnest(range(0, 12)) AS s FROM v_grp)),
+    v_bits AS (
+      SELECT gb, s, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy) % 241
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy) % 241
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT gb, s, ca, cb, cc, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT gb, w, h, s, ca, cb, cc, unnest(range(0, 64)) AS b FROM v_sc))),
+    v_fh AS (
+      SELECT gb, s,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM v_bits GROUP BY gb, s),
+    v_mo AS (
+      SELECT v.doc_id, CAST(COUNT(*) + 1 AS INTEGER) AS n_frames,
+             CAST(MIN(bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo))) AS INTEGER) AS min_delta,
+             CAST(SUM(bit_count(xor(f1.hi, f2.hi)) + bit_count(xor(f1.lo, f2.lo))) AS BIGINT) AS delta_sum
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM v_vid) v
+      JOIN v_fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN v_fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1
+      GROUP BY v.doc_id),
+    v_sh AS (
+      SELECT DISTINCT v.doc_id, f1.hi AS h1_hi, f1.lo AS h1_lo,
+             f2.hi AS h2_hi, f2.lo AS h2_lo
+      FROM (SELECT doc_id, gb, m, unnest(range(0, 7)) AS j FROM v_vid) v
+      JOIN v_fh f1 ON f1.gb = v.gb AND f1.s = v.m + v.j
+      JOIN v_fh f2 ON f2.gb = v.gb AND f2.s = v.m + v.j + 1),
+    v_dup AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM v_sh a JOIN v_sh b
+        ON a.h1_hi = b.h1_hi AND a.h1_lo = b.h1_lo
+       AND a.h2_hi = b.h2_hi AND a.h2_lo = b.h2_lo
+       AND a.doc_id < b.doc_id
+      GROUP BY a_id, b_id HAVING COUNT(*) >= 2),
+    v_und AS (SELECT a_id AS a, b_id AS b FROM v_dup
+              UNION SELECT b_id, a_id FROM v_dup),
+    v_reach(a, b) AS (SELECT a, b FROM v_und
+                      UNION SELECT r.a, u.b FROM v_reach r JOIN v_und u ON r.b = u.a),
+    v_dropped AS (
+      SELECT a AS doc_id FROM v_reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+    v_fs AS (
+      SELECT doc_id, w, h,
+             SUM(((ca*(i%w)*(i%w) + cb*(i//w)*(i//w) + cc*(i%w)*(i//w)
+                  + 7*(i%w) + 13*(i//w)) % 241) + m) AS f0_sum
+      FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, w * h)) AS i
+            FROM (SELECT v.doc_id, g2.w, g2.h,
+                    CAST(v.gb * 31 + 5 + 19 * v.m AS BIGINT) AS ca,
+                    CAST(v.gb * 17 + 3 + 7 * v.m AS BIGINT) AS cb,
+                    CAST(v.gb * 23 + 7 + 29 * v.m AS BIGINT) AS cc,
+                    CAST(v.m AS BIGINT) AS m
+                  FROM v_vid v JOIN v_grp g2 ON g2.gb = v.gb))
+      GROUP BY doc_id, w, h),
+    v_vfeat AS (
+      SELECT f.doc_id,
+             CASE WHEN mo.n_frames < 4 OR mo.min_delta < 20 THEN 0 ELSE 1 END AS gate_keep,
+             f.w AS p1, f.h AS p2, f.f0_sum // (f.w * f.h) AS p3,
+             mo.delta_sum AS p4
+      FROM v_fs f JOIN v_mo mo ON mo.doc_id = f.doc_id),
+    v_cm AS (
+      SELECT f.doc_id, e.label, f.gate_keep,
+             CASE WHEN (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) > 0
+                   AND (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4)
+                     * (f.p1*e.e1 + f.p2*e.e2 + f.p3*e.e3 + f.p4*e.e4) * 1000000
+                     >= 10000 * (f.p1*f.p1 + f.p2*f.p2 + f.p3*f.p3 + f.p4*f.p4)
+                              * (e.e1*e.e1 + e.e2*e.e2 + e.e3*e.e3 + e.e4*e.e4)
+                  THEN 1 ELSE 0 END AS cm_keep
+      FROM v_vfeat f JOIN eq e ON e.vec_id = f.doc_id),
+    v_staged AS (
+      SELECT CASE WHEN c.gate_keep = 0 THEN 'gate'
+                  WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                  WHEN c.cm_keep = 0 THEN 'crossmodal'
+                  ELSE 'kept' END AS stage
+      FROM v_cm c
+      LEFT JOIN v_dropped dr ON dr.doc_id = c.doc_id),
+    all_staged AS (
+      SELECT 'image' AS modality, stage FROM i_staged
+      UNION ALL SELECT 'audio' AS modality, stage FROM a_staged
+      UNION ALL SELECT 'video' AS modality, stage FROM v_staged)
+    SELECT modality, stage, CAST(COUNT(*) AS BIGINT) AS n
+    FROM all_staged GROUP BY modality, stage
+    ORDER BY modality, stage""") { (spark, dir) =>
+    imageStaged(spark, dir).select(lit("image").as("modality"), col("stage"))
+      .unionByName(audioStaged(spark, dir).select(lit("audio").as("modality"), col("stage")))
+      .unionByName(videoStaged(spark, dir).select(lit("video").as("modality"), col("stage")))
+      .groupBy("modality", "stage").agg(count(lit(1)).as("n"))
+      .orderBy("modality", "stage")
   }
 
   val all: Seq[GraftQuery] = Seq(features, featuresSound, frames, framesSound, typeSummary,
     pairedGate, pixelStats, audioStats, thumbnails, phash, phashDups, audioResample,
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
     crossmodalGate, multimodalFunnel, videoClusters, audioIncremental,
-    audioClusters, audioGate, videoGate, audioFunnel, videoFunnel, videoIncremental)
+    audioClusters, audioGate, videoGate, audioFunnel, videoFunnel, videoIncremental,
+    corpusFunnel)
 }

@@ -479,6 +479,27 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus funnel: per-modality stage cells equal each registered funnel's tallies") {
+    val spark = SparkSuite.spark
+    val corpus = graft.operators.Multimodal.corpusFunnel.run(spark, SparkSuite.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(corpus.keys.map(_._1).toSet == Set("image", "audio", "video"))
+    // the capstone is a pure composition: each (modality, stage) cell
+    // must equal the corresponding registered funnel's stage column sum
+    val checks = Seq(
+      ("image", "ns_mm_multimodal_funnel", "text"),
+      ("audio", "ns_mm_audio_funnel", "gate"),
+      ("video", "ns_mm_video_funnel", "gate"))
+    for ((modality, name, stage1) <- checks) {
+      val rows = graft.SparkEntry.queries(name)(spark, SparkSuite.sfDir).collect()
+      def cell(s: String) = corpus.getOrElse((modality, s), 0L)
+      assert(cell(stage1) == rows.map(_.getLong(3)).sum, s"$modality $stage1")
+      assert(cell("dup") == rows.map(_.getLong(4)).sum, s"$modality dup")
+      assert(cell("crossmodal") == rows.map(_.getLong(5)).sum, s"$modality crossmodal")
+      assert(cell("kept") == rows.map(_.getLong(6)).sum, s"$modality kept")
+    }
+  }
+
   test("audio resample at the target rate is the identity; stats replay the formula") {
     val spark = SparkSuite.spark
     val rows = graft.operators.Multimodal.audioResample.run(spark, SparkSuite.sfDir).collect()
