@@ -2189,7 +2189,7 @@ object Multimodal {
     * count, consecutive-frame dHash deltas (min + sum — the motion
     * profile [[videoShingles]] hashes already encode), first-frame
     * dims and pixel sum. Map-only, zero shuffle. */
-  private def videoFeats(media: DataFrame): Dataset[VideoFeat] = {
+  private[graft] def videoFeats(media: DataFrame): Dataset[VideoFeat] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "media_type", "payload").as[RealMediaRow]
       .filter(_.media_type == "video")

@@ -479,6 +479,56 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest funnel: gate + dedup verdicts over a clip stream replay the batch composition") {
+    // the 100 TB ingest-funnel shape: NEW clips arrive as a STREAM and
+    // get BOTH curation verdicts before admission — the content gate
+    // (a stateless typed map over decoded frames, the videoFeats
+    // kernel) and the temporal-dedup probe (stream-static shingle join
+    // against the warm index). Spark can't cascade two streaming
+    // aggregations in one query, so the two verdict planes run as two
+    // AvailableNow queries over the SAME source and compose on the
+    // sink side — exactly how a production ingest job lands verdict
+    // columns next to each other. Replay ≡ batch on the composed
+    // (gate_keep, dup_free) verdict per clip.
+    val spark = SparkSuite.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val mm = graft.operators.Multimodal
+    val media = mm.dupVideo(spark, SparkSuite.sfDir)
+    val isNew = expr("(doc_id % 15) div 3 = 4")
+    val index = mm.videoShingles(media.where(!isNew)).toDF().distinct()
+      .toDF("idx_id", "h1_hi", "h1_lo", "h2_hi", "h2_lo")
+    val srcDir = SparkSuite.tempDir("mm-funnel-src")
+    media.where(isNew).write.mode("overwrite").parquet(srcDir)
+    def stream() = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(srcDir)
+    // plane 1: the content gate — stateless decode map, no state at all
+    val q1 = mm.videoFeats(stream().toDF()).toDF()
+      .select("doc_id", "keep")
+      .writeStream.format("memory").queryName("ingate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // plane 2: the dedup probe — stream-static shingle equi-join
+    val q2 = mm.videoShingles(stream().toDF()).toDF().dropDuplicates()
+      .join(index, Seq("h1_hi", "h1_lo", "h2_hi", "h2_lo"))
+      .groupBy("doc_id", "idx_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .writeStream.format("memory").queryName("indups")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(120000) && q2.awaitTermination(120000))
+    q1.stop(); q2.stop()
+    val gate = spark.table("ingate").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dupped = spark.table("indups").collect().map(_.getLong(0)).toSet
+    val streamedVerdict = gate.map { case (id, g) => id -> ((g == 1) && !dupped(id)) }
+    // batch composition of the registered pieces
+    val bGate = mm.videoGate.run(spark, SparkSuite.sfDir).collect()
+      .filter(r => (r.getLong(0) % 15) / 3 == 4).map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val bDups = mm.videoIncremental.run(spark, SparkSuite.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val batchVerdict = bGate.map { case (id, g) => id -> ((g == 1) && bDups(id)) }
+    assert(streamedVerdict.nonEmpty && streamedVerdict == batchVerdict,
+      s"ingest funnel stream != batch: ${streamedVerdict.toSeq.sorted.take(5)} vs ${batchVerdict.toSeq.sorted.take(5)}")
+  }
+
   test("corpus funnel: per-modality stage cells equal each registered funnel's tallies") {
     val spark = SparkSuite.spark
     val corpus = graft.operators.Multimodal.corpusFunnel.run(spark, SparkSuite.sfDir)
