@@ -689,14 +689,49 @@ object Multimodal {
   private[graft] val WhaleBandCap = 64
 
   private[graft] def bandedHammingPairs(h: DataFrame, maxHamming: Int,
+      whaleBandCap: Int = WhaleBandCap): DataFrame =
+    hammingJoinCore(
+      h.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)),
+          shiftright(col("lo"), 16),
+          col("hi").bitwiseAND(lit(65535L)),
+          shiftright(col("hi"), 16))))
+        .toDF("doc_id", "hi", "lo", "band_idx", "band_val"),
+      maxHamming, whaleBandCap)
+
+  /** The GUARANTEED-recall banding (r9 ADVICE structural-recall note,
+    * now a first-class contract instead of a documented caveat): 8
+    * disjoint 8-bit bands. Pigeonhole: a pair at Hamming ≤ 7 has at
+    * most 7 flipped bits, so at least one of the 8 bands is flip-free
+    * and the pair MEETS — recall at ≤ 7 is a theorem, not a fixture
+    * measurement (the 4×16 layout of [[bandedHammingPairs]] only
+    * guarantees ≤ 3; distances 4–10 are found iff flips cluster).
+    * Cost of the contract: 2× the explode rows and narrower bands
+    * (256 values), so low-entropy corpora lean harder on the shared
+    * whale-band guard — same shuffle shape otherwise. */
+  private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7,
       whaleBandCap: Int = WhaleBandCap): DataFrame = {
-    val banded = h.select(col("doc_id"), col("hi"), col("lo"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16),
-        col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("hi"), 16))))
-      .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+    require(maxHamming <= 7, s"8-band layout guarantees recall only to Hamming 7, got $maxHamming")
+    hammingJoinCore(
+      h.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(255L)),
+          shiftright(col("lo"), 8).bitwiseAND(lit(255L)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(255L)),
+          shiftright(col("lo"), 24).bitwiseAND(lit(255L)),
+          col("hi").bitwiseAND(lit(255L)),
+          shiftright(col("hi"), 8).bitwiseAND(lit(255L)),
+          shiftright(col("hi"), 16).bitwiseAND(lit(255L)),
+          shiftright(col("hi"), 24).bitwiseAND(lit(255L)))))
+        .toDF("doc_id", "hi", "lo", "band_idx", "band_val"),
+      maxHamming, whaleBandCap)
+  }
+
+  /** Whale-guard + self-join + exact-Hamming verify over an already
+    * banded frame — the shared core of both band layouts. */
+  private def hammingJoinCore(banded: DataFrame, maxHamming: Int,
+      whaleBandCap: Int): DataFrame = {
     val guarded = banded
       .withColumn("band_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
@@ -776,6 +811,63 @@ object Multimodal {
       phashOf(dupMedia(spark, dir)).toDF()
         .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
       maxHamming = 10)
+  }
+
+  /** Perceptual near-dup pairs under the GUARANTEED-recall contract —
+    * [[phashDups]] on the 8×8-bit band layout ([[bandedHammingPairs8]])
+    * at Hamming ≤ 7: every true pair at ≤ 7 flipped bits is found BY
+    * CONSTRUCTION (pigeonhole over 8 disjoint bands), the contract a
+    * compliance-grade dedup run needs where "measured full recall on
+    * the fixture" isn't enough. The oracle replays the same 8-band
+    * split arithmetically. */
+  val phashDupsG7: GraftQuery = GraftQuery.checked("ns_mm_phash_dups_g7",
+    """WITH img AS (
+      SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
+      FROM documents WHERE doc_id % 3 = 0),
+    p AS (
+      SELECT doc_id,
+             CAST(8 + (gb * 13) % 113 AS BIGINT) AS w,
+             CAST(8 + (gb * 29) % 109 AS BIGINT) AS h,
+             CAST(gb * 31 + 5 AS BIGINT) AS ca,
+             CAST(gb * 17 + 3 AS BIGINT) AS cb,
+             CAST(gb * 23 + 7 AS BIGINT) AS cc,
+             CAST(m AS BIGINT) AS m
+      FROM img),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN (ca*sx1*sx1 + cb*sy*sy + cc*sx1*sy + 7*sx1 + 13*sy + m) % 251
+                     > (ca*sx0*sx0 + cb*sy*sy + cc*sx0*sy + 7*sx0 + 13*sy + m) % 251
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM (SELECT doc_id, ca, cb, cc, m, b,
+              ((b%8)*w)//9 AS sx0, (((b%8)+1)*w)//9 AS sx1, ((b//8)*h)//8 AS sy
+            FROM (SELECT doc_id, w, h, ca, cb, cc, m, unnest(range(0, 64)) AS b FROM p))),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, hi, lo, band_idx,
+             CASE band_idx
+                  WHEN 0 THEN lo % 256 WHEN 1 THEN (lo // 256) % 256
+                  WHEN 2 THEN (lo // 65536) % 256 WHEN 3 THEN (lo // 16777216) % 256
+                  WHEN 4 THEN hi % 256 WHEN 5 THEN (hi // 256) % 256
+                  WHEN 6 THEN (hi // 65536) % 256 ELSE (hi // 16777216) % 256 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 8)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hi AS a_hi, a.lo AS a_lo, b.hi AS b_hi, b.lo AS b_lo
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
+    ORDER BY a_id, b_id""") { (spark, dir) =>
+    bandedHammingPairs8(
+      phashOf(dupMedia(spark, dir)).toDF()
+        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
+      maxHamming = 7)
   }
 
   final case class ImageGate(doc_id: Long, width: Int, height: Int, gray_sum: Long,
@@ -2902,5 +2994,5 @@ object Multimodal {
     audioDups, phashClusters, imageGate, dedupPropagation, phashIncremental, videoDups,
     crossmodalGate, multimodalFunnel, videoClusters, audioIncremental,
     audioClusters, audioGate, videoGate, audioFunnel, videoFunnel, videoIncremental,
-    corpusFunnel)
+    corpusFunnel, phashDupsG7)
 }

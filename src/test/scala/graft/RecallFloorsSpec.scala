@@ -39,4 +39,43 @@ class RecallFloorsSpec extends AnyFunSuite {
       assert(r >= floor, f"$family recall@5 $r%.3f below clustered floor $floor (candidates=$cand)")
     }
   }
+
+  test("8x8 banding finds EVERY adversarial <=7-flip pair; 4x16 provably misses spread flips") {
+    // the pigeonhole contract of bandedHammingPairs8: at Hamming <= 7
+    // at least one of the 8 disjoint 8-bit bands is flip-free, so the
+    // pair meets REGARDLESS of where the flips land. Adversarial flip
+    // placements — one flip per band (the spread that defeats coarse
+    // banding), all flips on band boundaries, all clustered — must all
+    // be found. The 4x16 layout is shown missing a 4-flip spread
+    // (one flip in each 16-bit band), the structural window the r9
+    // advice documented.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0x5A5A5A5AL, 0x0F0F0F0FL) // arbitrary 64-bit hash halves
+    def flip(h: (Long, Long), bits: Seq[Int]): (Long, Long) =
+      bits.foldLeft(h) { case ((hi, lo), b) =>
+        if (b < 32) (hi, lo ^ (1L << b)) else (hi ^ (1L << (b - 32)), lo)
+      }
+    val adversarial = Seq(
+      "spread7" -> Seq(0, 8, 16, 24, 32, 40, 48),      // one per band, 7 bands hit
+      "boundary7" -> Seq(7, 15, 23, 31, 39, 47, 55),   // band-edge bits
+      "clustered7" -> Seq(0, 1, 2, 3, 4, 5, 6),        // all in one band
+      "spread4" -> Seq(0, 16, 32, 48))                 // one per 16-BIT band
+    for ((name, bits) <- adversarial) {
+      val v = flip(base, bits)
+      val df = Seq((0L, base._1, base._2), (1L, v._1, v._2)).toDF("doc_id", "hi", "lo")
+      val got8 = graft.operators.Multimodal.bandedHammingPairs8(df, maxHamming = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got8.toSeq == Seq((0L, 1L, bits.length)),
+        s"$name: 8x8 banding must find the pair at hamming ${bits.length}, got ${got8.toSeq}")
+    }
+    // the spread4 pattern flips one bit in EVERY 16-bit band, so the
+    // 4x16 candidate join finds no shared band — the measured-recall
+    // layout misses it even though hamming = 4 <= 10
+    val v4 = flip(base, Seq(0, 16, 32, 48))
+    val df4 = Seq((0L, base._1, base._2), (1L, v4._1, v4._2)).toDF("doc_id", "hi", "lo")
+    val got16 = graft.operators.Multimodal.bandedHammingPairs(df4, maxHamming = 10).count()
+    assert(got16 == 0, "4x16 banding unexpectedly found the spread-flip pair")
+  }
 }
