@@ -707,11 +707,21 @@ object Multimodal {
     * and the pair MEETS — recall at ≤ 7 is a theorem, not a fixture
     * measurement (the 4×16 layout of [[bandedHammingPairs]] only
     * guarantees ≤ 3; distances 4–10 are found iff flips cluster).
-    * Cost of the contract: 2× the explode rows and narrower bands
-    * (256 values), so low-entropy corpora lean harder on the shared
-    * whale-band guard — same shuffle shape otherwise. */
-  private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7,
-      whaleBandCap: Int = WhaleBandCap): DataFrame = {
+    *
+    * NO WHALE-BAND GUARD here, by construction not by oversight (an
+    * r11 review pass caught the conflict the hard way: at sf0.1 the
+    * largest 8-bit band bucket is already 74 > the shared cap of 64 —
+    * a guard would drop it, voiding the very guarantee this layout
+    * exists to provide for any pair whose only flip-free band is a
+    * whale, and silently diverging from the unguarded oracle). The
+    * guaranteed contract TRADES the degenerate-corpus protection away:
+    * candidate mass is bounded by band-value entropy, so the
+    * precondition is the one the house already documents — EXACT dedup
+    * upstream removes genuinely-constant content before any perceptual
+    * pass; a corpus that still floods a 256-value band after that is a
+    * corpus where guaranteed ≤ 7 recall IS quadratic work, and callers
+    * who can't afford it use the guarded measured-recall layout. */
+  private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, s"8-band layout guarantees recall only to Hamming 7, got $maxHamming")
     hammingJoinCore(
       h.select(col("doc_id"), col("hi"), col("lo"),
@@ -725,18 +735,22 @@ object Multimodal {
           shiftright(col("hi"), 16).bitwiseAND(lit(255L)),
           shiftright(col("hi"), 24).bitwiseAND(lit(255L)))))
         .toDF("doc_id", "hi", "lo", "band_idx", "band_val"),
-      maxHamming, whaleBandCap)
+      maxHamming, whaleBandCap = Long.MaxValue)
   }
 
   /** Whale-guard + self-join + exact-Hamming verify over an already
-    * banded frame — the shared core of both band layouts. */
+    * banded frame — the shared core of both band layouts
+    * (`whaleBandCap = Long.MaxValue` disables the guard for the
+    * guaranteed-recall layout, which must not drop bands). */
   private def hammingJoinCore(banded: DataFrame, maxHamming: Int,
-      whaleBandCap: Int): DataFrame = {
-    val guarded = banded
-      .withColumn("band_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
-      .where(col("band_n") <= lit(whaleBandCap))
-      .drop("band_n")
+      whaleBandCap: Long): DataFrame = {
+    val guarded =
+      if (whaleBandCap == Long.MaxValue) banded
+      else banded
+        .withColumn("band_n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
+        .where(col("band_n") <= lit(whaleBandCap))
+        .drop("band_n")
     val a = guarded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"),
       col("hi").as("a_hi"), col("lo").as("a_lo"))
     val b = guarded.select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"),

@@ -77,5 +77,23 @@ class RecallFloorsSpec extends AnyFunSuite {
     val df4 = Seq((0L, base._1, base._2), (1L, v4._1, v4._2)).toDF("doc_id", "hi", "lo")
     val got16 = graft.operators.Multimodal.bandedHammingPairs(df4, maxHamming = 10).count()
     assert(got16 == 0, "4x16 banding unexpectedly found the spread-flip pair")
+    // WHALE-BAND interaction (the r11 review finding): a pair whose
+    // ONLY flip-free band is shared with > WhaleBandCap other docs must
+    // STILL be found — the guaranteed layout runs unguarded by
+    // construction (a guard would drop the band and void the theorem;
+    // at sf0.1 the largest real 8-bit bucket is already 74 > 64)
+    val crowd = (2L until 72L).map { i =>
+      // same band 0 (low byte) as base, scrambled elsewhere — far from
+      // everything (hamming >> 7), so they add candidates, not pairs
+      val noise = (i * 0x9E3779B97F4A7C15L) | 0x100L
+      (i, (noise >> 32) & 0xFFFFFFFFL, ((noise & 0xFFFFFF00L) | (base._2 & 0xFFL)))
+    }
+    val pairOnlyBand0 = flip(base, Seq(8, 16, 24, 32, 40, 48, 56)) // flips bands 1..7
+    val dfWhale = (Seq((0L, base._1, base._2), (1L, pairOnlyBand0._1, pairOnlyBand0._2)) ++ crowd)
+      .toDF("doc_id", "hi", "lo")
+    val whaleGot = graft.operators.Multimodal.bandedHammingPairs8(dfWhale, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(whaleGot.contains((0L, 1L)),
+      s"whale-crowded flip-free band must not lose the guaranteed pair; got ${whaleGot.toSeq}")
   }
 }
