@@ -179,14 +179,18 @@ object VectorsIvf {
     // mirrored the drop, so only the contract text caught it)
     val newAssign = ivfIndex(spark, dir).where(isNew).select("vec_id", "cell")
     val cand = candidates(spark, dir, isNew, nProbe)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_r").desc, col("neighbor_id"))
-    val top = cand.withColumn("rn", row_number().over(w))
-      .withColumn("n_cand", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")))
-      .where(col("rn") === 1)
+    // top-1 + count in ONE hash aggregation (max over a (sim, -id)
+    // struct ≡ the window's sim DESC, id ASC tie-break) — the two
+    // query_id-windows this replaces needed a shuffle + per-partition
+    // SORT of the candidate stream and aggregated nothing map-side;
+    // the agg partial-aggregates candidates down to one row per new
+    // vector before the exchange (also the streaming twin's shape,
+    // since windows don't stream)
+    val top = cand.groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand"),
+        max(struct(col("sim_r").as("s"), (-col("neighbor_id")).as("negid"))).as("m"))
       .select(col("query_id").as("vec_id"),
-        col("n_cand"), col("neighbor_id").as("nearest_id"), col("sim_r"))
+        col("n_cand"), (-col("m.negid")).as("nearest_id"), col("m.s").as("sim_r"))
     newAssign.join(top, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("nearest_id"), col("sim_r"))
