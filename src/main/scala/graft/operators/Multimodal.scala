@@ -1966,7 +1966,7 @@ object Multimodal {
   /** Channel-0 fingerprints of the [[dupAudio]] corpus — ONE decode
     * map shared by [[audioDups]], [[audioIncremental]] and the
     * cluster/funnel consumers (was duplicated inline in both, r11). */
-  private def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
       .map { row =>

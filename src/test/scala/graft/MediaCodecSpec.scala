@@ -697,4 +697,30 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(maxBucket <= graft.operators.Multimodal.WhaleBandCap / 2,
       s"fixture band bucket $maxBucket endangers the whale-cap headroom")
   }
+
+  test("fixture headroom: audio fingerprint bands and video shingle keys sit below the whale cap too") {
+    // the r11 g7 finding generalized: every GUARDED band join whose
+    // oracle replays unguarded relies on the fixture's buckets staying
+    // under the cap — image was pinned (test above); audio and video
+    // were not. Within-group audio fingerprints are IDENTICAL by
+    // design (DC-shift invariance), so each group of 5 contributes a
+    // 5-deep bucket per band — this asserts group collisions don't
+    // stack past half the cap.
+    val spark = SparkSuite.spark
+    val mm = graft.operators.Multimodal
+    val audioMax = mm.audioFingerprints(spark, SparkSuite.sfDir)
+      .select(col("doc_id"), posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+      .toDF("doc_id", "band_idx", "band_val")
+      .groupBy("band_idx", "band_val").count()
+      .agg(max("count")).head().getLong(0)
+    assert(audioMax <= mm.WhaleBandCap / 2,
+      s"audio fingerprint band bucket $audioMax endangers the whale-cap headroom")
+    val videoMax = mm.videoShingles(mm.dupVideo(spark, SparkSuite.sfDir)).toDF().distinct()
+      .groupBy("h1_hi", "h1_lo", "h2_hi", "h2_lo").count()
+      .agg(max("count")).head().getLong(0)
+    assert(videoMax <= mm.WhaleBandCap / 2,
+      s"video shingle-key bucket $videoMax endangers the whale-cap headroom")
+  }
 }
