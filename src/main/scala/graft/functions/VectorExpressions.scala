@@ -230,6 +230,67 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sparse-count dot against a dense weight vector:
+  * Σ weights[f] · cnt over an `array<struct<f:int, cnt:bigint>>`
+  * feature column, weights an `array<bigint>` (a constant-folded
+  * literal in the perceptron loop). Replaces the interpreted
+  * `aggregate(fs, 0, (acc, x) -> acc + element_at(w, f+1) * cnt)`
+  * HOF — the repo's measured gotcha: lambda HOFs evaluate OUTSIDE
+  * whole-stage codegen, and this fold runs once per doc per training
+  * iteration, the slowest row of the bench. Exact BIGINT arithmetic,
+  * identical to the HOF form. Out-of-range f throws (a hashed feature
+  * id outside the weight table is a caller bug, not data noise). */
+case class SparseCountDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(s: org.apache.spark.sql.types.StructType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _))
+        if s.length == 2 && s(0).dataType == org.apache.spark.sql.types.IntegerType &&
+           s(1).dataType == org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sparse_count_dot requires (array<struct<int,bigint>>, array<bigint>), got $l / $r")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val fs = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = fs.numElements()
+    while (i < n) {
+      val s = fs.getStruct(i, 2)
+      acc += w.getLong(s.getInt(0)) * s.getLong(1)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = $a.numElements();
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          InternalRow $s = $a.getStruct($i, 2);
+          $acc += $b.getLong($s.getInt(0)) * $s.getLong(1);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -246,4 +307,8 @@ object VectorExpressions {
   /** Column API for [[JaccardSortedLongs]]. */
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSortedLongs(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[SparseCountDot]]. */
+  def sparseCountDot(fs: Column, weights: Column): Column =
+    ColumnShim.column(SparseCountDot(ColumnShim.expression(fs), ColumnShim.expression(weights)))
 }

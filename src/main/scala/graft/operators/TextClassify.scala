@@ -231,23 +231,35 @@ object TextClassify {
     var w = Array.fill(256)(0L)
     val curve = Seq.newBuilder[(Int, Long, Long)]
     for (t <- 1 to PerceptronIters) {
-      val wArr = array(w.toIndexedSeq.map(lit): _*)
-      // persist per iteration: the margin fold is an interpreted
-      // 256-literal HOF over every doc (the known array-HOF gotcha) and
-      // BOTH the update aggregate and the count consume it — uncached,
-      // each iteration paid the fold twice (r8 review round 2)
+      // ONE array literal, not array(256 lit(...)) — a CreateArray of
+      // 256 primitive literals inlines them into the generated source,
+      // so every iteration's new weights forced a fresh whole-stage
+      // codegen COMPILE (~0.4 s/iter, the real cost of this loop, r11
+      // measured); a single array Literal rides the codegen reference
+      // table, the generated source is iteration-invariant, and the
+      // compile cache hits
+      val wArr = lit(w.clone())
+      // ONE action per iteration (r11 — at 8 iterations the loop's
+      // cost was pure job count, 3 actions/iter on a cached 5k-row
+      // frame): the per-f update sums and the misclassified-doc count
+      // ride one collect as a union of two aggregates over the same
+      // cached dv scan (the count as a sentinel f = -1 row). The
+      // margin is a codegen'd sparse dot ([[SparseCountDot]] — the
+      // interpreted 256-literal HOF fold ran outside whole-stage
+      // codegen, the repo's measured gotcha); it evaluates once per
+      // branch, cheap enough that fusing jobs beats caching it.
       val miscl = dv.withColumn("margin",
-          aggregate(col("fs"), lit(0L),
-            (acc, x) => acc + element_at(wArr, x.getField("f") + 1) * x.getField("cnt")))
+          graft.functions.VectorExpressions.sparseCountDot(col("fs"), wArr))
         .where(col("y") * col("margin") <= 0)
-        .persist()
-      val upd = miscl
+      val res = miscl
         .select(col("y"), explode(col("fs")).as("e"))
         .groupBy(col("e.f").as("f"))
         .agg(sum(col("y") * col("e.cnt")).as("u"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nMiscl = miscl.count()
-      miscl.unpersist()
+        .unionByName(miscl.select(lit(-1).as("f"))
+          .groupBy("f").agg(count(lit(1)).as("u")))
+        .collect()
+      val upd = res.filter(_.getInt(0) >= 0).map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nMiscl = res.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
       curve += ((t, nMiscl, upd.values.map(math.abs).sum))
       upd.foreach { case (f, u) => w(f) += u }
     }
