@@ -291,6 +291,78 @@ case class SparseCountDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Min exact-integer squared L2 distance of a BIGINT coordinate array
+  * to a SET of BIGINT vectors (`array<array<bigint>>`, the selected
+  * centers as one literal): min_s Σ_i (a[i]−s[i])². Replaces the
+  * greedy-FPS round's `least(aggregate(zip_with(...)) per center)` —
+  * interpreted HOFs whose inlined per-center literals ALSO forced a
+  * fresh codegen compile every round (the perceptron lesson: one
+  * array Literal rides the reference table, so the generated source
+  * is round-invariant and the janino cache hits). */
+case class MinLongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(ArrayType(org.apache.spark.sql.types.LongType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"min_sqdist requires (array<bigint>, array<array<bigint>>), got $l / $r")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val set = b.asInstanceOf[ArrayData]
+    var best = Long.MaxValue
+    var s = 0
+    val m = set.numElements()
+    while (s < m) {
+      val c = set.getArray(s)
+      val n = math.min(v.numElements(), c.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - c.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) best = acc
+      s += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val best = ctx.freshName("best")
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+        long $best = Long.MAX_VALUE;
+        int $m = $b.numElements();
+        for (int $s = 0; $s < $m; $s++) {
+          org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($s);
+          int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            long $d = $a.getLong($i) - $c.getLong($i);
+            $acc += $d * $d;
+          }
+          if ($acc < $best) $best = $acc;
+        }
+        ${ev.value} = $best;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatVecDot]]. */
   def vecDot(a: Column, b: Column): Column =
@@ -311,4 +383,8 @@ object VectorExpressions {
   /** Column API for [[SparseCountDot]]. */
   def sparseCountDot(fs: Column, weights: Column): Column =
     ColumnShim.column(SparseCountDot(ColumnShim.expression(fs), ColumnShim.expression(weights)))
+
+  /** Column API for [[MinLongSqDist]]. */
+  def minLongSqDist(v: Column, set: Column): Column =
+    ColumnShim.column(MinLongSqDist(ColumnShim.expression(v), ColumnShim.expression(set)))
 }

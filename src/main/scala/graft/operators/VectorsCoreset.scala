@@ -48,22 +48,25 @@ object VectorsCoreset {
           x => floor(x.cast("double") * Scale + 0.5).cast("long")).as("qv"))
     }
 
-  /** Exact integer ‖a−b‖² of the quantized column vs a selected-vector
-    * literal. */
-  private def distSq(qv: Column, s: Seq[Long]): Column =
-    aggregate(zip_with(qv, array(s.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, d) => acc + d)
-
   /** One greedy round as a 1-row frame: min distance² to the selected
-    * literals, argmax with vec_id tie-break. Exposed so PlanShapeSpec
+    * set, argmax with vec_id tie-break. Exposed so PlanShapeSpec
     * can pin the shape — a map stage + bounded TakeOrderedAndProject,
-    * no shuffle Exchange (per-partition top-1, 1-row driver merge). */
+    * no shuffle Exchange (per-partition top-1, 1-row driver merge).
+    *
+    * r11: the min-over-set is ONE codegen expression over ONE
+    * `array<array<bigint>>` literal ([[graft.functions.MinLongSqDist]])
+    * — the old `least(per-center interpreted zip_with folds)` inlined
+    * every center's coordinates into the generated source, so each
+    * greedy round paid a fresh janino compile on top of interpreted
+    * HOF evaluation (the perceptron lesson); exclusion is an
+    * array_contains against an array literal for the same reason. */
   private[graft] def roundFrame(q: DataFrame,
       selQ: Seq[Seq[Long]], exclude: Seq[Long]): DataFrame = {
-    val dists = selQ.map(distSq(col("qv"), _))
-    val mind = if (dists.size == 1) dists.head else least(dists: _*)
-    q.where(!col("vec_id").isin(exclude: _*))
-      .select(col("vec_id"), mind.as("mind"), col("qv"))
+    val selLit = typedLit(selQ.map(_.toSeq))
+    q.where(!array_contains(lit(exclude.toArray), col("vec_id")))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.minLongSqDist(col("qv"), selLit).as("mind"),
+        col("qv"))
       .orderBy(desc("mind"), asc("vec_id")).limit(1)
   }
 
