@@ -89,6 +89,20 @@ object MmScaleProbe {
       println(f"[mm-probe] degenerate flat-hash corpus n=$n%d GUARDED candidates=$guarded%d " +
         f"wall=$tg%.2fs — whale-band guard drops the n-sized buckets")
     }
+
+    // 3. r11 rows: the guaranteed-recall 8x8 layout (UNGUARDED by
+    //    contract) and the composed funnels at 1x vs 10x — pairs/cells
+    //    per doc must stay flat (no all-pairs term anywhere in the
+    //    composition; the funnels are map-decode + id-keyed bridges)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = Multimodal.dupMedia(spark, dir).count()
+      val (g7, t7) = time { Multimodal.phashDupsG7.run(spark, dir).count() }
+      println(f"[mm-probe] g7 8x8 band-join $dir: images=$n%d dup_pairs=$g7%d " +
+        f"wall=$t7%.2fs pairs_per_image=${g7.toDouble / n}%.2f (unguarded by contract)")
+      val (cf, tc) = time { Multimodal.corpusFunnel.run(spark, dir)
+        .agg(sum("n")).head().getLong(0) }
+      println(f"[mm-probe] corpus-funnel $dir: staged_docs=$cf%d wall=$tc%.2fs")
+    }
     spark.stop()
   }
 }
