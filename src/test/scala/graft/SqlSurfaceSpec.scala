@@ -102,4 +102,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       SparkEntry.queries("ns_dedup_exact")(spark, dir).count())
     assert(spark.sql("SELECT COUNT(*) FROM graft_ns_vec_norms").collect()(0).getLong(0) > 0)
   }
+
+  test("capstone through the TVF: the corpus curation funnel serves SQL dashboards") {
+    // the r11 corpus-wide funnel (six composed operators, three
+    // modalities of real decoded media behind it) answers a plain SQL
+    // question — per-modality survival rate — through the same
+    // graft() boundary as any other operator, and the outer filter/agg
+    // compose with the inlined plan
+    val rates = spark.sql(
+      s"""SELECT modality,
+             SUM(CASE WHEN stage = 'kept' THEN n ELSE 0 END) AS n_kept,
+             SUM(n) AS n_total
+         FROM graft('ns_mm_corpus_funnel', '$dir')
+         GROUP BY modality ORDER BY modality""").collect()
+    assert(rates.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    rates.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(1) > 0 && r.getLong(1) < r.getLong(2),
+        s"survival rate must be non-trivial per modality: $r")
+    }
+  }
 }
