@@ -1966,9 +1966,15 @@ object Multimodal {
   /** Channel-0 fingerprints of the [[dupAudio]] corpus — ONE decode
     * map shared by [[audioDups]], [[audioIncremental]] and the
     * cluster/funnel consumers (was duplicated inline in both, r11). */
-  private[graft] def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    dupAudio(spark, dir).select("doc_id", "media_type", "payload").as[RealMediaRow]
+  private[graft] def audioFingerprints(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprintsOf(dupAudio(spark, dir))
+
+  /** The channel-0 fingerprint decode map over ANY media frame — a
+    * stateless typed map, so the streaming ingest twin applies it to a
+    * readStream directly (the videoShingles convention). */
+  private[graft] def audioFingerprintsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "media_type", "payload").as[RealMediaRow]
       .map { row =>
         val info = MediaCodec.wavInfo(row.payload)
           .getOrElse(sys.error(s"unparseable WAV header for doc ${row.doc_id}"))
@@ -2211,7 +2217,7 @@ object Multimodal {
     * gate AND the funnel's cross-modal projection need (min/max/sum of
     * the decoded int16 samples, all channels, plus the verdict) —
     * map-only, zero shuffle, the [[audioStats]] decode. */
-  private def audioFeats(media: DataFrame): Dataset[AudioFeat] = {
+  private[graft] def audioFeats(media: DataFrame): Dataset[AudioFeat] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "media_type", "payload").as[RealMediaRow]
       .filter(_.media_type == "audio")

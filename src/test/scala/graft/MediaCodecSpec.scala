@@ -529,6 +529,70 @@ class MediaCodecSpec extends AnyFunSuite {
       s"ingest funnel stream != batch: ${streamedVerdict.toSeq.sorted.take(5)} vs ${batchVerdict.toSeq.sorted.take(5)}")
   }
 
+  test("streaming audio ingest funnel: gate + acoustic dedup verdicts replay the batch composition") {
+    // the audio twin of the video ingest funnel above: new clips
+    // stream through the content gate (stateless WAV decode map — the
+    // audioFeats kernel over realMedia-format bytes) and the acoustic
+    // dedup probe (stream-static fingerprint band join against the
+    // warm index over the dup-planted corpus); composed verdicts
+    // replay batch exactly. Note the two planes read the two fixture
+    // corpora the registered operators read (gate: realMedia bytes;
+    // dedup: dupAudio bytes) — same doc_id space, the funnel contract.
+    val spark = SparkSuite.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val mm = graft.operators.Multimodal
+    val isNewExpr = expr("(doc_id % 15) div 3 = 4")
+    // plane 1: gate over the realMedia audio stream (stateless map)
+    val gateSrc = SparkSuite.tempDir("mm-audio-gate-src")
+    mm.realMedia(spark, SparkSuite.sfDir)
+      .where(col("media_type") === "audio").write.mode("overwrite").parquet(gateSrc)
+    val gateStream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(gateSrc)
+    val q1 = mm.audioFeats(gateStream.toDF()).toDF()
+      .select("doc_id", "keep")
+      .writeStream.format("memory").queryName("audio_ingate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // plane 2: acoustic band probe — new dupAudio clips vs static index
+    val fp = mm.audioFingerprints(spark, SparkSuite.sfDir)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+          col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+        .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+    val index = bands(fp.where(!isNewExpr))
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
+        col("hi").as("i_hi"), col("lo").as("i_lo"))
+    val dupSrc = SparkSuite.tempDir("mm-audio-dup-src")
+    mm.dupAudio(spark, SparkSuite.sfDir).where(isNewExpr)
+      .write.mode("overwrite").parquet(dupSrc)
+    val dupStream = spark.readStream
+      .schema("doc_id BIGINT, media_type STRING, payload BINARY").parquet(dupSrc)
+    val q2 = bands(mm.audioFingerprintsOf(dupStream.toDF()))
+      .join(index, Seq("band_idx", "band_val"))
+      .select("doc_id", "idx_id", "hi", "lo", "i_hi", "i_lo").dropDuplicates()
+      .where(expr("CAST(bit_count(hi ^ i_hi) + bit_count(lo ^ i_lo) AS INT)") <= 6)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dups"))
+      .writeStream.format("memory").queryName("audio_indups")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(120000) && q2.awaitTermination(120000))
+    q1.stop(); q2.stop()
+    val gate = spark.table("audio_ingate").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dupped = spark.table("audio_indups").collect().map(_.getLong(0)).toSet
+    // compose only over the NEW slice (the gate plane streamed ALL
+    // audio docs; the ingest verdict applies to arriving clips)
+    val streamed = gate.collect { case (id, g) if (id % 15) / 3 == 4 =>
+      id -> ((g == 1) && !dupped(id)) }
+    val bGate = mm.audioGate.run(spark, SparkSuite.sfDir).collect()
+      .filter(r => (r.getLong(0) % 15) / 3 == 4).map(r => r.getLong(0) -> r.getInt(5)).toMap
+    val bDups = mm.audioIncremental.run(spark, SparkSuite.sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val batch = bGate.map { case (id, g) => id -> ((g == 1) && bDups(id)) }
+    assert(streamed.nonEmpty && streamed == batch,
+      s"audio ingest funnel stream != batch: ${streamed.toSeq.sorted.take(5)} vs ${batch.toSeq.sorted.take(5)}")
+  }
+
   test("corpus funnel: per-modality stage cells equal each registered funnel's tallies") {
     val spark = SparkSuite.spark
     val corpus = graft.operators.Multimodal.corpusFunnel.run(spark, SparkSuite.sfDir)
