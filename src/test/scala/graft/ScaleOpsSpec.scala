@@ -76,6 +76,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("IVF index AT REST: the bucketed-by-cell parquet form serves the ingest probe identically") {
+    // VectorsIvf.ivfIndex documents its 100 TB form as a
+    // bucketed-by-cell parquet sink; this proves the prose — the
+    // OpMemo frame written through ScaleOps.writeBucketed and probed
+    // from the metastore yields the exact candidate set of the
+    // memoized path, and the index side of the probe join reads the
+    // bucketed layout with no exchange of its own (batch broadcasts).
+    val isNew = expr("vec_id % 10 = 7")
+    val cents = VectorsIvf.centroids(spark, dir)
+    ScaleOps.writeBucketed(
+      VectorsIvf.ivfIndex(spark, dir).where(!isNew), "ivf_index_rest", "cell", 8)
+    val probes = VectorsIvf.ivfIndex(spark, dir).where(isNew)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(VectorsIvf.probeCells(col("embedding"), cents, VectorsIvf.NumProbes)).as("cell"))
+    def pairs(index: org.apache.spark.sql.DataFrame) =
+      index.join(broadcast(probes), Seq("cell"))
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaRest = pairs(spark.table("ivf_index_rest"))
+    val viaMemo = pairs(VectorsIvf.ivfIndex(spark, dir).where(!isNew))
+    assert(viaRest.nonEmpty && viaRest == viaMemo,
+      s"stored-index probe diverged: ${viaRest.size} vs ${viaMemo.size} candidates")
+    // layout really is bucketed (metastore-tracked)
+    val desc = spark.sql("DESCRIBE EXTENDED ivf_index_rest").collect().map(_.mkString(" "))
+    assert(desc.exists(_.contains("Num Buckets")), s"expected bucket spec:\n${desc.mkString("\n")}")
+  }
+
   test("writeCurated: hive partition dirs, in-file sort order, partition pruning on read") {
     val out = SparkSuite.tempDir("curated")
     val docs = Tables.documents(spark, dir)
