@@ -752,10 +752,49 @@ object MetaQueries {
     }
   }
 
+  /** Per-pipeline RUN RELIABILITY over the lifecycle history — the
+    * scheduler-SRE dashboard query every operator of the reference
+    * actually runs against its Mongo event log (D10's data answering
+    * "which pipelines are flaky"): terminal-event counts, success rate
+    * (exact integer micro-units — FLOOR(succ·10⁶ / terminal), NULL
+    * when a pipeline has no terminal events yet), the deepest retry
+    * seen, and the last event time. One pass over the history with
+    * map-side partials to |pipelines| rows; at an unbounded event log
+    * this is the same scan-dominant shape as K10, no join at all. */
+  val runReliability: GraftQuery = GraftQuery.checked("ns_meta_reliability",
+    withCtes("""SELECT pipeline_uuid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_subtype = 'success' THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+           CAST(SUM(CASE WHEN event_subtype = 'failure' THEN 1 ELSE 0 END) AS BIGINT) AS n_failure,
+           CAST(MAX(retry_count) AS INTEGER) AS max_retry,
+           CASE WHEN SUM(CASE WHEN event_subtype IN ('success', 'failure') THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN event_subtype = 'success' THEN 1 ELSE 0 END) * 1000000
+                       // SUM(CASE WHEN event_subtype IN ('success', 'failure') THEN 1 ELSE 0 END) AS BIGINT)
+                ELSE NULL END AS success_rate_micro,
+           MAX(event_time) AS last_event_time
+      FROM lifecycle_events
+      GROUP BY pipeline_uuid ORDER BY pipeline_uuid""")) { (spark, dir) =>
+    val succ = sum(when(col("event_subtype") === "success", 1L).otherwise(0L))
+    val fail = sum(when(col("event_subtype") === "failure", 1L).otherwise(0L))
+    Fixtures.lifecycleEventsDF(spark, dir)
+      .groupBy("pipeline_uuid")
+      .agg(count(lit(1)).as("n_events"),
+        succ.as("n_success"),
+        fail.as("n_failure"),
+        max("retry_count").as("max_retry"),
+        max("event_time").as("last_event_time"))
+      .withColumn("success_rate_micro",
+        when(col("n_success") + col("n_failure") > 0,
+          expr("n_success * 1000000L div (n_success + n_failure)")))
+      .select("pipeline_uuid", "n_events", "n_success", "n_failure", "max_retry",
+        "success_rate_micro", "last_event_time")
+      .orderBy("pipeline_uuid")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     prefixHeaders, tagFilter, pointLookup, downstream, danglingTriggers,
     concurrencyGate, fanoutSplit, unknownOrigin, historyPage, runningFilter,
     distinctIncubating, uuidRegexCount, oldestWaiting, retryGate, ageOut,
     debounceExpired, depsSatisfied, dagClosureQ, criticalPathQ, pageRankQ, trianglesQ, coTrigger,
-    corenessQ)
+    corenessQ, runReliability)
 }
