@@ -2423,7 +2423,16 @@ object Multimodal {
     * stages populated at sf0.01 (58 gate / dup / 58 crossmodal / 51
     * kept pre-dup split — BASELINE.md r11). Scale shape: two map-only
     * decode stages + the dup-subset-sized CC label frame, bridged by
-    * 1:1 id-keyed joins; the tally partial-aggregates. */
+    * 1:1 id-keyed joins; the tally partial-aggregates.
+    *
+    * FIXTURE note (the [[multimodalFunnel]] convention made explicit):
+    * the gate + cross-modal stages decode the [[realMedia]] bytes
+    * while the dedup stage's clusters come from the dup-planted
+    * [[dupAudio]] corpus — same doc_id space, two generators, because
+    * each stage needs the fixture that makes ITS verdict non-vacuous
+    * (amplitude-window structure for the gate arms; planted DC-shift
+    * groups for the dup cut). A production run feeds every stage the
+    * one real corpus; the composition algebra is unchanged. */
   val audioFunnel: GraftQuery = GraftQuery.checked("ns_mm_audio_funnel",
     """WITH RECURSIVE aud AS (
       SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m
