@@ -15,8 +15,11 @@ run / fork := true
 // as bare JSON; sbt's default LoggedOutput decorates every forked line
 // with an "[info] " prefix, which broke that parse three rounds running
 // (BENCH_r{08,09,10}.json all "parsed": null). StdoutOutput hands the
-// forked JVM the real stdout/stderr, so the summary line arrives bare.
+// forked JVM the real stdout/stderr, so the summary line arrives bare —
+// and showSuccess := false drops sbt's own "[success] Total time" stdout
+// epilogue that would otherwise land AFTER it as the new last line.
 outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
