@@ -259,12 +259,21 @@ case class SparseCountDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val fs = a.asInstanceOf[ArrayData]
     val w = b.asInstanceOf[ArrayData]
+    val wn = w.numElements()
     var acc = 0L
     var i = 0
     val n = fs.numElements()
     while (i < n) {
       val s = fs.getStruct(i, 2)
-      acc += w.getLong(s.getInt(0)) * s.getLong(1)
+      val f = s.getInt(0)
+      // r11 ADVICE: lit(Array[Long]) backs the weight table with
+      // UnsafeArrayData, whose getLong is bounds-UNCHECKED — an
+      // out-of-range feature id would silently read heap garbage, so
+      // the throw documented in the contract must be explicit here.
+      if (f < 0 || f >= wn)
+        throw new IllegalArgumentException(
+          s"sparse_count_dot: feature id $f outside weight table [0, $wn)")
+      acc += w.getLong(f) * s.getLong(1)
       i += 1
     }
     acc
@@ -276,12 +285,19 @@ case class SparseCountDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
+      val f = ctx.freshName("f")
+      val wn = ctx.freshName("wn")
       s"""
         int $n = $a.numElements();
+        int $wn = $b.numElements();
         long $acc = 0L;
         for (int $i = 0; $i < $n; $i++) {
           InternalRow $s = $a.getStruct($i, 2);
-          $acc += $b.getLong($s.getInt(0)) * $s.getLong(1);
+          int $f = $s.getInt(0);
+          if ($f < 0 || $f >= $wn)
+            throw new IllegalArgumentException(
+              "sparse_count_dot: feature id " + $f + " outside weight table [0, " + $wn + ")");
+          $acc += $b.getLong($f) * $s.getLong(1);
         }
         ${ev.value} = $acc;
       """
@@ -316,12 +332,20 @@ case class MinLongSqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val set = b.asInstanceOf[ArrayData]
+    val m = set.numElements()
+    // r11 ADVICE: the old min(lengths) truncation and Long.MaxValue
+    // empty-set sentinel would corrupt greedy-FPS selection silently
+    // on a caller bug; the framework convention is fail-loud.
+    if (m == 0)
+      throw new IllegalArgumentException("min_sqdist: empty center set")
     var best = Long.MaxValue
     var s = 0
-    val m = set.numElements()
     while (s < m) {
       val c = set.getArray(s)
-      val n = math.min(v.numElements(), c.numElements())
+      val n = v.numElements()
+      if (c.numElements() != n)
+        throw new IllegalArgumentException(
+          s"min_sqdist: dimension mismatch ${c.numElements()} != $n")
       var acc = 0L
       var i = 0
       while (i < n) {
@@ -343,11 +367,16 @@ case class MinLongSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
-        long $best = Long.MAX_VALUE;
         int $m = $b.numElements();
+        if ($m == 0)
+          throw new IllegalArgumentException("min_sqdist: empty center set");
+        long $best = Long.MAX_VALUE;
+        int $n = $a.numElements();
         for (int $s = 0; $s < $m; $s++) {
           org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($s);
-          int $n = java.lang.Math.min($a.numElements(), $c.numElements());
+          if ($c.numElements() != $n)
+            throw new IllegalArgumentException(
+              "min_sqdist: dimension mismatch " + $c.numElements() + " != " + $n);
           long $acc = 0L;
           for (int $i = 0; $i < $n; $i++) {
             long $d = $a.getLong($i) - $c.getLong($i);

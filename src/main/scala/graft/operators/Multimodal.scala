@@ -649,6 +649,18 @@ object Multimodal {
         }.toDF()
     }
 
+  /** Memoized dHash frame of [[dupMedia]] (r11 verdict #5a): the PNG
+    * decode+hash runs ONCE per (session, dir) and the four phash
+    * queries (pairs, guaranteed pairs, clusters, incremental) — plus
+    * BOTH sides of each self-join, which Spark would otherwise
+    * recompute as independent subtrees — read the 24-byte cached rows.
+    * Same sharing convention as the video shingle index memo. */
+  private[graft] def dupPhash(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "mm_phash_dup") {
+      phashOf(dupMedia(spark, dir)).toDF()
+        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+    }
+
   /** Shared LSH band-join over a 64-bit (two-half) hash frame
     * `(doc_id, hi, lo)`: explode into 4×16-bit bands, self-join on
     * (band index, band value) — candidates are pairs agreeing on at
@@ -700,6 +712,19 @@ object Multimodal {
         .toDF("doc_id", "hi", "lo", "band_idx", "band_val"),
       maxHamming, whaleBandCap)
 
+  /** Corpus ceiling for the guaranteed-recall 8×8 layout (r11 ADVICE
+    * medium): each 8-bit band has only 256 possible values, so by
+    * pigeonhole ANY corpus — uniform hashes, exact-dedup'd, anything —
+    * carries a candidate floor of ~n²/512 per band (Θ(n²/256) across
+    * the 8 bands) once n ≫ 256. The quadratic term is UNCONDITIONAL,
+    * not a degenerate-content pathology; no upstream hygiene removes
+    * it. At the default ceiling the worst-case candidate mass is
+    * ~n²/64 ≈ 67M pairs — the edge of what one self-join absorbs
+    * comfortably; past it, guaranteed ≤ 7 recall via 8-bit bands IS
+    * quadratic work and the call refuses rather than silently
+    * scheduling it. */
+  private[graft] val G7CorpusCeiling = 65536L
+
   /** The GUARANTEED-recall banding (r9 ADVICE structural-recall note,
     * now a first-class contract instead of a documented caveat): 8
     * disjoint 8-bit bands. Pigeonhole: a pair at Hamming ≤ 7 has at
@@ -713,16 +738,32 @@ object Multimodal {
     * largest 8-bit band bucket is already 74 > the shared cap of 64 —
     * a guard would drop it, voiding the very guarantee this layout
     * exists to provide for any pair whose only flip-free band is a
-    * whale, and silently diverging from the unguarded oracle). The
-    * guaranteed contract TRADES the degenerate-corpus protection away:
-    * candidate mass is bounded by band-value entropy, so the
-    * precondition is the one the house already documents — EXACT dedup
-    * upstream removes genuinely-constant content before any perceptual
-    * pass; a corpus that still floods a 256-value band after that is a
-    * corpus where guaranteed ≤ 7 recall IS quadratic work, and callers
-    * who can't afford it use the guarded measured-recall layout. */
-  private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7): DataFrame = {
+    * whale, and silently diverging from the unguarded oracle).
+    *
+    * SCALE CONTRACT (restated honestly, r11 ADVICE medium — the
+    * earlier "candidate mass is bounded by band-value entropy" claim
+    * was wrong): 8-bit bands have 256 values, so candidate mass
+    * carries an unconditional ~n²/512-per-band pigeonhole floor that
+    * NO precondition (exact dedup included) can remove — guaranteed
+    * ≤ 7 recall through 8-bit bands is intrinsically quadratic-class
+    * past n ≈ tens of thousands (sf0.1 already shows a 74-deep
+    * bucket; MmScaleProbe publishes the measured SUPERLINEAR candidate
+    * growth for this layout, asserting growth, not flatness). The
+    * structural bound is therefore a CORPUS-SIZE guard: the call
+    * counts `h` (cheap — production passes the memoized [[dupPhash]]
+    * frame, specs pass literal fixtures) and refuses past
+    * `corpusCeiling` ([[G7CorpusCeiling]]) with a pointer to the
+    * guarded measured-recall layout; a caller who can afford the
+    * quadratic term raises the ceiling EXPLICITLY at the call site. */
+  private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7,
+      corpusCeiling: Long = G7CorpusCeiling): DataFrame = {
     require(maxHamming <= 7, s"8-band layout guarantees recall only to Hamming 7, got $maxHamming")
+    val n = h.count()
+    require(n <= corpusCeiling,
+      s"guaranteed-recall 8x8 banding refused at corpus n=$n > ceiling $corpusCeiling: " +
+      "256-value bands carry an unconditional ~n^2/512-per-band candidate floor (pigeonhole), " +
+      "so guaranteed <=7 recall is quadratic work at this size — use the guarded " +
+      "measured-recall layout (bandedHammingPairs) or raise corpusCeiling explicitly")
     hammingJoinCore(
       h.select(col("doc_id"), col("hi"), col("lo"),
         posexplode(array(
@@ -821,10 +862,7 @@ object Multimodal {
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 10
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    bandedHammingPairs(
-      phashOf(dupMedia(spark, dir)).toDF()
-        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-      maxHamming = 10)
+    bandedHammingPairs(dupPhash(spark, dir), maxHamming = 10)
   }
 
   /** Perceptual near-dup pairs under the GUARANTEED-recall contract —
@@ -878,10 +916,7 @@ object Multimodal {
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    bandedHammingPairs8(
-      phashOf(dupMedia(spark, dir)).toDF()
-        .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-      maxHamming = 7)
+    bandedHammingPairs8(dupPhash(spark, dir), maxHamming = 7)
   }
 
   final case class ImageGate(doc_id: Long, width: Int, height: Int, gray_sum: Long,
@@ -1123,10 +1158,7 @@ object Multimodal {
     * (session, dir). */
   private def phashClusterLabels(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "mm_phash_cluster_labels") {
-      val pairs = bandedHammingPairs(
-        phashOf(dupMedia(spark, dir)).toDF()
-          .select(col("doc_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo")),
-        maxHamming = 10)
+      val pairs = bandedHammingPairs(dupPhash(spark, dir), maxHamming = 10)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
       Dedup.connectedComponents(pairs)
     }
@@ -1187,15 +1219,15 @@ object Multimodal {
            COALESCE(d.n_dups, 0) = 0 AS keep
     FROM ph LEFT JOIN dups d ON d.new_id = ph.doc_id
     WHERE ph.is_new ORDER BY ph.doc_id""") { (spark, dir) =>
-    val h = phashOf(dupMedia(spark, dir)).toDF()
+    val h = dupPhash(spark, dir)
       .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
     val banded = h.select(col("doc_id"), col("is_new"),
-      col("phash_hi").as("hi"), col("phash_lo").as("lo"),
+      col("hi"), col("lo"),
       posexplode(array(
-        col("phash_lo").bitwiseAND(lit(65535L)),
-        shiftright(col("phash_lo"), 16),
-        col("phash_hi").bitwiseAND(lit(65535L)),
-        shiftright(col("phash_hi"), 16))))
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16))))
       .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
     val nw = banded.where(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
@@ -1546,7 +1578,18 @@ object Multimodal {
     * index side whale-capped, never new×new — and reports per new
     * clip how many index clips share ≥ 2 shingles plus the keep
     * verdict. A shift of d ≤ 4 frames still shares 7−d ≥ 3 shingles,
-    * so every planted re-cut is caught (33/33 at sf0.01). */
+    * so every planted re-cut is caught (33/33 at sf0.01).
+    *
+    * GUARDED-IMPL / UNGUARDED-ORACLE (r11 ADVICE low, same
+    * pre-existing convention as [[phashIncremental]] and
+    * [[audioIncremental]]): the Scala side whale-caps the INDEX
+    * shingle buckets (`key_n ≤ WhaleBandCap` below) while the DuckDB
+    * oracle replays the shingle join UNGUARDED — parity therefore
+    * depends on the fixture never growing a > 64-deep shingle bucket.
+    * The fixture-headroom spec pins max depth at ≤ cap/2, so a future
+    * hash-mismatch here whose fixture bucket depth crossed the cap is
+    * the CONVENTION tripping, not an operator regression — re-check
+    * the headroom spec first. */
   val videoIncremental: GraftQuery = GraftQuery.checked("ns_mm_video_incremental",
     """WITH vid AS (
       SELECT doc_id, (doc_id // 15) * 15 AS gb, (doc_id % 15) // 3 AS m

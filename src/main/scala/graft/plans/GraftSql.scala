@@ -36,7 +36,7 @@ object GraftSql {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
-  private def argString(es: Seq[Expression], i: Int, fn: String): String = {
+  private[graft] def argString(es: Seq[Expression], i: Int, fn: String): String = {
     require(es.length > i, s"$fn: missing argument ${i + 1}")
     val e = es(i)
     require(e.foldable, s"$fn: argument ${i + 1} must be a literal")

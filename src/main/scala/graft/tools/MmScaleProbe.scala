@@ -90,19 +90,46 @@ object MmScaleProbe {
         f"wall=$tg%.2fs — whale-band guard drops the n-sized buckets")
     }
 
-    // 3. r11 rows: the guaranteed-recall 8x8 layout (UNGUARDED by
-    //    contract) and the composed funnels at 1x vs 10x — pairs/cells
-    //    per doc must stay flat (no all-pairs term anywhere in the
-    //    composition; the funnels are map-decode + id-keyed bridges)
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val n = Multimodal.dupMedia(spark, dir).count()
+    // 3. r11/r12 rows: the guaranteed-recall 8x8 layout and the
+    //    composed funnels at 1x vs 10x. The FUNNELS must stay flat
+    //    per doc (map-decode + id-keyed bridges, no all-pairs term);
+    //    the g7 layout must show the OPPOSITE — its honest contract
+    //    (r11 ADVICE medium) is an unconditional ~n^2/512-per-band
+    //    pigeonhole candidate floor, so candidate mass is asserted to
+    //    grow SUPERLINEARLY in the corpus, and the published number is
+    //    the quadratic-class evidence, not a flatness claim.
+    val g7Stats = for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) yield {
+      val h = Multimodal.dupPhash(spark, dir)
+      val n = h.count()
+      // candidate mass = sum over (band, value) buckets of C(c, 2) —
+      // the pairs the 8-band self-join actually schedules, measured
+      // before the Hamming filter hides them
+      val banded = h.select(col("doc_id"), posexplode(array((0 until 8).map { b =>
+        val src = if (b < 4) col("lo") else col("hi")
+        shiftright(src, (b % 4) * 8).bitwiseAND(lit(255L))
+      }: _*)))
+        .toDF("doc_id", "band_idx", "band_val")
+      val cands = banded.groupBy("band_idx", "band_val").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).head().getLong(0)
       val (g7, t7) = time { Multimodal.phashDupsG7.run(spark, dir).count() }
-      println(f"[mm-probe] g7 8x8 band-join $dir: images=$n%d dup_pairs=$g7%d " +
-        f"wall=$t7%.2fs pairs_per_image=${g7.toDouble / n}%.2f (unguarded by contract)")
+      println(f"[mm-probe] g7 8x8 band-join $dir: images=$n%d candidates=$cands%d " +
+        f"dup_pairs=$g7%d wall=$t7%.2fs cands_per_image=${cands.toDouble / n}%.1f " +
+        "(quadratic-class BY CONTRACT: 256-value bands)")
       val (cf, tc) = time { Multimodal.corpusFunnel.run(spark, dir)
         .agg(sum("n")).head().getLong(0) }
       println(f"[mm-probe] corpus-funnel $dir: staged_docs=$cf%d wall=$tc%.2fs")
+      (n, cands)
     }
+    val (n1, c1) = g7Stats.head
+    val (n10, c10) = g7Stats.last
+    val imgRatio = n10.toDouble / n1
+    val candRatio = c10.toDouble / c1
+    println(f"[mm-probe] g7 growth: images x$imgRatio%.1f -> candidates x$candRatio%.1f " +
+      "(superlinear expected — the honest Theta(n^2/256) term)")
+    assert(candRatio > imgRatio * 1.5,
+      f"g7 candidate growth x$candRatio%.1f is NOT superlinear vs corpus x$imgRatio%.1f — " +
+      "either the fixture stopped exercising the pigeonhole floor or the banding changed; " +
+      "the honest-contract evidence in BASELINE.md is stale either way")
     spark.stop()
   }
 }
