@@ -571,12 +571,25 @@ object EventOps {
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       .withColumn("day_n", datediff(col("day"), lit("1970-01-01")))
     val prev = daily.select((col("day_n") + 7).as("day_n"), col("cents").as("prev_cents"))
-    val wMa = Window.orderBy("day_n").rangeBetween(-6, 0)
+    // RANGE -6..0 over the MODEL-SIZED day grid, reformulated as an
+    // offset-explode join instead of an unpartitioned window (r11
+    // verdict #8: the no-partition WindowExec WARN cried wolf on every
+    // bench run, and a literal partition key gets constant-folded back
+    // to an empty spec). Each day's cents contribute to target days
+    // d..d+6; grouping on the target day and inner-joining back to the
+    // grid reproduces the window's existing-rows-only sum/count with
+    // the SAME exact integers, so the rounded ma7 is unchanged.
+    val ma = daily
+      .select(col("cents").as("c"),
+        explode(sequence(col("day_n"), col("day_n") + 6)).as("day_n"))
+      .groupBy("day_n")
+      .agg(sum("c").as("ma_sum"), count(lit(1)).as("ma_cnt"))
     daily.join(prev, Seq("day_n"), "left")
+      .join(ma, Seq("day_n"))
       .select(col("day"),
         dround(col("cents").cast("double") / 100.0, 4).as("revenue"),
-        dround(sum("cents").over(wMa).cast("double")
-          / count(lit(1)).over(wMa).cast("double") / 100.0, 4).as("ma7"),
+        dround(col("ma_sum").cast("double")
+          / col("ma_cnt").cast("double") / 100.0, 4).as("ma7"),
         dround((col("cents") - col("prev_cents")).cast("double") / 100.0, 4).as("wow_delta"))
       .orderBy("day")
   }

@@ -272,10 +272,17 @@ object EventStats {
   private[graft] def valueRanks(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val binned = df.withColumn("bin", expr(s"$valueCol div $binWidth"))
-    val wOff = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
-      .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
-      .select("bin", "bin_off")
+    // exclusive prefix sum over the MODEL-SIZED bin-count frame via a
+    // triangular join instead of an unpartitioned window (r11 verdict
+    // #8: the no-partition WindowExec WARN cried wolf on every bench
+    // run, and a literal partition key gets constant-folded back to an
+    // empty spec; |bins|² on a value-range/width frame is trivia while
+    // the WARN class stays meaningful for real regressions)
+    val counts = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
+    val offsets = counts.select(col("bin"), col("bin_n"))
+      .join(counts.select(col("bin").as("pbin"), col("bin_n").as("pn")),
+        col("pbin") < col("bin"), "left")
+      .groupBy("bin").agg(coalesce(sum("pn"), lit(0L)).as("bin_off"))
     val wLocal = Window.partitionBy("bin").orderBy(valueCol, "user_id")
     binned.join(broadcast(offsets), Seq("bin"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))

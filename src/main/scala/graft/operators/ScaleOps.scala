@@ -94,4 +94,87 @@ object ScaleOps {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(partCol)
       .parquet(path)
+
+  // ---- atomic snapshot commit for the curated sink (r11 verdict ------
+  // missing #4): at 100 TB an interrupted funnel re-run must leave the
+  // PRIOR snapshot readable — plain overwrite-in-place has a window
+  // where readers see a half-deleted, half-written directory.
+
+  private val CurrentManifest = "_CURRENT"
+
+  private def hadoopFs(df: DataFrame, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+
+  /** The committed snapshot name (`snap-<n>`) a reader should load, or
+    * None before the first commit. Reading the manifest is the ONLY
+    * way into the sink — data directories are not self-describing. */
+  def currentSnapshot(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val manifest = new org.apache.hadoop.fs.Path(path, CurrentManifest)
+    val fs = manifest.getFileSystem(conf)
+    if (!fs.exists(manifest)) None
+    else {
+      val in = fs.open(manifest)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Read the committed curated corpus — always the last PUBLISHED
+    * snapshot, never an in-flight write. */
+  def readCurated(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val snap = currentSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    spark.read.parquet(s"$path/$snap")
+  }
+
+  /** ATOMIC-COMMIT [[writeCurated]]: write the full layout into a NEW
+    * snapshot directory (`snap-<n+1>`), then publish it by renaming a
+    * temp manifest over [[CurrentManifest]] — rename is the commit
+    * primitive (atomic on HDFS and POSIX; on object stores front this
+    * sink with a rename-atomic layer, the standard caveat). Contract:
+    *
+    *  - CRASH SAFETY: an interrupted write leaves a partial
+    *    `snap-<n+1>` directory but the manifest still names
+    *    `snap-<n>` — [[readCurated]] keeps serving the prior snapshot.
+    *  - IDEMPOTENT RE-RUN: the retry targets the SAME `snap-<n+1>`
+    *    (derived from the committed manifest, not from what's on
+    *    disk) in overwrite mode, clobbering the partial attempt; only
+    *    the manifest rename publishes.
+    *  - RETENTION: after a successful commit the previous snapshot is
+    *    kept (in-flight readers hold it open) and everything older is
+    *    deleted — bounded storage, one-snapshot undo.
+    *
+    * Returns the committed snapshot name. */
+  def writeCuratedAtomic(df: DataFrame, path: String, partCol: String, sortCol: String,
+                         maxRecordsPerFile: Int = 1000000): String = {
+    val fs = hadoopFs(df, path)
+    val prior = currentSnapshot(df.sparkSession, path)
+    val nextId = prior.map(_.stripPrefix("snap-").toLong + 1).getOrElse(1L)
+    val snapName = s"snap-$nextId"
+    writeCurated(df, s"$path/$snapName", partCol, sortCol, maxRecordsPerFile)
+    // publish: temp manifest + atomic rename-overwrite
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"$CurrentManifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val manifest = new org.apache.hadoop.fs.Path(path, CurrentManifest)
+    org.apache.hadoop.fs.FileContext.getFileContext(manifest.toUri,
+        df.sparkSession.sessionState.newHadoopConf())
+      .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retention: keep the newly committed + the immediately prior
+    val keep = Set(snapName) ++ prior
+    val base = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("snap-") && !keep(n)) {
+        fs.delete(st.getPath, true)
+        ()
+      }
+    }
+    snapName
+  }
 }

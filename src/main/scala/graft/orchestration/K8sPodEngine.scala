@@ -163,10 +163,10 @@ object K8sPodEngine {
       end_time = st.finishedAt.filter(_ =>
         Set("failed", "succeeded").contains(st.phase.toLowerCase)))
 
-  private def jsonObject(m: Map[String, String]): String =
+  private[orchestration] def jsonObject(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
-  private def q(s: String): String =
+  private[orchestration] def q(s: String): String =
     "\"" + s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -179,7 +179,7 @@ object K8sPodEngine {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-  private def jsonArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+  private[orchestration] def jsonArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
 
   /** The marshalled pod as the actual V1Pod WIRE manifest — the JSON a
     * production [[PodApi]] POSTs to `create_namespaced_pod`. The pure

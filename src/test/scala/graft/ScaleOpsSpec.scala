@@ -140,6 +140,39 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"lang filter must prune partitions:\n$p")
   }
 
+  test("writeCuratedAtomic: crash-replay leaves the prior snapshot readable; retry is idempotent") {
+    val out = SparkSuite.tempDir("curated-atomic")
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.where(col("doc_id") % 2 === 0)
+    val v2 = docs.where(col("doc_id") % 2 === 1)
+    // commit 1
+    assert(ScaleOps.writeCuratedAtomic(v1, out, "lang", "doc_id") == "snap-1")
+    assert(ScaleOps.currentSnapshot(spark, out).contains("snap-1"))
+    assert(ScaleOps.readCurated(spark, out).count() == v1.count())
+    // CRASH mid-write-2: the data dir for snap-2 exists (partial junk),
+    // the manifest was never renamed — readers must still see snap-1
+    val partial = new java.io.File(s"$out/snap-2/lang=en"); partial.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/snap-2/lang=en/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(ScaleOps.currentSnapshot(spark, out).contains("snap-1"),
+      "an uncommitted write must not change the manifest")
+    assert(ScaleOps.readCurated(spark, out).count() == v1.count(),
+      "readers must keep serving the committed snapshot after a crash")
+    // RETRY: targets the same snap-2 in overwrite mode (clobbers the
+    // partial attempt), then publishes atomically
+    assert(ScaleOps.writeCuratedAtomic(v2, out, "lang", "doc_id") == "snap-2")
+    assert(ScaleOps.readCurated(spark, out).count() == v2.count())
+    assert(ScaleOps.readCurated(spark, out)
+      .select("doc_id").except(v2.select("doc_id")).isEmpty)
+    // retention: committed + immediately prior are kept, nothing older
+    assert(ScaleOps.writeCuratedAtomic(v1, out, "lang", "doc_id") == "snap-3")
+    val snaps = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-")).map(_.getName).toSet
+    assert(snaps == Set("snap-2", "snap-3"), s"retention kept $snaps")
+    // the manifest is the only way in: the undo snapshot is intact
+    assert(spark.read.parquet(s"$out/snap-2").count() == v2.count())
+  }
+
   test("IVF topk: recall@5 vs brute force is reasonable, probes bound candidates") {
     val bf = Vectors.bruteForceTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
