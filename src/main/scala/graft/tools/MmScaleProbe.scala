@@ -110,7 +110,7 @@ object MmScaleProbe {
       }: _*)))
         .toDF("doc_id", "band_idx", "band_val")
       val cands = banded.groupBy("band_idx", "band_val").count()
-        .agg(sum(expr("count * (count - 1) / 2"))).head().getLong(0)
+        .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
       val (g7, t7) = time { Multimodal.phashDupsG7.run(spark, dir).count() }
       println(f"[mm-probe] g7 8x8 band-join $dir: images=$n%d candidates=$cands%d " +
         f"dup_pairs=$g7%d wall=$t7%.2fs cands_per_image=${cands.toDouble / n}%.1f " +
