@@ -91,13 +91,19 @@ object VectorsPlanted {
         typedLit(simhashPlanes(t).toSeq)) > 0,
       lit(1L << (t % 32))).otherwise(lit(0L))
 
+  /** APPEND SimHash halves (`hi`, `lo`) to any frame carrying a
+    * `v: array<int>` column — a stateless map (one projection, no
+    * join), so it applies unchanged to a STREAMING ingest batch where
+    * a second read of the source would be a stream-stream join. */
+  private[graft] def sigOf(df: DataFrame): DataFrame =
+    df.withColumn("hi", (32 until 64).map(bitCol).reduce(_ bitwiseOR _))
+      .withColumn("lo", (0 until 32).map(bitCol).reduce(_ bitwiseOR _))
+
   /** 64-bit SimHash halves of every planted vector — the (doc_id, hi,
     * lo) frame the shared mm band-join core consumes. */
   private[graft] def plantedSig(spark: SparkSession, dir: String): DataFrame =
     OpMemo.cached(spark, dir, "vec_planted_sig") {
-      plantedVectors(spark, dir).select(col("doc_id"),
-        (32 until 64).map(bitCol).reduce(_ bitwiseOR _).as("hi"),
-        (0 until 32).map(bitCol).reduce(_ bitwiseOR _).as("lo"))
+      sigOf(plantedVectors(spark, dir)).select("doc_id", "hi", "lo")
     }
 
   // 0.995² = 0.990025 = 39601 / 40000 exactly
@@ -173,5 +179,115 @@ object VectorsPlanted {
     plantedDupPairs(spark, dir)
   }
 
-  val all: Seq[GraftQuery] = Seq(plantedDups)
+  /** INCREMENTAL embedding dedup — the [[Multimodal.phashIncremental]]
+    * contract on the VECTOR plane, completing the per-modality
+    * ingest-path symmetry (text, image, audio, video — and now
+    * embeddings, the plane a 100 TB vector store actually ingests on):
+    * a NEW batch (each group's m = 4 member, the freshest re-embed)
+    * band-probes the EXISTING SimHash index (members 0–3) only —
+    * asymmetric new×index on the 4×16-bit bands of the 64-bit integer
+    * SimHash, INDEX side whale-capped (a degenerate index signature
+    * would make per-ingest candidates bucket-proportional; fixture
+    * buckets ≪ cap so the unguarded oracle agrees — the
+    * [[Multimodal.videoIncremental]] documented divergence
+    * convention) — then verifies candidates at hamming ≤ 10 with the
+    * exact integer cosine ≥ 0.995 and reports per new vector its dup
+    * count and keep verdict. Every new vector emits a row, candidates
+    * or not (the ivfIncremental left-join lesson).
+    *
+    * Scale shape: per-ingest cost is |batch|-proportional candidates
+    * against the banded index — the index is exactly the 8-byte
+    * signature column a production store keeps warm next to the
+    * embeddings; no batch×batch term anywhere. */
+  val plantedIncremental: GraftQuery = GraftQuery.checked("ns_vec_incremental_dups",
+    s"""WITH planes AS (SELECT $planesSql AS p),
+    base AS (SELECT vec_id AS g, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    mem AS (SELECT g, embedding, unnest(range(0, $Members)) AS m FROM base),
+    vq AS (
+      SELECT g * 8 + m AS doc_id, m = 4 AS is_new,
+             list_transform(range(1, 65), i ->
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * $Scale + 0.5) AS BIGINT)
+               + m * ((g * 13 + (i - 1) * 7) % 3 - 1)) AS v
+      FROM mem),
+    bits AS (
+      SELECT doc_id, is_new, b,
+             CASE WHEN CAST(list_sum(list_transform(list_zip(v, p[b + 1]),
+                    x -> x[1] * x[2])) AS BIGINT) > 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM vq, planes, (SELECT unnest(range(0, 64)) AS b) t),
+    ph AS (
+      SELECT doc_id, is_new,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit << (b - 32) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN b < 32 THEN bit << b ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id, is_new),
+    banded AS (
+      SELECT doc_id, is_new, hi, lo, band_idx,
+             CASE band_idx WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                           WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) t),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+             n.hi AS n_hi, n.lo AS n_lo, i.hi AS i_hi, i.lo AS i_lo
+      FROM banded n JOIN banded i
+        ON n.band_idx = i.band_idx AND n.band_val = i.band_val
+       AND n.is_new AND NOT i.is_new),
+    ham AS (
+      SELECT new_id, idx_id FROM cand
+      WHERE bit_count(xor(n_hi, i_hi)) + bit_count(xor(n_lo, i_lo)) <= 10),
+    dups AS (
+      SELECT h.new_id AS doc_id, COUNT(*) AS n_dups
+      FROM ham h
+      JOIN vq vn ON vn.doc_id = h.new_id
+      JOIN vq vi ON vi.doc_id = h.idx_id
+      WHERE CAST(list_sum(list_transform(list_zip(vn.v, vi.v), x -> x[1] * x[2])) AS BIGINT) > 0
+        AND CAST(list_sum(list_transform(list_zip(vn.v, vi.v), x -> x[1] * x[2])) AS BIGINT)
+          * CAST(list_sum(list_transform(list_zip(vn.v, vi.v), x -> x[1] * x[2])) AS BIGINT)
+          * $Thr2Den
+          >= $Thr2Num * CAST(list_sum(list_transform(vn.v, x -> x * x)) AS BIGINT)
+                      * CAST(list_sum(list_transform(vi.v, x -> x * x)) AS BIGINT)
+      GROUP BY h.new_id)
+    SELECT n.doc_id, CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+           COALESCE(d.n_dups, 0) = 0 AS keep
+    FROM (SELECT doc_id FROM vq WHERE is_new) n
+    LEFT JOIN dups d USING (doc_id)
+    ORDER BY doc_id""") { (spark, dir) =>
+    val dot = graft.functions.SketchExpressions.intVecDot _
+    val sig = plantedSig(spark, dir)
+      .withColumn("is_new", col("doc_id") % 8 === 4)
+    val banded = sig.select(col("doc_id"), col("is_new"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+      .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
+    val nw = banded.where(col("is_new"))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
+        col("hi").as("n_hi"), col("lo").as("n_lo"))
+    val ix = banded.where(!col("is_new"))
+      .withColumn("band_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
+      .where(col("band_n") <= lit(Multimodal.WhaleBandCap))
+      .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_val"),
+        col("hi").as("i_hi"), col("lo").as("i_lo"))
+    val pv = plantedVectors(spark, dir)
+    val dups = nw.join(ix, Seq("band_idx", "band_val"))
+      .where(expr("CAST(bit_count(n_hi ^ i_hi) + bit_count(n_lo ^ i_lo) AS INT)") <= 10)
+      .select("new_id", "idx_id").distinct()
+      .join(pv.select(col("doc_id").as("new_id"), col("v").as("vn")), "new_id")
+      .join(pv.select(col("doc_id").as("idx_id"), col("v").as("vi")), "idx_id")
+      .select(col("new_id"),
+        dot(col("vn"), col("vi")).as("dot"),
+        dot(col("vn"), col("vn")).as("na2"),
+        dot(col("vi"), col("vi")).as("nb2"))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(Thr2Den) >= lit(Thr2Num) * col("na2") * col("nb2"))
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"))
+      .withColumnRenamed("new_id", "doc_id")
+    sig.where(col("is_new")).select("doc_id")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(plantedDups, plantedIncremental)
 }

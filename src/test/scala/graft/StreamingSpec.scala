@@ -725,4 +725,69 @@ class StreamingSpec extends AnyFunSuite {
       s"text ingest funnel stream != batch: +${(tallies diff batch).take(3)} " +
       s"-${(batch diff tallies).take(3)}")
   }
+
+  test("streaming vector ingest: in-flight SimHash + stream-static band probe replays the batch dedup verdicts") {
+    // the embedding-store ingest twin of ns_vec_incremental_dups (the
+    // phash/audio/video streaming-twin convention on the VECTOR
+    // plane): NEW vectors arrive as a STREAM, get their 64-bit integer
+    // SimHash computed IN-FLIGHT (stateless map — the production
+    // signature-column write), band-probe the STATIC whale-capped
+    // index, and the hamming<=10 + exact-integer-cosine verdicts
+    // composed on the sink side must equal the batch operator's rows.
+    import org.apache.spark.sql.functions._
+    val dir = SparkSuite.sfDir
+    val vp = graft.operators.VectorsPlanted
+    val dot = graft.functions.SketchExpressions.intVecDot _
+    val pv = vp.plantedVectors(spark, dir)
+    val isNew = col("doc_id") % 8 === 4
+    // static sides a production store keeps warm: the banded index
+    // (whale-capped) and the index vectors for the exact verify
+    val ixBanded = vp.plantedSig(spark, dir).where(!isNew)
+      .select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+          col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+      .toDF("idx_id", "i_hi", "i_lo", "band_idx", "band_val")
+      .withColumn("band_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")))
+      .where(col("band_n") <= lit(graft.operators.Multimodal.WhaleBandCap))
+      .drop("band_n")
+    val ixVecs = pv.where(!isNew).select(col("doc_id").as("idx_id"), col("v").as("vi"))
+    val srcDir = SparkSuite.tempDir("vec-ingest-src")
+    pv.where(isNew).select("doc_id", "v").write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, v ARRAY<INT>").parquet(srcDir)
+    val probed = vp.sigOf(stream.toDF())
+      .select(col("doc_id").as("new_id"), col("v").as("vn"), col("hi"), col("lo"))
+      .select(col("new_id"), col("vn"), col("hi"), col("lo"),
+        posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
+          col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
+      .toDF("new_id", "vn", "n_hi", "n_lo", "band_idx", "band_val")
+      .join(ixBanded, Seq("band_idx", "band_val"))
+      .where(expr("CAST(bit_count(n_hi ^ i_hi) + bit_count(n_lo ^ i_lo) AS INT)") <= 10)
+      .dropDuplicates("new_id", "idx_id")
+      .join(ixVecs, "idx_id")
+      .where(dot(col("vn"), col("vi")) > 0 &&
+        dot(col("vn"), col("vi")) * dot(col("vn"), col("vi")) * lit(vp.Thr2Den) >=
+          lit(vp.Thr2Num) * dot(col("vn"), col("vn")) * dot(col("vi"), col("vi")))
+      .groupBy("new_id").agg(count(lit(1)).as("n_dups"))
+    val q = probed.writeStream.format("memory").queryName("vec_ingest")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "vector ingest stream did not finish")
+    q.stop()
+    val streamedDups = spark.table("vec_ingest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = vp.plantedIncremental.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    val got = want.map(_._1).map { id =>
+      val n = streamedDups.getOrElse(id, 0L)
+      (id, n, n == 0)
+    }.sorted
+    assert(want.nonEmpty && got == want,
+      s"vector ingest stream != batch: got ${got.take(3)} want ${want.take(3)}")
+    // non-vacuity: the planted fixture makes every new vector a dup
+    assert(want.forall(!_._3) && want.forall(_._2 > 0),
+      "every planted m=4 member must near-dup its index siblings")
+  }
 }
