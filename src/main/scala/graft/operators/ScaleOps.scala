@@ -165,12 +165,19 @@ object ScaleOps {
     org.apache.hadoop.fs.FileContext.getFileContext(manifest.toUri,
         df.sparkSession.sessionState.newHadoopConf())
       .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retention: keep the newly committed + the immediately prior
+    // retention: keep the newly committed + the immediately prior;
+    // also sweep tmp manifests a crashed commit left behind (they are
+    // pre-rename droppings, never readable state). Single-writer
+    // contract: concurrent writers would derive the same snap-<n+1>
+    // and clobber each other mid-write — serialize re-runs externally
+    // (the funnel scheduler's job), as with any snapshot sink.
     val keep = Set(snapName) ++ prior
     val base = new org.apache.hadoop.fs.Path(path)
     fs.listStatus(base).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("snap-") && !keep(n)) {
+      val staleSnap = st.isDirectory && n.startsWith("snap-") && !keep(n)
+      val staleTmp = !st.isDirectory && n.startsWith(s"$CurrentManifest.tmp-")
+      if (staleSnap || staleTmp) {
         fs.delete(st.getPath, true)
         ()
       }

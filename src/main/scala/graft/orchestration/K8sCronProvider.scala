@@ -150,8 +150,11 @@ final class K8sCronJobProvider(cfg: K8sCronProvider.CronConfig, api: CronApi)
     catch {
       case Conflict409(name) =>
         // "This job already existed. We will re-create it."
-        // (ext_sched.py:48-52) — delete then create, never duplicate
-        api.delete(cfg.namespace, name)
+        // (ext_sched.py:48-52) — delete then create, never duplicate.
+        // The delete goes through the TOLERANT path (r12 self-review):
+        // a concurrent deletion between the 409 and our delete would
+        // otherwise surface a spurious 404 from a create call.
+        deleteCronJob(name)
         api.create(cfg.namespace, cj)
     }
     cj.name

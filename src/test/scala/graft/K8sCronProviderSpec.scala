@@ -87,6 +87,38 @@ class K8sCronProviderSpec extends AnyFunSuite {
     intercept[NotFound404] { api.delete(cfg.namespace, name) }
   }
 
+  test("GraftApi catalog reconciliation drives the K8s provider interchangeably (data_provider.py:69-70)") {
+    // the CronProvider seam's whole point: the catalog's
+    // scheduler_tracking_id lifecycle (create on schedule, recreate on
+    // change, delete on unschedule) runs against the K8s wire-manifest
+    // provider exactly as against the in-process registry
+    import graft.meta.Fixtures
+    import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine}
+    val api2 = new InMemoryCronApi
+    val a = new graft.api.GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      cronProvider = new K8sCronJobProvider(cfg, api2))
+    val base = Fixtures.defs.head.copy(pipeline_uuid = "sched-k8s", schedule = Some("0 3 * * *"),
+      triggers_op = None, scheduler_tracking_id = None)
+    a.upsertPipeline(base, Seq.empty)
+    val cj = api2.list(cfg.namespace).find(_.name == "graft-cron-sched-k8s").get
+    assert(cj.schedule == "0 3 * * *")
+    assert(cj.jobTemplate.containers.head.env.exists(e =>
+      e.name == "GRAFT_API_ENDPOINT" && e.value.endsWith("pipeline_uuid=sched-k8s")))
+    // schedule change -> the 409 path recreates with the new schedule
+    a.upsertPipeline(base.copy(schedule = Some("30 6 * * *")), Seq.empty)
+    assert(api2.list(cfg.namespace).count(_.name == "graft-cron-sched-k8s") == 1)
+    assert(api2.list(cfg.namespace).find(_.name == "graft-cron-sched-k8s").get
+      .schedule == "30 6 * * *")
+    // schedule removal -> the registration is deleted
+    a.upsertPipeline(base.copy(schedule = None), Seq.empty)
+    assert(!api2.list(cfg.namespace).exists(_.name == "graft-cron-sched-k8s"))
+    // pipeline delete with a live schedule -> registration gone too
+    a.upsertPipeline(base, Seq.empty)
+    a.deletePipeline("sched-k8s")
+    assert(!api2.list(cfg.namespace).exists(_.name == "graft-cron-sched-k8s"))
+  }
+
   test("malformed schedule is rejected before any API call") {
     val api = new InMemoryCronApi
     val p = new K8sCronJobProvider(cfg, api)
