@@ -160,12 +160,19 @@ object Vectors {
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5): DataFrame =
     memoCached(spark, dir, s"lsh-topk-$nQueries-$k")(lshTopKUncached(spark, dir, nQueries, k))
 
-  private def lshTopKUncached(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  private def lshTopKUncached(spark: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame =
+    lshTopKOver(Tables.embeddings(spark, dir), col("vec_id") < nQueries, k)
+
+  /** The LSH top-k core over an INJECTED `(vec_id, embedding)` frame —
+    * the production bucket-join path, frame-parameterized so planted
+    * corpora can measure its recall the way the registered query's
+    * fixture cannot (r12; see VectorPlantedRecallSpec's topk pin). */
+  private[graft] def lshTopKOver(embRaw: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val emb = embRaw
       .select(col("vec_id"), col("embedding"), lshBuckets(col("embedding")).as("buckets"))
     val corpus = emb.select(col("vec_id"), col("embedding"),
       explode(col("buckets")).as("bucket"))
-    val q = emb.where(col("vec_id") < nQueries)
+    val q = emb.where(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(col("buckets")).as("bucket"))
     val pairs = corpus.join(broadcast(q), Seq("bucket"))

@@ -60,6 +60,37 @@ class VectorPlantedRecallSpec extends AnyFunSuite {
     assert(maxCross <= 0.6, f"cross-group cosine ceiling $maxCross%.6f too close to 0.995")
   }
 
+  test("production LSH top-k retrieves every planted sibling (measured recall 1.0)") {
+    // the ns_vec_topk_lsh half of the r11 'planted treatment' ask: the
+    // PRODUCTION random-hyperplane bucket-join path (lshTopKOver — the
+    // exact code the registered query runs, frame-injected) measured
+    // on a corpus with KNOWN neighbor structure. Every planted member
+    // queries for top-(Members-1); its true nearest neighbors are its
+    // group siblings (cosine >= 0.9995 vs <= 0.45 cross), so full
+    // recall means the 8-table x 4-bit banding collides near-identical
+    // vectors somewhere — a guarantee-adjacent property measured, not
+    // assumed.
+    import spark.implicits._
+    val emb = VectorsPlanted.plantedVectors(spark, dir)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(v, x -> CAST(x / 1000.0 AS FLOAT))").as("embedding"))
+    val k = VectorsPlanted.Members - 1
+    val got = graft.operators.Vectors
+      .lshTopKOver(emb, lit(true), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q2, rs) => q2 -> rs.map(_._2).toSet }
+    val vs = emb.select("vec_id").as[Long].collect()
+    assert(got.size == vs.length, s"every planted vector must emit a top-k row")
+    var found = 0; var total = 0
+    vs.foreach { id =>
+      val sibs = vs.filter(o => o != id && o / 8 == id / 8).toSet
+      total += sibs.size
+      found += (got.getOrElse(id, Set.empty) & sibs).size
+    }
+    assert(total > 0 && found == total,
+      s"planted LSH top-k recall ${found.toDouble / total} < 1.0 ($found/$total)")
+  }
+
   test("fixture headroom: band buckets <= cap/2 and within-group hamming <= max/2") {
     // the band join whale-caps at 64 while the oracle replays
     // unguarded (the videoIncremental convention) — headroom keeps the
