@@ -521,4 +521,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val n = docScans(df.queryExecution.executedPlan)
     assert(n == 1, s"expected exactly 1 documents file scan, got $n:\n${plan(df)}")
   }
+
+  test("ns_vec_planted_dups: pruned embeddings scan, band equi-join, no all-pairs term") {
+    val p = plan(graft.operators.VectorsPlanted.plantedDups.run(spark, dir))
+    // the generator reads only (vec_id, embedding) — label never loads
+    assert(!p.contains("label"), s"embeddings scan must prune label:\n$p")
+    // candidates come from the (band_idx, band_val) equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"planted dup detection must never plan an all-pairs term:\n$p")
+  }
+
+  test("ns_vec_incremental_dups: asymmetric new x index probe — memo-backed sides, no cartesian") {
+    val df = graft.operators.VectorsPlanted.plantedIncremental.run(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ingest probe must never plan an all-pairs term:\n$p")
+    // both the signature index and the vector verify sides ride the
+    // OpMemo'd planted frames — cached rows, not fresh generator runs
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the memoized planted frames under the probe:\n$p")
+  }
 }
