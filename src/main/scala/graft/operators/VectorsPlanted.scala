@@ -106,7 +106,17 @@ object VectorsPlanted {
       sigOf(plantedVectors(spark, dir)).select("doc_id", "hi", "lo")
     }
 
-  // 0.995² = 0.990025 = 39601 / 40000 exactly
+  // 0.995² = 0.990025 = 39601 / 40000 exactly.
+  // OVERFLOW BOUND (r12 wrap-around audit): the verify products stay
+  // in BIGINT because the inputs are UNIT-NORM embeddings — Σe² = 1 ⇒
+  // Σq² ≈ Scale² = 10⁶, so dot² ≤ ‖a‖²‖b‖² ≈ 10¹² and
+  // dot²·Thr2Den ≈ 4·10¹⁶ ≪ 2⁶³. A non-normalized input with coords
+  // near ±1 would push dot²·Thr2Den to ~1.6·10²⁰ — silent Long wrap
+  // in Spark (ANSI off) vs silent HUGEINT promotion in DuckDB, i.e. a
+  // quiet oracle divergence, which is why the unit-norm precondition
+  // is part of this operator's contract (the embeddings table
+  // guarantees it; VectorPlantedRecallSpec's margin test would read
+  // nonsense cosines and fail loudly if it ever broke).
   private[graft] val Thr2Num = 39601L
   private[graft] val Thr2Den = 40000L
 
