@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** RECALL-AS-DATA capstone — the measurement the planted fixtures
+  * exist for, registered as an operator instead of living only in
+  * specs: one report row per perceptual plane (image dHash, audio
+  * fingerprint, video shingles, embedding SimHash) with the planted
+  * ground truth (groups, expected within-group pairs), what the
+  * plane's REGISTERED pair detector actually found (within-group =
+  * recall numerator, cross-group = false-positive count), and recall
+  * in exact integer basis points. A data-quality dashboard runs this
+  * after every fixture or detector change; a recall regression on ANY
+  * plane flips the row — and the driver's hash compare catches it,
+  * because the oracle recomputes BOTH sides (ground truth arithmetic
+  * AND the full detector replay) from scratch.
+  *
+  * Composition: the four pair detectors are the registered queries'
+  * own plans (their OpMemo'd frames make this report nearly free when
+  * run after them); the oracle NESTS the four registered pair oracles
+  * as scoped sub-CTEs (DuckDB scopes a `WITH` inside a CTE body to
+  * that subquery, so their overlapping internal CTE names don't
+  * collide) — five operators behind one hash, the corpus-funnel
+  * convention applied to the recall plane.
+  *
+  * Expected-pair arithmetic: media planes plant groups of 15
+  * consecutive doc_ids (5 members per modality); a corpus whose
+  * length is not a multiple of 15 ends with a PARTIAL group, so the
+  * ground truth is Σ C(members, 2) per group — never groups×10.
+  * The vector plane synthesizes exactly [[VectorsPlanted.Members]]
+  * members per base. Scale shape: the detectors dominate; the ground
+  * truth is one count-per-group aggregate per plane. */
+object RecallReport {
+
+  private def planeStats(plane: String, pairs: DataFrame, groupDiv: Long,
+                         expected: DataFrame): DataFrame = {
+    val classified = pairs.select(
+      (expr(s"a_id div $groupDiv") === expr(s"b_id div $groupDiv")).as("same"))
+    val found = classified.agg(
+      sum(when(col("same"), 1L).otherwise(0L)).as("found_pairs"),
+      sum(when(!col("same"), 1L).otherwise(0L)).as("cross_pairs"))
+    expected.crossJoin(found)
+      .select(lit(plane).as("plane"), col("n_groups"), col("expected_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"),
+        coalesce(col("cross_pairs"), lit(0L)).as("cross_pairs"),
+        expr("coalesce(found_pairs, 0) * 10000 div expected_pairs").as("recall_bp"))
+  }
+
+  private def mediaExpected(spark: SparkSession, dir: String, mod: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 3 === mod)
+      .groupBy(expr("doc_id div 15").as("grp")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(expr("c * (c - 1) div 2")).as("expected_pairs"))
+
+  private def vecExpected(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 4 === 0)
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * (VectorsPlanted.Members * (VectorsPlanted.Members - 1) / 2))
+          .as("expected_pairs"))
+
+  private def mediaExpectedSql(mod: Int): String =
+    s"""(SELECT COUNT(*) AS n_groups,
+            CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS expected_pairs
+     FROM (SELECT doc_id // 15 AS grp, COUNT(*) AS c
+           FROM documents WHERE doc_id % 3 = $mod GROUP BY 1))"""
+
+  private def planeSql(plane: String, pairsCte: String, groupDiv: Long,
+                       expectedSql: String): String =
+    s"""SELECT '$plane' AS plane, e.n_groups, e.expected_pairs,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv = b_id // $groupDiv
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte) AS found_pairs,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv <> b_id // $groupDiv
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte) AS cross_pairs,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv = b_id // $groupDiv
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte)
+          * 10000 // e.expected_pairs AS recall_bp
+     FROM $expectedSql e"""
+
+  /** Oracle assembled from the four REGISTERED pair oracles — built at
+    * init so a pair-oracle change propagates here automatically (no
+    * copy to drift). */
+  private def oracle: String = {
+    val img = Multimodal.phashDups.oracle.get
+    val aud = Multimodal.audioDups.oracle.get
+    val vid = Multimodal.videoDups.oracle.get
+    val vec = VectorsPlanted.plantedDups.oracle.get
+    s"""WITH img_pairs AS ($img),
+    aud_pairs AS ($aud),
+    vid_pairs AS ($vid),
+    vec_pairs AS ($vec)
+    ${planeSql("audio", "aud_pairs", 15, mediaExpectedSql(1))}
+    UNION ALL
+    ${planeSql("image", "img_pairs", 15, mediaExpectedSql(0))}
+    UNION ALL
+    ${planeSql("vector", "vec_pairs", 8,
+      """(SELECT COUNT(*) AS n_groups,
+              CAST(COUNT(*) * 10 AS BIGINT) AS expected_pairs
+          FROM embeddings WHERE vec_id % 4 = 0)""")}
+    UNION ALL
+    ${planeSql("video", "vid_pairs", 15, mediaExpectedSql(2))}
+    ORDER BY plane"""
+  }
+
+  val recallReport: GraftQuery = GraftQuery.checked("ns_recall_report", oracle) {
+    (spark, dir) =>
+      planeStats("audio", Multimodal.audioDups.run(spark, dir), 15,
+          mediaExpected(spark, dir, 1))
+        .unionByName(planeStats("image", Multimodal.phashDups.run(spark, dir), 15,
+          mediaExpected(spark, dir, 0)))
+        .unionByName(planeStats("vector", VectorsPlanted.plantedDups.run(spark, dir), 8,
+          vecExpected(spark, dir)))
+        .unionByName(planeStats("video", Multimodal.videoDups.run(spark, dir), 15,
+          mediaExpected(spark, dir, 2)))
+        .orderBy("plane")
+  }
+
+  val all: Seq[GraftQuery] = Seq(recallReport)
+}
