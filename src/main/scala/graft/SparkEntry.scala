@@ -16,7 +16,7 @@ object SparkEntry {
       VectorsPq.all ++ VectorsCoreset.all ++ EventCdc.all ++ TextClassify.all ++
       CorpusDiff.all ++ TimeSeries.all ++ VectorsCuration.all ++
       TextSelection.all ++ VectorsMining.all ++ TextSafety.all ++ CorpusStages.all ++
-      VectorsPlanted.all ++ RecallReport.all
+      VectorsPlanted.all ++ RecallReport.all ++ AnalyticsParts.all
 
   require(registry.map(_.name).distinct.size == registry.size, "duplicate query names")
 

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
+import graft.functions.dround
+import graft.sources.Tables
+
+/** Product/supplier analytics — the star-schema arms (`part`,
+  * `supplier`) that had NO operator coverage until round 12 (every
+  * other table fed the K/ns surface; a user porting their TPC-H-style
+  * reporting would have hit a wall). Three classic shapes, each with
+  * the house exact-integer money discipline (quantize per TERM —
+  * cents / discount basis points — then BIGINT sums, so both engines
+  * add exact integers in any order; doubles appear only in the final
+  * shared-parenthesization ratio):
+  *
+  *  - [[partsProfit]] (TPC-H Q9 shape): net-of-discount revenue and
+  *    catalog value per (supplier nation, part type).
+  *  - [[partsSmallQty]] (Q17 shape): revenue trapped in small-quantity
+  *    orders per brand — the classic "should we batch these?" report.
+  *  - [[supplierRank]] (Q2 flavor): top suppliers per nation by
+  *    account balance.
+  *
+  * Scale shapes: Q9 joins broadcast the nation dim and let AQE size
+  * the part/supplier sides (corpus-scaled at 100 TB — forced
+  * broadcasts would be a fixture-size assumption); Q17's per-part
+  * aggregate is parts-sized and equi-joins back on the part key (no
+  * window over the fact stream); Q2 is a dimension-only window with
+  * WindowGroupLimit. */
+object AnalyticsParts {
+
+  private val centsL = expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+  private val discBp = expr("CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)")
+  private val qtyL = expr("CAST(l_quantity AS BIGINT)") // integral-valued by schema
+
+  /** Overflow bound: cents ≤ ~1.05e7, ×(10000−disc) ≤ 1.05e11/row;
+    * BIGINT holds ~9e18, so the per-group sum is safe to ~8e7 rows per
+    * group — beyond that (deep-100 TB per-group cardinality) swap the
+    * sum to DECIMAL(38,0), the [[EventStats]] burstiness discipline. */
+  val partsProfit: GraftQuery = GraftQuery.checked("ns_parts_profit",
+    """SELECT n.n_name AS nation, p.p_type,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * (10000 - CAST(FLOOR(l.l_discount * 10000 + 0.5) AS BIGINT))) AS BIGINT)
+                 / 1000000.0, 2) AS net_revenue,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                          * CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS catalog_value
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    ORDER BY nation, p_type""") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        dround(sum(centsL * (lit(10000L) - discBp)).cast("double") / 1000000.0, 2)
+          .as("net_revenue"),
+        dround(sum(qtyL * expr("CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)"))
+          .cast("double") / 100.0, 2).as("catalog_value"))
+      .orderBy("nation", "p_type")
+  }
+
+  /** Strictly-below-half-average via pure integers: qty < sum/(2n) ⇔
+    * 2·qty·n < sum — no float average, no interpolation to diverge
+    * on. The p_size ≤ 25 cut is a pushdown-able dimension predicate
+    * (plan-pinned). */
+  val partsSmallQty: GraftQuery = GraftQuery.checked("ns_parts_small_qty",
+    """WITH pq AS (
+      SELECT l_partkey, COUNT(*) AS n_l,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_partkey),
+    small AS (
+      SELECT p.p_brand, CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN pq ON pq.l_partkey = l.l_partkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size <= 25
+        AND 2 * CAST(l.l_quantity AS BIGINT) * pq.n_l < pq.sum_qty)
+    SELECT p_brand, COUNT(*) AS n_small,
+           ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS small_revenue
+    FROM small GROUP BY p_brand
+    ORDER BY p_brand""") { (spark, dir) =>
+    val pq = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_l"), sum(qtyL).as("sum_qty"))
+    Tables.lineitem(spark, dir)
+      .join(pq, "l_partkey")
+      .join(Tables.part(spark, dir).where(col("p_size") <= 25),
+        col("p_partkey") === col("l_partkey"))
+      .where(lit(2L) * qtyL * col("n_l") < col("sum_qty"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        dround(sum(centsL).cast("double") / 100.0, 2).as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  /** Top-2 suppliers per nation by (acctbal DESC, name) — dimension
+    * window, WindowGroupLimit plan. */
+  val supplierRank: GraftQuery = GraftQuery.checked("ns_supplier_rank",
+    """SELECT nation, s_name, acctbal, rk FROM (
+      SELECT n.n_name AS nation, s.s_name,
+             ROUND(s.s_acctbal, 2) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY s.s_acctbal DESC, s.s_name) AS rk
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    WHERE rk <= 2
+    ORDER BY nation, rk""") { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation").orderBy(col("s_acctbal").desc, col("s_name"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("n_nationkey") === col("s_nationkey"))
+      .select(col("n_name").as("nation"), col("s_name"), col("s_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select(col("nation"), col("s_name"),
+        dround(col("s_acctbal"), 2).as("acctbal"),
+        col("rk").cast("long").as("rk")) // DuckDB ROW_NUMBER is BIGINT
+      .orderBy("nation", "rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(partsProfit, partsSmallQty, supplierRank)
+}

@@ -522,6 +522,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 documents file scan, got $n:\n${plan(df)}")
   }
 
+  test("ns_parts_profit: nation broadcasts; no cartesian anywhere in the 4-way join tree") {
+    val p = plan(graft.operators.AnalyticsParts.partsProfit.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected the nation dim broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the star join:\n$p")
+  }
+
+  test("ns_parts_small_qty: p_size predicate pushes to the part scan") {
+    val p = plan(graft.operators.AnalyticsParts.partsSmallQty.run(spark, dir))
+    assert(p.contains("LessThanOrEqual(p_size,25)"),
+      s"p_size cut must reach the parquet scan as a pushed filter:\n$p")
+  }
+
+  test("ns_supplier_rank: dimension window plans WindowGroupLimit") {
+    val p = plan(graft.operators.AnalyticsParts.supplierRank.run(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
   test("ns_vec_planted_dups: pruned embeddings scan, band equi-join, no all-pairs term") {
     val p = plan(graft.operators.VectorsPlanted.plantedDups.run(spark, dir))
     // the generator reads only (vec_id, embedding) — label never loads
