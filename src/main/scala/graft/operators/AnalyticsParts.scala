@@ -124,5 +124,58 @@ object AnalyticsParts {
       .orderBy("nation", "rk")
   }
 
-  val all: Seq[GraftQuery] = Seq(partsProfit, partsSmallQty, supplierRank)
+  /** Q18 shape — the top-100 LARGE orders (total quantity > 150) with
+    * the purchasing customer: output BOUNDED at any SF (ORDER BY +
+    * LIMIT plans TakeOrderedAndProject — no full sort, no unbounded
+    * result at 100 TB). Integer quantities end to end; l_linenumber's
+    * max doubles as the order's line count under the fixture's
+    * 1-based-ordinal contract. */
+  val ordersLarge: GraftQuery = GraftQuery.checked("ns_orders_large",
+    """SELECT c.c_name, o.o_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(MAX(l.l_linenumber) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100""") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_name", "o_orderkey")
+      .agg(sum(qtyL).as("total_qty"),
+        max(col("l_linenumber")).cast("long").as("n_lines"))
+      .where(col("total_qty") > 150)
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Q16 flavor — named-part revenue: a `p_name LIKE '%red%'` cut that
+    * PUSHES to the part scan (StringContains, plan-pinned), then
+    * supplier breadth + exact-cents revenue per brand. */
+  val partsNamed: GraftQuery = GraftQuery.checked("ns_parts_named",
+    """SELECT p.p_brand,
+           COUNT(DISTINCT p.p_partkey) AS n_parts,
+           COUNT(DISTINCT l.l_suppkey) AS n_supp,
+           ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1
+    ORDER BY p_brand""") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).where(col("p_name").contains("red")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct("p_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supp"),
+        dround(sum(centsL).cast("double") / 100.0, 2).as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(partsProfit, partsSmallQty, supplierRank, ordersLarge, partsNamed)
 }

@@ -534,6 +534,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p_size cut must reach the parquet scan as a pushed filter:\n$p")
   }
 
+  test("ns_orders_large: bounded top-100 plans TakeOrderedAndProject, no full sort") {
+    val p = plan(graft.operators.AnalyticsParts.ordersLarge.run(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("ns_parts_named: the name LIKE cut pushes to the part scan") {
+    val p = plan(graft.operators.AnalyticsParts.partsNamed.run(spark, dir))
+    assert(p.contains("StringContains(p_name,red)"),
+      s"p_name LIKE must reach the parquet scan:\n$p")
+  }
+
   test("ns_supplier_rank: dimension window plans WindowGroupLimit") {
     val p = plan(graft.operators.AnalyticsParts.supplierRank.run(spark, dir))
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
