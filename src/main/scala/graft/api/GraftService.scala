@@ -523,8 +523,13 @@ final class GraftService(
           // so awaitTermination cannot observe "batch done" — poll the
           // trigger-active flag instead and stop once the in-flight
           // micro-batch (ingest + persist) has committed; a hung batch
-          // must not wedge shutdown, so the wait is capped
-          val deadline = System.currentTimeMillis() + graceMillis / 2
+          // must not wedge shutdown, so the wait is capped. Budget: the
+          // FULL grace period, not half — stop() interrupts the batch,
+          // and an interrupt between effects and the checkpoint commit
+          // opens the documented at-least-once replay window (observed
+          // r12: under a co-resident test JVM a 1-event batch exceeded
+          // the old 5 s cap and the restart re-dispatched it).
+          val deadline = System.currentTimeMillis() + graceMillis
           while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
             Thread.sleep(50)
           q.stop()

@@ -173,8 +173,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashNearDups: GraftQuery =
-    GraftQuery.rowsOnly("ns_dedup_minhash")((s, d) => minhashPairs(s, d))
+  /** FULL-oracle registration (r12, was rows-only since r2): the DuckDB
+    * side computes the TRUE pair set — string 3-shingle Jaccard ≥ 0.5
+    * over all pairs, blocked by shared shingle — so the driver's hash
+    * compare now measures LSH RECALL, not just soundness. This is green
+    * because every planted near-dup pair sits far above the band
+    * threshold (weakest fixture pair: Jaccard 0.889 at sf0.1 → per-pair
+    * band-miss probability (1−j⁴)¹⁶ ≈ 1.5e-7, and the hash family is a
+    * fixed deterministic LCG, so equality is a verified constant of the
+    * fixture, checked at all three SFs). On a corpus with pairs near the
+    * 0.5 threshold the emitter would legitimately miss some (the
+    * documented LSH recall curve: P(candidate) = 1−(1−j⁴)¹⁶ ≈ 0.65 at
+    * j=0.5) and this row would read as a hash mismatch — diagnose that
+    * as this convention, not a regression (same guarded-impl vs
+    * exhaustive-oracle convention as videoIncremental). The one-sided
+    * `_sound` twin below stays: it checks value parity on emitted pairs
+    * through an independent string-path evaluation. */
+  val minhashNearDups: GraftQuery = GraftQuery.checked("ns_dedup_minhash",
+    """WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+      FROM toks WHERE len(tk) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.5
+    ORDER BY doc_a, doc_b""")((s, d) => minhashPairs(s, d))
 
   /** Independent string-shingle Jaccard for the soundness oracles: the
     * HOF shingle builder + builtin set ops — a different tokenizer,
@@ -259,8 +292,35 @@ object Dedup {
       minhashPairsAcross(corpus, probe, threshold = threshold)
     }
 
-  val decontam: GraftQuery =
-    GraftQuery.rowsOnly("ns_dedup_decontam")((s, d) => decontamPairs(s, d))
+  /** FULL-oracle registration (r12, was rows-only): the oracle computes
+    * the TRUE contamination set — string 3-shingle Jaccard ≥ 0.3 over
+    * every (probe ≡ 0 mod 10) × (corpus ≢ 0 mod 10) pair — so the
+    * driver's compare measures cross-corpus LSH recall end-to-end. Green
+    * by the same measured-margin convention as [[minhashNearDups]]: the
+    * weakest fixture contamination pair carries Jaccard 0.889 (sf0.1;
+    * 0.958 at sf0.01), per-pair band-miss probability ≈ 1.5e-7 under the
+    * fixed hash family, equality verified at all three SFs. A corpus
+    * with true pairs near 0.3 would legitimately diverge (LSH recall at
+    * j=0.3 is ≈ 0.12) — convention, not regression. */
+  val decontam: GraftQuery = GraftQuery.checked("ns_dedup_decontam",
+    """WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS s
+      FROM toks WHERE len(tk) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (
+      SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, count(*) AS i
+      FROM ex p JOIN ex c ON p.g = c.g AND p.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT probe_id, corpus_id,
+           ROUND(CAST(i AS DOUBLE)/(sp.n + sc.n - i), 4) AS jaccard
+    FROM inter JOIN sz sp ON sp.doc_id = probe_id JOIN sz sc ON sc.doc_id = corpus_id
+    WHERE CAST(i AS DOUBLE)/(sp.n + sc.n - i) >= 0.3
+    ORDER BY probe_id, corpus_id""")((s, d) => decontamPairs(s, d))
 
   /** Soundness check for [[decontam]], same construction as
     * [[minhashViolations]]: emitted (probe, corpus) contamination pairs
