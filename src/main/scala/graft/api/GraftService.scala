@@ -513,9 +513,22 @@ final class GraftService(
   def shutdown(graceMillis: Long = 10000L): Unit = {
     if (stopped.compareAndSet(false, true)) {
       try {
+        // ONE deadline shared by every phase (r12 review): per-phase
+        // budgets of graceMillis each let worst-case shutdown run to
+        // ~3× the stated grace — under a K8s terminationGracePeriod
+        // sized to graceMillis, SIGKILL would land mid q.stop()/
+        // facade.stop(), reopening the interrupt-between-effects-and-
+        // checkpoint replay window the drain exists to close. Phases
+        // spend from the same budget; whatever remains goes to the
+        // drain, which matters most (stop() interrupts the in-flight
+        // batch; an expired drain degrades to the documented
+        // at-least-once replay — observed r12 under a co-resident test
+        // JVM, where a 1-event batch outlived the old 5 s cap).
+        val deadline = System.currentTimeMillis() + graceMillis
+        def remaining: Long = math.max(0L, deadline - System.currentTimeMillis())
         if (scheduler != null) {
           scheduler.shutdown()
-          scheduler.awaitTermination(graceMillis, TimeUnit.MILLISECONDS)
+          scheduler.awaitTermination(remaining, TimeUnit.MILLISECONDS)
           ()
         }
         mqQuery.foreach { q =>
@@ -523,17 +536,11 @@ final class GraftService(
           // so awaitTermination cannot observe "batch done" — poll the
           // trigger-active flag instead and stop once the in-flight
           // micro-batch (ingest + persist) has committed; a hung batch
-          // must not wedge shutdown, so the wait is capped. Budget: the
-          // FULL grace period, not half — stop() interrupts the batch,
-          // and an interrupt between effects and the checkpoint commit
-          // opens the documented at-least-once replay window (observed
-          // r12: under a co-resident test JVM a 1-event batch exceeded
-          // the old 5 s cap and the restart re-dispatched it).
-          val deadline = System.currentTimeMillis() + graceMillis
-          while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
+          // must not wedge shutdown, so the wait is capped
+          while (q.status.isTriggerActive && remaining > 0)
             Thread.sleep(50)
           q.stop()
-          q.awaitTermination(graceMillis)
+          q.awaitTermination(math.max(remaining, 1000L))
           ()
         }
         facade.stop()

@@ -962,7 +962,13 @@ object Dedup {
     * a doc_id-bucketed corpus never re-shuffles) and the split itself
     * is pure map-side hash algebra on the joined rep. The output
     * aggregate partial-combines to |splits|×|sources| rows per task. */
-  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document split assignment — the frame behind [[leakFreeSplit]]
+    * (and what a pipeline writes as its split manifest), factored out
+    * so the straddle-free property is spec-testable per PAIR, not just
+    * visible in the aggregate (r12: the leakage guarantee deserves a
+    * direct test — every verified near-dup pair must land on one
+    * side). */
+  private[graft] def splitAssignments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
     val labels = dedupClusters(spark, dir).select("doc_id", "cluster_id")
     docs.join(labels, Seq("doc_id"), "left")
@@ -972,10 +978,13 @@ object Dedup {
         when(col("u") < "cccccccc", "train")
           .when(col("u") < "e6666666", "val")
           .otherwise("test"))
+  }
+
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    splitAssignments(spark, dir)
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("split", "source")
-  }
 
   val splitLeakFree: GraftQuery = GraftQuery.checked("ns_dedup_split_leakfree",
     """WITH RECURSIVE docs AS (
@@ -1189,8 +1198,70 @@ object Dedup {
     ORDER BY src_a, src_b""")((s, d) => sourceOverlapCore(sourceGrams(s, d)))
   }
 
+  /** KEEP-BEST cluster survivor — the selection rule a production
+    * dedup actually wants: per near-dup cluster, keep the member with
+    * the HIGHEST composite quality ([[TextOps.qualityFrame]] — the
+    * `ns_text_stats` formula, shared so the two queries cannot
+    * drift), ties broken by min doc_id. [[survivors]]' min-id rule is
+    * the canonical-id convention for content-addressed storage; this
+    * is the quality-preserving one for a training mix (a cluster's
+    * keeper should be its cleanest copy, not its oldest id). Output:
+    * one row per cluster — size, kept doc, kept quality. The oracle
+    * replays clustering (recursive closure), the quality formula, and
+    * the argmax tie-break end-to-end.
+    *
+    * Scale shape: cluster labels are the memoized near-dup-subset
+    * frame; quality is a map expression over the doc scan; the argmax
+    * window partitions by cluster_id (cluster-sized frames, never a
+    * global sort). */
+  val keepBest: GraftQuery = GraftQuery.checked("ns_dedup_keep_best",
+    s"""WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, lang, n_chars,
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM und
+                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+               FROM reach GROUP BY a),
+    q AS (SELECT doc_id, ${graft.operators.TextOps.qualitySql} AS quality
+          FROM documents),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM labels l JOIN q USING (doc_id))
+    SELECT cluster_id, COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS keep_quality
+    FROM ranked GROUP BY cluster_id
+    ORDER BY cluster_id""") { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val labels = dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val q = TextOps.qualityFrame(spark, dir)
+    val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    labels.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        max(when(col("rn") === 1, col("quality"))).as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(exactDups, minhashNearDups, minhashSound, simhashNearDups,
     simhashSound, ngramNearDups, decontam, decontamSound, ngramDecontamQ, ngramDecontamBloomQ,
     duplicatedSpansQ, gramDupFractionQ, clusters, survivors, incremental, sourceOverlapQ,
-    splitLeakFree)
+    splitLeakFree, keepBest)
 }

@@ -272,17 +272,26 @@ object EventStats {
   private[graft] def valueRanks(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val binned = df.withColumn("bin", expr(s"$valueCol div $binWidth"))
-    // exclusive prefix sum over the MODEL-SIZED bin-count frame via a
-    // triangular join instead of an unpartitioned window (r11 verdict
-    // #8: the no-partition WindowExec WARN cried wolf on every bench
-    // run, and a literal partition key gets constant-folded back to an
-    // empty spec; |bins|² on a value-range/width frame is trivia while
-    // the WARN class stays meaningful for real regressions)
+    // exclusive prefix sum over the bin-count frame computed DRIVER-SIDE
+    // (r11 verdict #8 removed the unpartitioned window; the r12 review
+    // then caught the first replacement — a pbin < bin triangular
+    // self-join — going Θ(bins²): bins = value-range/binWidth is
+    // DATA-dependent, and a nested-loop join over 1e5 bins is 1e10
+    // pairs. The frame is broadcast two lines down, so driver residency
+    // is already this operator's memory contract; collecting the same
+    // rows and folding the running total locally is O(bins), exact
+    // integers, no window, no join). Fail-loud cap = the broadcast
+    // contract made explicit: past it, binWidth is mis-sized for the
+    // value range — resize the knob, don't spill the model frame.
     val counts = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
-    val offsets = counts.select(col("bin"), col("bin_n"))
-      .join(counts.select(col("bin").as("pbin"), col("bin_n").as("pn")),
-        col("pbin") < col("bin"), "left")
-      .groupBy("bin").agg(coalesce(sum("pn"), lit(0L)).as("bin_off"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= (1 << 22),
+      s"valueRanks: ${counts.length} bins exceeds the broadcastable-frame contract; " +
+      s"raise binWidth=$binWidth toward valueRange/2^20")
+    var acc = 0L
+    val offRows = counts.map { case (b, n) => val off = acc; acc += n; (b, off) }
+    val offsets = df.sparkSession.createDataFrame(offRows.toIndexedSeq)
+      .toDF("bin", "bin_off")
     val wLocal = Window.partitionBy("bin").orderBy(valueCol, "user_id")
     binned.join(broadcast(offsets), Seq("bin"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))

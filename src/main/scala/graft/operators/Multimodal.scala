@@ -700,16 +700,23 @@ object Multimodal {
     * spec all reference this constant. */
   private[graft] val WhaleBandCap = 64
 
+  /** THE 4×16-bit band layout of a 64-bit `(hi, lo)` signature,
+    * appended as `(band_idx, band_val)` to whatever columns `df`
+    * carries — the ONE Scala definition every oracle's CASE band
+    * layout is checked against (r12 review: the explode was re-inlined
+    * at four main-code sites; a divergent copy silently breaks the
+    * hash compare for only the queries riding it). */
+  private[graft] def banded4x16(df: DataFrame): DataFrame =
+    df.select(col("*"), posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16))).as(Seq("band_idx", "band_val")))
+
   private[graft] def bandedHammingPairs(h: DataFrame, maxHamming: Int,
       whaleBandCap: Int = WhaleBandCap): DataFrame =
     hammingJoinCore(
-      h.select(col("doc_id"), col("hi"), col("lo"),
-        posexplode(array(
-          col("lo").bitwiseAND(lit(65535L)),
-          shiftright(col("lo"), 16),
-          col("hi").bitwiseAND(lit(65535L)),
-          shiftright(col("hi"), 16))))
-        .toDF("doc_id", "hi", "lo", "band_idx", "band_val"),
+      banded4x16(h.select("doc_id", "hi", "lo")),
       maxHamming, whaleBandCap)
 
   /** Corpus ceiling for the guaranteed-recall 8×8 layout (r11 ADVICE
@@ -756,9 +763,14 @@ object Multimodal {
     * guarded measured-recall layout; a caller who can afford the
     * quadratic term raises the ceiling EXPLICITLY at the call site. */
   private[graft] def bandedHammingPairs8(h: DataFrame, maxHamming: Int = 7,
-      corpusCeiling: Long = G7CorpusCeiling): DataFrame = {
+      corpusCeiling: Long = G7CorpusCeiling,
+      knownCount: Option[Long] = None): DataFrame = {
     require(maxHamming <= 7, s"8-band layout guarantees recall only to Hamming 7, got $maxHamming")
-    val n = h.count()
+    // knownCount: registered callers pass the OpMemo'd corpus count so
+    // the guard job runs once per (session, dir) instead of on every
+    // plan build (r12 review: a plan-pin inspection was triggering a
+    // cluster job as a construction side effect)
+    val n = knownCount.getOrElse(h.count())
     require(n <= corpusCeiling,
       s"guaranteed-recall 8x8 banding refused at corpus n=$n > ceiling $corpusCeiling: " +
       "256-value bands carry an unconditional ~n^2/512-per-band candidate floor (pigeonhole), " +
@@ -923,7 +935,9 @@ object Multimodal {
     FROM cand
     WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
     ORDER BY a_id, b_id""") { (spark, dir) =>
-    bandedHammingPairs8(dupPhash(spark, dir), maxHamming = 7)
+    val h = dupPhash(spark, dir)
+    bandedHammingPairs8(h, maxHamming = 7,
+      knownCount = Some(OpMemo.cachedLong(spark, dir, "mm:phash-count")(h.count())))
   }
 
   final case class ImageGate(doc_id: Long, width: Int, height: Int, gray_sum: Long,
@@ -1228,14 +1242,7 @@ object Multimodal {
     WHERE ph.is_new ORDER BY ph.doc_id""") { (spark, dir) =>
     val h = dupPhash(spark, dir)
       .withColumn("is_new", expr("(doc_id % 15) div 3 = 4"))
-    val banded = h.select(col("doc_id"), col("is_new"),
-      col("hi"), col("lo"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16),
-        col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("hi"), 16))))
-      .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
+    val banded = banded4x16(h.select("doc_id", "is_new", "hi", "lo"))
     val nw = banded.where(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
         col("hi").as("n_hi"), col("lo").as("n_lo"))

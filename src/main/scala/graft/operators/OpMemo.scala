@@ -47,6 +47,21 @@ object OpMemo {
     memos.getOrElseUpdate((spark, dir, key), build.cache())
   }
 
+  // scalar companions to the frame memo (r12 review: the g7 corpus
+  // guard re-ran a count JOB on every plan build; a guard scalar is
+  // session-state exactly like the frame it describes, so it shares
+  // the memo's keying and eviction lifecycle)
+  private val scalars = TrieMap.empty[(SparkSession, String, String), Long]
+
+  /** Memoized Long per (session, dir, key) — for guard counts and other
+    * plan-build-time scalars derived from the data under `dir`. Evicted
+    * with the frames by [[invalidate]]. */
+  def cachedLong(spark: SparkSession, dir: String, key: String)
+                (build: => Long): Long = {
+    hook(spark)
+    scalars.getOrElseUpdate((spark, dir, key), build)
+  }
+
   private def hook(spark: SparkSession): Unit = hooked.synchronized {
     if (hooked.add(spark)) {
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -66,6 +81,8 @@ object OpMemo {
     doomed.foreach { k =>
       memos.remove(k).foreach(df => Try(df.unpersist()))
     }
+    scalars.keys.filter { case (s, d, _) => (s eq spark) && dir.forall(_ == d) }
+      .foreach(scalars.remove)
   }
 
   /** Number of live entries (test hook). */

@@ -70,17 +70,22 @@ object RecallReport {
      FROM (SELECT doc_id // 15 AS grp, COUNT(*) AS c
            FROM documents WHERE doc_id % 3 = $mod GROUP BY 1))"""
 
+  // ONE aggregate subquery per plane (r12 review: three independent
+  // scalar subqueries over the same pairs CTE let DuckDB inline — and
+  // replay — the full detector pipeline up to 3× per plane, inflating
+  // the oracle-side bench the published ratios divide by; this is the
+  // Spark side's single-pass planeStats shape mirrored)
   private def planeSql(plane: String, pairsCte: String, groupDiv: Long,
                        expectedSql: String): String =
     s"""SELECT '$plane' AS plane, e.n_groups, e.expected_pairs,
-        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv = b_id // $groupDiv
-                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte) AS found_pairs,
-        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv <> b_id // $groupDiv
-                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte) AS cross_pairs,
-        (SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv = b_id // $groupDiv
-                                       THEN 1 ELSE 0 END), 0) AS BIGINT) FROM $pairsCte)
-          * 10000 // e.expected_pairs AS recall_bp
-     FROM $expectedSql e"""
+        f.found_pairs, f.cross_pairs,
+        f.found_pairs * 10000 // e.expected_pairs AS recall_bp
+     FROM $expectedSql e CROSS JOIN (
+       SELECT CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv = b_id // $groupDiv
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS found_pairs,
+              CAST(COALESCE(SUM(CASE WHEN a_id // $groupDiv <> b_id // $groupDiv
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_pairs
+       FROM $pairsCte) f"""
 
   /** Oracle assembled from the four REGISTERED pair oracles — built at
     * init so a pair-oracle change propagates here automatically (no

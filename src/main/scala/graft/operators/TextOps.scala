@@ -34,7 +34,35 @@ object TextOps {
   def tokensNonEmpty(text: Column): Column =
     array_remove(split(text, "\\s+"), "")
 
-  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+  private[graft] val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** The composite-quality scalar from token/stopword counts — ONE
+    * Scala definition for [[textStats]] and [[qualityFrame]]. */
+  private[graft] def qualityExpr(nTokens: Column, nStop: Column): Column =
+    dround(least(lit(1.0), nTokens / 100.0) *
+      (lit(1) - nStop.cast("double") / nTokens), 4)
+
+  /** Per-document composite quality, rounded — the [[textStats]]
+    * `quality` column as a standalone frame, shared with the
+    * keep-best dedup survivor ([[Dedup.keepBest]]) so the two queries
+    * cannot drift on the formula. Both engines replay it identically
+    * (the textStats oracle is the SQL side of this expression). */
+  private[graft] def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(filter(toks, w => array_contains(stopArr, w))).as("n_stop"))
+      .select(col("doc_id"), qualityExpr(col("n_tokens"), col("n_stop")).as("quality"))
+  }
+
+  /** The DuckDB expression of [[qualityFrame]]'s `quality` (over a
+    * `documents` row) — interpolate into oracles that rank by it. */
+  private[graft] def qualitySql: String =
+    s"""ROUND(LEAST(1.0, CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) / 100.0)
+        * (1 - CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                 w -> w IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+'))), 4)"""
 
   /** K-style per-document text statistics: token count, stopword ratio,
     * average word length, composite quality score. Mirrors the oracle
@@ -60,8 +88,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         dround(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
         dround((col("n_chars").cast("double") - col("n_tokens") + 1) / col("n_tokens"), 2).as("avg_word_len"),
-        dround(least(lit(1.0), col("n_tokens") / 100.0) *
-          (lit(1) - col("n_stop").cast("double") / col("n_tokens")), 4).as("quality"))
+        qualityExpr(col("n_tokens"), col("n_stop")).as("quality"))
       .orderBy("doc_id")
   }
 

@@ -436,85 +436,13 @@ object TextSelection {
       .orderBy("source")
   }
 
-  /** Per-document LEAKAGE-SAFE holdout assignment — the shared frame
-    * behind [[leakageSplit]] and its spec: every document tagged with
-    * its near-dup GROUP representative (the [[Dedup.dedupClusters]]
-    * connected-component min label; singletons represent themselves)
-    * and a train/eval side that is a pure function of that
-    * representative, so two near-duplicates CANNOT straddle the split
-    * by construction — the leakage an IID doc-hash split silently
-    * commits (an eval document's near-twin in train is memorized, the
-    * held-out metric lies). Side = first md5 byte of the rep id
-    * (`evalBytes`/256 eval mass — the repo's content-independent
-    * first-md5-byte bucket convention, [[bigramBuckets]]). */
-  private[graft] def splitAssignments(spark: SparkSession, dir: String,
-                                      evalBytes: Int = 26): DataFrame = {
-    val labels = Dedup.dedupClusters(spark, dir) // (doc_id, cluster_id), clustered docs only
-    Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
-        coalesce(col("cluster_id"), col("doc_id")).as("rep"))
-      .withColumn("split",
-        when(conv(substring(md5(col("rep").cast("string")), 1, 2), 16, 10)
-          .cast("int") < evalBytes, "eval").otherwise("train"))
-  }
+  // NOTE (r12 second pass): a "leakage-safe split" operator was briefly
+  // added here before the session's own duplicate-check found the r8
+  // original — `ns_dedup_split_leakfree` (Dedup.leakFreeSplit) already
+  // assigns train/val/test by md5 of the near-dup cluster
+  // representative. The duplicate was removed the same day; its one
+  // genuine addition — a per-PAIR straddle-free spec — now pins the
+  // ORIGINAL operator (SelectionMiningSpec, via Dedup.splitAssignments).
 
-  /** Group-aware train/eval SPLIT report (`ns_split_leakage_safe`):
-    * per (split, lang) document count, near-dup group count and
-    * character mass. The oracle replays the ENTIRE composition —
-    * verified 0.4-Jaccard pair graph, recursive-CTE transitive
-    * closure, min-label representative, md5-byte side — so the
-    * driver's hash compare pins the leakage contract end-to-end, not
-    * just the tallies.
-    *
-    * Scale shape: the component labels are the already-distributed
-    * [[Dedup.dedupClusters]] frame (clustered docs only — tiny
-    * relative to the corpus), the rep attach is one left join, the
-    * side is a map expression, and the report is one aggregation.
-    * The per-doc `splitAssignments` frame (not the report) is what a
-    * pipeline writes next to the corpus as its split manifest. */
-  val leakageSplit: GraftQuery = GraftQuery.checked("ns_split_leakage_safe",
-    """WITH RECURSIVE docs AS (
-      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS len_bucket,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS sh
-      FROM (SELECT doc_id, lang, n_chars,
-              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
-            FROM documents)
-      WHERE len(t) >= 3),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM docs a JOIN docs b
-        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
-    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs),
-    reach(a, b) AS (SELECT a, b FROM und
-                    UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-    labels AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-               FROM reach GROUP BY a),
-    asg AS (
-      SELECT d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
-             COALESCE(l.cluster_id, d.doc_id) AS rep,
-             CASE WHEN (strpos('0123456789abcdef',
-                          substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef',
-                          substr(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 2, 1)) - 1) < 26
-                  THEN 'eval' ELSE 'train' END AS split
-      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
-    SELECT split, lang, COUNT(*) AS n_docs,
-           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars
-    FROM asg GROUP BY 1, 2
-    ORDER BY split, lang""") { (spark, dir) =>
-    splitAssignments(spark, dir)
-      .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct("rep").as("n_groups"),
-        sum("n_chars").as("n_chars"))
-      .orderBy("split", "lang")
-  }
-
-  val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir, sourceDrift, leakageSplit)
+  val all: Seq[GraftQuery] = Seq(ccnetBuckets, dsir, sourceDrift)
 }

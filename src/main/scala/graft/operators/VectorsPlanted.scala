@@ -264,11 +264,7 @@ object VectorsPlanted {
     val dot = graft.functions.SketchExpressions.intVecDot _
     val sig = plantedSig(spark, dir)
       .withColumn("is_new", col("doc_id") % 8 === 4)
-    val banded = sig.select(col("doc_id"), col("is_new"), col("hi"), col("lo"),
-      posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
-        col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
-      .toDF("doc_id", "is_new", "hi", "lo", "band_idx", "band_val")
+    val banded = Multimodal.banded4x16(sig.select("doc_id", "is_new", "hi", "lo"))
     val nw = banded.where(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_val"),
         col("hi").as("n_hi"), col("lo").as("n_lo"))

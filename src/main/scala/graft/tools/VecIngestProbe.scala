@@ -33,11 +33,7 @@ object VecIngestProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     def bands(df: org.apache.spark.sql.DataFrame) =
-      df.select(col("doc_id"), col("hi"), col("lo"),
-        posexplode(array(
-          col("lo").bitwiseAND(lit(65535L)), shiftright(col("lo"), 16),
-          col("hi").bitwiseAND(lit(65535L)), shiftright(col("hi"), 16))))
-        .toDF("doc_id", "hi", "lo", "band_idx", "band_val")
+      graft.operators.Multimodal.banded4x16(df.select("doc_id", "hi", "lo"))
     // fixed new batch: the m=4 members of the FIRST 125 groups (the
     // sf0.01-sized slice of sf0.1's corpus — same vector space as the
     // index at every scale, so sibling relations are intact and the

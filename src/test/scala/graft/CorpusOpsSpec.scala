@@ -16,25 +16,58 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
   private val dir = SparkSuite.sfDir
 
-  test("leak-free split: no near-dup cluster straddles two splits") {
-    // re-derive each doc's split exactly as the operator does, then
-    // check every cluster maps to exactly one split
-    val labels = Dedup.dedupClusters(spark, dir)
-    val split = Tables.documents(spark, dir).select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("u", substring(md5(col("rep").cast("string").cast("binary")), 1, 8))
-      .withColumn("split",
-        when(col("u") < "cccccccc", "train")
-          .when(col("u") < "e6666666", "val")
-          .otherwise("test"))
+  test("leak-free split: no near-dup cluster OR verified pair straddles splits") {
+    // through the PRODUCT path (r12: Dedup.splitAssignments is the
+    // factored per-doc frame the aggregate rides — this test used to
+    // carry a token-for-token copy of the assignment logic, which
+    // could drift from what the operator actually does)
+    val split = Dedup.splitAssignments(spark, dir)
     val straddling = split.where(col("cluster_id").isNotNull)
       .groupBy("cluster_id").agg(countDistinct("split").as("k"))
       .where(col("k") > 1).count()
     assert(straddling == 0, s"$straddling clusters leak across splits")
+    // per-PAIR form of the same property (tests the CC + assignment
+    // COMPOSITION: a propagation bug that splits one true component
+    // into two labels passes the cluster-level check but fails here)
+    val asg = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must carry near-dup pairs for the property to bite")
+    pairs.foreach { case (a, b) =>
+      assert(asg(a) == asg(b), s"pair ($a,$b) straddles: ${asg(a)} vs ${asg(b)}")
+    }
+    // non-degenerate 80/10/10: all three splits populated, train majority
+    val tally = asg.valuesIterator.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(tally.keySet == Set("train", "val", "test"), s"splits: ${tally.keySet}")
+    val trainFrac = tally("train").toDouble / asg.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac out of band for 0.8")
     // and multi-member clusters exist, else the property is vacuous
+    val labels = Dedup.dedupClusters(spark, dir)
     val multi = labels.groupBy("cluster_id").count().where(col("count") > 1).count()
     assert(multi > 0, "fixture must contain multi-member near-dup clusters")
+  }
+
+  test("keep-best survivor: keeper is a member with the cluster's max quality, min-id on ties") {
+    val out = Dedup.keepBest.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = Dedup.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = graft.operators.TextOps.qualityFrame(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.length == byCluster.size, "one row per cluster")
+    out.foreach { r =>
+      val (cid, n, keep, kq) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = byCluster(cid)
+      assert(n == members.size)
+      assert(members(keep), s"keeper $keep not a member of cluster $cid")
+      val maxQ = members.map(quality).max
+      assert(kq == maxQ, s"cluster $cid keeper quality $kq != max $maxQ")
+      // min-id among the max-quality members (the deterministic tie-break)
+      assert(keep == members.filter(m => quality(m) == maxQ).min,
+        s"cluster $cid tie-break: keeper $keep")
+    }
   }
 
   test("leak-free split conserves the corpus: split doc counts sum to |documents|") {

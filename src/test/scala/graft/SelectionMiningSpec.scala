@@ -199,25 +199,4 @@ class SelectionMiningSpec extends AnyFunSuite {
     }
   }
 
-  test("leakage-safe split: no verified near-dup pair straddles train/eval; assignment is total and non-degenerate") {
-    val asg = TextSelection.splitAssignments(spark, dir)
-      .select("doc_id", "split").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    // total: every document gets exactly one side
-    assert(asg.size == Tables.documents(spark, dir).count())
-    // THE leakage property: both ends of every verified 0.4-Jaccard
-    // pair land on the same side (an IID doc-hash split breaks this
-    // whenever a near-dup pair exists — the eval twin leaks to train)
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(spark, dir, 0.4)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.nonEmpty, "fixture must carry near-dup pairs for the property to bite")
-    pairs.foreach { case (a, b) =>
-      assert(asg(a) == asg(b), s"pair ($a,$b) straddles: ${asg(a)} vs ${asg(b)}")
-    }
-    // non-degenerate: both sides populated, eval mass near 26/256
-    val nEval = asg.valuesIterator.count(_ == "eval")
-    assert(nEval > 0 && nEval < asg.size)
-    val frac = nEval.toDouble / asg.size
-    assert(frac > 0.03 && frac < 0.25, s"eval fraction $frac out of band for 26/256 md5 bytes")
-  }
 }
