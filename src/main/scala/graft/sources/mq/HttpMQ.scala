@@ -110,44 +110,11 @@ final class HttpMQTable(endpoint: String, maxPerTrigger: Long = 100000L)
     }
 }
 
-/** Backlog admission cap — the [[SpoolMQStream]] contract. */
-final class HttpMQStream(endpoint: String, maxPerTrigger: Long = 100000L)
-    extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
-  // NATIVE Trigger.AvailableNow support: Spark's fallback wrapper for
-  // non-native sources IGNORES read limits (its latestOffset returns
-  // the prepared target verbatim), so the cap only holds if the source
-  // prepares its own drain target and bounds each batch itself.
-  private var availableTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableTarget = Some(tailNow())
-  override def initialOffset(): Offset = SpoolOffset(0L)
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "latestOffset(Offset, ReadLimit) should be called instead of this method")
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
-  /** True tail for Trigger.AvailableNow's drain target (see SpoolMQ). */
-  override def reportLatestOffset(): Offset = SpoolOffset(HttpMQ.tail(endpoint))
-  private def tailNow(): Long = HttpMQ.tail(endpoint)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val tail = availableTarget.fold(tailNow())(t => math.min(tailNow(), t))
-    val a = start.asInstanceOf[SpoolOffset].n
-    // ReadAllAvailable is UNCAPPED — Trigger.AvailableNow's wrapper
-    // fixes its drain target by calling this with allAvailable();
-    // treating it as the default cap froze the whole drain at one
-    // batch's worth. Saturating arithmetic: a + maxRows may overflow.
-    val end = limit match {
-      case r: ReadMaxRows => if (tail - a <= r.maxRows()) tail else a + r.maxRows()
-      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => tail
-      case _ => if (tail - a <= maxPerTrigger) tail else a + maxPerTrigger
-    }
-    SpoolOffset(end)
-  }
-  override def deserializeOffset(json: String): Offset = SpoolOffset(json.toLong)
-  override def commit(end: Offset): Unit = () // non-destructive ack, see class doc
-  override def stop(): Unit = ()
+/** Backlog admission cap + drain contract — shared with [[SpoolMQStream]]
+  * through [[MQAdmissionControl]] (one definition, r12 review). */
+final class HttpMQStream(endpoint: String, protected val maxPerTrigger: Long = 100000L)
+    extends MQAdmissionControl {
+  protected def tailNow(): Long = HttpMQ.tail(endpoint)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[SpoolOffset].n, end.asInstanceOf[SpoolOffset].n)
     if (b <= a) Array.empty

@@ -30,7 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * deletes at most one message per poll even on failure) with exact
   * at-least-once replay from checkpointed offsets. `commit` is
   * non-destructive: consumed files stay for replay/audit (an SQS-style
-  * destructive ack would unlink files here).
+  * destructive ack would unlink files here). OPERATOR CONTRACT (r12
+  * review): because offsets are listing POSITIONS, spool files must
+  * NOT be removed while a checkpoint is live — removal shifts the
+  * offset→message mapping for everything after the gap; the
+  * detectable case (listing shorter than the checkpointed offset)
+  * fails the trigger loudly, and archival/cleanup belongs AFTER a
+  * checkpoint reset.
   *
   * Scale: the per-batch driver work is one directory listing (the same
   * cost class as Spark's own file source); message payloads are read
@@ -117,11 +123,34 @@ final case class SpoolOffset(n: Long) extends Offset {
 object SpoolMQStream {
   /** Slice the [start, end) message range into ≤8 even partitions, each
     * carrying only (path, offset) pairs — payload bytes stay on the
-    * executors. */
-  def partitions(dir: String, start: Long, end: Long): Array[InputPartition] = {
-    val files = SpoolMQ.listMessages(dir)
+    * executors. Lists fresh; the stream path passes its per-trigger
+    * cached listing to [[partitionsOf]] instead. */
+  def partitions(dir: String, start: Long, end: Long): Array[InputPartition] =
+    partitionsOf(dir, SpoolMQ.listMessages(dir), start, end)
+
+  /** Core slicer over an already-obtained listing. Offsets are LISTING
+    * POSITIONS, so a listing SHORTER than the checkpointed start means
+    * consumed files were removed — the mapping from offset to message
+    * has shifted for everything after the gap, and silently slicing
+    * would re-deliver retained-but-consumed messages as new and/or
+    * never read fresh ones (r12 review). Detectable shrink fails
+    * loudly; the operator contract (class doc) forbids removing spool
+    * files under a live checkpoint. Bounds are clamped in Long BEFORE
+    * the Int conversion — a JVM array index always fits once clamped
+    * to [0, files.length], so the old `start.toInt` wrap past 2^31 is
+    * impossible by construction. */
+  def partitionsOf(dir: String, files: Array[File], start: Long,
+                   end: Long): Array[InputPartition] = {
+    val all = files.length.toLong
+    if (start > all)
+      throw new IllegalStateException(
+        s"spool listing has $all messages but the checkpoint says $start were " +
+          "consumed - spool files were removed under a live checkpoint, which " +
+          "remaps offset->message; restore them or reset the checkpoint")
+    val s = math.max(0L, start).toInt
+    val e = math.max(s.toLong, math.min(end, all)).toInt
     val range = files.zipWithIndex
-      .slice(start.toInt, math.min(end, files.length.toLong).toInt)
+      .slice(s, e)
       .map { case (f, i) => (f.getAbsolutePath, i.toLong, f.lastModified()) }
     if (range.isEmpty) Array.empty
     else {
@@ -144,50 +173,26 @@ final case class SpoolMQPartition(topic: String, msgs: Array[(String, Long, Long
   * through SupportsAdmissionControl; the checkpointed end offset
   * advances by at most the cap per trigger and the rest of the backlog
   * drains over subsequent batches. */
-final class SpoolMQStream(path: String, maxPerTrigger: Long = 100000L)
-    extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
-  // NATIVE Trigger.AvailableNow support: Spark's fallback wrapper for
-  // non-native sources IGNORES read limits (its latestOffset returns
-  // the prepared target verbatim), so the cap only holds if the source
-  // prepares its own drain target and bounds each batch itself.
-  private var availableTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableTarget = Some(tailNow())
-  override def initialOffset(): Offset = SpoolOffset(0L)
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "latestOffset(Offset, ReadLimit) should be called instead of this method")
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerTrigger)
-  /** The TRUE tail, uncapped — Trigger.AvailableNow's wrapper captures
-    * this as the drain target, then the capped latestOffset below
-    * advances toward it batch by batch. */
-  override def reportLatestOffset(): Offset =
-    SpoolOffset(SpoolMQ.listMessages(path).length.toLong)
-  private def tailNow(): Long = SpoolMQ.listMessages(path).length.toLong
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val tail = availableTarget.fold(tailNow())(t => math.min(tailNow(), t))
-    val a = start.asInstanceOf[SpoolOffset].n
-    // ReadAllAvailable is UNCAPPED — Trigger.AvailableNow's wrapper
-    // fixes its drain target by calling this with allAvailable();
-    // treating it as the default cap froze the whole drain at one
-    // batch's worth. Saturating arithmetic: a + maxRows may overflow.
-    val end = limit match {
-      case r: ReadMaxRows => if (tail - a <= r.maxRows()) tail else a + r.maxRows()
-      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => tail
-      case _ => if (tail - a <= maxPerTrigger) tail else a + maxPerTrigger
-    }
-    SpoolOffset(end)
+final class SpoolMQStream(path: String, protected val maxPerTrigger: Long = 100000L)
+    extends MQAdmissionControl {
+  // ONE listing per trigger (r12 review: reportLatestOffset, the
+  // latestOffset tail probe and planInputPartitions each re-listed and
+  // re-sorted the whole spool — three O(N log N) driver passes per
+  // batch on a directory the non-destructive ack only ever GROWS).
+  // tailNow() refreshes the cache; planInputPartitions reuses it when
+  // it covers the batch range and re-lists otherwise (safety, not the
+  // common path).
+  @volatile private var cachedListing: Array[File] = Array.empty
+  protected def tailNow(): Long = {
+    val fs = SpoolMQ.listMessages(path)
+    cachedListing = fs
+    fs.length.toLong
   }
-  override def deserializeOffset(json: String): Offset = SpoolOffset(json.toLong)
-  /** Non-destructive ack — see class doc. */
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    SpoolMQStream.partitions(path,
-      start.asInstanceOf[SpoolOffset].n, end.asInstanceOf[SpoolOffset].n)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[SpoolOffset].n, end.asInstanceOf[SpoolOffset].n)
+    val fs = { val c = cachedListing; if (c.length >= b) c else SpoolMQ.listMessages(path) }
+    SpoolMQStream.partitionsOf(path, fs, a, b)
+  }
   override def createReaderFactory(): PartitionReaderFactory = new SpoolMQReaderFactory
 }
 

@@ -45,20 +45,42 @@ object EventIngest {
     // key on the bare id without a producer ever aliasing a logged
     // callback (r8 advice). Enforced here, not just documented: a
     // negative external id goes to quarantine like any malformed line.
+    //
+    // ALL dispatch-critical fields must be present (r12 review): a
+    // well-formed JSON object MISSING retry_count or disable_downstream
+    // parses clean (PERMISSIVE mode leaves the field null) but then
+    // poisons the stream downstream — `.as[LifecycleEvent]` throws
+    // "Null value appeared in non-nullable field" on the primitive
+    // slots, and because the offset is already checkpointed the same
+    // message replays on every restart: a permanent crash loop that
+    // quarantine exists to prevent. A null disable_downstream is worse
+    // when it DOESN'T crash: `!disable_downstream` evaluates to null
+    // and a success event is silently treated as suppressed (no
+    // fan-out, no dep satisfaction, no error). Subtype and
+    // pipeline_uuid are the dispatch keys — null routes nowhere.
+    val required = Seq("event_id", "event_subtype", "pipeline_uuid",
+      "retry_count", "disable_downstream")
+    val complete = required.map(f => col(s"e.$f").isNotNull).reduce(_ && _)
     val good = parsed
       .where(col("e").isNotNull && col("e._corrupt").isNull &&
-        col("e.event_id").isNotNull && col("e.event_id") >= 0)
+        complete && col("e.event_id") >= 0)
       .select(eventSchema.fieldNames.map(f => col(s"e.$f")): _*)
       .as[LifecycleEvent]
     val bad = parsed
       .where(col("e").isNull || col("e._corrupt").isNotNull ||
-        col("e.event_id").isNull || col("e.event_id") < 0)
+        !complete || col("e.event_id") < 0)
       .select(col("_raw"))
     Parsed(good, bad)
   }
 
+  /** Raw JSON-lines file stream — the ONE definition of the file-based
+    * source ([[GraftStream.start]] used to hand-build an identical
+    * copy inline; r12 review). */
+  def rawJsonDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir).toDF("value")
+
   /** File-based streaming source of JSON-lines event files. */
   def fromJsonDir(spark: SparkSession, dir: String): Parsed =
-    parse(spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-      .text(dir).toDF("value"))
+    parse(rawJsonDir(spark, dir))
 }

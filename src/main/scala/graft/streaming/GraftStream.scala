@@ -75,7 +75,12 @@ object GraftStream {
 
   /** Start the full pipeline over a JSON-lines event directory.
     * `runningSnapshot` supplies the live run set per micro-batch for the
-    * concurrency gate (P5/P6). */
+    * concurrency gate (P5/P6). Quarantine is ON here (under
+    * `checkpointRoot/quarantined`) — r12 review: the primary entry
+    * points passed `quarantineDir = None`, so the corrupt-message
+    * quarantine EventIngest advertises never ran for them and a
+    * malformed producer line vanished without trace; callers needing a
+    * custom location use [[startFromRaw]]. */
   def start(spark: SparkSession,
             eventsJsonDir: String,
             defs: Dataset[PipelineDef],
@@ -88,12 +93,10 @@ object GraftStream {
             fixedNow: Option[Timestamp],
             trigger: Trigger): Sinks =
     startFromRaw(spark,
-      spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
-        .text(eventsJsonDir).toDF("value"),
+      EventIngest.rawJsonDir(spark, eventsJsonDir),
       defs, edges, metas, submissionsDir, historyDir, checkpointRoot,
-      runningSnapshot, fixedNow, trigger)
+      runningSnapshot, fixedNow, trigger,
+      quarantineDir = Some(s"$checkpointRoot/quarantined"))
 
   def start(spark: SparkSession, eventsJsonDir: String, defs: Dataset[PipelineDef],
             edges: Dataset[PipelineTrigger], metas: Map[String, Meta],

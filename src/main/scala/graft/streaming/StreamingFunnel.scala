@@ -63,7 +63,13 @@ object StreamingFunnel {
               case _ => ()
             }
           }
-          state.update(st)
+          // write state ONLY when there is progress to remember (r12
+          // review: the unconditional update minted an all-None state
+          // row for EVERY user_id ever seen — e.g. scroll-only users —
+          // so with NoTimeout the store grew with total distinct users
+          // instead of users with funnel progress, and every
+          // checkpoint snapshotted the dead entries)
+          if (st != FunnelState(None, None, None)) state.update(st)
           out.result().iterator
       }
   }

@@ -50,9 +50,19 @@ class GraftStreamSpec extends AnyFunSuite {
         "streaming query did not finish in 120s")
       assert(sinks.history.awaitTermination(120000),
         "streaming query did not finish in 120s")
-      sinks.submissions.stop(); sinks.history.stop()
+      // quarantine is ON by default for the JSON-dir entry (r12 review)
+      assert(sinks.quarantine.isDefined, "start() must wire the quarantine sink")
+      assert(sinks.quarantine.get.awaitTermination(120000))
+      sinks.submissions.stop(); sinks.history.stop(); sinks.quarantine.foreach(_.stop())
     }
     runOnce()
+
+    // the malformed line is QUARANTINED under the checkpoint root, not
+    // silently dropped (r12 review: the primary entry points passed
+    // quarantineDir = None, so EventIngest's advertised quarantine
+    // never ran for them)
+    val quarantined = spark.read.text(s"$ckpt/quarantined").as[String].collect().toSeq
+    assert(quarantined == Seq("not json at all"), s"quarantine: $quarantined")
 
     val got1 = spark.read.parquet(subs).select("pipeline_uuid").as[String].collect().sorted.toSeq
     // ingest-orders submitted; report-daily gated out; flaky-export retried;
@@ -215,5 +225,57 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(spark.table("mq_cap").count() == 25, "every backlogged message must arrive")
     assert(batches.forall(_ <= 10), s"a batch exceeded the cap: $batches")
     assert(batches.length >= 3, s"expected >= 3 capped batches, got $batches")
+  }
+
+  test("ingest quarantines events missing dispatch-critical fields instead of poisoning the stream (r12 review)") {
+    import spark.implicits._
+    // well-formed JSON, MISSING primitives: PERMISSIVE from_json leaves
+    // them null; pre-fix these passed the 'good' filter and then either
+    // crashed .as[LifecycleEvent] on every replay (null into Int/Boolean
+    // slot — a permanent poison loop past a checkpointed offset) or, for
+    // disable_downstream, silently suppressed the success fan-out
+    val missingRetry = """{"event_id": 40, "event_type": "job_exec_update",
+      "event_subtype": "origination", "pipeline_uuid": "p", "exec_uuid": "e",
+      "event_time": "2024-01-31T23:00:00Z", "received_time": "2024-01-31T23:00:05Z",
+      "disable_downstream": false}""".replaceAll("\n\\s*", " ")
+    val missingDd = """{"event_id": 41, "event_type": "job_exec_update",
+      "event_subtype": "success", "pipeline_uuid": "p", "exec_uuid": "e",
+      "event_time": "2024-01-31T23:00:00Z", "received_time": "2024-01-31T23:00:05Z",
+      "retry_count": 0}""".replaceAll("\n\\s*", " ")
+    val missingPipeline = """{"event_id": 42, "event_type": "job_exec_update",
+      "event_subtype": "success", "exec_uuid": "e",
+      "event_time": "2024-01-31T23:00:00Z", "received_time": "2024-01-31T23:00:05Z",
+      "retry_count": 0, "disable_downstream": false}""".replaceAll("\n\\s*", " ")
+    val goodLine = ev(43, "origination", "ok-pipeline")
+    val parsed = graft.streaming.EventIngest.parse(
+      Seq(missingRetry, missingDd, missingPipeline, goodLine).toDF("value"))
+    // good side: only the complete event, and it DESERIALIZES (the
+    // poison vector was exactly this collect throwing on null slots)
+    val good = parsed.events.collect()
+    assert(good.map(_.event_id).toSeq == Seq(43L), s"good side: ${good.toSeq}")
+    // quarantine side: all three incomplete lines, verbatim
+    val bad = parsed.corrupt.as[String].collect().toSet
+    assert(bad == Set(missingRetry, missingDd, missingPipeline), s"quarantine: $bad")
+  }
+
+  test("spool rewind guard: removing consumed files under a live checkpoint fails loudly, not silently remapped (r12 review)") {
+    import java.nio.file.{Files => JFiles, Path}
+    val dir = SparkSuite.tempDir("gs-mq-rewind")
+    (0 until 5).foreach(i => JFiles.writeString(Path.of(dir, f"m$i%03d.json"), s"body-$i"))
+    val stream = new graft.sources.mq.SpoolMQStream(dir)
+    // checkpoint says 5 consumed; 2 files were archived out from under it
+    JFiles.delete(Path.of(dir, "m000.json")); JFiles.delete(Path.of(dir, "m001.json"))
+    val e1 = intercept[IllegalStateException] {
+      stream.latestOffset(graft.sources.mq.SpoolOffset(5L),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100))
+    }
+    assert(e1.getMessage.contains("removed under a live checkpoint"))
+    // the slicer itself refuses too (covers the batch-read path)
+    val e2 = intercept[IllegalStateException] {
+      graft.sources.mq.SpoolMQStream.partitions(dir, 5L, 7L)
+    }
+    assert(e2.getMessage.contains("removed under a live checkpoint"))
+    // an intact spool still slices fine past the guard
+    assert(graft.sources.mq.SpoolMQStream.partitions(dir, 1L, 3L).nonEmpty)
   }
 }
