@@ -70,10 +70,23 @@ object Cli {
     case "downstream" :: uuid :: Nil =>
       api.downstream(uuid).select("pipeline_uuid", "triggers_op").show(100, truncate = false); 0
     case "history" :: uuid :: Nil =>
-      val events = Fixtures.lifecycleEventsDF(spark, "/root/testdata/sf0.001")
-      events.where(org.apache.spark.sql.functions.col("pipeline_uuid") === uuid)
-        .orderBy(org.apache.spark.sql.functions.col("received_time").desc)
-        .limit(20).show(truncate = false); 0
+      // fixtures-backed like the demo catalog in main(), but the data
+      // dir is configurable (r12 review: a hardcoded /root/testdata
+      // path crashed the verb anywhere else) and the query goes
+      // through the D10 history semantics instead of a raw sort
+      val dir = sys.env.getOrElse("GRAFT_EVENTS_SF_DIR", "/root/testdata/sf0.001")
+      val events = Fixtures.lifecycleEventsDF(spark, dir)
+        .as[graft.model.LifecycleEvent](
+          org.apache.spark.sql.Encoders.product[graft.model.LifecycleEvent])
+      // 'now' = the fixture's own latest stamp, so the D10 recency
+      // window shows the tail of the fixture rather than an empty set
+      // (fixture timestamps are historical relative to wall-clock)
+      val now = Option(events
+        .agg(org.apache.spark.sql.functions.max("received_time"))
+        .collect()(0).getTimestamp(0))
+        .getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+      api.eventHistory(events, now, pipelineUuid = Some(uuid), maxRecords = Some(20))
+        .show(truncate = false); 0
     case "running" :: Nil =>
       api.runningJobs().show(truncate = false); 0
     case "cron-due" :: ts :: Nil =>

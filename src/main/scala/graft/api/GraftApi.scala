@@ -24,10 +24,23 @@ trait MetaStore {
 }
 
 final class ParquetMetaStore(cfg: GraftConfig) extends MetaStore {
+  // FIRST BOOT (r12 review): a fresh GRAFT_META_DIR has no parquet yet,
+  // and an unconditional read crashed startup with PATH_NOT_FOUND
+  // before the HTTP surface could bind — a chicken-and-egg, since the
+  // files are only created by the catalogHook an HTTP upsert drives.
+  // A missing path is an EMPTY catalog (the bootstrap state), while a
+  // present-but-unreadable path still fails loudly via spark.read.
+  private def readOrEmpty[T](spark: SparkSession, path: String,
+                             enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(path).as[T](enc)
+    else spark.emptyDataset[T](enc)
+  }
   def loadDefs(spark: SparkSession): Dataset[PipelineDef] =
-    spark.read.parquet(cfg.catalogPath).as[PipelineDef](Encoders.product[PipelineDef])
+    readOrEmpty(spark, cfg.catalogPath, Encoders.product[PipelineDef])
   def loadEdges(spark: SparkSession): Dataset[PipelineTrigger] =
-    spark.read.parquet(cfg.edgesPath).as[PipelineTrigger](Encoders.product[PipelineTrigger])
+    readOrEmpty(spark, cfg.edgesPath, Encoders.product[PipelineTrigger])
   def saveDefs(defs: Dataset[PipelineDef]): Unit =
     Retry(3)(defs.write.mode("overwrite").parquet(cfg.catalogPath))
   def saveEdges(edges: Dataset[PipelineTrigger]): Unit =
@@ -49,8 +62,12 @@ object MetaStore {
   */
 final class GraftApi(
     val spark: SparkSession,
-    var catalog: Catalog,
-    var edges: Dataset[PipelineTrigger],
+    // @volatile (r12 review): mutations run under the facade's dispatch
+    // lock but HTTP read routes read these WITHOUT it — a non-volatile
+    // var gives the reader thread no happens-before edge with the
+    // locked write, so it could observe arbitrarily stale catalog state
+    @volatile var catalog: Catalog,
+    @volatile var edges: Dataset[PipelineTrigger],
     val engines: EngineManager,
     cfg: GraftConfig = GraftConfig.default,
     val cronProvider: CronProvider = new RegistryCronProvider) {
@@ -131,12 +148,22 @@ final class GraftApi(
   /** DELETE /pipeline/flush (D7). Flush bypasses the D6 per-pipeline
     * orphan guard, so the flushed pipelines' trigger edges must go with
     * them — a surviving edge whose child has no def would surface as an
-    * unknown-child warning on the next dispatch (ADVICE r1). */
+    * unknown-child warning on the next dispatch (ADVICE r1). External
+    * schedules deregister too (r12 review: [[deletePipeline]] did, flush
+    * did not — a flushed scheduled pipeline's CronJob kept firing
+    * callbacks for a nonexistent pipeline forever, and the stale
+    * registration was unreachable afterwards because the def carrying
+    * its tracking id was gone). */
   def flushPipelines(prefix: String): Unit = {
-    val doomed = catalog.list(Some(prefix)).select("pipeline_uuid")
+    val doomedDefs = catalog.list(Some(prefix))
+      .select("pipeline_uuid", "scheduler_tracking_id")
+      .collect() // catalog-sized
     catalog = catalog.flush(prefix)
+    val doomed = spark.createDataset(doomedDefs.map(_.getString(0)).toSeq)(Encoders.STRING)
+      .toDF("pipeline_uuid")
     edges = edges.join(doomed, Seq("pipeline_uuid"), "left_anti")
       .as[PipelineTrigger](Encoders.product[PipelineTrigger])
+    doomedDefs.foreach(r => Option(r.getString(1)).foreach(cronProvider.deleteCronJob))
   }
 
   // --- events & history (facade.py:100-116) ----------------------------

@@ -82,7 +82,10 @@ final class GraftService(
   private val api = secured.api
   val facade = new HttpFacade(secured, spark, nowProvider)
 
-  private[graft] var mqQuery: Option[StreamingQuery] = None
+  // @volatile: the mq watchdog tick (scheduler thread) restarts a dead
+  // query by reassigning this; shutdown (caller thread) reads it after
+  // quiescing the scheduler
+  @volatile private[graft] var mqQuery: Option[StreamingQuery] = None
   private var scheduler: ScheduledExecutorService = _
   private var shutdownHook: Thread = _
   private val stopped = new AtomicBoolean(false)
@@ -125,8 +128,15 @@ final class GraftService(
           Encoders.product[graft.model.PipelineTrigger])
         store.saveDefs(defsLocal)
         store.saveEdges(edgesLocal)
-        api.catalog = graft.orchestration.Catalog(store.loadDefs(spark))
-        api.edges = store.loadEdges(spark)
+        // swap in the LOCALIZED datasets, not a files-backed reload
+        // (r12 review): a concurrent read route scanning the previous
+        // files-backed catalog would hit FAILED_READ_FILE when the
+        // next save's overwrite deletes those files mid-scan. The
+        // local rows ARE what was just persisted (catalog-sized,
+        // LocalRelation — lineage flat by construction); the store's
+        // files serve restart-time loads only, which race nothing.
+        api.catalog = graft.orchestration.Catalog(defsLocal)
+        api.edges = edgesLocal
       }
     }
     // event history appends INCREMENTALLY (one batch per dispatch) —
@@ -142,7 +152,46 @@ final class GraftService(
     }
     val addr = facade.start(port)
 
-    mqQuery = mqEndpoint.map { ep =>
+    mqQuery = mqEndpoint.map(startMqIngest)
+
+    scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-service-ticks"); t.setDaemon(true); t
+    }
+    scheduler.scheduleWithFixedDelay(() => safely("cull") { cullTick() },
+      cfg.cullingIntervalSeconds, cfg.cullingIntervalSeconds, TimeUnit.SECONDS)
+    scheduler.scheduleWithFixedDelay(() => safely("cron") { cronTick() },
+      cronCheckInterval.toMillis, cronCheckInterval.toMillis, TimeUnit.MILLISECONDS)
+    // MQ WATCHDOG (r12 review): one exception escaping the event path
+    // of foreachBatch (a failed persistState parquet write, a transient
+    // FS error in the durable log append) permanently TERMINATES the
+    // ingest query while the HTTP surface keeps answering — events
+    // then pile up at the broker until an operator bounces the whole
+    // process. The reference's poller loop log-and-continues
+    // (mq_poller.py:27); the streaming analog is restart-from-
+    // checkpoint: offsets resume where the dead incarnation committed,
+    // and the at-least-once window a mid-batch death opens is exactly
+    // the one the event-id dedup already bounds. The watchdog runs on
+    // the tick scheduler, which shutdown() quiesces BEFORE draining
+    // the query — so a restart can never race the drain.
+    scheduler.scheduleWithFixedDelay(() => safely("mq-watch") { mqWatchTick() },
+      10, 10, TimeUnit.SECONDS)
+
+    shutdownHook = new Thread(() => shutdown(), "graft-service-sigint")
+    Runtime.getRuntime.addShutdownHook(shutdownHook) // the SIGINT handler analog
+    addr
+  }
+
+  private[graft] def mqWatchTick(): Unit =
+    mqEndpoint.foreach { ep =>
+      if (!stopped.get() && mqQuery.exists(q => !q.isActive)) {
+        val why = mqQuery.flatMap(_.exception).map(_.getMessage).getOrElse("stopped cleanly")
+        System.err.println(
+          s"[graft-service] mq ingest query died ($why) - restarting from checkpoint")
+        mqQuery = Some(startMqIngest(ep))
+      }
+    }
+
+  private def startMqIngest(ep: String): StreamingQuery = {
       // per-checkpoint-incarnation token: batch ids restart at 0
       // whenever the checkpoint is deleted/reset, and a batchId-only
       // quarantine key would then overwrite the PREVIOUS incarnation's
@@ -257,19 +306,6 @@ final class GraftService(
           }
         }
         .start()
-    }
-
-    scheduler = Executors.newSingleThreadScheduledExecutor { r =>
-      val t = new Thread(r, "graft-service-ticks"); t.setDaemon(true); t
-    }
-    scheduler.scheduleWithFixedDelay(() => safely("cull") { cullTick() },
-      cfg.cullingIntervalSeconds, cfg.cullingIntervalSeconds, TimeUnit.SECONDS)
-    scheduler.scheduleWithFixedDelay(() => safely("cron") { cronTick() },
-      cronCheckInterval.toMillis, cronCheckInterval.toMillis, TimeUnit.MILLISECONDS)
-
-    shutdownHook = new Thread(() => shutdown(), "graft-service-sigint")
-    Runtime.getRuntime.addShutdownHook(shutdownHook) // the SIGINT handler analog
-    addr
   }
 
   // ---- durable service state -------------------------------------------
@@ -293,27 +329,56 @@ final class GraftService(
 
   private def stateRoot = s"$checkpointRoot/service-state"
   private def eventsDir = s"$stateRoot/events"
-  private def markerPath = java.nio.file.Paths.get(stateRoot, "_CURRENT")
-  private def cronMarkerPath = java.nio.file.Paths.get(stateRoot, "_CRON_MINUTE")
+  // markers go through the HADOOP filesystem of checkpointRoot, like
+  // the parquet state and the MQ runToken beside them (r12 review: the
+  // old java.nio paths silently resolved "hdfs://..." to a LOCAL
+  // directory literally named "hdfs:", so on a cluster checkpoint root
+  // the parquet snapshots landed on the cluster FS while _CURRENT /
+  // _CRON_MINUTE stayed on one machine's local disk — a restart on
+  // another host found no marker, silently skipped the incubating
+  // restore (deleted-row resurrection) and re-fired the cron minute).
+  private def hadoopFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+  private def markerPath = new org.apache.hadoop.fs.Path(stateRoot, "_CURRENT")
+  private def cronMarkerPath = new org.apache.hadoop.fs.Path(stateRoot, "_CRON_MINUTE")
 
-  private def currentGen: Option[String] =
-    if (java.nio.file.Files.exists(markerPath))
-      Some(java.nio.file.Files.readString(markerPath).trim)
-    else None
+  private def readMarker(p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = hadoopFs(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
 
-  private def writeAtomic(target: java.nio.file.Path, content: String): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get(stateRoot), target.getFileName.toString, ".tmp")
-    java.nio.file.Files.writeString(tmp, content)
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  private def currentGen: Option[String] = readMarker(markerPath)
+
+  private def writeAtomic(target: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fs = hadoopFs(target)
+    val tmp = new org.apache.hadoop.fs.Path(stateRoot,
+      s"${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is the commit primitive (atomic on HDFS/POSIX — the
+    // ScaleOps.writeCuratedAtomic convention, same object-store caveat)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri,
+        spark.sessionState.newHadoopConf())
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def ensureStateRoot(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateRoot)
+    hadoopFs(p).mkdirs(p)
     ()
   }
 
   private[graft] def persistState(): Unit = {
     import org.apache.spark.sql.Encoders
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+    ensureStateRoot()
     val next = if (currentGen.contains("a")) "b" else "a"
     val incPath = s"$stateRoot/$next/incubating"
     facade.incubating.get().write.mode("overwrite").parquet(incPath)
@@ -331,11 +396,11 @@ final class GraftService(
         .as[graft.orchestration.Dispatcher.IncubRow](
           Encoders.product[graft.orchestration.Dispatcher.IncubRow]))
     }
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(eventsDir)))
+    val ev = new org.apache.hadoop.fs.Path(eventsDir)
+    if (hadoopFs(ev).exists(ev))
       facade.eventLog.set(spark.read.parquet(eventsDir)
         .as[LifecycleEvent](Encoders.product[LifecycleEvent]))
-    if (java.nio.file.Files.exists(cronMarkerPath))
-      lastCronMinute = java.nio.file.Files.readString(cronMarkerPath).trim.toLong
+    readMarker(cronMarkerPath).foreach(m => lastCronMinute = m.toLong)
     // engine state is intentionally NOT restored: LocalSparkEngine /
     // ProcessEngine runs die with the process (unlike the reference's
     // K8s pods, which a real PodApi would re-list here)
@@ -375,7 +440,7 @@ final class GraftService(
       val due = Cron.tick(spark, api.catalog.defs, now).collect().toSeq
       if (due.nonEmpty) onEvents(due, now)
       lastCronMinute = minute
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateRoot))
+      ensureStateRoot()
       writeAtomic(cronMarkerPath, minute.toString)
     }
   }
@@ -536,12 +601,24 @@ final class GraftService(
           // so awaitTermination cannot observe "batch done" — poll the
           // trigger-active flag instead and stop once the in-flight
           // micro-batch (ingest + persist) has committed; a hung batch
-          // must not wedge shutdown, so the wait is capped
-          while (q.status.isTriggerActive && remaining > 0)
-            Thread.sleep(50)
-          q.stop()
-          q.awaitTermination(math.max(remaining, 1000L))
-          ()
+          // must not wedge shutdown, so the wait is capped.
+          // Exception-safe (r12 review): a query that already DIED
+          // rethrows its stored StreamingQueryException from both
+          // stop() and awaitTermination() — letting that propagate
+          // skipped facade.stop(), leaking the HttpServer's non-daemon
+          // pool threads (the exact JVM-never-exits leak the r7
+          // HttpFacade.stop() fix closed). The query is dead either
+          // way; log and keep shutting down.
+          try {
+            while (q.status.isTriggerActive && remaining > 0)
+              Thread.sleep(50)
+            q.stop()
+            q.awaitTermination(math.max(remaining, 1000L))
+            ()
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[graft-service] mq query shutdown: ${e.getMessage}")
+          }
         }
         facade.stop()
       } finally {

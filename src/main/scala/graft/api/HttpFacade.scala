@@ -428,6 +428,17 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** Request-time 'now': the `now_epoch_ms` override is the
+    * DETERMINISTIC-TIME affordance (specs drive culler aging and cron
+    * minutes through it), trusted by DESIGN and bounded by auth, not
+    * validation (r12 review weighed gating it): every route where the
+    * override reaches STATE — event stamping, dispatch rules, manual
+    * runs — is already admin-gated ("dispatch"/"runByPipelineUuid" →
+    * admin in [[Auth.VerbRoles]]), so a caller who can spoof
+    * received_time can already mutate anything; the one read-role use
+    * (history) only shifts that caller's own view window. A deployment
+    * that must not trust admins with time injects `nowProvider` and
+    * strips the parameter at its ingress proxy. */
   private def reqNow(r: Request): Timestamp =
     r.opt("now_epoch_ms").map(ms => new Timestamp(ms.toLong)).getOrElse(nowProvider())
 

@@ -50,14 +50,32 @@ object GraftSql {
       // parses in the session zone, so a JVM/session zone mismatch
       // would silently shift the cutoff by the offset (r10 advice).
       case org.apache.spark.sql.types.TimestampType =>
-        val micros = e.eval().asInstanceOf[Long]
+        // NULL guard (r12 review): CAST(NULL AS TIMESTAMP) evaluates to
+        // null; the old asInstanceOf[Long] unboxed it to 0L and
+        // silently pinned the cutoff to 1970-01-01 — the same
+        // silent-wrong-result class as the raw-micros bug below.
+        val v = e.eval()
+        require(v != null, s"$fn: argument ${i + 1} must be a non-NULL timestamp")
+        val micros = v.asInstanceOf[Long]
         val zone = java.time.ZoneId.of(
           SparkSession.active.sessionState.conf.sessionLocalTimeZone)
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
           .withZone(zone)
           .format(java.time.Instant.ofEpochSecond(
             Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
-      case _ => String.valueOf(e.eval())
+      // a DATE literal evaluates to internal DAYS (an Int) — the same
+      // raw-internal-value trap as TIMESTAMP micros: "19737" cast to
+      // timestamp downstream is NULL and the filter silently empties
+      // (r12 review; the r10 fix covered only TimestampType). Render
+      // as the ISO date, which the downstream cast parses correctly.
+      case org.apache.spark.sql.types.DateType =>
+        val v = e.eval()
+        require(v != null, s"$fn: argument ${i + 1} must be a non-NULL date")
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case _ =>
+        val v = e.eval()
+        require(v != null, s"$fn: argument ${i + 1} must not be NULL")
+        String.valueOf(v)
     }
   }
 

@@ -225,6 +225,35 @@ class ApiSpec extends AnyFunSuite {
       a.upsertPipeline(base.copy(schedule = Some("not a cron")), Seq.empty)
     }
     assert(provider.listCronJobs().isEmpty)
+    // FLUSH deregisters too (r12 review: deletePipeline did, flush did
+    // not — a flushed scheduled pipeline's external job kept firing
+    // callbacks for a nonexistent pipeline, and the stale registration
+    // was unreachable because the tracking id vanished with the def)
+    a.upsertPipeline(base, Seq.empty)
+    assert(provider.listCronJobs().nonEmpty)
+    a.flushPipelines("cron-")
+    assert(a.describePipeline("cron-new").isEmpty)
+    assert(provider.listCronJobs().isEmpty,
+      "flush must deregister the flushed pipelines' external schedules")
+  }
+
+  test("meta store first boot: a fresh GRAFT_META_DIR loads as an EMPTY catalog, not a crash (r12 review)") {
+    import graft.api.{MetaStore, ParquetMetaStore}
+    val dir = SparkSuite.tempDir("meta-first-boot")
+    val store = new ParquetMetaStore(graft.GraftConfig.default.copy(
+      metaProvider = "parquet",
+      catalogPath = s"$dir/catalog", edgesPath = s"$dir/edges"))
+    // chicken-and-egg pre-fix: loadDefs crashed with PATH_NOT_FOUND
+    // before the HTTP surface could bind, and the files it wanted are
+    // only created by the upsert hook the bind enables
+    assert(store.loadDefs(spark).isEmpty)
+    assert(store.loadEdges(spark).isEmpty)
+    // round-trip: save then load works unchanged
+    import org.apache.spark.sql.Encoders
+    store.saveDefs(spark.createDataset(Fixtures.defs.take(2))(
+      Encoders.product[graft.model.PipelineDef]))
+    assert(store.loadDefs(spark).count() == 2)
+    assert(MetaStore.forConfig(graft.GraftConfig.default).isInstanceOf[ParquetMetaStore])
   }
 
   test("auth: role gate admits/denies per the facade's verb table (auth.py:13-43)") {

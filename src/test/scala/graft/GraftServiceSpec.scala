@@ -643,4 +643,44 @@ class GraftServiceSpec extends AnyFunSuite {
       }
     } finally service.shutdown()
   }
+
+  test("MQ watchdog: a dead ingest query restarts from checkpoint and events keep flowing (r12 review)") {
+    // pre-fix: one exception escaping foreachBatch terminated
+    // 'graft-mq-ingest' permanently while HTTP kept answering — all MQ
+    // ingest silently halted until a process bounce
+    val broker = new MQBroker
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      GraftConfig.default)
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+    val svc = new GraftService(new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = Some(broker.endpoint),
+      checkpointRoot = SparkSuite.tempDir("svc-mq-watchdog-ckpt"),
+      jobFactory = Some((_, sub) => { fired.add(sub.pipeline_uuid); EngineJob.SparkClosure(_ => ()) }),
+      pollInterval = 250.millis)
+    try {
+      svc.start(0)
+      broker.publish(asJson(success(61, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "report-weekly")))
+      poll("message 1 dispatched")(fired.contains("report-weekly"))
+      // kill the query the way a batch failure would leave it: inactive
+      svc.mqQuery.get.stop()
+      poll("query observed dead")(svc.mqQuery.exists(q => !q.isActive))
+      // the watchdog tick (normally on the scheduler every 10 s)
+      svc.mqWatchTick()
+      assert(svc.mqQuery.exists(_.isActive), "watchdog must restart the ingest query")
+      // the restarted incarnation resumes the SAME checkpoint: a new
+      // message flows, and the pre-kill message is not re-dispatched
+      broker.publish(asJson(success(62, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "stream-metrics")))
+      poll("message 2 dispatched after restart")(fired.contains("stream-metrics"))
+      assert(fired.asScala.count(_ == "report-weekly") == 1,
+        s"restart must not re-dispatch the committed message: $fired")
+    } finally {
+      svc.shutdown()
+      broker.stop()
+    }
+  }
 }

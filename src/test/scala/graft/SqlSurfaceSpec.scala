@@ -121,4 +121,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"survival rate must be non-trivial per modality: $r")
     }
   }
+
+  test("TVF literal rendering: DATE cutoff works, NULL cutoff and missing args fail NAMED (r12 review)") {
+    // DATE literal: internally an Int of epoch DAYS — the same
+    // raw-internal-value trap as TIMESTAMP micros; pre-fix it rendered
+    // "19737", the downstream cast('timestamp') yielded NULL and the
+    // cutoff filter silently emptied the result
+    val viaDate = spark.sql(
+      s"SELECT COUNT(*) FROM graft_cdc_merge('$dir', DATE'2024-06-01')").collect()(0).getLong(0)
+    val viaTs = spark.sql(
+      s"SELECT COUNT(*) FROM graft_cdc_merge('$dir', TIMESTAMP'2024-06-01 00:00:00')")
+      .collect()(0).getLong(0)
+    assert(viaDate > 0, "DATE cutoff must not silently empty the merge")
+    assert(viaDate == viaTs, s"DATE'2024-06-01' ($viaDate) must equal its midnight TIMESTAMP ($viaTs)")
+    // NULL cutoff: pre-fix, null unboxed to 0L -> cutoff silently
+    // pinned to 1970 — now a named analysis error
+    val eNull = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cdc_merge('$dir', CAST(NULL AS TIMESTAMP))").collect()
+    }
+    assert(eNull.getMessage.contains("non-NULL"), s"named null error, got: ${eNull.getMessage.take(200)}")
+    // scalar-function arity: the shared check names the function and
+    // usage instead of an opaque IndexOutOfBoundsException (pre-fix
+    // only shingle_hashes had it)
+    val eArity = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0f))").collect()
+    }
+    assert(eArity.getMessage.contains("vec_dot: expected 2 argument"),
+      s"named arity error, got: ${eArity.getMessage.take(200)}")
+  }
 }
