@@ -132,7 +132,13 @@ object MediaCodec {
     var ok = true
     while (ok && i + 8 <= b.length) {
       val len = beInt(b, i)
-      if (len < 0 || i + 12 + len > b.length) ok = false
+      // Long arithmetic (r12 review): a crafted len near 2^31 wraps
+      // `i + 12 + len` negative in Int, PASSES this bound check, and
+      // then either idat.write throws out-of-bounds or the cursor goes
+      // negative — an uncaught crash on one bad row instead of the
+      // documented None. pngFrames carried this fix already; this walk
+      // had been left on Int.
+      if (len < 0 || i.toLong + 12L + len > b.length) ok = false
       else {
         val name = new String(b, i + 4, 4, "US-ASCII")
         if (name == "IDAT") idat.write(b, i + 8, len)
@@ -148,7 +154,12 @@ object MediaCodec {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 with more input still buffered means the inflater
+        // WANTS something we will never give it — a truncated stream
+        // (needsInput) or a preset-dictionary stream (needsDictionary:
+        // zlib FDICT set; pre-r12 this looped forever on one crafted
+        // row, hanging the task). Either way: corrupt for our decoder.
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) return None
         got += n
       }
       if (got < raw.length) return None
@@ -464,7 +475,12 @@ object MediaCodec {
       }
       i += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) None
+    // bits < 8 (e.g. 4-bit IMA-ADPCM, a real format this PCM decoder
+    // does not speak) made `bits / 8` zero and the frames division
+    // throw ArithmeticException instead of the documented None — the
+    // old `bits <= 0` guard only caught the corrupt-header case
+    // (r12 review)
+    if (channels <= 0 || rate <= 0 || bits < 8 || dataLen < 0) None
     else {
       val frames = dataLen / (channels * (bits / 8))
       Some(WavInfo(rate, channels, bits, frames, frames.toLong * 1000L / rate))

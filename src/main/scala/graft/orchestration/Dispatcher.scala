@@ -98,6 +98,18 @@ object Dispatcher {
   private def execId(pipeline: String, eventId: Long): String =
     f"exec-$pipeline-$eventId%d"
 
+  /** Recover the incubation obj_id a requeue tag (`rel-<objId>-<ms>`)
+    * was minted from — None for non-requeue tags. The ms suffix is the
+    * LAST '-'-segment, so obj_ids containing dashes survive. */
+  private[orchestration] def requeueBaseObjId(tag: String): Option[String] =
+    if (!tag.startsWith("rel-")) None
+    else {
+      val cut = tag.lastIndexOf('-')
+      if (cut > 4 && tag.substring(cut + 1).forall(_.isDigit))
+        Some(tag.substring(4, cut))
+      else None
+    }
+
   /** The P2 fan-out routing columns — `run_now` ([[StateMachine.runnableNow]]
     * as relational algebra) and `known` — via DATASET JOINS instead of
     * the collected meta map: `runnableNow(meta)` depends only on
@@ -322,8 +334,16 @@ object Dispatcher {
       .as[(String, Int, Long, Option[String], Map[String, String])]
       .map { case (p, rc, eid, tag, src) =>
         // the event id alone collides when one success defers several
-        // children (r10 review) — the pipeline joins the mint
-        IncubRow(p, tag.map(t => s"inc-c-$t").getOrElse(f"inc-c-$eid%012d-$p"),
+        // children (r10 review) — the pipeline joins the mint.
+        // A re-gated RELEASE keeps the released row's OWN obj_id
+        // (r12 review): wrapping its requeue tag minted
+        // "inc-c-rel-<oldObjId>-<ms>" — ~30 chars of nesting per
+        // debounce cycle, unbounded for a pipeline blocked behind a
+        // long run. Reuse is collision-free: the released row left the
+        // state in the same step that re-defers it.
+        IncubRow(p,
+          tag.map(t => requeueBaseObjId(t).getOrElse(s"inc-c-$t"))
+            .getOrElse(f"inc-c-$eid%012d-$p"),
           now, None, "concurrency", rc, src)
       }
 
@@ -331,6 +351,16 @@ object Dispatcher {
       cleanup = () => {
         evs.unpersist()
         stepped.unpersist()
+        // release the per-step meta broadcast's EXECUTOR copies too
+        // (r12 review: a service dispatching every few seconds minted
+        // one broadcast per step and cleanup never touched it).
+        // unpersist, NOT destroy: the standalone facade's lazy state
+        // legitimately recomputes through this broadcast after cleanup
+        // (applyStep doc) — destroy() would crash that recompute,
+        // while unpersist re-ships from the driver on demand and the
+        // ContextCleaner reclaims the driver copy once the state plan
+        // stops referencing it.
+        if (bMetas != null) bMetas.unpersist()
         ()
       })
   }

@@ -54,15 +54,88 @@ trait EngineBackend {
   def wasAborted(execUuid: String): Boolean = false
 }
 
+/** Shared run-registry mechanics of the in-process backends — ONE
+  * definition of id resolution, terminal-run eviction and the
+  * byte-capped log tail (r12 review: LocalSparkEngine and
+  * ProcessEngine carried verbatim copies, and the copies had ALREADY
+  * diverged — ProcessEngine's natural-exit path dropped the
+  * `evictTerminal()` call the r10 leak fix added, so its terminal
+  * ledger — each row holding up to a 1 MiB log buffer — grew without
+  * bound in a long-lived service). */
+private[orchestration] trait RunRegistry {
+  /** Backend-specific run-state payload. */
+  protected type St <: AnyRef
+  protected val runs = new ConcurrentHashMap[String, St]()
+  protected def statusOf(st: St): String
+  protected def trackingIdOf(st: St): String
+  protected def startOf(st: St): Timestamp
+  protected def endOf(st: St): Option[Timestamp]
+  protected def logBufOf(st: St): StringBuilder
+
+  /** Accept either the run's exec_uuid or the tracking id `jobs`
+    * reports (r10 review: the HTTP abort/get_logs routes pass
+    * `engine_tracking_id`, which no backend keyed on). UNION, not
+    * exact-key short-circuit (r12 review): the dispatcher's exec uuids
+    * (`exec-<pipeline>-<eventId>`) and spark-local's tracking ids
+    * (`exec-<pipeline>-<retry>`) share a namespace, so one token can
+    * be run A's exec uuid AND run B's tracking id — the old
+    * containsKey short-circuit silently dropped B, aborting only the
+    * aliased run while the caller's target kept running. "Every match
+    * is the caller's target" is the r10 fan-out contract; the union
+    * honors it across both namespaces. */
+  protected def resolveIds(token: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val byTracking =
+      runs.asScala.collect { case (id, st) if trackingIdOf(st) == token => id }.toSeq
+    ((if (runs.containsKey(token)) Seq(token) else Seq.empty) ++ byTracking)
+      .distinct.sorted
+  }
+
+  /** Bound the terminal-run ledger (r10 review: nothing ever evicted,
+    * so a long-lived service grew this map — and the jobs() snapshot
+    * it feeds — without bound). Live runs are never evicted. */
+  protected val MaxTerminalRuns = 512
+  protected def evictTerminal(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val terminal = runs.asScala.toSeq.filter(t => statusOf(t._2) != "running")
+    if (terminal.size > MaxTerminalRuns)
+      terminal.sortBy(t => endOf(t._2).map(_.getTime).getOrElse(0L))
+        .take(terminal.size - MaxTerminalRuns)
+        .foreach { case (id, _) => runs.remove(id); () }
+  }
+
+  /** E5 tail: prefer the LIVE run, then the newest start, when a
+    * non-unique tracking id matches several runs (r10 advice —
+    * headOption of the id-sorted matches could serve an arbitrary
+    * terminal run's logs while abort() fans out to all). */
+  def logs(execUuid: String, maxKb: Int = 10): String = {
+    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
+      .sortBy(st => (if (statusOf(st) == "running") 0 else 1, -startOf(st).getTime))
+      .headOption
+      .map(st => { val b = logBufOf(st); b.synchronized(b.toString) }).getOrElse("")
+    val cap = maxKb * 1024
+    if (full.length <= cap) full else full.substring(full.length - cap)
+  }
+
+  def wasAbortedIn(token: String): Boolean =
+    resolveIds(token).exists(id => Option(runs.get(id)).exists(st => statusOf(st) == "aborted"))
+}
+
 /** Local backend: runs each submission as a Spark action in its own
   * job group on a daemon thread pool. A K8s/cluster backend would
   * implement the same trait (the reference's engine registry, E1). */
-final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
+final class LocalSparkEngine(spark: SparkSession) extends EngineBackend with RunRegistry {
   val name = "spark-local"
 
-  private case class RunState(sub: Submission, status: String,
+  protected case class RunState(sub: Submission, status: String,
       start: Timestamp, end: Option[Timestamp], log: StringBuilder)
-  private val runs = new ConcurrentHashMap[String, RunState]()
+  protected type St = RunState
+  protected def statusOf(st: RunState): String = st.status
+  protected def trackingIdOf(st: RunState): String =
+    s"exec-${st.sub.pipeline_uuid}-${st.sub.retry_count}"
+  protected def startOf(st: RunState): Timestamp = st.start
+  protected def endOf(st: RunState): Option[Timestamp] = st.end
+  protected def logBufOf(st: RunState): StringBuilder = st.log
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
   def submit(sub: Submission, job: EngineJob): Unit = {
@@ -118,33 +191,8 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
     ()
   }
 
-  /** Accept either the run's exec_uuid or the tracking id [[jobs]]
-    * reports (r10 review: the HTTP abort/get_logs routes pass
-    * `engine_tracking_id`, which NO backend keyed on — the response
-    * was 200 while nothing was aborted and logs came back empty). A
-    * tracking id here is `exec-<pipeline>-<retry>`, which is not
-    * unique across concurrent same-retry runs — every match is the
-    * caller's target. */
-  private def resolveIds(token: String): Seq[String] =
-    if (runs.containsKey(token)) Seq(token)
-    else {
-      import scala.jdk.CollectionConverters._
-      runs.asScala.collect { case (id, st)
-        if s"exec-${st.sub.pipeline_uuid}-${st.sub.retry_count}" == token => id }.toSeq.sorted
-    }
-
-  /** Bound the terminal-run ledger (r10 review: nothing ever evicted,
-    * so a long-lived service grew this map — and the jobs() snapshot
-    * it feeds — without bound). Live runs are never evicted. */
-  private val MaxTerminalRuns = 512
-  private def evictTerminal(): Unit = {
-    import scala.jdk.CollectionConverters._
-    val terminal = runs.asScala.toSeq.filter(_._2.status != "running")
-    if (terminal.size > MaxTerminalRuns)
-      terminal.sortBy(_._2.end.map(_.getTime).getOrElse(0L))
-        .take(terminal.size - MaxTerminalRuns)
-        .foreach { case (id, _) => runs.remove(id); () }
-  }
+  // resolveIds / evictTerminal / logs / MaxTerminalRuns come from
+  // [[RunRegistry]] (one definition for both in-process backends)
 
   def abort(execUuid: String): Unit = resolveIds(execUuid).foreach { id =>
     // stamp BEFORE cancelling: the job-group interrupt can reach the
@@ -162,30 +210,15 @@ final class LocalSparkEngine(spark: SparkSession) extends EngineBackend {
     evictTerminal()
   }
 
-  override def wasAborted(execUuid: String): Boolean =
-    resolveIds(execUuid).exists(id => Option(runs.get(id)).exists(_.status == "aborted"))
+  override def wasAborted(execUuid: String): Boolean = wasAbortedIn(execUuid)
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
     val rows = runs.asScala.map { case (id, st) =>
       RunningJob(id, st.sub.pipeline_uuid, name,
-        s"exec-${st.sub.pipeline_uuid}-${st.sub.retry_count}", st.status,
-        Some(st.start), st.end)
+        trackingIdOf(st), st.status, Some(st.start), st.end)
     }.toSeq
     spark.createDataset(rows)(Encoders.product[RunningJob])
-  }
-
-  def logs(execUuid: String, maxKb: Int = 10): String = {
-    // tracking ids (exec-<pipeline>-<retry>) are not unique across
-    // concurrent runs: prefer the LIVE run, then the newest start —
-    // headOption of the id-sorted matches could serve an arbitrary
-    // terminal run's logs while abort() fans out to all (r10 advice)
-    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
-      .sortBy(st => (if (st.status == "running") 0 else 1, -st.start.getTime))
-      .headOption
-      .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
-    val cap = maxKb * 1024
-    if (full.length <= cap) full else full.substring(full.length - cap)
   }
 }
 

@@ -42,6 +42,14 @@ object EventLog {
               maxRecords: Int = 20): DataFrame = {
     val cutoff = new Timestamp(now.getTime - sinceSeconds * 1000L)
     var q = events.toDF().where(col("received_time") >= lit(cutoff))
+    // make the advertised date-partition prune REAL (r12 review: the
+    // filter above is on a DATA column, so an [[append]]-written log
+    // listed and read every date partition regardless of the window).
+    // The partition column only exists on files-backed frames read
+    // from an append() layout — the facade's in-memory union has no
+    // event_date, so the prune is applied exactly where it can be.
+    if (q.columns.contains("event_date"))
+      q = q.where(col("event_date") >= to_date(lit(cutoff)))
     pipelineUuid.foreach(v => q = q.where(col("pipeline_uuid") === v))
     execUuid.foreach(v => q = q.where(col("exec_uuid") === v))
     eventType.foreach(v => q = q.where(col("event_type") === v))
@@ -49,10 +57,16 @@ object EventLog {
     q.orderBy(col("received_time").desc, col("event_id").desc).limit(maxRecords)
   }
 
-  /** D11 — truncate. */
+  /** D11 — truncate. The filesystem comes from the PATH, not the
+    * default FS (r12 review: `FileSystem.get(conf)` returned
+    * fs.defaultFS, so an event log on any other scheme — s3a:// under
+    * an hdfs:// default — made every truncate throw "Wrong FS"; this
+    * was the one deviation from the repo-wide
+    * `path.getFileSystem(conf)` convention). */
   def flush(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
   }
 }

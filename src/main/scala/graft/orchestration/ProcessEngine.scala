@@ -25,13 +25,18 @@ import graft.model.{RunningJob, Submission}
   * for a pod create and waitFor for a pod watch — the registry, status
   * vocabulary and byte-capped logs stay identical.
   */
-final class ProcessEngine extends EngineBackend {
+final class ProcessEngine extends EngineBackend with RunRegistry {
   val name = "process"
 
-  private case class RunState(sub: Submission, status: String,
+  protected case class RunState(sub: Submission, status: String,
       start: Timestamp, end: Option[Timestamp], log: StringBuilder,
       proc: Option[Process], trackingId: String)
-  private val runs = new ConcurrentHashMap[String, RunState]()
+  protected type St = RunState
+  protected def statusOf(st: RunState): String = st.status
+  protected def trackingIdOf(st: RunState): String = st.trackingId
+  protected def startOf(st: RunState): Timestamp = st.start
+  protected def endOf(st: RunState): Option[Timestamp] = st.end
+  protected def logBufOf(st: RunState): StringBuilder = st.log
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
   def submit(sub: Submission, job: EngineJob): Unit = {
@@ -82,31 +87,20 @@ final class ProcessEngine extends EngineBackend {
           st.copy(status = status,
             end = Some(new Timestamp(System.currentTimeMillis())), proc = None)
         } else st)
+      // evict on the NATURAL-exit path too (r12 review: only abort()
+      // evicted, so a service whose processes exit normally — the
+      // common case — grew the terminal ledger and its 1 MiB log
+      // buffers without bound; LocalSparkEngine's Future has had this
+      // call in its finally since the r10 leak fix)
+      evictTerminal()
       ()
     }
     ()
   }
 
-  /** Accept either the exec_uuid or the tracking id [[jobs]] reports
-    * (r10 review: the HTTP abort/get_logs routes pass
-    * `engine_tracking_id`, which no backend keyed on). */
-  private def resolveIds(token: String): Seq[String] =
-    if (runs.containsKey(token)) Seq(token)
-    else {
-      import scala.jdk.CollectionConverters._
-      runs.asScala.collect { case (id, st) if st.trackingId == token => id }.toSeq.sorted
-    }
-
-  /** Terminal-run retention bound — the LocalSparkEngine contract. */
-  private val MaxTerminalRuns = 512
-  private def evictTerminal(): Unit = {
-    import scala.jdk.CollectionConverters._
-    val terminal = runs.asScala.toSeq.filter(_._2.status != "running")
-    if (terminal.size > MaxTerminalRuns)
-      terminal.sortBy(_._2.end.map(_.getTime).getOrElse(0L))
-        .take(terminal.size - MaxTerminalRuns)
-        .foreach { case (id, _) => runs.remove(id); () }
-  }
+  // resolveIds / evictTerminal / logs / MaxTerminalRuns come from
+  // [[RunRegistry]] (one definition for both in-process backends —
+  // their hand-kept copies had already diverged, see the trait doc)
 
   def abort(execUuid: String): Unit = resolveIds(execUuid).foreach { id =>
     // same atomic transition on the abort side; the kill happens outside
@@ -122,8 +116,7 @@ final class ProcessEngine extends EngineBackend {
     evictTerminal()
   }
 
-  override def wasAborted(execUuid: String): Boolean =
-    resolveIds(execUuid).exists(id => Option(runs.get(id)).exists(_.status == "aborted"))
+  override def wasAborted(execUuid: String): Boolean = wasAbortedIn(execUuid)
 
   def jobs(spark: SparkSession): Dataset[RunningJob] = {
     import scala.jdk.CollectionConverters._
@@ -132,18 +125,6 @@ final class ProcessEngine extends EngineBackend {
         Some(st.start), st.end)
     }.toSeq
     spark.createDataset(rows)(Encoders.product[RunningJob])
-  }
-
-  def logs(execUuid: String, maxKb: Int = 10): String = {
-    // prefer the live run, then newest start, when a non-unique
-    // tracking id matches several runs (the LocalSparkEngine contract;
-    // r10 advice)
-    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
-      .sortBy(st => (if (st.status == "running") 0 else 1, -st.start.getTime))
-      .headOption
-      .map(st => st.log.synchronized(st.log.toString)).getOrElse("")
-    val cap = maxKb * 1024
-    if (full.length <= cap) full else full.substring(full.length - cap)
   }
 }
 

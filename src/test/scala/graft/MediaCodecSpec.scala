@@ -787,4 +787,58 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(videoMax <= mm.WhaleBandCap / 2,
       s"video shingle-key bucket $videoMax endangers the whale-cap headroom")
   }
+
+  test("crafted-input robustness: decoders return None, never crash or hang (r12 review)") {
+    // 1. PNG chunk length near 2^31: Int arithmetic wrapped
+    //    `i + 12 + len` negative, PASSED the bound check, and crashed
+    //    on the chunk write / negative cursor instead of returning None
+    val good = MediaCodec.encodePng(4, 4, 7L)
+    val hugeLen = good.clone()
+    // first chunk after the 8-byte signature is IHDR; poison ITS length
+    hugeLen(8) = 0x7f.toByte; hugeLen(9) = 0xff.toByte
+    hugeLen(10) = 0xff.toByte; hugeLen(11) = 0xf0.toByte
+    assert(MediaCodec.pngPixels(hugeLen).isEmpty, "huge chunk len must be None, not a crash")
+    // poison a LATER chunk too (pngInfo still parses the intact IHDR)
+    val info = MediaCodec.pngInfo(good)
+    assert(info.isDefined)
+    val laterPoison = good.clone()
+    val ihdrEnd = 8 + 12 + 13 // sig + (len+name+crc) + IHDR payload
+    laterPoison(ihdrEnd) = 0x7f.toByte; laterPoison(ihdrEnd + 1) = 0xff.toByte
+    laterPoison(ihdrEnd + 2) = 0xff.toByte; laterPoison(ihdrEnd + 3) = 0xf0.toByte
+    assert(MediaCodec.pngPixels(laterPoison).isEmpty)
+    // 2. zlib FDICT (preset dictionary) in the IDAT stream: inflate()
+    //    returns 0 with needsDictionary, and the old loop — breaking
+    //    only on needsInput — spun forever on one row
+    val fdict = {
+      // locate IDAT, overwrite its first two payload bytes with a
+      // CHECKSUM-VALID FDICT zlib header (0x78 0x3F: CM=8, FDICT bit
+      // set, (0x783F % 31) == 0 — an invalid FCHECK would throw
+      // DataFormatException before ever reaching the needsDictionary
+      // path this test exists to pin)
+      var i = 8; var at = -1
+      while (at < 0 && i + 8 <= good.length) {
+        val name = new String(good, i + 4, 4, "US-ASCII")
+        val len = ((good(i) & 0xff) << 24) | ((good(i + 1) & 0xff) << 16) |
+          ((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff)
+        if (name == "IDAT") at = i + 8 else i += 12 + len
+      }
+      assert(at > 0, "test fixture must contain IDAT")
+      val b = good.clone(); b(at) = 0x78.toByte; b(at + 1) = 0x3f.toByte; b
+    }
+    val t0 = System.currentTimeMillis()
+    assert(MediaCodec.pngPixels(fdict).isEmpty, "FDICT stream must be None")
+    assert(System.currentTimeMillis() - t0 < 5000, "FDICT must not hang")
+    // 3. WAV with bitsPerSample < 8 (real 4-bit ADPCM shape): the old
+    //    `bits <= 0` guard let `channels * (bits / 8)` reach a
+    //    divide-by-zero
+    val wav = MediaCodec.encodeWav(8000, 1, 16, 3L)
+    val adpcm = wav.clone()
+    // fmt chunk starts at 12; bitsPerSample is at fmt payload offset 14
+    // = absolute 12 + 8 + 14 = 34 (little-endian short)
+    adpcm(34) = 4.toByte; adpcm(35) = 0.toByte
+    assert(MediaCodec.wavInfo(adpcm).isEmpty, "sub-8-bit WAV must be None, not a crash")
+    // the intact encodings still decode (the guards are not over-broad)
+    assert(MediaCodec.pngPixels(good).isDefined)
+    assert(MediaCodec.wavInfo(wav).isDefined)
+  }
 }

@@ -184,6 +184,36 @@ class OrchestrationSpec extends AnyFunSuite {
       s"requeued run lost its lineage: ${released.head.source_uuids}")
   }
 
+  test("a run blocked across debounce cycles keeps a STABLE obj_id (r12 review)") {
+    // pre-fix each cycle wrapped the prior id: defer "inc-c-X" ->
+    // release tag "rel-inc-c-X-<ms>" -> re-defer "inc-c-rel-inc-c-X-<ms>"
+    // — ~30 chars of growth per cycle, unbounded for a pipeline parked
+    // behind a long-running instance
+    val running = Seq(RunningJob("e1", "report-weekly", "spark-local", "t", "running", None, None))
+    val r1 = step(Seq(mkEvent(70, "success", "report-daily")), running = running)
+    val d1 = r1.deferred.collect().filter(_.pipeline_uuid == "report-weekly")
+    assert(d1.length == 1)
+    val stableId = d1.head.obj_id
+    var rows = d1.toSeq
+    var at = now
+    (1 to 3).foreach { cycle =>
+      at = new java.sql.Timestamp(at.getTime + (Fixtures.DebounceSeconds + 10) * 1000L)
+      val r = Dispatcher.step(spark, Fixtures.defsDS(spark),
+        Fixtures.edgesDS(spark),
+        spark.createDataset(running)(Encoders.product[RunningJob]), // STILL blocked
+        spark.createDataset(rows)(Encoders.product[IncubRow]),
+        spark.emptyDataset[LifecycleEvent], at,
+        Fixtures.DebounceSeconds, Fixtures.AgeOutSeconds)
+      val d = r.deferred.collect().filter(_.pipeline_uuid == "report-weekly")
+      assert(d.length == 1, s"cycle $cycle: expected one re-deferred row")
+      assert(d.head.obj_id == stableId,
+        s"cycle $cycle grew the obj_id: ${d.head.obj_id}")
+      // requeue costs a retry each cycle — the job_culler.py:26 parity
+      assert(d.head.retry_count == cycle, s"cycle $cycle retry ${d.head.retry_count}")
+      rows = d.toSeq
+    }
+  }
+
   test("culler releases satisfied + debounced rows from prior state, drops aged (S2/K16-K18)") {
     val state = incubRows(Fixtures.incubating, Fixtures.incubatingTriggers)
     val r = step(Nil, incub = state)
@@ -419,6 +449,27 @@ class OrchestrationSpec extends AnyFunSuite {
     gate.countDown()
     assert(local.logs(ljob.engine_tracking_id) == local.logs("exec-track-2"),
       "logs by tracking id must read the same buffer")
+  }
+
+  test("abort fans out to EVERY match when a token is one run's exec uuid AND another's tracking id (r12 review)") {
+    // dispatcher exec uuids (exec-<pipeline>-<eventId>) and spark-local
+    // tracking ids (exec-<pipeline>-<retry>) share a namespace: run A's
+    // exec uuid "exec-p-0" (event 0 of pipeline p) is byte-identical to
+    // the tracking id of every retry-0 run of p. Pre-fix, resolveIds
+    // short-circuited on the exact key and aborted ONLY run A — the
+    // caller's tracking-id target kept running while abort returned ok.
+    val local = new LocalSparkEngine(spark)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    local.submit(Submission("q", "exec-p-0", Map.empty, 0), // exact-key run
+      EngineJob.SparkClosure { _ => gate.await(); () })
+    local.submit(Submission("p", "exec-other", Map.empty, 0), // tracking = exec-p-0
+      EngineJob.SparkClosure { _ => gate.await(); () })
+    Thread.sleep(200)
+    local.abort("exec-p-0")
+    assert(local.wasAborted("exec-p-0"), "exact-key run must be aborted")
+    assert(local.wasAborted("exec-other"),
+      "the tracking-matched run must be aborted too (union, not short-circuit)")
+    gate.countDown()
   }
 
   test("process engine: terminal statuses are never overwritten (ADVICE r3 race)") {
