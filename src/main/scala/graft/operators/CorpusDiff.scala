@@ -51,13 +51,19 @@ object CorpusDiff {
 
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val (v1, v2) = snapshots(spark, dir)
-    v1.select(col("doc_id"), col("source").as("s1"), col("h").as("h1"))
-      .join(v2.select(col("doc_id"), col("source").as("s2"), col("h").as("h2")),
-        Seq("doc_id"), "full_outer")
+    // presence = an explicit MARKER column, never hash nullability
+    // (r12 review: md5(NULL text) is NULL, so a NULL-text doc present
+    // in both snapshots read as 'added' and a v1-only one as 'added'
+    // too — and the oracle mirrored the defect, keeping the gate
+    // green). Hash comparison is NULL-SAFE for the same reason:
+    // NULL text vs real text is a content change; NULL vs NULL is not.
+    v1.select(col("doc_id"), col("source").as("s1"), col("h").as("h1"), lit(true).as("p1"))
+      .join(v2.select(col("doc_id"), col("source").as("s2"), col("h").as("h2"),
+        lit(true).as("p2")), Seq("doc_id"), "full_outer")
       .select(coalesce(col("s2"), col("s1")).as("source"),
-        when(col("h1").isNull, "added")
-          .when(col("h2").isNull, "removed")
-          .when(col("h1") =!= col("h2"), "changed")
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(!(col("h1") <=> col("h2")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "status")
@@ -65,16 +71,16 @@ object CorpusDiff {
 
   val diff: GraftQuery = GraftQuery.checked("ns_corpus_diff",
     """WITH v1 AS (
-      SELECT doc_id, source, md5(text) AS h
+      SELECT doc_id, source, TRUE AS p, md5(text) AS h
       FROM documents WHERE doc_id % 11 <> 3),
     v2 AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, TRUE AS p,
              md5(CASE WHEN doc_id % 17 = 2 THEN text || '#v2' ELSE text END) AS h
       FROM documents WHERE doc_id % 13 <> 5)
     SELECT COALESCE(v2.source, v1.source) AS source,
-           CASE WHEN v1.h IS NULL THEN 'added'
-                WHEN v2.h IS NULL THEN 'removed'
-                WHEN v1.h <> v2.h THEN 'changed'
+           CASE WHEN v1.p IS NULL THEN 'added'
+                WHEN v2.p IS NULL THEN 'removed'
+                WHEN v1.h IS DISTINCT FROM v2.h THEN 'changed'
                 ELSE 'unchanged' END AS status,
            COUNT(*) AS n_docs
     FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id

@@ -32,40 +32,46 @@ object CorpusStages {
 
   /** Shared with `ns_text_quality_filter` / `ns_mm_paired_gate`: the
     * four-rule C4-style keep gate, emitted as the surviving rows in
-    * full documents schema. */
+    * full documents schema. Thresholds and the stopword list are
+    * INTERPOLATED from TextOps' single definitions (r12 review: this
+    * string re-inlined the five r10-centralized constants, so tuning
+    * `QMinTokens` would have updated qualityFilter's BOTH sides and
+    * this operator's Spark side while its oracle stayed at the old
+    * literal — red only at the next DuckDB gate run). */
   private val gateSql =
-    """WITH b AS (
+    s"""WITH b AS (
       SELECT doc_id,
              CAST(len(toks) AS INTEGER) AS n_tokens,
              (CAST(n_chars AS DOUBLE) - len(toks) + 1) / len(toks) AS awl,
-             CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is'))) AS DOUBLE)
+             CAST(len(list_filter(toks, w -> w IN (${TextOps.stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
                / len(toks) AS stop_ratio,
              CASE WHEN len(toks) > 2
                   THEN 1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
                          i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE) / (len(toks) - 2)
                   ELSE 1.0 END AS rep_frac
       FROM (SELECT doc_id, n_chars,
-              list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+              list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
             FROM documents)),
     gate AS (
       SELECT doc_id FROM b
-      WHERE n_tokens >= 40 AND awl >= 3.0 AND awl <= 10.0
-        AND stop_ratio >= 0.01 AND rep_frac <= 0.2)"""
+      WHERE n_tokens >= ${TextOps.QMinTokens} AND awl >= ${TextOps.QAwlMin} AND awl <= ${TextOps.QAwlMax}
+        AND stop_ratio >= ${TextOps.QStopMin} AND rep_frac <= ${TextOps.QRepMax})"""
 
   /** Stage 1: the CURATED corpus — documents passing the quality gate,
-    * full schema preserved. Scale: the gate is [[TextOps.qualityFilter]]'s
-    * map-only scoring pass; the survivor join is doc_id-keyed equi
-    * (id-bucketed at rest → exchange-free under the
-    * [[ScaleOps.writeBucketed]] layout). */
+    * full schema preserved. ONE map-side predicate over the scan
+    * ([[TextOps.qualityKeep]] — the exact composite gate
+    * `qualityFilter` verdicts with; r12 review: the first cut ran the
+    * FULL qualityFilter operator — reason strings, per-doc signal
+    * frame, its own orderBy — then joined the survivors back by
+    * doc_id, paying a second corpus aggregation plus a shuffle for a
+    * filter the predicate computes in place). */
   val qualityDocs: GraftQuery = GraftQuery.checked("ns_stage_quality_docs",
     gateSql + """
     SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
     FROM documents d JOIN gate USING (doc_id)
     ORDER BY doc_id""") { (spark, dir) =>
-    val gate = TextOps.qualityFilter.run(spark, dir)
-      .where(col("keep") === 1).select("doc_id")
     Tables.documents(spark, dir)
-      .join(gate, Seq("doc_id"))
+      .where(TextOps.qualityKeep(col("text"), col("n_chars")))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }

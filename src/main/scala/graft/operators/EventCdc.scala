@@ -53,13 +53,27 @@ object EventCdc {
     cdcMergeAt(spark, dir, CutoffLit)
 
   /** Parameterized cutoff — the SQL surface's `graft_cdc_merge(dir,
-    * cutoff)` table function ([[graft.plans.GraftSql]]). */
-  def cdcMergeAt(spark: SparkSession, dir: String, cutoffTs: String): DataFrame =
+    * cutoff)` table function ([[graft.plans.GraftSql]]). The cutoff
+    * string is VALIDATED here, at the boundary (r12 review): under a
+    * non-ANSI session a malformed timestamp cast to NULL, both
+    * `ts < NULL` and `ts >= NULL` dropped every row, and the merge
+    * returned an apparently-valid EMPTY dimension; under the ANSI
+    * default the same typo failed deep in execution instead of at
+    * argument parsing. */
+  def cdcMergeAt(spark: SparkSession, dir: String, cutoffTs: String): DataFrame = {
+    val parses =
+      scala.util.Try(java.sql.Timestamp.valueOf(cutoffTs)).isSuccess ||
+        scala.util.Try(java.time.LocalDate.parse(cutoffTs)).isSuccess ||
+        scala.util.Try(java.time.Instant.parse(cutoffTs)).isSuccess
+    require(parses,
+      s"graft_cdc_merge: cutoff '$cutoffTs' is not a timestamp " +
+        "(expected 'yyyy-MM-dd[ HH:mm:ss[.f…]]' or ISO-8601)")
     cdcMergeCore(
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
       cutoffTs)
+  }
 
   /** Core on any (user_id, event_id, event_type, ts, cents) frame —
     * the spec drives tombstone/no-op/insert/update corners directly. */

@@ -146,6 +146,7 @@ object TextPmi {
     SELECT lang, k AS vocab_size,
            ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
     FROM m
+    WHERE k >= 2
     ORDER BY lang""") { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, dir)
@@ -159,6 +160,13 @@ object TextPmi {
     ranked.groupBy("lang")
       .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // k >= 2 guard (r12 review): a lang with ONE distinct token has
+      // x = ln(1) = 0 everywhere, so numerator and denominator are
+      // both exactly 0 — DIVIDE_BY_ZERO under Spark's ANSI default
+      // (killing the whole query) vs IEEE NaN in DuckDB (a guaranteed
+      // hash mismatch) with ANSI off. A 1-point regression has no
+      // slope; the row is dropped on BOTH sides.
+      .where(col("k") >= 2)
       .select(col("lang"), col("k").as("vocab_size"),
         dround((col("k") * col("sxy") - col("sx") * col("sy")) /
           (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))

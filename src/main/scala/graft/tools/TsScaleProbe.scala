@@ -34,36 +34,12 @@ object TsScaleProbe {
     base.select(col("user_id") +: (0 until 30).map(i => col(s"s$i")) ++: segCols: _*)
   }
 
-  /** The operator's two stages verbatim, parameterized by the frame. */
-  private def twoStage(series: DataFrame, refine: Int = 50, k: Int = 5): DataFrame = {
-    val q = series.select(
-      col("user_id").as("query_id") +:
-        (0 until 30).map(i => col(s"s$i").as(s"q$i")) ++:
-        (0 until 6).map(j => col(s"g$j").as(s"qg$j")): _*)
-      .where(col("query_id") < 5)
-    val lb = (0 until 6).map(j => { val d = col(s"g$j") - col(s"qg$j"); d * d }).reduce(_ + _)
-    val wLb = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("lb"), col("neighbor_id"))
-    val survivors = series
-      .join(broadcast(q.select(col("query_id") +: (0 until 6).map(j => col(s"qg$j")): _*)),
-        col("user_id") =!= col("query_id"))
-      .select(col("query_id"), col("user_id").as("neighbor_id"), lb.as("lb"))
-      .withColumn("lrn", row_number().over(wLb))
-      .where(col("lrn") <= refine)
-      .select("query_id", "neighbor_id")
-    val dist = (0 until 30).map(i => { val d = col(s"s$i") - col(s"q$i"); d * d }).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    survivors
-      .join(broadcast(q.select(col("query_id") +: (0 until 30).map(i => col(s"q$i")): _*)),
-        "query_id")
-      .join(series.select(col("user_id").as("neighbor_id") +:
-        (0 until 30).map(i => col(s"s$i")): _*), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select("query_id", "neighbor_id", "dist")
-  }
+  /** The operator's REAL two-stage core — no more verbatim copy (r12
+    * review: the probe's private duplicate could drift silently from
+    * the operator it claims to measure; TimeSeries.simSearchCore is
+    * now frame-parameterized precisely so this drives it). */
+  private def twoStage(series: DataFrame, refine: Int = 50): DataFrame =
+    graft.operators.TimeSeries.simSearchCore(series, refine)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

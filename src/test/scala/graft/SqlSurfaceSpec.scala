@@ -142,7 +142,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(eNull.getMessage.contains("non-NULL"), s"named null error, got: ${eNull.getMessage.take(200)}")
     // scalar-function arity: the shared check names the function and
     // usage instead of an opaque IndexOutOfBoundsException (pre-fix
-    // only shingle_hashes had it)
+    // only shingle_hashes had it). Self-register: this test must not
+    // depend on suite ordering for the function registry.
+    graft.plans.GraftFunctions.register(spark)
     val eArity = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1.0f))").collect()
     }
