@@ -121,9 +121,11 @@ object TimeSeries {
     // the true top-k. A query with fewer than K initial survivors has
     // no τ row — the left join's null expands EVERYTHING, the correct
     // degenerate answer.
+    // tau is NQueries-bounded BY CONTRACT (one row per query) — the
+    // broadcast is structural, not a fixture-size bet
     val expanded = exactOn(
       cand.where(col("lrn") > refine)
-        .join(tau, Seq("query_id"), "left")
+        .join(broadcast(tau), Seq("query_id"), "left")
         .where(col("tau").isNull || col("lb") <= lit(SegLen) * col("tau"))
         .select("query_id", "neighbor_id"))
     initial.unionByName(expanded)
