@@ -32,8 +32,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing (r13): the bench JVM IS the whole local[32] "cluster" —
+// executor storage memory comes out of this one heap. At 8g the r12
+// registry (190 queries, multiple memoized vector/media planes)
+// crossed the storage threshold and LRU eviction recomputed the
+// vector-topk and DAG families' cached inputs mid-bench: the exact
+// concentrated 2-5x "regressions" in BENCH_r12.json (isolated runs of
+// the same rows read at r11 speed). The box has 128 GiB; 48g keeps the
+// full memo working set resident with ample margin for sbt + page cache.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

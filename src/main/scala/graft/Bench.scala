@@ -45,9 +45,45 @@ object Bench {
     }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty }
 
+  /** Host fingerprint for the artifact (r12 verdict #1/#2: the 1.69×
+    * driver-vs-self disagreement was unadjudicable because neither
+    * artifact recorded WHAT HOST it ran on — an "environmental" claim
+    * needs cpu model / kernel / governor / page-cache state in the
+    * numbers' own file). Best-effort reads; absent fields say "na"
+    * rather than fail the bench. */
+  private[graft] def hostFingerprint(): Map[String, String] = {
+    def read(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val cpu = read("/proc/cpuinfo").flatMap(_.linesIterator
+      .find(_.startsWith("model name")).map(_.split(":", 2)(1).trim)).getOrElse("na")
+    val kernel = read("/proc/version").map(_.split(" ").lift(2).getOrElse("na")).getOrElse("na")
+    val gov = read("/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor")
+      .map(_.trim).getOrElse("na")
+    val mem = read("/proc/meminfo").map { t =>
+      def kb(key: String) = t.linesIterator.find(_.startsWith(key))
+        .flatMap(_.replaceAll("[^0-9]", "") match { case "" => None; case s => Some(s.toLong) })
+        .getOrElse(0L)
+      (kb("MemAvailable"), kb("Cached"))
+    }.getOrElse((0L, 0L))
+    Map(
+      "cpu_model" -> cpu,
+      "kernel" -> kernel,
+      "governor" -> gov,
+      "mem_available_mb" -> (mem._1 / 1024).toString,
+      "page_cache_mb" -> (mem._2 / 1024).toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // focused-run filter for profiling sessions (comma-separated names
+    // or prefixes); a filtered run never overwrites BENCH_SELF.json —
+    // partial bands must not become next round's triage reference
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(pats => pats.exists(p => name == p || name.startsWith(p)))
     // Idle-bench discipline (BASELINE.md): readings taken under load are
     // not comparable across rounds (r6 verdict #1: loadavg 2.35 made three
     // unchanged operators read 1.4–5.9× above their idle claims). Wait up
@@ -81,52 +117,54 @@ object Bench {
       graft.sources.Tables.names.foreach(n =>
         graft.sources.Tables(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
-    // best-of-2 per query (the DuckDB baseline in BASELINE.md is best
-    // of 3 on a warm process — symmetric methodology)
-    def timeQuery(name: String, reps: Int): Double =
-      (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    // Memo attribution (r8 verdict #4b): whichever query runs first
-    // pays each shared training memo (BPE merges, shingle frames, the
-    // real-media fixture…) for every later rider — stamp WHO paid WHAT
-    // so a 2 s reading on a 0.3 s operator is explainable from the
-    // artifact alone.
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    // Untimed warm pass (r12 verdict #2: 44 triaged rows with 10–60×
+    // first-run spikes — the measured pass was profiling the shared
+    // OpMemo graph's topology and the cold page cache, not the
+    // operators). The warm pass pays every shared memo + parquet page
+    // ONCE, outside the clock, and keeps the memo attribution so the
+    // artifact still says who WOULD have paid what. DuckDB's
+    // BASELINE.md numbers are best-of-3 on a warm process, so a warm
+    // measured pass is the symmetric methodology.
     val memoPaid = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if (warm) names.foreach { name =>
       val before = graft.operators.OpMemo.keys(spark, sfDir)
-      val t = timeQuery(name, reps = 2)
+      runOnce(name)
       val paid = graft.operators.OpMemo.keys(spark, sfDir) -- before
       if (paid.nonEmpty) memoPaid(name) = paid
-      name -> t
-    }.toMap
+    }
+    // Measured pass: 3 recorded runs per row (r12 verdict #2's
+    // per-row variance ask) — "queries" carries the min (the DuckDB
+    // baseline is also a best-of), "runs" in BENCH_SELF.json carries
+    // all three readings verbatim so cross-round disagreements are
+    // adjudicable from variance, not vibes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val allRuns: Map[String, Seq[Double]] =
+      names.map { name => name -> (0 until reps).map(_ => runOnce(name)) }.toMap
     // In-artifact regression triage (r7 verdict #4; thresholds r9):
-    //  - KNOWN rows: reading above 1.5× previous AND +0.3 s absolute
-    //    (the judge's own cross-round regression bar — the old 2× gate
-    //    let a 1.49× drift on unchanged code sail through, r8 #4b)
-    //  - NEW rows (no previous artifact value): absolute band — any
-    //    first reading over 1.0 s gets the same re-read, since there
-    //    is no history to compare against (r8 #4a).
-    // Triaged rows re-measure best-of-3 at the END of the pass, so one
-    // artifact records both readings: a real regression stays high on
-    // the re-read, a contention spike comes back in band. The
-    // canonical "queries" value for a triaged row is the best of all
-    // readings; the triage block keeps prev/first/best3 verbatim.
+    // reading above 1.5× previous AND +0.3 s absolute; NEW rows (no
+    // band) use a 1.0 s absolute bar. With the warm pass the first
+    // measured rep is already steady-state, so `triaged` flags genuine
+    // contention/regression, not memo topology. No extra re-reads —
+    // the 3 recorded reps ARE the first/best evidence.
     val prev = prevBench(sfDir)
-    val triage = firstPass.toSeq.sortBy(_._1).flatMap { case (name, first) =>
+    val triage = allRuns.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
+      val first = rs.head
       prev.get(name) match {
         case Some(p) if p > 0 && first > 1.5 * p && first - p > 0.3 =>
-          Some(name -> (Some(p), first, timeQuery(name, reps = 3)))
+          Some(name -> (Some(p), first, rs.min))
         case None if prev.nonEmpty && first > 1.0 =>
-          Some(name -> (None, first, timeQuery(name, reps = 3)))
+          Some(name -> (None, first, rs.min))
         case _ => None
       }
     }.toMap
-    val results = firstPass.map { case (name, first) =>
-      name -> triage.get(name).map { case (_, _, b3) => math.min(first, b3) }.getOrElse(first)
-    }
+    val results = allRuns.map { case (name, rs) => name -> rs.min }
     val triageJson =
       if (triage.isEmpty) ""
       else triage.map { case (n, (p, f, b3)) =>
@@ -147,6 +185,13 @@ object Bench {
     // recorded for continuity with earlier artifacts, which sampled
     // only at end and therefore partly self-reported.
     val load = loadavg1m
+    val fp = hostFingerprint()
+    val fpJson = fp.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""\"$k\":\"${v.replace("\\", "").replace("\"", "")}\"""" }
+      .mkString(""","host":{""", ",", "}")
+    val runsJson = allRuns.toSeq.sortBy(_._1)
+      .map { case (n, rs) => s"""\"$n\":[${rs.mkString(",")}]""" }
+      .mkString(""","runs":{""", ",", "}")
     // Artifact of record (r9 verdict #1): the registry's full per-query
     // map outgrew the driver's ~2–4 KB stdout-tail capture (two rounds
     // of `"parsed": null`, then a red BenchTriageSpec when BENCH_r09's
@@ -155,19 +200,22 @@ object Bench {
     // what prevBench reads for next round's triage bands — and (b) the
     // LAST stdout line is a compact summary sized to survive the tail:
     // total + triage verdict + the slowest rows only, plus a pointer.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$triageJson$memoJson$loadWarning}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$runsJson$triageJson$memoJson$loadWarning}"""
     // best-effort: a read-only cwd / full disk must not cost the round
     // its stdout artifact line after minutes of measured work (r10
-    // review #3) — the println below is unconditional
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+    // review #3) — the println below is unconditional. A filtered
+    // (BENCH_ONLY) run never overwrites the committed artifact.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+    else System.err.println(s"[bench] BENCH_ONLY filter active (${names.size} rows) — BENCH_SELF.json not written")
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = triage.count { case (_, (p, _, b3)) =>
       p.exists(pv => b3 > 1.5 * pv && b3 - pv > 0.3) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$loadWarning}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$loadWarning}""")
     spark.stop()
   }
 }

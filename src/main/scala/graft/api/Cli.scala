@@ -14,10 +14,11 @@ import graft.orchestration.{Catalog, EngineManager, LocalSparkEngine, ProcessEng
   *
   * Verbs: list [prefix] | describe <uuid> | downstream <uuid> |
   * history <uuid> | running | cron-due <ts> |
-  * create pipeline <def.json> — the reference CLI's one documented
-  * verb: a pipeline definition file (JSON here, not YAML — no YAML
-  * parser on the offline classpath and the model is 1:1) upserted into
-  * the catalog with its trigger edges.
+  * create pipeline <def.yaml|def.json> — the reference CLI's one
+  * documented verb: a pipeline definition file (YAML per the reference
+  * doc, via the [[yamlToJson]] subset parser; JSON accepted too)
+  * upserted into the catalog with its trigger edges through the D5
+  * validated path.
   */
 object Cli {
 
@@ -30,11 +31,118 @@ object Cli {
     org.apache.spark.sql.Encoders.product[PipelineDef].schema
       .add(StructField("triggers", ArrayType(trigSchema)))
 
-  /** Parse a definition file into (def, edges). Nulls get the model's
-    * defaults (`retry_max=0`, `concurrency=false` per
+  /** YAML-subset → JSON for pipeline definition files (`kaly create
+    * pipeline pipeline.yaml`, `kaly/Readme.md:1-2` — the reference CLI's
+    * one documented invocation takes YAML; no YAML library resolves on
+    * the offline classpath, so this hand-rolls exactly the subset a
+    * flat pipeline definition uses and FAILS LOUDLY past it):
+    *
+    *  - top-level `key: value` scalars (bare, 'single' or "double"
+    *    quoted; `true`/`false`/`null`/numbers typed, the rest strings)
+    *  - ONE level of block list under a key (`triggers:` + `- k: v`
+    *    items with indented continuation lines)
+    *  - blank lines and full-line / trailing ` #` comments
+    *
+    * Anchors, multi-doc, block scalars (|/>), nested maps and flow
+    * collections are out of subset → IllegalArgumentException. */
+  private[graft] def yamlToJson(text: String, where: String = "<yaml>"): String = {
+    def fail(ln: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"$where:${ln + 1}: $msg (YAML subset: flat scalars + one block list)")
+    def stripComment(s: String): String = {
+      // a ' #' outside quotes ends the value; '#' inside quotes is data
+      var inS = false; var inD = false
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (c == '#' && !inS && !inD && (i == 0 || s.charAt(i - 1).isWhitespace)) i = s.length
+        else { b.append(c); i += 1 }
+      }
+      b.result()
+    }
+    def jsonScalar(raw: String, ln: Int): String = {
+      val v = raw.trim
+      def jstr(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
+        jstr(v.substring(1, v.length - 1).replace("\\\"", "\""))
+      else if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+        jstr(v.substring(1, v.length - 1).replace("''", "'"))
+      else if (v == "|" || v == ">" || v.startsWith("|") || v.startsWith(">"))
+        fail(ln, "block scalars are out of subset; quote the string instead")
+      else if (v.startsWith("&") || v.startsWith("*") || v.startsWith("{") || v.startsWith("["))
+        fail(ln, s"'$v' (anchors/flow collections) is out of subset")
+      else if (v == "null" || v == "~" || v.isEmpty) "null"
+      else if (v == "true" || v == "false") v
+      else if (v.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+      else jstr(v)
+    }
+    val lines = text.linesIterator.toIndexedSeq.map(stripComment)
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.trim.isEmpty) i += 1
+      else if (line.head.isWhitespace) fail(i, s"unexpected indented line '${line.trim}'")
+      else line.indexOf(':') match {
+        case -1 => fail(i, s"expected 'key: value', got '${line.trim}'")
+        case c =>
+          val key = line.substring(0, c).trim
+          val rest = line.substring(c + 1).trim
+          if (rest.nonEmpty) { fields(key) = jsonScalar(rest, i); i += 1 }
+          else {
+            // block list: consume `- ...` items (each with optional
+            // indented continuation lines) until the next column-0 key
+            i += 1
+            val items = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (i < lines.length &&
+                   (lines(i).trim.isEmpty || lines(i).head.isWhitespace)) {
+              val t = lines(i).trim
+              if (t.isEmpty) i += 1
+              else if (t.startsWith("- ")) {
+                val entry = scala.collection.mutable.LinkedHashMap.empty[String, String]
+                def addPair(s: String, ln: Int): Unit = s.indexOf(':') match {
+                  case -1 => fail(ln, s"expected 'key: value' in list item, got '$s'")
+                  case cc => entry(s.substring(0, cc).trim) = jsonScalar(s.substring(cc + 1), ln)
+                }
+                val itemIndent = lines(i).indexOf('-')
+                addPair(t.substring(2).trim, i)
+                i += 1
+                while (i < lines.length && lines(i).trim.nonEmpty &&
+                       lines(i).head.isWhitespace && !lines(i).trim.startsWith("- ") &&
+                       lines(i).takeWhile(_.isWhitespace).length > itemIndent) {
+                  addPair(lines(i).trim, i); i += 1
+                }
+                items += entry.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+              } else fail(i, s"expected '- item' under '$key:', got '$t'")
+            }
+            if (items.isEmpty) fields(key) = "null"
+            else fields(key) = items.mkString("[", ",", "]")
+          }
+      }
+    }
+    fields.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+  }
+
+  /** Parse a definition file into (def, edges). `.yaml`/`.yml` files go
+    * through [[yamlToJson]] (the reference CLI's documented format);
+    * anything else is read as JSON. Nulls get the model's defaults
+    * (`retry_max=0`, `concurrency=false` per
     * `pipeline_models.py:25-27`). */
   def parsePipelineFile(spark: SparkSession, path: String): (PipelineDef, Seq[PipelineTrigger]) = {
-    val rows = spark.read.schema(defFileSchema).option("multiLine", "true").json(path)
+    val lower = path.toLowerCase
+    val rows =
+      if (lower.endsWith(".yaml") || lower.endsWith(".yml")) {
+        import spark.implicits._
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+        spark.read.schema(defFileSchema).option("multiLine", "true")
+          .json(spark.createDataset(Seq(yamlToJson(text, path))))
+      } else spark.read.schema(defFileSchema).option("multiLine", "true").json(path)
     val r = rows.head()
     def optS(f: String): Option[String] = Option(r.getAs[String](f))
     val uuid = Option(r.getAs[String]("pipeline_uuid")).getOrElse(
@@ -124,7 +232,7 @@ object Cli {
       System.err.println(s"unknown verb: ${other.mkString(" ")}")
       System.err.println(
         "usage: list [prefix] | describe <uuid> | downstream <uuid> | history <uuid> | " +
-        "running | cron-due '<yyyy-MM-dd HH:mm:ss>' | create pipeline <def.json> | " +
+        "running | cron-due '<yyyy-MM-dd HH:mm:ss>' | create pipeline <def.yaml|def.json> | " +
         "delete <uuid> [--force] | flush <prefix> | run <uuid> | abort <exec_uuid>")
       2
   }

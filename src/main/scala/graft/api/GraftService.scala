@@ -80,7 +80,8 @@ final class GraftService(
     nowProvider: () => Timestamp = () => new Timestamp(System.currentTimeMillis())) {
 
   private val api = secured.api
-  val facade = new HttpFacade(secured, spark, nowProvider)
+  val facade = new HttpFacade(secured, spark, nowProvider,
+    () => Map("mq_ingest_health" -> mqIngestUnhealthy.getOrElse("ok")))
 
   // @volatile: the mq watchdog tick (scheduler thread) restarts a dead
   // query by reassigning this; shutdown (caller thread) reads it after
@@ -181,13 +182,48 @@ final class GraftService(
     addr
   }
 
+  // Restart-loop discipline (r12 advice): an unconditional 10 s restart
+  // of a DETERMINISTICALLY failing batch (poison message past
+  // quarantine, tail-rewind IllegalStateException, persistent FS error)
+  // re-executes the failing batch's foreachBatch side effects forever.
+  // Consecutive death-observations back off exponentially (2^n ticks,
+  // capped) and after MqMaxRestartFailures the watchdog STOPS restarting
+  // and raises `mq_ingest_health` on GET /sys/config — a permanent
+  // fault degrades loudly instead of looping. A completed batch on a
+  // restarted incarnation (lastProgress non-null) resets the counter,
+  // so transient faults keep the old self-healing behavior.
+  private[graft] val mqRestartFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private[graft] var mqBackoffTicks: Int = 0
+  @volatile private[graft] var mqIngestUnhealthy: Option[String] = None
+  private[graft] val MqMaxRestartFailures = 8
+
   private[graft] def mqWatchTick(): Unit =
     mqEndpoint.foreach { ep =>
-      if (!stopped.get() && mqQuery.exists(q => !q.isActive)) {
-        val why = mqQuery.flatMap(_.exception).map(_.getMessage).getOrElse("stopped cleanly")
-        System.err.println(
-          s"[graft-service] mq ingest query died ($why) - restarting from checkpoint")
-        mqQuery = Some(startMqIngest(ep))
+      if (!stopped.get()) mqQuery.foreach { q =>
+        if (q.isActive) {
+          if (mqRestartFailures.get() > 0 && q.lastProgress != null) {
+            System.err.println("[graft-service] mq ingest recovered (batch completed) - resetting failure count")
+            mqRestartFailures.set(0); mqBackoffTicks = 0
+          }
+        } else if (mqIngestUnhealthy.isEmpty) {
+          if (mqBackoffTicks > 0) mqBackoffTicks -= 1
+          else {
+            val why = q.exception.map(_.getMessage).getOrElse("stopped cleanly")
+            val n = mqRestartFailures.incrementAndGet()
+            if (n >= MqMaxRestartFailures) {
+              mqIngestUnhealthy = Some(
+                s"mq ingest halted after $n consecutive failed restarts; last error: $why")
+              System.err.println(s"[graft-service] ${mqIngestUnhealthy.get} - " +
+                "NOT restarting (see /sys/config mq_ingest_health)")
+            } else {
+              mqBackoffTicks = math.min(1 << n, 32) // 20 s … ~5 min between tries
+              System.err.println(
+                s"[graft-service] mq ingest query died ($why) - restart $n/$MqMaxRestartFailures, " +
+                  s"next retry in ${10 * (mqBackoffTicks + 1)}s if it dies again")
+              mqQuery = Some(startMqIngest(ep))
+            }
+          }
+        }
       }
     }
 

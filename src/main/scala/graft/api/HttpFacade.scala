@@ -52,7 +52,12 @@ import graft.orchestration.Dispatcher.IncubRow
   */
 final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
                        nowProvider: () => Timestamp =
-                         () => new Timestamp(System.currentTimeMillis())) {
+                         () => new Timestamp(System.currentTimeMillis()),
+                       // live service-health entries merged into GET
+                       // /sys/config (r12 advice: a permanently-failing
+                       // MQ ingest must degrade LOUDLY — the service
+                       // injects its mq_ingest_health flag here)
+                       extraSysConfig: () => Map[String, String] = () => Map.empty) {
 
   private val api = secured.api
   private def emptyIncub = spark.emptyDataset[IncubRow](Encoders.product[IncubRow])
@@ -261,7 +266,7 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       ok
     }),
     "/sys/config" -> Map[String, Handler]("GET" -> { r =>
-      r.session.sysConfig.toSeq.sortBy(_._1)
+      (r.session.sysConfig ++ extraSysConfig()).toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")
     })

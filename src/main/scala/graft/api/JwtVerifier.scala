@@ -96,6 +96,70 @@ final class JwtVerifier(keys: Map[String, JwtVerifier.Key],
     } catch { case _: Exception => None } // malformed base64/JSON/keys
 }
 
+/** JWKS DISCOVERY verifier — the live half of the reference's Okta
+  * `AccessTokenVerifier` (`auth.py:29-43`, which resolves keys from the
+  * issuer's jwks_uri at runtime): fetches the JWKS document over HTTP,
+  * caches kid→key, and re-fetches ONCE when a token presents an
+  * unknown `kid` (key rotation), rate-limited by `minRefreshSeconds`
+  * so a stream of garbage kids cannot stampede the issuer. All
+  * validation (signature, exp/nbf, iss/aud pinning, groups) delegates
+  * to [[JwtVerifier]] over the cached keys — this class owns ONLY key
+  * lifecycle. A failed fetch leaves the previous cache in place (an
+  * issuer blip must not un-authenticate every valid holder) and logs;
+  * with no successful fetch ever, every token rejects (403), which is
+  * the fail-closed direction. `fetchJwks` is injectable; the default
+  * is a timeout-bounded HTTP GET, and the spec drives the real one
+  * against an in-process HttpServer (the MQBroker convention). */
+final class JwksDiscoveryVerifier(
+    jwksUrl: String,
+    nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L,
+    expectedIssuer: Option[String] = None,
+    expectedAudience: Option[String] = None,
+    minRefreshSeconds: Long = 300L,
+    fetchJwks: String => String = JwksDiscoveryVerifier.httpGet)
+    extends Auth.TokenVerifier {
+  import JwtVerifier._
+
+  @volatile private var cached: Map[String, Key] = Map.empty
+  @volatile private var lastFetchAt: Long = Long.MinValue
+  @volatile private var fetchedOnce = false
+
+  private def refresh(): Unit = synchronized {
+    val now = nowEpochSeconds()
+    if (fetchedOnce && now - lastFetchAt < minRefreshSeconds) return
+    lastFetchAt = now
+    try {
+      cached = fromJwks(fetchJwks(jwksUrl))
+      fetchedOnce = true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[auth] JWKS fetch from $jwksUrl failed: ${e.getMessage} - " +
+          (if (cached.nonEmpty) "keeping previously cached keys" else "no keys cached, all tokens reject"))
+    }
+  }
+
+  def groups(token: String): Option[Seq[String]] = {
+    if (!fetchedOnce) refresh()
+    val kid = kidOf(token)
+    if (kid.exists(k => !cached.contains(k))) refresh() // rotation path
+    new JwtVerifier(cached, nowEpochSeconds, expectedIssuer, expectedAudience)
+      .groups(token)
+  }
+}
+
+object JwksDiscoveryVerifier {
+  private[api] def httpGet(url: String): String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val res = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(30)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(res.statusCode() == 200, s"jwks_uri $url returned ${res.statusCode()}")
+    res.body()
+  }
+}
+
 object JwtVerifier {
 
   sealed trait Key
@@ -105,6 +169,15 @@ object JwtVerifier {
   final case class RsaKey(n: java.math.BigInteger, e: java.math.BigInteger) extends Key
 
   private val mapper = new ObjectMapper()
+
+  /** The `kid` a compact JWS points at — the only header field the
+    * discovery verifier needs before delegating. None on malformed. */
+  private[api] def kidOf(token: String): Option[String] =
+    try {
+      val parts = token.split('.')
+      if (parts.length != 3) None
+      else text(mapper.readTree(b64(parts(0))), "kid")
+    } catch { case _: Exception => None }
 
   private def b64(s: String): Array[Byte] = Base64.getUrlDecoder.decode(s)
   private def text(n: JsonNode, f: String): Option[String] =

@@ -61,13 +61,23 @@ object EventCdc {
     * default the same typo failed deep in execution instead of at
     * argument parsing. */
   def cdcMergeAt(spark: SparkSession, dir: String, cutoffTs: String): DataFrame = {
-    val parses =
-      scala.util.Try(java.sql.Timestamp.valueOf(cutoffTs)).isSuccess ||
-        scala.util.Try(java.time.LocalDate.parse(cutoffTs)).isSuccess ||
-        scala.util.Try(java.time.Instant.parse(cutoffTs)).isSuccess
-    require(parses,
+    // Validate with Spark's OWN string→timestamp cast (non-ANSI eval:
+    // null ⇔ unparseable) so the accepted surface is exactly what the
+    // downstream `lit(cutoff).cast("timestamp")` understands — the
+    // first cut whitelisted three JDK parsers and rejected
+    // Spark-legal forms like '2024-06-01T10:00:00' and
+    // '2024-06-01 10:00' (r12 ADVICE).
+    val parsed = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(cutoffTs),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval()
+    require(parsed != null,
       s"graft_cdc_merge: cutoff '$cutoffTs' is not a timestamp " +
-        "(expected 'yyyy-MM-dd[ HH:mm:ss[.f…]]' or ISO-8601)")
+        "(any form Spark's CAST(… AS TIMESTAMP) accepts, e.g. " +
+        "'yyyy-MM-dd[ HH:mm[:ss[.f…]]]' or ISO-8601)")
     cdcMergeCore(
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),

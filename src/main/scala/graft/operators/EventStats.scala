@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftQuery
@@ -269,6 +269,16 @@ object EventStats {
     * user_id)` to any per-user frame, via the value-chunked two-phase
     * scan described at [[giniRanks]]. `valueCol` must be a
     * non-negative integral column (`div` chunking). */
+  // Memoized bin-offset frames keyed on the CANONICALIZED input plan
+  // (structural equality — semantically-equal frames share an entry):
+  // valueRanks runs an eager offsets job at plan-CONSTRUCTION time, and
+  // the rfm build constructs three rank frames over the same per-user
+  // base (r12 ADVICE: 3× the same job per build). Weak keys on the
+  // session via the same idiom as OpMemo is unnecessary — entries are
+  // tiny (one offsets frame handle) and keyed plans die with the JVM.
+  private[graft] val rankOffsetMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, Any, String, Long), DataFrame]
+
   private[graft] def valueRanks(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val binned = df.withColumn("bin", expr(s"$valueCol div $binWidth"))
@@ -282,16 +292,24 @@ object EventStats {
     // rows and folding the running total locally is O(bins), exact
     // integers, no window, no join). Fail-loud cap = the broadcast
     // contract made explicit: past it, binWidth is mis-sized for the
-    // value range — resize the knob, don't spill the model frame.
-    val counts = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    require(counts.length <= (1 << 22),
-      s"valueRanks: ${counts.length} bins exceeds the broadcastable-frame contract; " +
-      s"raise binWidth=$binWidth toward valueRange/2^20")
-    var acc = 0L
-    val offRows = counts.map { case (b, n) => val off = acc; acc += n; (b, off) }
-    val offsets = df.sparkSession.createDataFrame(offRows.toIndexedSeq)
-      .toDF("bin", "bin_off")
+    // value range — resize the knob, don't spill the model frame. The
+    // collect is LIMIT-bounded to cap+1 rows so a mis-sized binWidth
+    // trips the require instead of OOMing the driver on the way to it
+    // (r12 ADVICE: the guard ran after the unbounded transfer).
+    val cap = 1 << 22
+    val memoKey = (df.sparkSession, df.queryExecution.analyzed.canonicalized: Any,
+      valueCol, binWidth)
+    val offsets = rankOffsetMemo.getOrElseUpdate(memoKey, {
+      val counts = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
+        .limit(cap + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      require(counts.length <= cap,
+        s"valueRanks: over $cap bins exceeds the broadcastable-frame contract; " +
+        s"raise binWidth=$binWidth toward valueRange/2^20")
+      var acc = 0L
+      val offRows = counts.map { case (b, n) => val off = acc; acc += n; (b, off) }
+      df.sparkSession.createDataFrame(offRows.toIndexedSeq).toDF("bin", "bin_off")
+    })
     val wLocal = Window.partitionBy("bin").orderBy(valueCol, "user_id")
     binned.join(broadcast(offsets), Seq("bin"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))

@@ -183,7 +183,61 @@ object Vectors {
     rankTail(pairs, k)
   }
 
-  val topKLsh: GraftQuery = GraftQuery.rowsOnly("ns_vec_topk_lsh")((s, d) => lshTopK(s, d))
+  /** The 8×4×64 ±1 hyperplanes rendered as a DuckDB list literal —
+    * lets the oracle REPLAY the exact bucket pipeline in SQL (the
+    * [[VectorsPlanted.plantedDups]] template: its oracle replays
+    * planes → bits → banding → integer verify end-to-end). Sign
+    * parity is exact: the engine accumulates float→double products
+    * sequentially ([[graft.functions.LshBucketsExpr]]) and DuckDB's
+    * `list_sum` over the zip does the same in the same order with the
+    * same ±1.0 plane values, so every term and partial sum is the
+    * identical double. */
+  private lazy val planesSql: String =
+    hyperplanes.map(t => t.map(p => p.map(v => if (v > 0) "1" else "-1")
+      .mkString("[", ",", "]")).mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Shared oracle CTE: per-(vector, table) bucket id, exactly the
+    * engine's `(t << TableBits) | signature`. */
+  private lazy val bucketSql: String =
+    s"""planes AS (SELECT $planesSql AS p),
+    buck AS (
+      SELECT e.vec_id,
+             t.t * ${1 << TableBits} + COALESCE(SUM(
+               CASE WHEN CAST(list_sum(list_transform(
+                            list_zip(e.embedding, planes.p[t.t + 1][i.i + 1]),
+                            x -> CAST(x[1] AS DOUBLE) * x[2])) AS DOUBLE) > 0
+                    THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END), 0) AS bucket
+      FROM embeddings e, planes,
+           (SELECT unnest(range(0, $NumTables)) AS t) t,
+           (SELECT unnest(range(0, $TableBits)) AS i) i
+      GROUP BY e.vec_id, t.t)"""
+
+  /** FULL oracle (r12 verdict #4, `no_oracle` 4 → 2): the DuckDB side
+    * replays hyperplane signatures, the L-table bucket equi-join, the
+    * candidate dedup and the exact double-cosine re-rank — so the
+    * driver verifies the LSH path END TO END (a missed band, a wrong
+    * dedup key or a re-rank tie-break bug all break the hash), not
+    * just soundness of what happened to be emitted. */
+  val topKLsh: GraftQuery = GraftQuery.checked("ns_vec_topk_lsh",
+    s"""WITH $bucketSql,
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buck q JOIN buck c ON q.bucket = c.bucket
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS sim_r
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = query_id
+      JOIN embeddings eb ON eb.vec_id = neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_r,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_r DESC, neighbor_id) AS rn
+      FROM pairs)
+    SELECT query_id, neighbor_id, sim_r FROM ranked WHERE rn <= 5
+    ORDER BY query_id, sim_r DESC, neighbor_id""")((s, d) => lshTopK(s, d))
 
   /** Brute-force top-k via the bounded [[graft.functions.TopKAggregator]]
     * (SURVEY §7 v5): per-group reduction with O(k) state and map-side
@@ -394,9 +448,31 @@ object Vectors {
     * missing #1: at the default 0.8 the driver row carried
     * `spark_rows: 0` — green by vacuity). 0.8 stays the API default
     * for production near-dup semantics; planted-recall measurement
-    * lives in [[VectorsPlanted]]. */
-  val nearDups: GraftQuery = GraftQuery.rowsOnly("ns_vec_near_dups")(
-    (s, d) => cosineNearDups(s, d, threshold = 0.3))
+    * lives in [[VectorsPlanted]].
+    *
+    * FULL oracle (r12 verdict #4): the SQL replays the SAME
+    * deterministic pipeline — signatures, bucket self-join, exact
+    * rounded-cosine threshold — so the driver checks the emitted set
+    * two-sidedly (the LSH's own recall vs the exhaustive pair set is
+    * ~68% at θ=0.3 BY DESIGN of 8×4-bit hyperplanes — uniform-random
+    * vectors at p=1−θ/π≈0.6 are the worst case; RecallFloorsSpec pins
+    * the clustered floors, and the exhaustive-truth recall measurement
+    * lives in [[VectorsPlanted]] where near-dup similarity makes
+    * 1−(1−p⁴)⁸ ≈ 1). */
+  val nearDups: GraftQuery = GraftQuery.checked("ns_vec_near_dups",
+    s"""WITH $bucketSql,
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 4) AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b)
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+    ORDER BY id_a, id_b""")((s, d) => cosineNearDups(s, d, threshold = 0.3))
 
   /** One-sided SOUNDNESS check for [[cosineNearDups]] (round-2 verdict
     * item 3): recall is probabilistic (rows-only above) but soundness is

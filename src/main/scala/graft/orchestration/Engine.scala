@@ -104,15 +104,20 @@ private[orchestration] trait RunRegistry {
         .foreach { case (id, _) => runs.remove(id); () }
   }
 
-  /** E5 tail: prefer the LIVE run, then the newest start, when a
-    * non-unique tracking id matches several runs (r10 advice —
-    * headOption of the id-sorted matches could serve an arbitrary
-    * terminal run's logs while abort() fans out to all). */
+  /** E5 tail. Resolution order (r12 advice): an EXACT exec_uuid key
+    * wins outright — when a token is run A's exec_uuid and also run
+    * B's tracking id, a read API must serve A, not whichever is live
+    * (the union + live-first heuristic is ABORT fan-out semantics and
+    * stays confined to abort()/wasAbortedIn). Only a non-key token
+    * falls back to the tracking-id matches, live-first then newest
+    * start (r10 advice — headOption of the id-sorted matches could
+    * serve an arbitrary terminal run's logs). */
   def logs(execUuid: String, maxKb: Int = 10): String = {
-    val full = resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
-      .sortBy(st => (if (statusOf(st) == "running") 0 else 1, -startOf(st).getTime))
-      .headOption
-      .map(st => { val b = logBufOf(st); b.synchronized(b.toString) }).getOrElse("")
+    val full = Option(runs.get(execUuid)).orElse {
+      resolveIds(execUuid).flatMap(id => Option(runs.get(id)))
+        .sortBy(st => (if (statusOf(st) == "running") 0 else 1, -startOf(st).getTime))
+        .headOption
+    }.map(st => { val b = logBufOf(st); b.synchronized(b.toString) }).getOrElse("")
     val cap = maxKb * 1024
     if (full.length <= cap) full else full.substring(full.length - cap)
   }

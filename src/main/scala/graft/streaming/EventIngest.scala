@@ -46,25 +46,35 @@ object EventIngest {
     // callback (r8 advice). Enforced here, not just documented: a
     // negative external id goes to quarantine like any malformed line.
     //
-    // ALL dispatch-critical fields must be present (r12 review): a
-    // well-formed JSON object MISSING retry_count or disable_downstream
-    // parses clean (PERMISSIVE mode leaves the field null) but then
-    // poisons the stream downstream — `.as[LifecycleEvent]` throws
-    // "Null value appeared in non-nullable field" on the primitive
-    // slots, and because the offset is already checkpointed the same
-    // message replays on every restart: a permanent crash loop that
-    // quarantine exists to prevent. A null disable_downstream is worse
-    // when it DOESN'T crash: `!disable_downstream` evaluates to null
-    // and a success event is silently treated as suppressed (no
-    // fan-out, no dep satisfaction, no error). Subtype and
-    // pipeline_uuid are the dispatch keys — null routes nowhere.
-    val required = Seq("event_id", "event_subtype", "pipeline_uuid",
-      "retry_count", "disable_downstream")
+    // Dispatch-critical fields must be present (r12 review): a
+    // well-formed JSON object missing one parses clean (PERMISSIVE mode
+    // leaves the field null) but then poisons the stream downstream —
+    // `.as[LifecycleEvent]` throws "Null value appeared in non-nullable
+    // field" on the primitive slots, and because the offset is already
+    // checkpointed the same message replays on every restart: a
+    // permanent crash loop that quarantine exists to prevent. Subtype
+    // and pipeline_uuid are the dispatch keys — null routes nowhere.
+    //
+    // But the reference protocol declares retry_count and
+    // disable_downstream OPTIONAL with defaults (`runtime_models.py:11-12`:
+    // `retry_count: int = 0`, `disable_downstream: Optional[bool] =
+    // False`) — a spec-compliant producer omits them, and quarantining
+    // such events would silently halt dispatch for every conforming
+    // client (r12 ADVICE, medium). So the defaultable fields are
+    // COALESCED to the reference defaults in the good-side projection;
+    // quarantine is reserved for the genuinely required keys.
+    val required = Seq("event_id", "event_subtype", "pipeline_uuid")
+    val defaulted: Map[String, org.apache.spark.sql.Column] = Map(
+      "retry_count" -> lit(0),
+      "disable_downstream" -> lit(false))
     val complete = required.map(f => col(s"e.$f").isNotNull).reduce(_ && _)
     val good = parsed
       .where(col("e").isNotNull && col("e._corrupt").isNull &&
         complete && col("e.event_id") >= 0)
-      .select(eventSchema.fieldNames.map(f => col(s"e.$f")): _*)
+      .select(eventSchema.fieldNames.map { f =>
+        defaulted.get(f).map(d => coalesce(col(s"e.$f"), d).as(f))
+          .getOrElse(col(s"e.$f"))
+      }: _*)
       .as[LifecycleEvent]
     val bad = parsed
       .where(col("e").isNull || col("e._corrupt").isNotNull ||

@@ -85,6 +85,36 @@ class AdviceResolvedSpec extends AnyFunSuite {
       "with all runs terminal, the newest start's logs must be served")
   }
 
+  // 2b. exact exec_uuid beats the tracking-id heuristic (r12 advice) -----
+  test("logs by an EXACT exec_uuid serves that run even when the token is another run's tracking id") {
+    val engine = new LocalSparkEngine(spark)
+    // run A's exec uuid deliberately collides with the TRACKING id
+    // that pipeline "q" retry 0 would mint ("exec-q-0")
+    engine.submit(Submission("p", "exec-q-0", Map.empty, 0),
+      EngineJob.SparkClosure(_ => ()))
+    def status(id: String) =
+      engine.jobs(spark).collect().find(_.exec_uuid == id).map(_.engine_status)
+    val d1 = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < d1 && status("exec-q-0").contains("running"))
+      Thread.sleep(50)
+    assert(status("exec-q-0").contains("success"))
+    // run B: pipeline "q" retry 0 → tracking id "exec-q-0", LIVE. The
+    // abort-style union + live-first heuristic would serve B's (empty)
+    // buffer; a read API must serve the exact-key match A.
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    engine.submit(Submission("q", "exec-b-live", Map.empty, 0),
+      EngineJob.SparkClosure { _ => gate.await(); () })
+    try {
+      Thread.sleep(200)
+      assert(status("exec-b-live").contains("running"))
+      assert(engine.logs("exec-q-0").contains("exec-q-0 completed"),
+        s"exact exec_uuid must win over the live tracking-id match: '${engine.logs("exec-q-0")}'")
+    } finally gate.countDown()
+    val d2 = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < d2 && status("exec-b-live").contains("running"))
+      Thread.sleep(50)
+  }
+
   // 3. TZ-pinned timestamp literal rendering -----------------------------
   test("GraftSql timestamp literal renders in the session zone and round-trips exactly") {
     import org.apache.spark.sql.catalyst.expressions.Literal

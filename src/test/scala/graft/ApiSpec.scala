@@ -428,6 +428,66 @@ class ApiSpec extends AnyFunSuite {
     assert(Cli.run(a, spark, List("bogus")) == 2)
   }
 
+  test("CLI create pipeline pipeline.yaml — the reference doc's exact invocation (r12 verdict #6)") {
+    import graft.api.Cli
+    val a = api
+    val f = java.nio.file.Files.createTempFile("pipe", ".yaml")
+    java.nio.file.Files.writeString(f,
+      """# kaly create pipeline pipeline.yaml (kaly/Readme.md:1-2)
+        |pipeline_uuid: yaml-made
+        |description: "from yaml"   # trailing comment
+        |retry_max: 3
+        |concurrency: true
+        |engine: spark-local
+        |schedule: '0 5 * * *'
+        |triggers_op: all
+        |tags_team: core
+        |triggers:
+        |  - trigger_uuid: report-daily
+        |    op: all
+        |  - trigger_uuid: ingest-orders
+        |""".stripMargin)
+    assert(Cli.run(a, spark, List("create", "pipeline", f.toString)) == 0)
+    val made = a.describePipeline("yaml-made").collect().head
+    assert(made.retry_max == 3 && made.concurrency &&
+      made.schedule.contains("0 5 * * *") && made.description == "from yaml" &&
+      made.tags_team.contains("core"), s"yaml fields mis-parsed: $made")
+    val es = a.edges.where($"pipeline_uuid" === "yaml-made").collect()
+    assert(es.map(_.trigger_uuid).sorted.toSeq == Seq("ingest-orders", "report-daily"))
+    assert(es.forall(_.op == "all")) // missing op falls back to triggers_op
+    // D5 validation applies through the YAML path too
+    val bad = java.nio.file.Files.createTempFile("pipe-bad", ".yml")
+    java.nio.file.Files.writeString(bad,
+      "pipeline_uuid: yaml-bad\ntriggers:\n  - trigger_uuid: no-such-pipeline\n")
+    intercept[IllegalArgumentException] { Cli.run(a, spark, List("create", "pipeline", bad.toString)) }
+    // out-of-subset YAML fails loudly with file:line, never silently drops
+    val blocky = java.nio.file.Files.createTempFile("pipe-block", ".yaml")
+    java.nio.file.Files.writeString(blocky, "pipeline_uuid: x\npipeline_body: |\n  line\n")
+    val e = intercept[IllegalArgumentException] { Cli.parsePipelineFile(spark, blocky.toString) }
+    assert(e.getMessage.contains("block scalars") && e.getMessage.contains(":2:"), e.getMessage)
+  }
+
+  test("yamlToJson subset corners: quoting, types, comments-in-quotes") {
+    import graft.api.Cli
+    val json = Cli.yamlToJson(
+      """a: plain words stay one string
+        |b: "has # not a comment"
+        |c: 'single ''quoted'''
+        |d: -3.5e2
+        |e: null
+        |f: ~
+        |g: true
+        |""".stripMargin)
+    assert(json.contains("\"a\":\"plain words stay one string\""), json)
+    assert(json.contains("\"b\":\"has # not a comment\""), json)
+    assert(json.contains("\"c\":\"single 'quoted'\""), json)
+    assert(json.contains("\"d\":-3.5e2"), json)
+    assert(json.contains("\"e\":null") && json.contains("\"f\":null"), json)
+    assert(json.contains("\"g\":true"), json)
+    intercept[IllegalArgumentException] { Cli.yamlToJson("a: {flow: map}") }
+    intercept[IllegalArgumentException] { Cli.yamlToJson("a: *anchor") }
+  }
+
   test("CLI mutating verbs: run/delete/flush/abort drive the same API paths") {
     import graft.api.Cli
     val a = api

@@ -61,6 +61,28 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("valueRanks memoizes the offsets job per canonical plan (r12 advice: rfm ran it 3x)") {
+    import spark.implicits._
+    val rev = Seq.tabulate(50)(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("user_id", "cents")
+    val before = EventStats.rankOffsetMemo.size
+    val a = EventStats.giniRanks(rev, 64L).collect().map(_.toString).sorted
+    val afterFirst = EventStats.rankOffsetMemo.size
+    assert(afterFirst == before + 1, "first build must install one offsets entry")
+    // SEMANTICALLY the same input (fresh DataFrame object, same plan):
+    // must hit the memo, not run another eager offsets job
+    val rev2 = Seq.tabulate(50)(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("user_id", "cents")
+    val b = EventStats.giniRanks(rev2, 64L).collect().map(_.toString).sorted
+    assert(EventStats.rankOffsetMemo.size == afterFirst,
+      "a semantically-equal frame must reuse the memoized offsets")
+    assert(a.toSeq == b.toSeq, "memoized offsets must not change results")
+    // a different binWidth is a different key — new entry, same ranks
+    EventStats.giniRanks(rev, 128L).collect()
+    assert(EventStats.rankOffsetMemo.size == afterFirst + 1,
+      "binWidth participates in the memo key")
+  }
+
   test("gini closed-form corners: uniform revenue scores 0, a single whale scores (n-1)/n") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

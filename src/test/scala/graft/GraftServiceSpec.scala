@@ -683,4 +683,59 @@ class GraftServiceSpec extends AnyFunSuite {
       broker.stop()
     }
   }
+
+  test("MQ watchdog: repeated deaths back off, then halt loudly on /sys/config (r12 advice)") {
+    // pre-fix: a DETERMINISTICALLY failing batch (poison past
+    // quarantine, rewind guard, persistent FS fault) was restarted
+    // every 10 s forever, re-executing the failing batch's side
+    // effects with no backoff, cap, or health signal
+    val broker = new MQBroker
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      GraftConfig.default)
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+    val svc = new GraftService(new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = Some(broker.endpoint),
+      checkpointRoot = SparkSuite.tempDir("svc-mq-backoff-ckpt"),
+      jobFactory = Some((_, _) => EngineJob.SparkClosure(_ => ())),
+      pollInterval = 250.millis)
+    try {
+      val addr = svc.start(0)
+      val base = s"http://localhost:${addr.getPort}"
+      // first death: restart immediately, but arm the backoff window
+      svc.mqQuery.get.stop()
+      poll("query observed dead")(svc.mqQuery.exists(q => !q.isActive))
+      svc.mqWatchTick()
+      assert(svc.mqQuery.exists(_.isActive), "first death must restart immediately")
+      assert(svc.mqBackoffTicks == 2, s"backoff must arm after restart 1: ${svc.mqBackoffTicks}")
+      // second death: the next two ticks must WAIT (backoff), the third restarts
+      svc.mqQuery.get.stop()
+      poll("query observed dead again")(svc.mqQuery.exists(q => !q.isActive))
+      svc.mqWatchTick(); assert(svc.mqQuery.exists(q => !q.isActive), "tick 1 must back off")
+      svc.mqWatchTick(); assert(svc.mqQuery.exists(q => !q.isActive), "tick 2 must back off")
+      svc.mqWatchTick(); assert(svc.mqQuery.exists(_.isActive), "tick 3 must restart")
+      // a COMPLETED batch on the restarted incarnation resets the count
+      broker.publish(asJson(success(71, "x").copy(
+        event_subtype = "origination", pipeline_uuid = "report-weekly")))
+      poll("a batch completes")(svc.mqQuery.exists(q => q.isActive && q.lastProgress != null))
+      svc.mqWatchTick()
+      assert(svc.mqRestartFailures.get() == 0, "recovery must reset the failure count")
+      // at the cap: the watchdog STOPS restarting and degrades loudly
+      svc.mqRestartFailures.set(svc.MqMaxRestartFailures - 1)
+      svc.mqQuery.get.stop()
+      poll("query observed dead at cap")(svc.mqQuery.exists(q => !q.isActive))
+      svc.mqWatchTick()
+      assert(svc.mqIngestUnhealthy.isDefined, "cap must raise the unhealthy flag")
+      assert(svc.mqQuery.exists(q => !q.isActive), "cap must NOT restart")
+      svc.mqWatchTick() // further ticks: still halted, no restart loop
+      assert(svc.mqQuery.exists(q => !q.isActive))
+      val cfg = call(base, "GET", "/sys/config").body()
+      assert(cfg.contains("\"mq_ingest_health\"") && cfg.contains("halted after"),
+        s"/sys/config must surface the halt: $cfg")
+    } finally {
+      svc.shutdown()
+      broker.stop()
+    }
+  }
 }

@@ -227,13 +227,17 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(batches.length >= 3, s"expected >= 3 capped batches, got $batches")
   }
 
-  test("ingest quarantines events missing dispatch-critical fields instead of poisoning the stream (r12 review)") {
+  test("ingest defaults optional fields and quarantines only missing dispatch keys (r12 review + r12 advice)") {
     import spark.implicits._
     // well-formed JSON, MISSING primitives: PERMISSIVE from_json leaves
-    // them null; pre-fix these passed the 'good' filter and then either
-    // crashed .as[LifecycleEvent] on every replay (null into Int/Boolean
-    // slot — a permanent poison loop past a checkpointed offset) or, for
-    // disable_downstream, silently suppressed the success fan-out
+    // them null. The reference protocol (runtime_models.py:11-12)
+    // declares retry_count/disable_downstream OPTIONAL with defaults
+    // (0 / false) — a spec-compliant producer omits them, so the good
+    // side must COALESCE them (r12 ADVICE: the first fix quarantined
+    // these, silently halting dispatch for conforming clients). Pre-fix
+    // the null primitives either crashed .as[LifecycleEvent] on every
+    // replay (a permanent poison loop past a checkpointed offset) or,
+    // for disable_downstream, silently suppressed the success fan-out.
     val missingRetry = """{"event_id": 40, "event_type": "job_exec_update",
       "event_subtype": "origination", "pipeline_uuid": "p", "exec_uuid": "e",
       "event_time": "2024-01-31T23:00:00Z", "received_time": "2024-01-31T23:00:05Z",
@@ -249,13 +253,19 @@ class GraftStreamSpec extends AnyFunSuite {
     val goodLine = ev(43, "origination", "ok-pipeline")
     val parsed = graft.streaming.EventIngest.parse(
       Seq(missingRetry, missingDd, missingPipeline, goodLine).toDF("value"))
-    // good side: only the complete event, and it DESERIALIZES (the
-    // poison vector was exactly this collect throwing on null slots)
-    val good = parsed.events.collect()
-    assert(good.map(_.event_id).toSeq == Seq(43L), s"good side: ${good.toSeq}")
-    // quarantine side: all three incomplete lines, verbatim
+    // good side: the complete event AND the two defaultable omissions,
+    // all DESERIALIZING (the poison vector was exactly this collect
+    // throwing on null primitive slots) with reference defaults applied
+    val good = parsed.events.collect().sortBy(_.event_id)
+    assert(good.map(_.event_id).toSeq == Seq(40L, 41L, 43L), s"good side: ${good.toSeq}")
+    val byId = good.map(e => e.event_id -> e).toMap
+    assert(byId(40L).retry_count == 0 && !byId(40L).disable_downstream,
+      "omitted retry_count must default to 0 (runtime_models.py:11)")
+    assert(byId(41L).retry_count == 0 && !byId(41L).disable_downstream,
+      "omitted disable_downstream must default to false (runtime_models.py:12)")
+    // quarantine side: only the line missing a genuine dispatch key
     val bad = parsed.corrupt.as[String].collect().toSet
-    assert(bad == Set(missingRetry, missingDd, missingPipeline), s"quarantine: $bad")
+    assert(bad == Set(missingPipeline), s"quarantine: $bad")
   }
 
   test("spool rewind guard: removing consumed files under a live checkpoint fails loudly, not silently remapped (r12 review)") {

@@ -1,0 +1,122 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.security.interfaces.{RSAPrivateKey, RSAPublicKey}
+import java.security.{KeyPairGenerator, Signature}
+import java.util.Base64
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.JwksDiscoveryVerifier
+
+/** The live half of the reference's Okta verifier (`auth.py:29-43`):
+  * JWKS discovery over a REAL loopback socket — fetch-on-first-use,
+  * kid→key caching (no per-token fetch), ONE rate-limited re-fetch on
+  * an unknown kid (key rotation), fail-closed when the issuer never
+  * answered, and keep-the-cache when it answered once and then broke. */
+class JwksDiscoverySpec extends AnyFunSuite {
+
+  private def b64url(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  private def rsaPair() = {
+    val g = KeyPairGenerator.getInstance("RSA"); g.initialize(2048)
+    val kp = g.generateKeyPair()
+    (kp.getPublic.asInstanceOf[RSAPublicKey], kp.getPrivate.asInstanceOf[RSAPrivateKey])
+  }
+
+  private def jwksDoc(entries: (String, RSAPublicKey)*): String =
+    entries.map { case (kid, pub) =>
+      s"""{"kty":"RSA","kid":"$kid","alg":"RS256","use":"sig",
+          "n":"${b64url(pub.getModulus.toByteArray.dropWhile(_ == 0))}",
+          "e":"${b64url(pub.getPublicExponent.toByteArray)}"}"""
+    }.mkString("""{"keys":[""", ",", "]}")
+
+  private def rs256(kid: String, priv: RSAPrivateKey, claims: String): String = {
+    val h = b64url(s"""{"alg":"RS256","kid":"$kid"}""".getBytes(UTF_8))
+    val p = b64url(claims.getBytes(UTF_8))
+    val s = Signature.getInstance("SHA256withRSA")
+    s.initSign(priv); s.update(s"$h.$p".getBytes(US_ASCII))
+    s"$h.$p.${b64url(s.sign())}"
+  }
+
+  private def withServer(body: (String, AtomicInteger, java.util.concurrent.atomic.AtomicReference[String]) => Unit): Unit = {
+    val doc = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/keys", ex => {
+      hits.incrementAndGet()
+      val bytes = doc.get().getBytes(UTF_8)
+      if (bytes.isEmpty) ex.sendResponseHeaders(500, -1)
+      else { ex.sendResponseHeaders(200, bytes.length.toLong); ex.getResponseBody.write(bytes) }
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1/keys", hits, doc)
+    finally server.stop(0)
+  }
+
+  private val exp = System.currentTimeMillis() / 1000L + 3600
+  private def claims(groups: String = """["Data-Admin"]"""): String =
+    s"""{"iss":"https://issuer.test","aud":"graft","exp":$exp,"groups":$groups}"""
+
+  test("discovers keys over the socket once, validates RS256, caches across tokens") {
+    val (pub, priv) = rsaPair()
+    withServer { (url, hits, doc) =>
+      doc.set(jwksDoc("k1" -> pub))
+      val v = new JwksDiscoveryVerifier(url,
+        expectedIssuer = Some("https://issuer.test"), expectedAudience = Some("graft"))
+      assert(v.groups(rs256("k1", priv, claims())).contains(Seq("Data-Admin")))
+      assert(v.groups(rs256("k1", priv, claims("""["Data-Engineers"]""")))
+        .contains(Seq("Data-Engineers")))
+      assert(hits.get() == 1, s"known-kid tokens must reuse the cached JWKS, fetched ${hits.get()}x")
+      // pinning still enforced through the discovery path
+      val wrongAud = s"""{"iss":"https://issuer.test","aud":"other","exp":$exp,"groups":["Data-Admin"]}"""
+      assert(v.groups(rs256("k1", priv, wrongAud)).isEmpty)
+    }
+  }
+
+  test("key rotation: an unknown kid triggers ONE rate-limited re-fetch") {
+    val (pub1, priv1) = rsaPair()
+    val (pub2, priv2) = rsaPair()
+    withServer { (url, hits, doc) =>
+      doc.set(jwksDoc("k1" -> pub1))
+      var now = 1000000L
+      val v = new JwksDiscoveryVerifier(url, nowEpochSeconds = () => now,
+        minRefreshSeconds = 60L)
+      assert(v.groups(rs256("k1", priv1, claims())).contains(Seq("Data-Admin")))
+      // issuer rotates to k2; next token presents the new kid
+      doc.set(jwksDoc("k1" -> pub1, "k2" -> pub2))
+      now += 61
+      assert(v.groups(rs256("k2", priv2, claims())).contains(Seq("Data-Admin")),
+        "a rotated kid must validate after the re-fetch")
+      assert(hits.get() == 2)
+      // a garbage kid inside the refresh window must NOT re-fetch (stampede guard)
+      assert(v.groups(rs256("k9", priv2, claims())).isEmpty)
+      assert(hits.get() == 2, "unknown-kid fetches must be rate-limited")
+    }
+  }
+
+  test("fail-closed with no successful fetch; issuer blip keeps the cache") {
+    val (pub, priv) = rsaPair()
+    withServer { (url, hits, doc) =>
+      var now = 1000000L
+      val v = new JwksDiscoveryVerifier(url, nowEpochSeconds = () => now,
+        minRefreshSeconds = 60L)
+      // server responds 500 (doc empty): every token rejects, nothing throws
+      assert(v.groups(rs256("k1", priv, claims())).isEmpty)
+      // issuer comes up; past the refresh window the verifier recovers
+      doc.set(jwksDoc("k1" -> pub))
+      now += 61
+      assert(v.groups(rs256("k1", priv, claims())).contains(Seq("Data-Admin")))
+      // issuer breaks again AND rotates away: cached keys keep serving k1
+      doc.set("")
+      now += 61
+      assert(v.groups(rs256("k1", priv, claims())).contains(Seq("Data-Admin")),
+        "a fetch failure must keep the previously cached keys")
+    }
+  }
+}

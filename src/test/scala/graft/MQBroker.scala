@@ -38,5 +38,10 @@ final class MQBroker {
   val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/q"
   def publish(msg: String, ts: Long = 1706742000000L): Unit =
     log.synchronized { log += ((ts, msg)); () }
+  /** Out-of-band removal of the oldest `n` messages — simulates a broker
+    * truncating past the committed offset (the MQSourceContract rewind
+    * case; a correct source must refuse, never remap). */
+  def removeOldest(n: Int): Unit =
+    log.synchronized { log.remove(0, math.min(n, log.length)); () }
   def stop(): Unit = server.stop(0)
 }

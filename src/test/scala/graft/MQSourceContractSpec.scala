@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+
+import graft.sources.mq.{SpoolMQStream, HttpMQStream}
+
+/** THE transport-independent MQ source contract (r12 verdict #7): the
+  * behavioral surface a REAL broker adapter (SQS, Kafka, Pub/Sub)
+  * must pass unchanged before it can replace the in-repo sources. The
+  * reference's transport is live SQS (`mq_poller.py:16-30`); this
+  * sandbox has no network egress, so the honest deliverable is the
+  * seam — one abstract suite, every law written against the public
+  * DSv2 streaming interfaces only ([[MicroBatchStream]] +
+  * [[SupportsAdmissionControl]] + [[SupportsTriggerAvailableNow]]),
+  * drived twice below through the two shipped transports (spool dir,
+  * loopback HTTP). An SQS adapter implements [[Transport]] with a real
+  * queue client and inherits the suite verbatim.
+  *
+  * Laws (each a test):
+  *  1. offset monotonicity — offsets are totally-ordered counts that
+  *     never decrease while the transport only grows, and round-trip
+  *     through `json()`/`deserializeOffset`.
+  *  2. admission cap — no single batch advances past `maxPerTrigger`;
+  *     a backlog drains across several capped batches, losslessly.
+  *  3. Trigger.AvailableNow — the drain target is pinned at prepare
+  *     time (late arrivals wait for the next run); ReadAllAvailable
+  *     is uncapped; reportLatestOffset is the TRUE tail.
+  *  4. at-least-once, non-destructive ack — a committed range replays
+  *     byte-identical (commit must not destroy replayability; SQS's
+  *     per-message delete becomes "delete ≤ committed offset only").
+  *  5. rewind refusal — a tail below the checkpointed offset (messages
+  *     removed under a live checkpoint) FAILS LOUDLY; silently
+  *     remapping offsets would skip and/or re-deliver.
+  */
+abstract class MQSourceContract extends AnyFunSuite {
+
+  /** What an adapter provides: a publisher, an out-of-band remover
+    * (the fault injector for law 5), and the stream under test. */
+  trait Transport {
+    def publish(body: String): Unit
+    /** Remove the `n` OLDEST messages out-of-band (broker truncation /
+      * spool file deletion under a live checkpoint). */
+    def removeOldest(n: Int): Unit
+    def stream(maxPerTrigger: Long = 100000L): MicroBatchStream
+      with SupportsAdmissionControl with SupportsTriggerAvailableNow
+  }
+
+  def transportName: String
+  def withTransport(body: Transport => Unit): Unit
+
+  // -- contract helpers: public interfaces only ---------------------------
+  private def des(s: MicroBatchStream, n: Long): Offset =
+    s.deserializeOffset(n.toString)
+  private def off(o: Offset): Long = o.json().toLong
+  private def latest(s: MicroBatchStream with SupportsAdmissionControl,
+                     start: Long, limit: ReadLimit): Long =
+    off(s.latestOffset(des(s, start), limit))
+  /** Read [a, b) through the partition readers — (offset, utf8 body). */
+  private def readRange(s: MicroBatchStream, a: Long, b: Long): Seq[(Long, String)] = {
+    val rf = s.createReaderFactory()
+    s.planInputPartitions(des(s, a), des(s, b)).flatMap { p =>
+      val r = rf.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      try while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(4), new String(row.getBinary(1), StandardCharsets.UTF_8)))
+      } finally r.close()
+      buf
+    }.toSeq.sortBy(_._1)
+  }
+
+  test(s"[$transportName] law 1: offsets are monotone counts and round-trip through json") {
+    withTransport { t =>
+      val s = t.stream()
+      assert(off(s.initialOffset()) == 0L, "a fresh source starts at offset 0")
+      (0 until 5).foreach(i => t.publish(s"m$i"))
+      val o1 = latest(s, 0, ReadLimit.allAvailable())
+      assert(o1 == 5L, s"tail after 5 publishes must be 5, got $o1")
+      (5 until 8).foreach(i => t.publish(s"m$i"))
+      val o2 = latest(s, o1, ReadLimit.allAvailable())
+      assert(o2 == 8L)
+      assert(latest(s, o2, ReadLimit.allAvailable()) == 8L,
+        "an idle transport must hold the offset steady, never decrease")
+      val rt = s.deserializeOffset(des(s, o2).json())
+      assert(off(rt) == o2, "offset json round-trip")
+    }
+  }
+
+  test(s"[$transportName] law 2: no batch passes the admission cap; a backlog drains losslessly") {
+    withTransport { t =>
+      (0 until 25).foreach(i => t.publish(s"b$i"))
+      val s = t.stream(maxPerTrigger = 10L)
+      val limit = s.getDefaultReadLimit
+      var startAt = 0L
+      val batches = Iterator.continually {
+        val end = latest(s, startAt, limit)
+        val batch = (startAt, end); startAt = end; batch
+      }.takeWhile { case (a, b) => b > a }.toSeq
+      assert(batches.map { case (a, b) => b - a } == Seq(10L, 10L, 5L),
+        s"25 backlogged messages under cap 10 must drain 10/10/5: $batches")
+      val all = batches.flatMap { case (a, b) => readRange(s, a, b) }
+      assert(all.map(_._2) == (0 until 25).map(i => s"b$i"),
+        "the capped drain must deliver every message exactly once, in order")
+    }
+  }
+
+  test(s"[$transportName] law 3: AvailableNow pins the drain target; ReadAllAvailable is uncapped") {
+    withTransport { t =>
+      (0 until 6).foreach(i => t.publish(s"p$i"))
+      val s = t.stream(maxPerTrigger = 100L)
+      s.prepareForTriggerAvailableNow()
+      t.publish("late-arrival")
+      assert(latest(s, 0, ReadLimit.allAvailable()) == 6L,
+        "the AvailableNow drain target is pinned at prepare time")
+      assert(off(s.reportLatestOffset()) == 7L,
+        "reportLatestOffset must still be the TRUE transport tail")
+      val fresh = t.stream(maxPerTrigger = 2L)
+      assert(latest(fresh, 0, ReadLimit.allAvailable()) == 7L,
+        "ReadAllAvailable is the wrapper's uncapped probe - the cap must not bind it")
+    }
+  }
+
+  test(s"[$transportName] law 4: ack is non-destructive - a committed range replays byte-identical") {
+    withTransport { t =>
+      (0 until 4).foreach(i => t.publish(s"r$i"))
+      val s = t.stream()
+      val first = readRange(s, 0, 4)
+      assert(first.map(_._2) == Seq("r0", "r1", "r2", "r3"))
+      s.commit(des(s, 4)) // the engine acks the batch
+      val replay = readRange(s, 0, 4)
+      assert(replay == first,
+        "at-least-once: a committed range must stay replayable, byte-identical")
+    }
+  }
+
+  test(s"[$transportName] law 5: a tail rewind under a live checkpoint fails loudly") {
+    withTransport { t =>
+      (0 until 5).foreach(i => t.publish(s"w$i"))
+      val s = t.stream()
+      assert(latest(s, 0, ReadLimit.allAvailable()) == 5L) // checkpointed: 5 consumed
+      t.removeOldest(2) // broker truncation / spool archival under the checkpoint
+      val e = intercept[IllegalStateException] {
+        latest(s, 5L, ReadLimit.allAvailable())
+      }
+      assert(e.getMessage.contains("removed under a live checkpoint"),
+        s"rewind must refuse with the named cause, got: ${e.getMessage}")
+    }
+  }
+}
+
+/** Spool-dir transport under the contract. */
+class SpoolMQContractSpec extends MQSourceContract {
+  def transportName = "spool-mq"
+  def withTransport(body: Transport => Unit): Unit = {
+    val dir = SparkSuite.tempDir("mq-contract-spool")
+    var n = 0
+    body(new Transport {
+      def publish(b: String): Unit = {
+        java.nio.file.Files.writeString(
+          java.nio.file.Path.of(dir, f"m$n%06d.json"), b)
+        n += 1
+      }
+      def removeOldest(k: Int): Unit =
+        graft.sources.mq.SpoolMQ.listMessages(dir).take(k)
+          .foreach(f => java.nio.file.Files.delete(f.toPath))
+      def stream(cap: Long) = new SpoolMQStream(dir, cap)
+    })
+  }
+}
+
+/** Loopback-HTTP transport (the network flavor) under the contract. */
+class HttpMQContractSpec extends MQSourceContract {
+  def transportName = "http-mq"
+  def withTransport(body: Transport => Unit): Unit = {
+    val broker = new MQBroker
+    try body(new Transport {
+      def publish(b: String): Unit = broker.publish(b)
+      def removeOldest(k: Int): Unit = broker.removeOldest(k)
+      def stream(cap: Long) = new HttpMQStream(broker.endpoint, cap)
+    }) finally broker.stop()
+  }
+}

@@ -70,6 +70,33 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "cutoff argument must change the merge")
   }
 
+  test("cdc cutoff accepts every Spark-castable timestamp form, rejects garbage at the boundary (r12 advice)") {
+    // the boundary validator must match downstream CAST(… AS TIMESTAMP)
+    // semantics — the first cut whitelisted three JDK parsers and
+    // rejected Spark-legal forms like ISO 'T' datetimes and
+    // minutes-precision strings
+    val sparkLegal = Seq(
+      "2024-01-16T00:00:00",     // ISO local datetime (T separator)
+      "2024-01-16 00:00",        // minutes precision
+      "2024-01-16",              // date only
+      "2024-01-16T00:00:00Z",    // instant
+      "2024-01-16 00:00:00.123") // fractional seconds
+    sparkLegal.foreach { c =>
+      val rows = graft.operators.EventCdc.cdcMergeAt(spark, dir, c).limit(1).collect()
+      assert(rows.nonEmpty, s"Spark-castable cutoff '$c' must be accepted")
+    }
+    // equal instants must produce identical merges regardless of spelling
+    val a = graft.operators.EventCdc.cdcMergeAt(spark, dir, "2024-01-16T00:00:00")
+      .collect().map(_.toString).toSeq
+    val b = graft.operators.EventCdc.cdcMergeAt(spark, dir, "2024-01-16 00:00:00")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "ISO-T and space spellings of the same instant must merge identically")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.EventCdc.cdcMergeAt(spark, dir, "not-a-time")
+    }
+    assert(e.getMessage.contains("not-a-time"))
+  }
+
   test("parameterized TVF: graft_topk(k) controls the neighbor count") {
     val k3 = spark.sql(s"SELECT * FROM graft_topk('$dir', 2, 3)")
     val counts = k3.groupBy("query_id").count().collect().map(_.getLong(1))
