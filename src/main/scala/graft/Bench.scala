@@ -143,27 +143,41 @@ object Bench {
     // per-row variance ask) — "queries" carries the min (the DuckDB
     // baseline is also a best-of), "runs" in BENCH_SELF.json carries
     // all three readings verbatim so cross-round disagreements are
-    // adjudicable from variance, not vibes.
+    // adjudicable from variance, not vibes. Reps are INTERLEAVED
+    // (pass 1 over every query, then pass 2, …) rather than
+    // back-to-back per row: this host's noise arrives in multi-second
+    // windows (measured r13: ns_vec_label_outliers read [14.7, 15.0]
+    // adjacent but 0.52 isolated), and back-to-back reps let one
+    // window poison every reading of a row; interleaving decorrelates
+    // the reps at zero extra cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val passes: Seq[Map[String, Double]] =
+      (0 until reps).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val allRuns: Map[String, Seq[Double]] =
-      names.map { name => name -> (0 until reps).map(_ => runOnce(name)) }.toMap
-    // In-artifact regression triage (r7 verdict #4; thresholds r9):
-    // reading above 1.5× previous AND +0.3 s absolute; NEW rows (no
-    // band) use a 1.0 s absolute bar. With the warm pass the first
-    // measured rep is already steady-state, so `triaged` flags genuine
-    // contention/regression, not memo topology. No extra re-reads —
-    // the 3 recorded reps ARE the first/best evidence.
+      names.map(n => n -> passes.map(_(n))).toMap
+    // In-artifact regression triage (r7 verdict #4; thresholds r9;
+    // r13 semantics): a row is TRIAGED when its BEST recorded rep sits
+    // above the previous band (1.5× AND +0.3 s absolute; NEW rows with
+    // no band use a 1.0 s bar) — with 3 interleaved reps recorded
+    // there is no re-read step, and a single-rep spike is host noise
+    // the `runs` map already documents verbatim, not a regression
+    // candidate (this host's noise windows made rep1-keyed triage read
+    // 50 rows where best-of-3 showed 2). `noisy_first_runs` counts the
+    // rep1 spikes separately so the noise level stays visible in one
+    // number.
     val prev = prevBench(sfDir)
     val triage = allRuns.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
-      val first = rs.head
+      val best = rs.min
       prev.get(name) match {
-        case Some(p) if p > 0 && first > 1.5 * p && first - p > 0.3 =>
-          Some(name -> (Some(p), first, rs.min))
-        case None if prev.nonEmpty && first > 1.0 =>
-          Some(name -> (None, first, rs.min))
+        case Some(p) if p > 0 && best > 1.5 * p && best - p > 0.3 =>
+          Some(name -> (Some(p), rs.head, best))
+        case None if prev.nonEmpty && best > 1.0 =>
+          Some(name -> (None, rs.head, best))
         case _ => None
       }
     }.toMap
+    val noisyFirstRuns = allRuns.count { case (_, rs) =>
+      rs.head > 2 * rs.min && rs.head - rs.min > 0.3 }
     val results = allRuns.map { case (name, rs) => name -> rs.min }
     val triageJson =
       if (triage.isEmpty) ""
@@ -200,7 +214,7 @@ object Bench {
     // what prevBench reads for next round's triage bands — and (b) the
     // LAST stdout line is a compact summary sized to survive the tail:
     // total + triage verdict + the slowest rows only, plus a pointer.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$runsJson$triageJson$memoJson$loadWarning}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$runsJson$triageJson$memoJson$loadWarning}"""
     // best-effort: a read-only cwd / full disk must not cost the round
     // its stdout artifact line after minutes of measured work (r10
     // review #3) — the println below is unconditional. A filtered
@@ -215,7 +229,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = triage.count { case (_, (p, _, b3)) =>
       p.exists(pv => b3 > 1.5 * pv && b3 - pv > 0.3) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$loadWarning}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"noisy_first_runs":$noisyFirstRuns,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$loadWarning}""")
     spark.stop()
   }
 }
