@@ -665,6 +665,14 @@ class GraftServiceSpec extends AnyFunSuite {
       broker.publish(asJson(success(61, "x").copy(
         event_subtype = "origination", pipeline_uuid = "report-weekly")))
       poll("message 1 dispatched")(fired.contains("report-weekly"))
+      // wait for the batch's OFFSET COMMIT, not just its side effect:
+      // fired.add runs inside foreachBatch, which completes BEFORE the
+      // engine commits the offset — killing in that window legitimately
+      // replays the batch (at-least-once), and this test is about the
+      // COMMITTED-message case (r13: the race flaked under host stall;
+      // lastProgress posts after the commit log write)
+      poll("batch 1 committed")(svc.mqQuery.exists(q =>
+        q.isActive && q.recentProgress.exists(_.numInputRows > 0)))
       // kill the query the way a batch failure would leave it: inactive
       svc.mqQuery.get.stop()
       poll("query observed dead")(svc.mqQuery.exists(q => !q.isActive))
