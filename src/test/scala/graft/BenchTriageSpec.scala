@@ -85,6 +85,32 @@ class BenchTriageSpec extends AnyFunSuite {
       "cwd artifacts are sf0.1 — must not gate an sf0.01 run")
   }
 
+  test("committed artifact is self-adjudicating: host fingerprint, per-row runs, noise counter (r12 verdict #2)") {
+    // the r12 driver-vs-self disagreement was unadjudicable because no
+    // artifact recorded host identity or per-row variance — these
+    // fields are now load-bearing for every cross-round comparison,
+    // so their presence in the COMMITTED artifact is pinned
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
+    for (f <- Seq("\"host\":", "\"cpu_model\":", "\"kernel\":", "\"page_cache_mb\":",
+                  "\"runs\":", "\"noisy_first_runs\":", "\"warm_pass\":", "\"reps\":"))
+      assert(text.contains(f), s"committed BENCH_SELF.json must carry $f")
+    // every registered query has a runs array with >= 2 recorded reps
+    val runsBlock = text.substring(text.indexOf("\"runs\":"))
+    val arrays = "\"([A-Za-z0-9_]+)\":\\[([0-9.,Ee+-]+)\\]".r
+      .findAllMatchIn(runsBlock)
+      .map(m => m.group(1) -> m.group(2).split(",").length).toMap
+    val names = SparkEntry.queries.keySet
+    assert(names.forall(arrays.contains),
+      s"rows missing runs arrays: ${names -- arrays.keySet}")
+    assert(arrays.filter(kv => names(kv._1)).values.forall(_ >= 2),
+      "each row must record at least 2 reps for variance adjudication")
+    // host fingerprint values must be non-empty (a fingerprint of
+    // 'na's for EVERY field would defeat the adjudication purpose)
+    assert("\"cpu_model\":\"[^\"]{3,}\"".r.findFirstIn(text).isDefined,
+      "cpu_model must carry a real value")
+  }
+
   test("cwd integration: the committed self artifact carries full bands") {
     // BENCH_SELF.json is committed every round (r9 verdict #1's 'done'
     // bar: triage has bands to gate the next round even when the
