@@ -37,10 +37,31 @@ object Bench {
       if (!sfOk) Map.empty[String, Double]
       else {
         val names = SparkEntry.queries.keySet
-        "\\\\?\"([A-Za-z0-9_]+)\\\\?\": ?([0-9]+(?:\\.[0-9Ee+-]+)?)".r.findAllMatchIn(text)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter { case (n, _) => names(n) }
-          .toMap
+        val flat =
+          "\\\\?\"([A-Za-z0-9_]+)\\\\?\": ?([0-9]+(?:\\.[0-9Ee+-]+)?)".r.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (n, _) => names(n) }
+            .toMap
+        // Band = the recorded CEILING when the prev artifact carries a
+        // `runs` block (r13): the flat `queries` value is the min of
+        // the recorded reps — the OPTIMISTIC tail — and on a host
+        // whose readings vary ~2-3× between process runs, comparing a
+        // future best-of-N against a past floor flags host luck as
+        // regression. A real regression moves min and max together,
+        // so gating against the recorded max keeps true signals (a
+        // ≥1.5×-of-worst reading) while absorbing the measured noise.
+        // Arrays appear ONLY under `runs` (queries are scalars, triage
+        // entries are objects), so a bare per-name array match is
+        // unambiguous; a tail-truncated array still yields a usable
+        // partial max.
+        val ceilings =
+          "\\\\?\"([A-Za-z0-9_]+)\\\\?\":\\[([0-9.,Ee+-]+)\\]".r.findAllMatchIn(text)
+            .map(m => m.group(1) -> m.group(2).split(",").flatMap(s =>
+              scala.util.Try(s.toDouble).toOption))
+            .filter { case (n, vs) => names(n) && vs.nonEmpty }
+            .map { case (n, vs) => n -> vs.max }
+            .toMap
+        flat ++ ceilings
       }
     }.find(_.nonEmpty).getOrElse(Map.empty)
   } catch { case _: Throwable => Map.empty }

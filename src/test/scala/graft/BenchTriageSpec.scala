@@ -85,6 +85,17 @@ class BenchTriageSpec extends AnyFunSuite {
       "cwd artifacts are sf0.1 — must not gate an sf0.01 run")
   }
 
+  test("band = recorded ceiling when runs are present — the floor flags host luck as regression (r13)") {
+    val self =
+      s"""{"metric":"total","value":1.3,"unit":"sec","queries":{"ns_dedup_minhash":0.091,"ns_dedup_exact":0.177},"sf":"$sf01","runs":{"ns_dedup_minhash":[0.091,0.31,0.12],"ns_dedup_exact":[0.177]},"loadavg1m_start":0.2}"""
+    inTempDir("BENCH_SELF.json" -> self) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev("ns_dedup_minhash") == 0.31,
+        s"band must be the max recorded rep, got ${prev("ns_dedup_minhash")}")
+      assert(prev("ns_dedup_exact") == 0.177, "single-rep rows keep their value")
+    }
+  }
+
   test("committed artifact is self-adjudicating: host fingerprint, per-row runs, noise counter (r12 verdict #2)") {
     // the r12 driver-vs-self disagreement was unadjudicable because no
     // artifact recorded host identity or per-row variance — these
