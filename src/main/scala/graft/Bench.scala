@@ -4,6 +4,43 @@ object Bench {
   private def loadavg1m: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Median of the recorded reps — the canonical per-row statistic
+    * (r13 verdict #2: min-of-reps made the round's number a
+    * noise-order statistic in BOTH directions on a host with p90 rep
+    * spread 5.8×; the median of 5 interleaved reps moves only when
+    * ≥3 of 5 decorrelated readings move, which host-noise windows
+    * measured here do not do). Even count → mean of the two middles. */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Cumulative GC milliseconds across all collector beans — deltas
+    * around each measured pass go into the artifact (r13 verdict #1:
+    * the r12 8g-heap thrash was diagnosed by exactly this counter,
+    * read by hand; a 23.5 s best-of-reps on an unchanged banded join
+    * must never again be un-diagnosable from the artifact alone). */
+  private[graft] def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Aggregate guest-visible steal ticks from /proc/stat's `cpu ` line
+    * (field 8, USER_HZ) — the host-contention counter the r12/r13
+    * "environmental" claims needed in-file. 0 on hosts that hide
+    * steal (this Firecracker guest usually does — a zero here plus a
+    * slow wall points the finger at INVISIBLE host noise, which is
+    * itself the adjudication). -1 when unreadable. */
+  private[graft] def stealTicks(): Long = try {
+    val line = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+      .get(0)
+    val f = line.trim.split("\\s+")
+    if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
+  } catch { case _: Throwable => -1L }
+
   /** Per-query timings from the PREVIOUS bench run — the reference band
     * for the in-artifact regression triage (r7 verdict #4: three rows
     * read >2× above their idle claims on unchanged code and the
@@ -128,6 +165,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Standing instrumentation (r13 verdict #1: the r12 "regression"
+    // was adjudicated by hand-reading GC/heap after the fact, and the
+    // r13 artifact STILL could not attribute a 4.5× best-of-reps on an
+    // unchanged row — heap size, storage eviction, GC time and host
+    // steal now live in the artifact itself, per measured pass, so the
+    // next cross-round disagreement settles from the file alone).
+    // Eviction proxy: a block update whose new level is invalid is a
+    // block DROPPED from storage — during the measured window nothing
+    // unpersists, so every drop is memory-pressure eviction (the exact
+    // r12 thrash signature: families recomputing their cached inputs).
+    val evictedBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(
+          e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        // RDD blocks only: broadcast/shuffle blocks are ContextCleaner-
+        // removed as a matter of routine (~90/pass measured) and would
+        // drown the signal this counter exists for — CACHED-frame
+        // evictions under memory pressure, the r12 thrash signature
+        if (e.blockUpdatedInfo.blockId.isRDD &&
+            !e.blockUpdatedInfo.storageLevel.isValid) evictedBlocks.incrementAndGet()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskRunMs.addAndGet(m.executorRunTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+          taskCpuNs.addAndGet(m.executorCpuTime)
+        }
+      }
+    })
+    def heapUsedMb: Long =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
+    def storageUsedMb: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
     // warm the session once (scheduler, parquet metadata for every
     // table, codegen, fixture dataset machinery) so the first measured
     // queries don't absorb JVM + first-touch file-listing/footer costs;
@@ -160,20 +233,55 @@ object Bench {
       val paid = graft.operators.OpMemo.keys(spark, sfDir) -- before
       if (paid.nonEmpty) memoPaid(name) = paid
     }
-    // Measured pass: 3 recorded runs per row (r12 verdict #2's
-    // per-row variance ask) — "queries" carries the min (the DuckDB
-    // baseline is also a best-of), "runs" in BENCH_SELF.json carries
-    // all three readings verbatim so cross-round disagreements are
-    // adjudicable from variance, not vibes. Reps are INTERLEAVED
+    // Measured pass: 5 recorded runs per row (r12 verdict #2's
+    // per-row variance ask; reps 3→5 and min→median per r13 verdict
+    // #2) — "queries" carries the MEDIAN (a min-of-reps is an order
+    // statistic of the host's noise floor and wandered the headline
+    // 83↔138 s on unchanged code), "runs" in BENCH_SELF.json carries
+    // every reading verbatim (min and max included) so cross-round
+    // disagreements are adjudicable from variance, not vibes. Reps
+    // are INTERLEAVED
     // (pass 1 over every query, then pass 2, …) rather than
     // back-to-back per row: this host's noise arrives in multi-second
     // windows (measured r13: ns_vec_label_outliers read [14.7, 15.0]
     // adjacent but 0.52 isolated), and back-to-back reps let one
     // window poison every reading of a row; interleaving decorrelates
     // the reps at zero extra cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Focused-run stage attribution (r13 verdict #4: "is pagerank's 2×
+    // scheduler delay or task time?" needs the split IN the artifact).
+    // Per timed run we snapshot the task-metric accumulators, settle
+    // the async listener bus with a short sleep (focused rows only —
+    // a 150 ms tax on 190 rows × 5 reps would distort the full run's
+    // interleave), and sum per-query deltas across reps. Reading:
+    // wall ≈ task_ms/32 → CPU-bound in tasks; task_ms ≫ cpu_ms →
+    // tasks stalled off-CPU (host steal / IO); wall ≫ task_ms/32 →
+    // driver planning + scheduler delay.
+    val attrib = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Double)]
+    def runMeasured(name: String): Double =
+      if (only.isEmpty) runOnce(name)
+      else {
+        val r0 = taskRunMs.get(); val g0 = taskGcMs.get(); val c0 = taskCpuNs.get()
+        val w = runOnce(name)
+        Thread.sleep(150)
+        val (t, g, c, pw) = attrib.getOrElse(name, (0L, 0L, 0L, 0.0))
+        attrib(name) = (t + (taskRunMs.get() - r0), g + (taskGcMs.get() - g0),
+          c + (taskCpuNs.get() - c0) / 1000000L, pw + w)
+        w
+      }
+    // Per-pass counter deltas (r13 verdict #1): GC millis, steal ticks,
+    // blocks evicted, plus end-of-pass heap/storage residency.
+    val passStats = scala.collection.mutable.ArrayBuffer.empty[String]
     val passes: Seq[Map[String, Double]] =
-      (0 until reps).map(_ => names.map(n => n -> runOnce(n)).toMap)
+      (0 until reps).map { _ =>
+        val gc0 = gcMillis(); val st0 = stealTicks(); val ev0 = evictedBlocks.get()
+        val m = names.map(n => n -> runMeasured(n)).toMap
+        val st1 = stealTicks()
+        passStats += s"""{"gc_ms":${gcMillis() - gc0},"steal_ticks":${
+          if (st0 < 0 || st1 < 0) -1 else st1 - st0},"evicted_blocks":${
+          evictedBlocks.get() - ev0},"heap_used_mb":$heapUsedMb,"storage_used_mb":$storageUsedMb}"""
+        m
+      }
     val allRuns: Map[String, Seq[Double]] =
       names.map(n => n -> passes.map(_(n))).toMap
     // In-artifact regression triage (r7 verdict #4; thresholds r9;
@@ -199,11 +307,11 @@ object Bench {
     }.toMap
     val noisyFirstRuns = allRuns.count { case (_, rs) =>
       rs.head > 2 * rs.min && rs.head - rs.min > 0.3 }
-    val results = allRuns.map { case (name, rs) => name -> rs.min }
+    val results = allRuns.map { case (name, rs) => name -> median(rs) }
     val triageJson =
       if (triage.isEmpty) ""
-      else triage.map { case (n, (p, f, b3)) =>
-        s"""\"$n\":{\"prev\":${p.map(_.toString).getOrElse("null")},\"first\":$f,\"best3\":$b3}"""
+      else triage.map { case (n, (p, f, b)) =>
+        s"""\"$n\":{\"prev\":${p.map(_.toString).getOrElse("null")},\"first\":$f,\"best\":$b}"""
       }.mkString(""","triage":{""", ",", "}")
     val memoJson =
       if (memoPaid.isEmpty) ""
@@ -227,6 +335,14 @@ object Bench {
     val runsJson = allRuns.toSeq.sortBy(_._1)
       .map { case (n, rs) => s"""\"$n\":[${rs.mkString(",")}]""" }
       .mkString(""","runs":{""", ",", "}")
+    val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val passStatsJson = passStats.mkString(""","jvm_max_heap_mb":""" + maxHeapMb +
+      ""","pass_stats":[""", ",", "]")
+    val attribJson =
+      if (attrib.isEmpty) ""
+      else attrib.toSeq.sortBy(_._1).map { case (n, (t, g, c, w)) =>
+        s"""\"$n\":{\"task_ms\":$t,\"task_gc_ms\":$g,\"task_cpu_ms\":$c,\"wall_s\":$w}"""
+      }.mkString(""","attribution":{""", ",", "}")
     // Artifact of record (r9 verdict #1): the registry's full per-query
     // map outgrew the driver's ~2–4 KB stdout-tail capture (two rounds
     // of `"parsed": null`, then a red BenchTriageSpec when BENCH_r09's
@@ -235,7 +351,7 @@ object Bench {
     // what prevBench reads for next round's triage bands — and (b) the
     // LAST stdout line is a compact summary sized to survive the tail:
     // total + triage verdict + the slowest rows only, plus a pointer.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$runsJson$triageJson$memoJson$loadWarning}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$passStatsJson$runsJson$triageJson$memoJson$attribJson$loadWarning}"""
     // best-effort: a read-only cwd / full disk must not cost the round
     // its stdout artifact line after minutes of measured work (r10
     // review #3) — the println below is unconditional. A filtered
@@ -250,7 +366,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = triage.count { case (_, (p, _, b3)) =>
       p.exists(pv => b3 > 1.5 * pv && b3 - pv > 0.3) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"noisy_first_runs":$noisyFirstRuns,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$loadWarning}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"noisy_first_runs":$noisyFirstRuns,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load,"jvm_max_heap_mb":$maxHeapMb$fpJson${passStats.mkString(""","pass_stats":[""", ",", "]")}$attribJson$loadWarning}""")
     spark.stop()
   }
 }

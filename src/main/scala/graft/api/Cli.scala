@@ -62,14 +62,43 @@ object Cli {
       }
       b.result()
     }
+    // one escape routine for EVERYTHING rendered into the JSON — keys
+    // included (r13 ADVICE #4: keys interpolated raw, so a quote or
+    // backslash in a key produced malformed JSON that Spark's
+    // PERMISSIVE parse nulled SILENTLY, violating this parser's
+    // fail-loud contract)
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    // double-quoted scalars: unescape the YAML subset we accept and
+    // LOUDLY reject the rest (r13 ADVICE #4: the old single
+    // `replace("\\\"", "\"")` mangled \\ and \n — "a\\nb" round-tripped
+    // as backslash-n text re-escaped, silently wrong either way)
+    def unescapeDq(s: String, ln: Int): String = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) fail(ln, "dangling backslash in double-quoted scalar")
+          s.charAt(i + 1) match {
+            case '"'  => b.append('"')
+            case '\\' => b.append('\\')
+            case 'n'  => b.append('\n')
+            case 't'  => b.append('\t')
+            case 'r'  => b.append('\r')
+            case o    => fail(ln,
+              s"unsupported escape '\\$o' in double-quoted scalar (subset: \\\" \\\\ \\n \\t \\r)")
+          }
+          i += 2
+        } else { b.append(c); i += 1 }
+      }
+      b.result()
+    }
     def jsonScalar(raw: String, ln: Int): String = {
       val v = raw.trim
-      def jstr(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
       if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
-        jstr(v.substring(1, v.length - 1).replace("\\\"", "\""))
+        jstr(unescapeDq(v.substring(1, v.length - 1), ln))
       else if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
         jstr(v.substring(1, v.length - 1).replace("''", "'"))
       else if (v == "|" || v == ">" || v.startsWith("|") || v.startsWith(">"))
@@ -117,7 +146,7 @@ object Cli {
                        lines(i).takeWhile(_.isWhitespace).length > itemIndent) {
                   addPair(lines(i).trim, i); i += 1
                 }
-                items += entry.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+                items += entry.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
               } else fail(i, s"expected '- item' under '$key:', got '$t'")
             }
             if (items.isEmpty) fields(key) = "null"
@@ -125,7 +154,7 @@ object Cli {
           }
       }
     }
-    fields.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    fields.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
   }
 
   /** Parse a definition file into (def, edges). `.yaml`/`.yml` files go

@@ -81,7 +81,8 @@ final class GraftService(
 
   private val api = secured.api
   val facade = new HttpFacade(secured, spark, nowProvider,
-    () => Map("mq_ingest_health" -> mqIngestUnhealthy.getOrElse("ok")))
+    () => Map("mq_ingest_health" -> mqIngestUnhealthy.getOrElse("ok")),
+    sysActions = Map("clear_mq_ingest_health" -> (() => clearMqIngestHealth())))
 
   // @volatile: the mq watchdog tick (scheduler thread) restarts a dead
   // query by reassigning this; shutdown (caller thread) reads it after
@@ -194,18 +195,51 @@ final class GraftService(
   // so transient faults keep the old self-healing behavior.
   private[graft] val mqRestartFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private[graft] var mqBackoffTicks: Int = 0
+  @volatile private[graft] var mqActiveTicks: Int = 0
   @volatile private[graft] var mqIngestUnhealthy: Option[String] = None
   private[graft] val MqMaxRestartFailures = 8
+  /** Consecutive active watchdog ticks (~3 min at the 10 s cadence)
+    * after which a restarted incarnation counts as recovered even with
+    * NO completed batch (r13 ADVICE #2: on an idle topic lastProgress
+    * stays null forever, so transient deaths spread over weeks
+    * accumulated to the halt cap — a query that stayed up this long is
+    * not the deterministic crash-loop the cap exists for). */
+  private[graft] val MqStableResetTicks = 18
+
+  /** Admin reset for the halt state (r13 ADVICE #2: mqIngestUnhealthy
+    * had no reset path short of a process restart): clears the health
+    * flag and counters so the next watchdog tick resumes restarting.
+    * Reached over HTTP via `POST /sys/config?action=clear_mq_ingest_health`
+    * (admin role — the flush verb class). */
+  def clearMqIngestHealth(): String = {
+    val was = mqIngestUnhealthy
+    mqIngestUnhealthy = None
+    mqRestartFailures.set(0); mqBackoffTicks = 0; mqActiveTicks = 0
+    val msg = was match {
+      case Some(w) => s"cleared: $w"
+      case None    => "already ok"
+    }
+    System.err.println(s"[graft-service] mq ingest health reset by admin - $msg")
+    msg
+  }
 
   private[graft] def mqWatchTick(): Unit =
     mqEndpoint.foreach { ep =>
       if (!stopped.get()) mqQuery.foreach { q =>
         if (q.isActive) {
-          if (mqRestartFailures.get() > 0 && q.lastProgress != null) {
-            System.err.println("[graft-service] mq ingest recovered (batch completed) - resetting failure count")
+          mqActiveTicks += 1
+          // recovery = a completed batch OR sustained uptime: an idle
+          // topic never completes a batch, and without the uptime arm
+          // rare transient deaths accumulate forever (r13 ADVICE #2)
+          if (mqRestartFailures.get() > 0 &&
+              (q.lastProgress != null || mqActiveTicks >= MqStableResetTicks)) {
+            val how = if (q.lastProgress != null) "batch completed"
+                      else s"active ${MqStableResetTicks} ticks"
+            System.err.println(s"[graft-service] mq ingest recovered ($how) - resetting failure count")
             mqRestartFailures.set(0); mqBackoffTicks = 0
           }
         } else if (mqIngestUnhealthy.isEmpty) {
+          mqActiveTicks = 0
           if (mqBackoffTicks > 0) mqBackoffTicks -= 1
           else {
             val why = q.exception.map(_.getMessage).getOrElse("stopped cleanly")

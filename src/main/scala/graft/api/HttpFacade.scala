@@ -57,7 +57,13 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
                        // /sys/config (r12 advice: a permanently-failing
                        // MQ ingest must degrade LOUDLY — the service
                        // injects its mq_ingest_health flag here)
-                       extraSysConfig: () => Map[String, String] = () => Map.empty) {
+                       extraSysConfig: () => Map[String, String] = () => Map.empty,
+                       // named admin actions served by POST /sys/config
+                       // ?action=<name> (r13 ADVICE #2: the MQ halt flag
+                       // needed a reset path short of a process restart);
+                       // admin role (the flush verb class), unknown
+                       // action -> 400
+                       sysActions: Map[String, () => String] = Map.empty) {
 
   private val api = secured.api
   private def emptyIncub = spark.emptyDataset[IncubRow](Encoders.product[IncubRow])
@@ -265,11 +271,22 @@ final class HttpFacade(secured: SecuredGraftApi, spark: SparkSession,
       }
       ok
     }),
-    "/sys/config" -> Map[String, Handler]("GET" -> { r =>
-      (r.session.sysConfig ++ extraSysConfig()).toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString("{", ",", "}")
-    })
+    "/sys/config" -> Map[String, Handler](
+      "GET" -> { r =>
+        (r.session.sysConfig ++ extraSysConfig()).toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}")
+      },
+      // admin actions (r13 ADVICE #2) — same path, POST, so the
+      // reference's 18-route surface stays pinned while the service
+      // gains an in-band reset lever (e.g. clear_mq_ingest_health)
+      "POST" -> { r =>
+        r.session.can("flush") // admin verb class, BEFORE arg parsing
+        val name = r.param("action")
+        val act = sysActions.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown action '$name'; known: ${sysActions.keys.toSeq.sorted.mkString(", ")}"))
+        s"""{"action":${jstr(name)},"result":${jstr(act())}}"""
+      })
   )
 
   /** Route-table cardinality — the spec pins it to the reference's 18

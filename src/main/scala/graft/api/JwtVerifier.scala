@@ -116,6 +116,15 @@ final class JwksDiscoveryVerifier(
     expectedIssuer: Option[String] = None,
     expectedAudience: Option[String] = None,
     minRefreshSeconds: Long = 300L,
+    // failed fetches rate-limit on their own (shorter) window so an
+    // issuer OUTAGE at service startup degrades to fast local 403s
+    // instead of a blocking GET per request (r13 ADVICE #1: the old
+    // `fetchedOnce &&` guard rate-limited only post-success refreshes —
+    // before the first success every groups() call did a 10 s-connect /
+    // 30 s-read GET on the auth path, stalling every request AND
+    // hammering jwks_uri). Short so recovery is prompt once the issuer
+    // returns; successes keep the full minRefreshSeconds window.
+    failedRefreshSeconds: Long = 15L,
     fetchJwks: String => String = JwksDiscoveryVerifier.httpGet)
     extends Auth.TokenVerifier {
   import JwtVerifier._
@@ -126,7 +135,12 @@ final class JwksDiscoveryVerifier(
 
   private def refresh(): Unit = synchronized {
     val now = nowEpochSeconds()
-    if (fetchedOnce && now - lastFetchAt < minRefreshSeconds) return
+    // rate-limit EVERY attempt: the window after a success is
+    // minRefreshSeconds (rotation stampede guard), after a failure
+    // failedRefreshSeconds (outage backoff) — only the very first
+    // call (lastFetchAt unset) fetches unconditionally
+    val window = if (fetchedOnce) minRefreshSeconds else failedRefreshSeconds
+    if (lastFetchAt != Long.MinValue && now - lastFetchAt < window) return
     lastFetchAt = now
     try {
       cached = fromJwks(fetchJwks(jwksUrl))

@@ -273,11 +273,60 @@ object EventStats {
   // (structural equality — semantically-equal frames share an entry):
   // valueRanks runs an eager offsets job at plan-CONSTRUCTION time, and
   // the rfm build constructs three rank frames over the same per-user
-  // base (r12 ADVICE: 3× the same job per build). Weak keys on the
-  // session via the same idiom as OpMemo is unnecessary — entries are
-  // tiny (one offsets frame handle) and keyed plans die with the JVM.
-  private[graft] val rankOffsetMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, Any, String, Long), DataFrame]
+  // base (r12 ADVICE: 3× the same job per build).
+  //
+  // BOUNDED + SESSION-SCOPED (r13 ADVICE #3: the first cut was an
+  // unbounded TrieMap strongly keyed on the session — in a long-lived
+  // service each distinct literal/plan added an entry for JVM
+  // lifetime): entries evict LRU past [[RankMemoMax]], and a session's
+  // entries die with it via the OpMemo listener idiom.
+  //
+  // STATIC-INPUT CONTRACT (documented, guarded by the eviction hooks):
+  // the canonicalized plan identifies the COMPUTATION, not the data
+  // version — a semantically-equal plan over a REWRITTEN table would
+  // serve stale offsets (silently wrong ranks). Every caller here
+  // reads the per-dir parquet snapshot regime (immutable for the
+  // session's life — the same assumption OpMemo's frames make); code
+  // that rewrites data under a live session must call
+  // [[invalidateRankMemo]] exactly where it would call
+  // OpMemo.invalidate.
+  private[graft] val RankMemoMax = 64
+  private type RankKey = (SparkSession, Any, String, Long)
+  private val rankOffsetMemo =
+    new java.util.LinkedHashMap[RankKey, DataFrame](16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[RankKey, DataFrame]): Boolean =
+        size() > RankMemoMax
+    }
+  // weak set: tracking which sessions have the cleanup listener must
+  // not itself pin the session (OpMemo idiom)
+  private val rankHooked = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private[graft] def rankMemoSize: Int = rankOffsetMemo.synchronized(rankOffsetMemo.size())
+
+  /** Drop every memoized offsets frame of `spark` — call when data
+    * under the session has been rewritten or the session retires. */
+  private[graft] def invalidateRankMemo(spark: SparkSession): Unit =
+    rankOffsetMemo.synchronized {
+      val it = rankOffsetMemo.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    }
+
+  private def rankMemo(key: RankKey)(build: => DataFrame): DataFrame = {
+    rankHooked.synchronized {
+      if (rankHooked.add(key._1))
+        key._1.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            invalidateRankMemo(key._1)
+        })
+    }
+    rankOffsetMemo.synchronized {
+      val got = rankOffsetMemo.get(key)
+      if (got != null) got
+      else { val b = build; rankOffsetMemo.put(key, b); b }
+    }
+  }
 
   private[graft] def valueRanks(df: DataFrame, valueCol: String, binWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -299,7 +348,7 @@ object EventStats {
     val cap = 1 << 22
     val memoKey = (df.sparkSession, df.queryExecution.analyzed.canonicalized: Any,
       valueCol, binWidth)
-    val offsets = rankOffsetMemo.getOrElseUpdate(memoKey, {
+    val offsets = rankMemo(memoKey) {
       val counts = binned.groupBy("bin").agg(count(lit(1)).as("bin_n"))
         .limit(cap + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -309,7 +358,7 @@ object EventStats {
       var acc = 0L
       val offRows = counts.map { case (b, n) => val off = acc; acc += n; (b, off) }
       df.sparkSession.createDataFrame(offRows.toIndexedSeq).toDF("bin", "bin_off")
-    })
+    }
     val wLocal = Window.partitionBy("bin").orderBy(valueCol, "user_id")
     binned.join(broadcast(offsets), Seq("bin"))
       .withColumn("rk", col("bin_off") + row_number().over(wLocal))

@@ -36,11 +36,14 @@ import graft.sources.Tables
   * (exact top-k over all pairs): losslessness is what the driver's
   * hash compare checks, every round, on real data.
   *
-  * Same two-scan economics as [[Vectors.truncTopK]]/PQ: queries
-  * broadcast, candidate generation is map-side arithmetic on the
-  * sketch columns, only survivor ids rejoin the full series (the
-  * τ-expansion set is |lb ≤ 5τ|-sized — bound-tight for series with
-  * segment structure, and its size is a measurable health signal).
+  * Same two-scan economics as [[Vectors.truncTopK]]/PQ, sharpened in
+  * r14 to the [[VectorsKmeans]] literal regime: the NQueries-bounded
+  * query side is collected once and rendered as integer literals, so
+  * BOTH scans are join-free map-side arithmetic over the memoized
+  * series (no broadcast builds, no survivor rejoins), and the
+  * τ-expansion is tightened by a second-level length-2 segment bound
+  * (`lb2 ≤ 2·τ`) evaluated only on survivors of the 6-term `lb ≤ 5·τ`
+  * cut (its size is a measurable health signal).
   * EVERY quantity is an exact integer (counts, segment sums, squared
   * differences), so both stages are bit-deterministic on both engines
   * with zero float surface. Segment size 1 makes the bound exact
@@ -84,81 +87,153 @@ object TimeSeries {
   /** The two-stage search over an INJECTED series frame — the
     * *Core convention of this file family (r12 review: TsScaleProbe
     * carried a verbatim copy of both stages that could silently drift
-    * from the operator it claims to measure; it now drives this). */
+    * from the operator it claims to measure; it now drives this).
+    *
+    * r14 shape (verdict #3 asked the τ-expansion tightened below the
+    * `lb ≤ 5·τ` cut): the query side is NQueries-bounded BY CONTRACT,
+    * so it is collected ONCE and rendered as integer literals — the
+    * [[VectorsKmeans]] literal-centroid idiom. That removes every
+    * query-side broadcast join, both survivor rejoins, and the
+    * union+dedup of the r13 plan: candidate generation, the exact
+    * distance, and the expansion cut are all pure map-side integer
+    * arithmetic over the memoized series scan, and the whole operator
+    * is JOIN-FREE (PlanShapeSpec pins that). τ itself is computed by
+    * a small eager phase-1 job (salted rank → K-th exact distance →
+    * ≤ NQueries scalars) — the valueRanks bin-offsets discipline: a
+    * contract-bounded scalar frame folded driver-side.
+    *
+    * The expansion is tightened by a SECOND-LEVEL bound on the
+    * survivors of the 5·τ cut: length-2 segment sums give
+    * `lb2 = Σ₁₅ (S²ₐ−S²ᵦ)² ≤ 2·dist` (same Cauchy–Schwarz), so any
+    * true neighbor also satisfies `lb2 ≤ 2·τ`, and the conjunction
+    * `lb ≤ 5τ && lb2 ≤ 2τ` is evaluated short-circuit left-to-right —
+    * the 15-term refinement only runs on rows that already cleared
+    * the 6-term cut, and the exact 30-term pass shrinks to the rows
+    * that clear both. Lossless from ANY initial set, as before: the
+    * final top-k needs only {dist ≤ τ} ⊆ {lb ≤ 5τ ∧ lb2 ≤ 2τ}, and
+    * the expansion set contains the ≥K rows that produced τ. */
   private[graft] def simSearchCore(series: DataFrame, refine: Int = Refine): DataFrame = {
-    val q = series.select(
-      col("user_id").as("query_id") +:
-        (0 until Days).map(i => col(s"s$i").as(s"q$i")) ++:
-        (0 until NSeg).map(j => col(s"g$j").as(s"qg$j")): _*)
-      .where(col("query_id") < NQueries)
-    // stage 1: 6-term integer lower bound on the segment-sum sketch,
-    // for EVERY candidate (map-side arithmetic, no shuffle of series)
-    val lb = (0 until NSeg).map(j => sq(col(s"g$j") - col(s"qg$j"))).reduce(_ + _)
-    val cand = series
-      .join(broadcast(q.select(col("query_id") +: (0 until NSeg).map(j => col(s"qg$j")): _*)),
-        col("user_id") =!= col("query_id"))
-      .select(col("query_id"), col("user_id").as("neighbor_id"), lb.as("lb"))
-    // initial refine set = the `refine` SMALLEST lower bounds per
-    // query, via a SALTED two-level rank — NOT a bare per-query
-    // row_number window: partitioning the corpus×Q pair stream by
-    // query_id alone funnels the whole corpus into Q single-task
-    // sorts, the exact WindowExec barrier the vector top-k family
-    // removed in r2 (r13; the old plan also computed that window
-    // TWICE, once per lrn branch). Level 1 ranks within (query, salt)
-    // — InitSalt-way parallel bounded sorts (the knob scales with the
-    // cluster); level 2 ranks the surviving Q×InitSalt×refine rows
-    // (model-sized BY CONSTRUCTION). The composition selects exactly
-    // the global top-refine by (lb, neighbor_id): every global
-    // top-refine row is also top-refine within its salt bucket.
-    // Which ids land here is anyway only a τ-quality heuristic — the
-    // 2b expansion provably recovers the exact top-k from ANY initial
-    // set, and the oracle is independent brute force.
-    val InitSalt = 32
-    val wSalt = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(InitSalt)))
-      .orderBy(col("lb"), col("neighbor_id"))
-    val wQ = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("lb"), col("neighbor_id"))
-    val initialIds = cand
-      .withColumn("srn", row_number().over(wSalt)).where(col("srn") <= refine)
-      .withColumn("lrn", row_number().over(wQ)).where(col("lrn") <= refine)
-      .select("query_id", "neighbor_id")
-    val dist = (0 until Days).map(i => sq(col(s"s$i") - col(s"q$i"))).reduce(_ + _)
-    def exactOn(ids: DataFrame): DataFrame = ids
-      .join(broadcast(q.select(col("query_id") +: (0 until Days).map(i => col(s"q$i")): _*)),
-        "query_id")
-      .join(series.select(col("user_id").as("neighbor_id") +:
-        (0 until Days).map(i => col(s"s$i")): _*), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"), dist.as("dist"))
-    // stage 2a: exact distance on the initial refine set; τ = k-th best
-    val initial = exactOn(initialIds)
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    val tau = initial.withColumn("rn", row_number().over(wD))
-      .where(col("rn") === K).select(col("query_id"), col("dist").as("tau"))
-    // stage 2b: SOUNDNESS expansion (r12 review — the fixed top-refine
-    // prune was lossy): any candidate with dist ≤ τ has lb ≤ 5·dist ≤
-    // 5·τ, so refining everything at lb ≤ 5·τ (inclusive: ties at τ
-    // matter under the (dist, neighbor_id) order) provably captures
-    // the true top-k. A query with fewer than K initial survivors has
-    // no τ row — the left join's null expands EVERYTHING, the correct
-    // degenerate answer.
-    // tau is NQueries-bounded BY CONTRACT (one row per query) — the
-    // broadcast is structural, not a fixture-size bet. The final id
-    // set is (initial ∪ lb-expansion) DEDUPED before the single exact
-    // pass (the initial ids usually also clear the lb cut — a
-    // duplicated pair would occupy two rn slots and could push a true
-    // neighbor out of the top K).
-    val expandedIds = cand
-      .join(broadcast(tau), Seq("query_id"), "left")
-      .where(col("tau").isNull || col("lb") <= lit(SegLen) * col("tau"))
-      .select("query_id", "neighbor_id")
-    exactOn(initialIds.unionByName(expandedIds)
-        .dropDuplicates("query_id", "neighbor_id"))
-      .withColumn("rn", row_number().over(wD))
-      .where(col("rn") <= K)
+    val qRows = collectQueries(series)
+    if (qRows.isEmpty)
+      return series.select(col("user_id").as("query_id"),
+        col("user_id").as("neighbor_id"), lit(0L).as("dist")).where(lit(false))
+    val tauByQ = tauPhase(series, qRows, refine)
+    // final top-K: the salted two-level rank discipline again — the
+    // expansion set is tau-bounded small on structured series, but its
+    // size is data-dependent and must not become a per-query funnel
+    expandedFrame(series, qRows, tauByQ)
+      .withColumn("srn", row_number().over(wDSalt)).where(col("srn") <= K)
+      .withColumn("rn", row_number().over(wD)).where(col("rn") <= K)
       .select("query_id", "neighbor_id", "dist")
       .orderBy("query_id", "dist", "neighbor_id")
+  }
+
+  /** Query side, collected once (<= NQueries rows BY CONTRACT — a
+    * model-sized side, not a corpus collect). */
+  private[graft] def collectQueries(series: DataFrame): Seq[(Long, Array[Long])] = series
+    .where(col("user_id") < NQueries)
+    .select(col("user_id") +: (0 until Days).map(i => col(s"s$i")): _*)
+    .collect().toSeq
+    .map(r => r.getLong(0) -> Array.tabulate(Days)(i => r.getLong(i + 1)))
+    .sortBy(_._1)
+
+  private def lbOf(qs: Array[Long]): Column = (0 until NSeg).map { j =>
+    sq(col(s"g$j") - lit((0 until SegLen).map(i => qs(j * SegLen + i)).sum))
+  }.reduce(_ + _)
+  private def distOf(qs: Array[Long]): Column =
+    (0 until Days).map(i => sq(col(s"s$i") - lit(qs(i)))).reduce(_ + _)
+  private def lb2Of(qs: Array[Long]): Column = (0 until Days / 2).map { j =>
+    sq(col(s"s${2 * j}") + col(s"s${2 * j + 1}") - lit(qs(2 * j) + qs(2 * j + 1)))
+  }.reduce(_ + _)
+
+  // SALTED two-level rank (r13; kept verbatim per r13 verdict #3): a
+  // bare per-query row_number window funnels the corpus x Q pair
+  // stream into Q single-task sorts — level 1 ranks within
+  // (query, salt) as InitSalt-way bounded sorts, level 2 ranks the
+  // surviving Q x InitSalt x refine rows (model-sized BY CONSTRUCTION).
+  private val InitSalt = 32
+  private def wSalt = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(InitSalt)))
+    .orderBy(col("lb"), col("neighbor_id"))
+  private def wD = org.apache.spark.sql.expressions.Window
+    .partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+  private def wDSalt = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(InitSalt)))
+    .orderBy(col("dist"), col("neighbor_id"))
+
+  /** Phase 1 (eager, <= NQueries scalars out): tau = K-th best exact
+    * distance among the top-refine lower bounds. The pair stream stays
+    * 3 columns wide through both rank shuffles (carrying the 30 day
+    * columns measured 10x slower at 1M users); the <= Q x refine
+    * survivor ids then broadcast-join the series ONCE for their exact
+    * distances — an eager model-sized join that is NOT part of the
+    * returned (join-free) plan. Which ids land here is only a
+    * tau-quality heuristic — the expansion provably recovers the exact
+    * top-k from ANY initial set. */
+  private[graft] def tauPhase(series: DataFrame, qRows: Seq[(Long, Array[Long])],
+                              refine: Int): Map[Long, Long] = {
+    val lbPairs = qRows.map { case (qid, qs) =>
+      series.where(col("user_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("user_id").as("neighbor_id"),
+          lbOf(qs).as("lb"))
+    }.reduce(_ unionByName _)
+    val distCase = qRows.tail.foldLeft(
+      when(col("query_id") === qRows.head._1, distOf(qRows.head._2))) {
+      case (acc, (qid, qs)) => acc.when(col("query_id") === qid, distOf(qs))
+    }
+    // ONE salted rank level, no second-level rank and no rank window
+    // over the exact distances (r14: each was a shuffle barrier on the
+    // sf0.1 wall): τ only needs the K-th best exact distance among ANY
+    // ≥K candidates, and taking ALL ≤ Q×InitSalt×refine salt-level
+    // survivors instead of the global top-refine makes τ TIGHTER (more
+    // candidates → smaller K-th best), shrinking the expansion. The
+    // survivor frame is model-sized BY CONSTRUCTION, so the K-th-best
+    // fold runs driver-side on the collected rows — the valueRanks
+    // bin-offsets discipline, not a corpus collect.
+    val survivors = lbPairs
+      .withColumn("srn", row_number().over(wSalt)).where(col("srn") <= refine)
+      .select("query_id", "neighbor_id")
+    broadcast(survivors)
+      .join(series.select(col("user_id").as("neighbor_id") +:
+        (0 until Days).map(i => col(s"s$i")): _*), "neighbor_id")
+      .select(col("query_id"), distCase.as("dist"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .flatMap { case (qid, rows) =>
+        val d = rows.map(_.getLong(1)).sorted
+        if (d.length >= K) Some(qid -> d(K - 1)) else None
+      }.toMap
+  }
+
+  /** Phase 2 (lazy, the returned scan): per-query branch = scan-level
+    * conjunctive cut (6-term lb <= 5*tau first, 15-term lb2 <= 2*tau
+    * only on its survivors — short-circuit &&), exact 30-term distance
+    * computed only on rows that clear both. A query with fewer than K
+    * initial survivors has no tau — expand everything, the correct
+    * degenerate answer. */
+  private[graft] def expandedFrame(series: DataFrame, qRows: Seq[(Long, Array[Long])],
+                                   tauByQ: Map[Long, Long]): DataFrame =
+    qRows.map { case (qid, qs) =>
+      val keep = tauByQ.get(qid) match {
+        case Some(t) => (lbOf(qs) <= lit(SegLen.toLong * t)) && (lb2Of(qs) <= lit(2L * t))
+        case None => lit(true)
+      }
+      series.where(col("user_id") =!= qid && keep)
+        .select(lit(qid).as("query_id"), col("user_id").as("neighbor_id"),
+          distOf(qs).as("dist"))
+    }.reduce(_ unionByName _)
+
+  /** Probe hooks (TsPhaseProbe): per-phase timing + the tau-cut health
+    * signal (expansion-set size per query). */
+  private[graft] def debugTau(series: DataFrame, refine: Int = Refine): Map[Long, Long] =
+    tauPhase(series, collectQueries(series), refine)
+  private[graft] def debugExpansionSizes(series: DataFrame,
+                                         refine: Int = Refine): Map[Long, Long] = {
+    val qRows = collectQueries(series)
+    val tau = tauPhase(series, qRows, refine)
+    expandedFrame(series, qRows, tau)
+      .groupBy("query_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   /** Oracle = INDEPENDENT brute force — exact top-k over ALL pairs,

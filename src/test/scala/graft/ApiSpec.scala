@@ -488,6 +488,38 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cli.yamlToJson("a: *anchor") }
   }
 
+  test("yamlToJson escapes keys and round-trips double-quote escapes fail-loud (r13 ADVICE #4)") {
+    import graft.api.Cli
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    // pre-fix: a quote/backslash in a KEY produced malformed JSON that
+    // Spark's PERMISSIVE parse nulled silently — now every key goes
+    // through the same jstr routine as values, so the output is always
+    // well-formed JSON a strict parser accepts
+    val json = Cli.yamlToJson(
+      "we\"ird: 1\n" +
+      "back\\slash: ok\n" +
+      "list:\n" +
+      "  - ke\"y: v\n")
+    val tree = mapper.readTree(json)
+    assert(tree.get("we\"ird").asInt == 1, json)
+    assert(tree.get("back\\slash").asText == "ok", json)
+    assert(tree.get("list").get(0).get("ke\"y").asText == "v", json)
+    // double-quoted scalars: the supported escapes round-trip exactly...
+    val esc = mapper.readTree(Cli.yamlToJson(
+      """a: "tab\there"
+        |b: "line\nbreak"
+        |c: "back\\slash and \"quote\""
+        |""".stripMargin))
+    assert(esc.get("a").asText == "tab\there", esc)
+    assert(esc.get("b").asText == "line\nbreak", esc)
+    assert(esc.get("c").asText == "back\\slash and \"quote\"", esc)
+    // ...and an out-of-subset escape REJECTS loudly instead of mangling
+    val e = intercept[IllegalArgumentException] { Cli.yamlToJson("a: \"uni\\u0041code\"") }
+    assert(e.getMessage.contains("unsupported escape"), e.getMessage)
+    intercept[IllegalArgumentException] { Cli.yamlToJson("a: \"dangling\\\"") }
+  }
+
   test("CLI mutating verbs: run/delete/flush/abort drive the same API paths") {
     import graft.api.Cli
     val a = api

@@ -122,6 +122,46 @@ class BenchTriageSpec extends AnyFunSuite {
       "cpu_model must carry a real value")
   }
 
+  test("median of reps is the canonical statistic (r13 verdict #2)") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5, "even count -> mean of middles")
+    assert(Bench.median(Seq(7.0)) == 7.0)
+    assert(Bench.median(Seq.empty) == 0.0)
+    // a single outlier rep must not move the statistic (the min did)
+    assert(Bench.median(Seq(0.5, 0.51, 0.52, 0.49, 70.0)) == 0.51)
+  }
+
+  test("committed artifact is self-DIAGNOSING: heap/GC/steal/eviction counters + median stat (r13 verdict #1/#2)") {
+    // the r12 thrash and the r13 residual were both adjudicated by
+    // counters OUTSIDE the artifact; these fields make the next
+    // disagreement settle from the file alone, so they are pinned
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
+    for (f <- Seq("\"stat\":\"median\"", "\"jvm_max_heap_mb\":", "\"pass_stats\":[",
+                  "\"gc_ms\":", "\"steal_ticks\":", "\"evicted_blocks\":",
+                  "\"heap_used_mb\":", "\"storage_used_mb\":"))
+      assert(text.contains(f), s"committed BENCH_SELF.json must carry $f")
+    // one pass-stat object per recorded rep
+    val reps = "\"reps\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt).get
+    assert(reps >= 5, s"canonical runs use >=5 interleaved reps, got $reps")
+    val nPassStats = "\\{\"gc_ms\":".r.findAllIn(text).length
+    assert(nPassStats == reps, s"expected $reps pass_stats objects, got $nPassStats")
+    // the flat queries value IS the median of the recorded runs
+    val qBlock = text.substring(text.indexOf("\"queries\":"), text.indexOf("\"sf\":"))
+    val flat = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qBlock)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val runsBlock = text.substring(text.indexOf("\"runs\":"))
+    val runs = "\"([A-Za-z0-9_]+)\":\\[([0-9.,Ee+-]+)\\]".r.findAllMatchIn(runsBlock)
+      .map(m => m.group(1) -> m.group(2).split(",").map(_.toDouble).toSeq).toMap
+    val names = SparkEntry.queries.keySet
+    val checked = names.toSeq.filter(n => flat.contains(n) && runs.contains(n))
+    assert(checked.size > 100, s"expected >100 rows with flat+runs, got ${checked.size}")
+    checked.foreach { n =>
+      assert(math.abs(flat(n) - Bench.median(runs(n))) < 1e-9,
+        s"$n: queries value ${flat(n)} != median of runs ${runs(n)}")
+    }
+  }
+
   test("cwd integration: the committed self artifact carries full bands") {
     // BENCH_SELF.json is committed every round (r9 verdict #1's 'done'
     // bar: triage has bands to gate the next round even when the

@@ -65,22 +65,44 @@ class EventOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val rev = Seq.tabulate(50)(i => (i.toLong, (i * 37 % 1000).toLong))
       .toDF("user_id", "cents")
-    val before = EventStats.rankOffsetMemo.size
+    val before = EventStats.rankMemoSize
     val a = EventStats.giniRanks(rev, 64L).collect().map(_.toString).sorted
-    val afterFirst = EventStats.rankOffsetMemo.size
+    val afterFirst = EventStats.rankMemoSize
     assert(afterFirst == before + 1, "first build must install one offsets entry")
     // SEMANTICALLY the same input (fresh DataFrame object, same plan):
     // must hit the memo, not run another eager offsets job
     val rev2 = Seq.tabulate(50)(i => (i.toLong, (i * 37 % 1000).toLong))
       .toDF("user_id", "cents")
     val b = EventStats.giniRanks(rev2, 64L).collect().map(_.toString).sorted
-    assert(EventStats.rankOffsetMemo.size == afterFirst,
+    assert(EventStats.rankMemoSize == afterFirst,
       "a semantically-equal frame must reuse the memoized offsets")
     assert(a.toSeq == b.toSeq, "memoized offsets must not change results")
     // a different binWidth is a different key — new entry, same ranks
     EventStats.giniRanks(rev, 128L).collect()
-    assert(EventStats.rankOffsetMemo.size == afterFirst + 1,
+    assert(EventStats.rankMemoSize == afterFirst + 1,
       "binWidth participates in the memo key")
+  }
+
+  test("rankOffsetMemo is bounded LRU and session-evictable (r13 ADVICE #3)") {
+    import spark.implicits._
+    // pre-fix: an unbounded TrieMap strongly keyed on the session —
+    // each distinct plan/literal added an entry for JVM lifetime in a
+    // long-lived service, with no eviction or invalidation path
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("user_id", "cents")
+    // distinct binWidths mint distinct keys; past the cap the LRU evicts
+    (1 to EventStats.RankMemoMax + 8).foreach { i =>
+      EventStats.valueRanks(df, "cents", 100000L + i).collect()
+    }
+    assert(EventStats.rankMemoSize <= EventStats.RankMemoMax,
+      s"memo must stay bounded at ${EventStats.RankMemoMax}, read ${EventStats.rankMemoSize}")
+    // the invalidation path OpMemo-style callers use on data rewrite
+    EventStats.invalidateRankMemo(spark)
+    assert(EventStats.rankMemoSize == 0, "invalidate must drop the session's entries")
+    // and the operator still ranks correctly through a cold memo
+    val r = EventStats.valueRanks(df, "cents", 16384L)
+      .orderBy("rk").select("user_id", "rk").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)),
+      s"ties break on user_id, rank dense from 1: ${r.toSeq}")
   }
 
   test("gini closed-form corners: uniform revenue scores 0, a single whale scores (n-1)/n") {

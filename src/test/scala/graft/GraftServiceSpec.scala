@@ -746,4 +746,58 @@ class GraftServiceSpec extends AnyFunSuite {
       broker.stop()
     }
   }
+
+  test("MQ watchdog: idle-topic uptime resets the count; admin action clears a halt (r13 ADVICE #2)") {
+    // pre-fix: the failure count only reset when a batch COMPLETED
+    // (lastProgress != null) — on an idle topic no batch ever runs, so
+    // transient deaths spread over weeks accumulated to the halt cap,
+    // and the halt flag had no reset path short of a process restart
+    val broker = new MQBroker
+    val api = new GraftApi(spark, Catalog(Fixtures.defsDS(spark)),
+      Fixtures.edgesDS(spark), new EngineManager(Seq(new LocalSparkEngine(spark))),
+      GraftConfig.default)
+    val policy = new Auth.Policy(
+      new Auth.StaticTokenVerifier(Map(Admin -> Seq("Data-Admin"))), apiTokens = Set.empty)
+    val svc = new GraftService(new SecuredGraftApi(api, policy), spark,
+      mqEndpoint = Some(broker.endpoint),
+      checkpointRoot = SparkSuite.tempDir("svc-mq-idle-reset-ckpt"),
+      jobFactory = Some((_, _) => EngineJob.SparkClosure(_ => ())),
+      pollInterval = 250.millis)
+    try {
+      val addr = svc.start(0)
+      val base = s"http://localhost:${addr.getPort}"
+      // a transient death on an IDLE topic (no events published, so no
+      // batch will ever complete on the restarted incarnation)
+      svc.mqQuery.get.stop()
+      poll("query observed dead")(svc.mqQuery.exists(q => !q.isActive))
+      svc.mqWatchTick()
+      assert(svc.mqRestartFailures.get() == 1 && svc.mqQuery.exists(_.isActive))
+      // sustained uptime — MqStableResetTicks consecutive active ticks —
+      // must reset the count with NO completed batch
+      poll("restarted query active")(svc.mqQuery.exists(_.isActive))
+      (1 to svc.MqStableResetTicks).foreach(_ => svc.mqWatchTick())
+      assert(svc.mqRestartFailures.get() == 0,
+        s"idle uptime must reset the failure count, still ${svc.mqRestartFailures.get()}")
+      // halt state: the admin action clears it in-band and the watchdog
+      // resumes restarting on the next tick
+      svc.mqRestartFailures.set(svc.MqMaxRestartFailures - 1)
+      svc.mqQuery.get.stop()
+      poll("query observed dead at cap")(svc.mqQuery.exists(q => !q.isActive))
+      svc.mqWatchTick()
+      assert(svc.mqIngestUnhealthy.isDefined && svc.mqQuery.exists(q => !q.isActive))
+      val res = call(base, "POST", "/sys/config?action=clear_mq_ingest_health")
+      assert(res.statusCode() == 200, s"admin clear must succeed: ${res.body()}")
+      assert(res.body().contains("cleared:"), res.body())
+      assert(svc.mqIngestUnhealthy.isEmpty && svc.mqRestartFailures.get() == 0)
+      svc.mqWatchTick()
+      assert(svc.mqQuery.exists(_.isActive), "watchdog must resume restarts after the clear")
+      val cfg = call(base, "GET", "/sys/config").body()
+      assert(cfg.contains("\"mq_ingest_health\":\"ok\""), s"health must read ok again: $cfg")
+      // unknown action -> 400, not a silent no-op
+      assert(call(base, "POST", "/sys/config?action=nope").statusCode() == 400)
+    } finally {
+      svc.shutdown()
+      broker.stop()
+    }
+  }
 }

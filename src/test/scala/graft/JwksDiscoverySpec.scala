@@ -100,6 +100,31 @@ class JwksDiscoverySpec extends AnyFunSuite {
     }
   }
 
+  test("issuer outage at startup: failed fetches rate-limit on their own window (r13 ADVICE #1)") {
+    val (pub, priv) = rsaPair()
+    withServer { (url, hits, doc) =>
+      var now = 1000000L
+      val v = new JwksDiscoveryVerifier(url, nowEpochSeconds = () => now,
+        minRefreshSeconds = 300L, failedRefreshSeconds = 15L)
+      // 50 auth attempts inside the failure window: exactly ONE
+      // upstream GET — the old `fetchedOnce &&` guard did 50 blocking
+      // GETs here, stalling the whole auth path on issuer timeouts
+      (1 to 50).foreach(_ => assert(v.groups(rs256("k1", priv, claims())).isEmpty))
+      assert(hits.get() == 1, s"startup outage must not hammer jwks_uri: ${hits.get()} GETs")
+      // the failure window is SHORTER than the success window: one
+      // retry per elapsed window, so recovery is prompt once the
+      // issuer returns
+      now += 16
+      assert(v.groups(rs256("k1", priv, claims())).isEmpty)
+      assert(hits.get() == 2, "one retry per elapsed failure window")
+      doc.set(jwksDoc("k1" -> pub))
+      now += 16
+      assert(v.groups(rs256("k1", priv, claims())).contains(Seq("Data-Admin")),
+        "recovery at the first post-outage window")
+      assert(hits.get() == 3)
+    }
+  }
+
   test("fail-closed with no successful fetch; issuer blip keeps the cache") {
     val (pub, priv) = rsaPair()
     withServer { (url, hits, doc) =>

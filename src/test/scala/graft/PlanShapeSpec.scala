@@ -359,15 +359,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must never sort-merge on the token column:\n$p")
   }
 
-  test("ns_ts_simsearch: queries broadcast in both stages — the series corpus never self-joins or sort-merges") {
-    // candidate generation must stay a map-side integer computation on
-    // the sketch columns; a corpus-side SMJ or cartesian here is the
+  test("ns_ts_simsearch: JOIN-FREE — literal queries, map-side candidate generation, no corpus self-join") {
+    // r14: the NQueries-bounded query side is rendered as integer
+    // literals, so candidate generation, the expansion cut, and the
+    // exact distance are pure map-side arithmetic on the memoized
+    // series scan — ANY join here (broadcast included) means the
+    // literal regime regressed; a corpus-side SMJ or cartesian is the
     // all-pairs trap the segment-sum lower bound exists to avoid
     val p = plan(graft.operators.TimeSeries.simSearch(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      s"series corpus must only broadcast-join the 5-query side:\n$p")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"query side must broadcast:\n$p")
+      s"series corpus must never self-join:\n$p")
+    assert(!p.contains("Join"), s"the literal-query plan is join-free:\n$p")
+    assert(p.contains("Window"), s"expected the salted rank windows:\n$p")
   }
 
   test("ns_corpus_diff: hash-at-scan + one full-outer equi-join on doc_id — no content comparison, no BNLJ") {

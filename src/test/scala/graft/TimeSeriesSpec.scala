@@ -40,6 +40,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("second-level bound is sound: lb2 <= 2 * exact distance on every pair (r14, verdict #3)") {
+    // the expansion tightening is only lossless if the length-2
+    // segment bound really lower-bounds 2*dist — an unsound lb2
+    // silently prunes true neighbors past the 5-tau cut
+    val series = refSeries()
+    def segs2(a: Array[Long]) = (0 until 15).map(j => a(2 * j) + a(2 * j + 1))
+    for ((qa, qs) <- series if qa < 5; (ca, cs) <- series if ca != qa) {
+      val dist = qs.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum
+      val lb2 = segs2(qs).zip(segs2(cs)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(lb2 <= 2 * dist, s"lb2 bound violated for ($qa,$ca): lb2=$lb2 dist=$dist")
+    }
+  }
+
+  test("tau cut health: the lb2 refinement shrinks the expansion below the 5-tau cut (r14)") {
+    import graft.operators.TimeSeries
+    val series = TimeSeries.seriesFrame(spark, dir)
+    val qRows = TimeSeries.collectQueries(series)
+    val tau = TimeSeries.tauPhase(series, qRows, 50)
+    assert(tau.nonEmpty, "fixture must produce a tau per query")
+    val sizes = TimeSeries.debugExpansionSizes(series)
+    val corpus = series.count() - 1
+    // the conjunctive cut must actually prune IN AGGREGATE (an
+    // always-true filter would silently degrade the operator to brute
+    // force); per-query all-keep is legitimate on this 15-user fixture
+    // when a query's 5th neighbor is far (tau covers everyone)
+    assert(sizes.values.sum < sizes.size * corpus,
+      s"expansion ${sizes} did not prune the $corpus candidates for any query")
+    sizes.foreach { case (q, n) =>
+      assert(n >= 5, s"query $q: expansion must keep at least K rows, got $n")
+    }
+  }
+
   test("full refine equals independent exact brute-force top-5") {
     val series = refSeries()
     val expected = series.keys.filter(_ < 5).flatMap { q =>
