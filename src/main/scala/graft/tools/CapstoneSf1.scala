@@ -47,7 +47,7 @@ object CapstoneSf1 {
     * global (group-less) aggregates — a scalar×scalar combine like
     * RecallReport's `expected.crossJoin(found)` is 1×1 rows at any
     * SF; any BNLJ touching a corpus-shaped side still fails. */
-  private def auditPlan(name: String, df: DataFrame): Unit = {
+  private[tools] def auditPlan(name: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

@@ -35,6 +35,19 @@ import graft.sources.mq.{SpoolMQStream, HttpMQStream}
   *  5. rewind refusal — a tail below the checkpointed offset (messages
   *     removed under a live checkpoint) FAILS LOUDLY; silently
   *     remapping offsets would skip and/or re-deliver.
+  *  6. visibility-timeout redelivery (r13 verdict #6) — a batch that
+  *     was RECEIVED but never committed (crash before commit; SQS: the
+  *     visibility timeout elapses on undeleted messages) reappears to
+  *     a restarted incarnation with IDENTICAL (offset, body) pairs —
+  *     the offset is the downstream exactly-once dedup key, so
+  *     redelivery must map onto the same offsets, never mint new ones,
+  *     and an uncommitted receive must not advance consumption state.
+  *  7. out-of-order arrival within a batch (r13 verdict #6) — SQS
+  *     standard queues order best-effort: offsets track BROKER-ARRIVAL
+  *     order, not payload order, so a batch whose logical sequence
+  *     numbers arrive shuffled still delivers every message exactly
+  *     once on dense unique offsets, in arrival order — downstream
+  *     ordering is the event-time columns' job, never the queue's.
   */
 abstract class MQSourceContract extends AnyFunSuite {
 
@@ -134,6 +147,48 @@ abstract class MQSourceContract extends AnyFunSuite {
       val replay = readRange(s, 0, 4)
       assert(replay == first,
         "at-least-once: a committed range must stay replayable, byte-identical")
+    }
+  }
+
+  test(s"[$transportName] law 6: an unacked batch redelivers with IDENTICAL offsets (visibility timeout)") {
+    withTransport { t =>
+      (0 until 3).foreach(i => t.publish(s"v$i"))
+      val s = t.stream()
+      val end = latest(s, 0, ReadLimit.allAvailable())
+      assert(end == 3L)
+      // received but never committed — the incarnation dies before
+      // commit; on SQS the visibility timeout elapses and the
+      // undeleted messages become receivable again
+      val firstRead = readRange(s, 0, end)
+      assert(firstRead.map(_._2) == Seq("v0", "v1", "v2"))
+      // a restarted incarnation probes from the CHECKPOINTED start:
+      // the messages must reappear — receiving without committing must
+      // not advance any server- or client-side consumption state
+      val s2 = t.stream()
+      val end2 = latest(s2, 0, ReadLimit.allAvailable())
+      assert(end2 == end, s"an unacked receive must not advance consumption state: $end2")
+      val redelivered = readRange(s2, 0, end2)
+      assert(redelivered == firstRead,
+        "redelivery must map onto the SAME (offset, body) pairs - the offset is the " +
+        "downstream exactly-once dedup key; minting new offsets would double-deliver")
+    }
+  }
+
+  test(s"[$transportName] law 7: out-of-order arrival inside a batch - dense offsets in ARRIVAL order") {
+    withTransport { t =>
+      // logical sequence numbers arrive shuffled (SQS standard-queue
+      // best-effort ordering): arrival order is 3,0,4,1,5,2
+      val arrival = Seq(3, 0, 4, 1, 5, 2)
+      arrival.foreach(i => t.publish(s"seq-$i"))
+      val s = t.stream()
+      val end = latest(s, 0, ReadLimit.allAvailable())
+      assert(end == 6L)
+      val batch = readRange(s, 0, end)
+      assert(batch.map(_._1) == (0L until 6L),
+        s"offsets must be dense and unique per arrival: ${batch.map(_._1)}")
+      assert(batch.map(_._2) == arrival.map(i => s"seq-$i"),
+        "delivery preserves BROKER-ARRIVAL order, exactly once each - the source " +
+        "must not reorder by payload; event-time ordering is downstream's job")
     }
   }
 
