@@ -287,7 +287,8 @@ object Bench {
     // In-artifact regression triage (r7 verdict #4; thresholds r9;
     // r13 semantics): a row is TRIAGED when its BEST recorded rep sits
     // above the previous band (1.5× AND +0.3 s absolute; NEW rows with
-    // no band use a 1.0 s bar) — with 3 interleaved reps recorded
+    // no band use a 1.0 s bar) — with the interleaved reps recorded
+    // verbatim (default 5 since r14)
     // there is no re-read step, and a single-rep spike is host noise
     // the `runs` map already documents verbatim, not a regression
     // candidate (this host's noise windows made rep1-keyed triage read
@@ -356,12 +357,19 @@ object Bench {
     // its stdout artifact line after minutes of measured work (r10
     // review #3) — the println below is unconditional. A filtered
     // (BENCH_ONLY) run never overwrites the committed artifact.
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
-    else System.err.println(s"[bench] BENCH_ONLY filter active (${names.size} rows) — BENCH_SELF.json not written")
+    val artifactPath = if (only.isEmpty) "BENCH_SELF.json" else "BENCH_FOCUS.json"
+    // focused runs persist to their OWN file (r14 review: attribution
+    // only exists in focused runs, and leaving it stdout-only put the
+    // r13 verdict #4 stage-time split on the exact ~2-4 KB
+    // tail-truncation surface BENCH_SELF.json exists to avoid);
+    // BENCH_FOCUS.json is never read by prevBench — partial bands must
+    // not become triage reference
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] $artifactPath write failed: ${e.getMessage}") }
+    if (only.nonEmpty)
+      System.err.println(s"[bench] BENCH_ONLY filter active (${names.size} rows) — wrote $artifactPath, BENCH_SELF.json untouched")
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = triage.count { case (_, (p, _, b3)) =>

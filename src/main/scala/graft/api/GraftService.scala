@@ -198,13 +198,22 @@ final class GraftService(
   @volatile private[graft] var mqActiveTicks: Int = 0
   @volatile private[graft] var mqIngestUnhealthy: Option[String] = None
   private[graft] val MqMaxRestartFailures = 8
-  /** Consecutive active watchdog ticks (~3 min at the 10 s cadence)
+  /** Consecutive active watchdog ticks (~1 hour at the 10 s cadence)
     * after which a restarted incarnation counts as recovered even with
     * NO completed batch (r13 ADVICE #2: on an idle topic lastProgress
     * stays null forever, so transient deaths spread over weeks
-    * accumulated to the halt cap — a query that stayed up this long is
-    * not the deterministic crash-loop the cap exists for). */
-  private[graft] val MqStableResetTicks = 18
+    * accumulated to the halt cap). The window is deliberately LONG
+    * (r14 review: a 3-minute window silently re-opened the infinite-
+    * restart loop for deterministic faults with a period over 3
+    * minutes — e.g. a poison message arriving every 10 minutes reset
+    * the count each cycle and the halt cap never fired): a fault that
+    * recurs FASTER than hourly still accumulates to the cap and halts
+    * loudly, while one rarer than hourly is indistinguishable from the
+    * transient faults this reset exists for, and its side-effect
+    * replay is bounded to at most one per window — the residual an
+    * operator watches via `mq_ingest_health` and clears via the
+    * admin action. */
+  private[graft] val MqStableResetTicks = 360
 
   /** Admin reset for the halt state (r13 ADVICE #2: mqIngestUnhealthy
     * had no reset path short of a process restart): clears the health

@@ -132,21 +132,28 @@ final class JwksDiscoveryVerifier(
   @volatile private var cached: Map[String, Key] = Map.empty
   @volatile private var lastFetchAt: Long = Long.MinValue
   @volatile private var fetchedOnce = false
+  @volatile private var lastFailed = false
 
   private def refresh(): Unit = synchronized {
     val now = nowEpochSeconds()
-    // rate-limit EVERY attempt: the window after a success is
-    // minRefreshSeconds (rotation stampede guard), after a failure
-    // failedRefreshSeconds (outage backoff) — only the very first
-    // call (lastFetchAt unset) fetches unconditionally
-    val window = if (fetchedOnce) minRefreshSeconds else failedRefreshSeconds
+    // rate-limit EVERY attempt, with the window keyed on how the LAST
+    // attempt ended (r14 review: keying on fetchedOnce — ever
+    // succeeded — made a rotation-time issuer blip back off at the
+    // full minRefreshSeconds, 403ing new-kid tokens for minutes after
+    // the issuer recovered): after a success the window is
+    // minRefreshSeconds (rotation stampede guard), after ANY failure
+    // it is failedRefreshSeconds so recovery is prompt — only the
+    // very first call (lastFetchAt unset) fetches unconditionally
+    val window = if (lastFailed) failedRefreshSeconds else minRefreshSeconds
     if (lastFetchAt != Long.MinValue && now - lastFetchAt < window) return
     lastFetchAt = now
     try {
       cached = fromJwks(fetchJwks(jwksUrl))
       fetchedOnce = true
+      lastFailed = false
     } catch {
       case scala.util.control.NonFatal(e) =>
+        lastFailed = true
         System.err.println(s"[auth] JWKS fetch from $jwksUrl failed: ${e.getMessage} - " +
           (if (cached.nonEmpty) "keeping previously cached keys" else "no keys cached, all tokens reject"))
     }

@@ -321,10 +321,20 @@ object EventStats {
             invalidateRankMemo(key._1)
         })
     }
-    rankOffsetMemo.synchronized {
-      val got = rankOffsetMemo.get(key)
-      if (got != null) got
-      else { val b = build; rankOffsetMemo.put(key, b); b }
+    // build OUTSIDE the lock (r14 review: the eager offsets job runs
+    // a corpus groupBy+collect — holding the single global lock across
+    // it would serialize every valueRanks caller, including cache HITS
+    // on unrelated keys, for seconds at sf1; the TrieMap this replaced
+    // only contended per-key). A rare duplicate build under a race is
+    // harmless: entries are deterministic, last-put wins.
+    val got = rankOffsetMemo.synchronized(rankOffsetMemo.get(key))
+    if (got != null) got
+    else {
+      val b = build
+      rankOffsetMemo.synchronized {
+        val raced = rankOffsetMemo.get(key)
+        if (raced != null) raced else { rankOffsetMemo.put(key, b); b }
+      }
     }
   }
 

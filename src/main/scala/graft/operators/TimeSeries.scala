@@ -96,9 +96,7 @@ object TimeSeries {
       series.where(col("user_id") < NQueries)
         .select(col("user_id") +: (0 until Days).map(i => col(s"s$i")): _*)
     }
-    val qRows = qFrame.collect().toSeq
-      .map(r => r.getLong(0) -> Array.tabulate(Days)(i => r.getLong(i + 1)))
-      .sortBy(_._1)
+    val qRows = decodeQueries(qFrame.collect().toSeq)
     if (qRows.isEmpty) return emptyResult(series)
     val tauFrame = OpMemo.cached(spark, dir, s"ts:tau:$refine") {
       spark.createDataFrame(tauPhase(series, qRows, refine).toSeq)
@@ -160,12 +158,18 @@ object TimeSeries {
 
   /** Query side, collected once (<= NQueries rows BY CONTRACT — a
     * model-sized side, not a corpus collect). */
-  private[graft] def collectQueries(series: DataFrame): Seq[(Long, Array[Long])] = series
-    .where(col("user_id") < NQueries)
-    .select(col("user_id") +: (0 until Days).map(i => col(s"s$i")): _*)
-    .collect().toSeq
-    .map(r => r.getLong(0) -> Array.tabulate(Days)(i => r.getLong(i + 1)))
-    .sortBy(_._1)
+  private[graft] def collectQueries(series: DataFrame): Seq[(Long, Array[Long])] =
+    decodeQueries(series
+      .where(col("user_id") < NQueries)
+      .select(col("user_id") +: (0 until Days).map(i => col(s"s$i")): _*)
+      .collect().toSeq)
+
+  /** ONE decode for query rows — shared by the memoized-frame path
+    * (simSearch) and the injected-frame path (collectQueries), so the
+    * two cannot drift (r14 review). Row shape: (user_id, s0..s29). */
+  private def decodeQueries(rows: Seq[org.apache.spark.sql.Row]): Seq[(Long, Array[Long])] =
+    rows.map(r => r.getLong(0) -> Array.tabulate(Days)(i => r.getLong(i + 1)))
+      .sortBy(_._1)
 
   private def lbOf(qs: Array[Long]): Column = (0 until NSeg).map { j =>
     sq(col(s"g$j") - lit((0 until SegLen).map(i => qs(j * SegLen + i)).sum))
@@ -202,6 +206,9 @@ object TimeSeries {
     * top-k from ANY initial set. */
   private[graft] def tauPhase(series: DataFrame, qRows: Seq[(Long, Array[Long])],
                               refine: Int): Map[Long, Long] = {
+    // contract: qRows non-empty — the guarded entry points
+    // (simSearch/simSearchCore) return emptyResult before calling here
+    require(qRows.nonEmpty, "tauPhase requires a non-empty query set")
     val lbPairs = qRows.map { case (qid, qs) =>
       series.where(col("user_id") =!= qid)
         .select(lit(qid).as("query_id"), col("user_id").as("neighbor_id"),
@@ -255,11 +262,14 @@ object TimeSeries {
 
   /** Probe hooks (TsPhaseProbe): per-phase timing + the tau-cut health
     * signal (expansion-set size per query). */
-  private[graft] def debugTau(series: DataFrame, refine: Int = Refine): Map[Long, Long] =
-    tauPhase(series, collectQueries(series), refine)
+  private[graft] def debugTau(series: DataFrame, refine: Int = Refine): Map[Long, Long] = {
+    val qRows = collectQueries(series)
+    if (qRows.isEmpty) Map.empty else tauPhase(series, qRows, refine)
+  }
   private[graft] def debugExpansionSizes(series: DataFrame,
                                          refine: Int = Refine): Map[Long, Long] = {
     val qRows = collectQueries(series)
+    if (qRows.isEmpty) return Map.empty
     val tau = tauPhase(series, qRows, refine)
     expandedFrame(series, qRows, tau)
       .groupBy("query_id").count()

@@ -125,6 +125,36 @@ class JwksDiscoverySpec extends AnyFunSuite {
     }
   }
 
+  test("rotation-time blip AFTER a success backs off at the failure window, not the success window (r14 review)") {
+    val (pub1, priv1) = rsaPair()
+    val (pub2, priv2) = rsaPair()
+    withServer { (url, hits, doc) =>
+      var now = 1000000L
+      val v = new JwksDiscoveryVerifier(url, nowEpochSeconds = () => now,
+        minRefreshSeconds = 300L, failedRefreshSeconds = 15L)
+      doc.set(jwksDoc("k1" -> pub1))
+      assert(v.groups(rs256("k1", priv1, claims())).contains(Seq("Data-Admin")))
+      assert(hits.get() == 1)
+      // issuer rotates to k2 but blips 500 exactly when the first
+      // new-kid token arrives — the old fetchedOnce-keyed window made
+      // this back off 300 s, 403ing every k2 holder after a 30 s blip
+      doc.set("")
+      now += 301
+      assert(v.groups(rs256("k2", priv2, claims())).isEmpty, "blip: k2 rejects for now")
+      assert(hits.get() == 2)
+      // issuer recovers within the FAILURE window; the next k2 token
+      // past failedRefreshSeconds must re-fetch and validate
+      doc.set(jwksDoc("k1" -> pub1, "k2" -> pub2))
+      now += 16
+      assert(v.groups(rs256("k2", priv2, claims())).contains(Seq("Data-Admin")),
+        "recovery must be prompt after a post-success failure")
+      assert(hits.get() == 3)
+      // and once healthy again, unknown kids are back on the 300 s guard
+      assert(v.groups(rs256("k9", priv2, claims())).isEmpty)
+      assert(hits.get() == 3, "healthy-issuer stampede guard must hold")
+    }
+  }
+
   test("fail-closed with no successful fetch; issuer blip keeps the cache") {
     val (pub, priv) = rsaPair()
     withServer { (url, hits, doc) =>
