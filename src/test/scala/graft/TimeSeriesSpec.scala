@@ -86,6 +86,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == expected, s"+${got diff expected} -${expected diff got}")
   }
 
+  test("lossless on adversarial synthetic corpora: ties, duplicate series, outlier queries (r14)") {
+    // the fixture can't exercise every tie-break path of the r14
+    // rewrite (literal dispatch, driver-side K-th fold, salted final
+    // rank): three seeded corpora with deliberately nasty shapes are
+    // compared against an independent Scala brute force
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    def seriesDf(rows: Seq[(Long, Array[Long])]) = {
+      val base = rows.map { case (u, a) => (u, a.toSeq) }
+        .toDF("user_id", "s")
+      val cols = col("user_id") +:
+        (0 until 30).map(i => col("s").getItem(i).as(s"s$i")) ++:
+        (0 until 6).map(j => (0 until 5).map(i => col("s").getItem(j * 5 + i))
+          .reduce(_ + _).as(s"g$j"))
+      base.select(cols: _*)
+    }
+    def brute(rows: Seq[(Long, Array[Long])]): Set[(Long, Long, Long)] = {
+      val m = rows.toMap
+      m.keys.filter(_ < 5).flatMap { q =>
+        rows.filter(_._1 != q).map { case (c, cs) =>
+          (q, c, m(q).zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.sortBy { case (_, c, d) => (d, c) }.take(5)
+      }.toSet
+    }
+    val corpora: Seq[(String, Seq[(Long, Array[Long])])] = Seq(
+      // every series identical: every dist 0, pure tie-break territory
+      "all-identical" -> (0L until 40L).map(u => u -> Array.fill(30)(3L)),
+      // duplicate PAIRS + a far outlier query (tau huge -> expand all)
+      "dup-pairs+outlier" -> ((0L until 38L).map(u =>
+        u -> Array.tabulate(30)(i => ((u / 2 + i) % 7).toLong)) ++
+        Seq(38L -> Array.fill(30)(1000L), 39L -> Array.fill(30)(0L))),
+      // seeded random with many exact collisions (values in {0,1})
+      "binary-random" -> {
+        val rnd = new scala.util.Random(99)
+        (0L until 60L).map(u => u -> Array.fill(30)(rnd.nextInt(2).toLong))
+      })
+    for ((name, rows) <- corpora) {
+      val got = TimeSeries.simSearchCore(seriesDf(rows))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = brute(rows)
+      assert(got == want,
+        s"$name: +${got diff want} -${want diff got}")
+    }
+  }
+
   test("default prune keeps high recall on the fixture (lower bound is tight on daily counts)") {
     val exact = TimeSeries.simSearch(spark, dir, refine = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
