@@ -4,6 +4,26 @@ object Bench {
   private def loadavg1m: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Env knob with a system-property override (props win) — lets the
+    * integration spec drive [[main]] in-process (budget early-stop and
+    * incremental flush are r14 verdict #1's must-pin behaviors, and
+    * `sys.env` cannot be set from a test JVM). */
+  private[graft] def knob(name: String, default: String): String =
+    sys.props.get(name).orElse(sys.env.get(name)).getOrElse(default)
+  private[graft] def knobOpt(name: String): Option[String] =
+    sys.props.get(name).orElse(sys.env.get(name))
+
+  /** Budget early-stop predicate (r14 verdict #1a): stop BEFORE starting
+    * the next measured pass when the elapsed wall plus the last
+    * completed pass's wall projects past the budget — the r14 driver
+    * run was killed at its wall limit (rc=124) and the all-or-nothing
+    * artifact left no number of record. At least one measured pass
+    * always runs (an artifact with zero recorded passes adjudicates
+    * nothing), so the check only arms once a pass exists. */
+  private[graft] def shouldStop(elapsedS: Double, lastPassWallS: Double,
+                                budgetS: Double, passesDone: Int): Boolean =
+    passesDone >= 1 && elapsedS + lastPassWallS > budgetS
+
   /** Median of the recorded reps — the canonical per-row statistic
     * (r13 verdict #2: min-of-reps made the round's number a
     * noise-order statistic in BOTH directions on a host with p90 rep
@@ -41,6 +61,37 @@ object Bench {
     if (f.length > 8 && f(0) == "cpu") f(8).toLong else -1L
   } catch { case _: Throwable => -1L }
 
+  /** Best-effort LiveListenerBus drain via reflection (`listenerBus`
+    * and `waitUntilEmpty` are private[spark], which compiles to public
+    * bytecode, so getMethod finds them). Returns true when a drain
+    * method actually ran. r14 ADVICE: the focused-run attribution
+    * settled the async bus with a fixed 150 ms sleep, and late
+    * task-end events past that window bled into the next query's
+    * delta — polling the bus empty removes the bleed where the Spark
+    * build allows it, and the artifact records WHICH mode produced the
+    * split either way. */
+  private[graft] def drainListenerBus(spark: SparkSession): Boolean = try {
+    val sc = spark.sparkContext
+    val lb = sc.getClass.getMethod("listenerBus").invoke(sc)
+    val timed = lb.getClass.getMethods.find(m =>
+      m.getName == "waitUntilEmpty" && m.getParameterCount == 1 &&
+        m.getParameterTypes()(0) == java.lang.Long.TYPE)
+    timed match {
+      case Some(m) =>
+        // a TimeoutException here means the bus was still busy after
+        // 2 s of draining — strictly better settled than a fixed sleep
+        try m.invoke(lb, java.lang.Long.valueOf(2000L))
+        catch { case _: java.lang.reflect.InvocationTargetException => () }
+        true
+      case None =>
+        lb.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+          case Some(m0) => m0.invoke(lb); true
+          case None => false
+        }
+    }
+  } catch { case _: Throwable => false }
+
   /** Per-query timings from the PREVIOUS bench run — the reference band
     * for the in-artifact regression triage (r7 verdict #4: three rows
     * read >2× above their idle claims on unchanged code and the
@@ -53,18 +104,28 @@ object Bench {
     * pairs), so the driver wrapper is only a FALLBACK: newest
     * `BENCH_r{N}.json`, whose `tail` field escapes quotes and truncates
     * the head, scanned for `"name":number` pairs filtered to registered
-    * query names. Either way the artifact's `"sf"` (inner dir string,
-    * or the wrapper's numeric field) must match the current SF dir or
-    * no triage runs (cross-SF bands are meaningless). */
+    * query names. A wrapper whose tail carries no pairs at all (r14:
+    * rc=124 with a warn-only log tail, `parsed: null`) contributes an
+    * empty map and the reader falls through to the next source rather
+    * than silently disabling triage. Either way the artifact's `"sf"`
+    * (inner dir string, or the wrapper's numeric field) must match the
+    * current SF dir or no triage runs (cross-SF bands are meaningless).
+    * Early-stopped self files (r15: `reps_completed` < `reps`) need no
+    * special-casing — the `runs` arrays carry exactly the completed
+    * passes and the ceiling is the max over what ran. */
   private[graft] def prevBench(sfDir: String, dir: String = "."): Map[String, Double] = try {
     val self = Some(new java.io.File(dir, "BENCH_SELF.json")).filter(_.isFile)
-    val wrapper = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+    // ALL wrappers, newest first (r14 verdict #7): a killed driver run
+    // leaves a wrapper whose tail is log noise with zero pairs — it
+    // must fall through to the previous round's wrapper, not silently
+    // zero the bands
+    val wrappers = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).headOption
-    // first source whose SF matches wins: a self file left behind by an
-    // off-SF smoke run must not DISABLE triage while a still-valid
-    // driver wrapper sits next to it (r10 review #2)
-    (self.toSeq ++ wrapper.toSeq).iterator.map { latest =>
+      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).toSeq
+    // first source whose SF matches AND yields pairs wins: a self file
+    // left behind by an off-SF smoke run must not DISABLE triage while
+    // a still-valid driver wrapper sits next to it (r10 review #2)
+    (self.toSeq ++ wrappers).iterator.map { latest =>
       val text = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
       val sfOk =
         "\\\\?\"sf\\\\?\":\\\\?\"([^\"\\\\]+)\\\\?\"".r.findFirstMatchIn(text).map(_.group(1) == sfDir)
@@ -133,13 +194,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    val sfDir = knob("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = knob("SPARK_GRAFT_CPUS", "4")
+    // Wall budget (r14 verdict #1a): default 1800 s keeps the whole run
+    // comfortably inside the driver's observed kill window (r14's 5-rep
+    // run was killed past ~42 min); ≥3 completed passes keep the median
+    // statistic honest, and the budget math targets that naturally —
+    // each pass's go/no-go uses the previous pass's own wall.
+    val budgetS = knob("SPARK_GRAFT_BENCH_BUDGET_S", "1800").toDouble
     // focused-run filter for profiling sessions (comma-separated names
     // or prefixes); a filtered run never overwrites BENCH_SELF.json —
     // partial bands must not become next round's triage reference
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      knobOpt("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
       only.forall(pats => pats.exists(p => name == p || name.startsWith(p)))
     // Idle-bench discipline (BASELINE.md): readings taken under load are
@@ -147,8 +216,9 @@ object Bench {
     // unchanged operators read 1.4–5.9× above their idle claims). Wait up
     // to ~2 min for the box to go idle; if it never does, proceed but
     // stamp a loud warning into the artifact so the reader knows.
+    val idleWaitMaxS = knob("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "120").toInt
     var waited = 0
-    while (loadavg1m > 1.0 && waited < 120) {
+    while (loadavg1m > 1.0 && waited < idleWaitMaxS) {
       System.err.println(f"[bench] loadavg1m=${loadavg1m}%.2f > 1.0 — waiting for idle (${waited}s)")
       Thread.sleep(10000); waited += 10
     }
@@ -201,6 +271,13 @@ object Bench {
       (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
     def storageUsedMb: Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
+    // Attribution settle mode, probed once: listener-bus drain where the
+    // Spark build exposes it, fixed 150 ms sleep otherwise — and the
+    // artifact names the mode, so a reader of the per-query split knows
+    // whether late task-end bleed is possible (r14 ADVICE).
+    val drainWorks = drainListenerBus(spark)
+    val settleMode = if (drainWorks) "listener-drain" else "fixed-sleep-150ms"
+    def settle(): Unit = if (!drainWorks || !drainListenerBus(spark)) Thread.sleep(150)
     // warm the session once (scheduler, parquet metadata for every
     // table, codegen, fixture dataset machinery) so the first measured
     // queries don't absorb JVM + first-touch file-listing/footer costs;
@@ -217,6 +294,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+    // Triage bands load BEFORE the first incremental flush below — the
+    // flush overwrites BENCH_SELF.json, which is itself the band source.
+    val prev = prevBench(sfDir)
     // Untimed warm pass (r12 verdict #2: 44 triaged rows with 10–60×
     // first-run spikes — the measured pass was profiling the shared
     // OpMemo graph's topology and the cold page cache, not the
@@ -224,157 +304,178 @@ object Bench {
     // ONCE, outside the clock, and keeps the memo attribution so the
     // artifact still says who WOULD have paid what. DuckDB's
     // BASELINE.md numbers are best-of-3 on a warm process, so a warm
-    // measured pass is the symmetric methodology.
+    // measured pass is the symmetric methodology. Its wall is recorded
+    // (`warm_pass_s`, r14 verdict #3) — it is the bench's single
+    // largest fixed cost and was invisible in every prior artifact.
     val memoPaid = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
-    val warm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    val warm = knob("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    val warmT0 = System.nanoTime()
     if (warm) names.foreach { name =>
       val before = graft.operators.OpMemo.keys(spark, sfDir)
       runOnce(name)
       val paid = graft.operators.OpMemo.keys(spark, sfDir) -- before
       if (paid.nonEmpty) memoPaid(name) = paid
     }
-    // Measured pass: 5 recorded runs per row (r12 verdict #2's
-    // per-row variance ask; reps 3→5 and min→median per r13 verdict
-    // #2) — "queries" carries the MEDIAN (a min-of-reps is an order
-    // statistic of the host's noise floor and wandered the headline
-    // 83↔138 s on unchanged code), "runs" in BENCH_SELF.json carries
-    // every reading verbatim (min and max included) so cross-round
-    // disagreements are adjudicable from variance, not vibes. Reps
-    // are INTERLEAVED
-    // (pass 1 over every query, then pass 2, …) rather than
-    // back-to-back per row: this host's noise arrives in multi-second
-    // windows (measured r13: ns_vec_label_outliers read [14.7, 15.0]
-    // adjacent but 0.52 isolated), and back-to-back reps let one
-    // window poison every reading of a row; interleaving decorrelates
-    // the reps at zero extra cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val warmPassS = (System.nanoTime() - warmT0) / 1e9
+    // Measured passes: up to `reps` recorded runs per row (r12 verdict
+    // #2's per-row variance ask; reps 3→5 and min→median per r13
+    // verdict #2) — "queries" carries the MEDIAN over the passes that
+    // COMPLETED (a min-of-reps is an order statistic of the host's
+    // noise floor and wandered the headline 83↔138 s on unchanged
+    // code), "runs" carries every reading verbatim. Reps are
+    // INTERLEAVED (pass 1 over every query, then pass 2, …) rather
+    // than back-to-back per row: this host's noise arrives in
+    // multi-second windows (measured r13: ns_vec_label_outliers read
+    // [14.7, 15.0] adjacent but 0.52 isolated), and back-to-back reps
+    // let one window poison every reading of a row; interleaving
+    // decorrelates the reps at zero extra cost.
+    val reps = knob("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // Focused-run stage attribution (r13 verdict #4: "is pagerank's 2×
     // scheduler delay or task time?" needs the split IN the artifact).
     // Per timed run we snapshot the task-metric accumulators, settle
-    // the async listener bus with a short sleep (focused rows only —
-    // a 150 ms tax on 190 rows × 5 reps would distort the full run's
-    // interleave), and sum per-query deltas across reps. Reading:
-    // wall ≈ task_ms/32 → CPU-bound in tasks; task_ms ≫ cpu_ms →
-    // tasks stalled off-CPU (host steal / IO); wall ≫ task_ms/32 →
-    // driver planning + scheduler delay.
+    // the async listener bus (focused rows only — a per-query settle
+    // on 190 rows × 5 reps would distort the full run's interleave),
+    // and sum per-query deltas across reps. Reading: wall ≈ task_ms/32
+    // → CPU-bound in tasks; task_ms ≫ cpu_ms → tasks stalled off-CPU
+    // (host steal / IO); wall ≫ task_ms/32 → driver planning +
+    // scheduler delay.
     val attrib = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Double)]
     def runMeasured(name: String): Double =
       if (only.isEmpty) runOnce(name)
       else {
         val r0 = taskRunMs.get(); val g0 = taskGcMs.get(); val c0 = taskCpuNs.get()
         val w = runOnce(name)
-        Thread.sleep(150)
+        settle()
         val (t, g, c, pw) = attrib.getOrElse(name, (0L, 0L, 0L, 0.0))
         attrib(name) = (t + (taskRunMs.get() - r0), g + (taskGcMs.get() - g0),
           c + (taskCpuNs.get() - c0) / 1000000L, pw + w)
         w
       }
     // Per-pass counter deltas (r13 verdict #1): GC millis, steal ticks,
-    // blocks evicted, plus end-of-pass heap/storage residency.
+    // blocks evicted, end-of-pass heap/storage residency — plus the
+    // pass's own wall and its task_ms / task_cpu_ms deltas (r14 verdict
+    // #6: the task≫cpu contention meter, per pass, at zero cost — the
+    // accumulators already exist), so a loud pass is attributable
+    // without a focused re-run.
     val passStats = scala.collection.mutable.ArrayBuffer.empty[String]
-    val passes: Seq[Map[String, Double]] =
-      (0 until reps).map { _ =>
-        val gc0 = gcMillis(); val st0 = stealTicks(); val ev0 = evictedBlocks.get()
-        val m = names.map(n => n -> runMeasured(n)).toMap
-        val st1 = stealTicks()
-        passStats += s"""{"gc_ms":${gcMillis() - gc0},"steal_ticks":${
-          if (st0 < 0 || st1 < 0) -1 else st1 - st0},"evicted_blocks":${
-          evictedBlocks.get() - ev0},"heap_used_mb":$heapUsedMb,"storage_used_mb":$storageUsedMb}"""
-        m
-      }
-    val allRuns: Map[String, Seq[Double]] =
-      names.map(n => n -> passes.map(_(n))).toMap
-    // In-artifact regression triage (r7 verdict #4; thresholds r9;
-    // r13 semantics): a row is TRIAGED when its BEST recorded rep sits
-    // above the previous band (1.5× AND +0.3 s absolute; NEW rows with
-    // no band use a 1.0 s bar) — with the interleaved reps recorded
-    // verbatim (default 5 since r14)
-    // there is no re-read step, and a single-rep spike is host noise
-    // the `runs` map already documents verbatim, not a regression
-    // candidate (this host's noise windows made rep1-keyed triage read
-    // 50 rows where best-of-3 showed 2). `noisy_first_runs` counts the
-    // rep1 spikes separately so the noise level stays visible in one
-    // number.
-    val prev = prevBench(sfDir)
-    val triage = allRuns.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
-      val best = rs.min
-      prev.get(name) match {
-        case Some(p) if p > 0 && best > 1.5 * p && best - p > 0.3 =>
-          Some(name -> (Some(p), rs.head, best))
-        case None if prev.nonEmpty && best > 1.0 =>
-          Some(name -> (None, rs.head, best))
-        case _ => None
-      }
-    }.toMap
-    val noisyFirstRuns = allRuns.count { case (_, rs) =>
-      rs.head > 2 * rs.min && rs.head - rs.min > 0.3 }
-    val results = allRuns.map { case (name, rs) => name -> median(rs) }
-    val triageJson =
-      if (triage.isEmpty) ""
-      else triage.map { case (n, (p, f, b)) =>
-        s"""\"$n\":{\"prev\":${p.map(_.toString).getOrElse("null")},\"first\":$f,\"best\":$b}"""
-      }.mkString(""","triage":{""", ",", "}")
-    val memoJson =
-      if (memoPaid.isEmpty) ""
-      else memoPaid.map { case (n, ks) =>
-        s"""\"$n\":[${ks.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-      }.mkString(""","memo_paid":{""", ",", "}")
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Load context in the artifact (r5 verdict #4, r6 verdict #1):
-    // loadavg1m_start is the idle-discipline reading (taken BEFORE any
-    // Spark work — the number to compare against the <1.0 bar);
-    // loadavg1m (end) includes the bench's own local[32] load and is
-    // recorded for continuity with earlier artifacts, which sampled
-    // only at end and therefore partly self-reported.
-    val load = loadavg1m
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    // artifact dir knob: lets the integration spec exercise the real
+    // emit path without clobbering the committed cwd artifacts
+    val artifactDir = knob("SPARK_GRAFT_BENCH_DIR", ".")
+    val artifactName = if (only.isEmpty) "BENCH_SELF.json" else "BENCH_FOCUS.json"
+    val artifactPath = new java.io.File(artifactDir, artifactName).getPath
+    val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val fp = hostFingerprint()
     val fpJson = fp.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""\"$k\":\"${v.replace("\\", "").replace("\"", "")}\"""" }
       .mkString(""","host":{""", ",", "}")
-    val runsJson = allRuns.toSeq.sortBy(_._1)
-      .map { case (n, rs) => s"""\"$n\":[${rs.mkString(",")}]""" }
-      .mkString(""","runs":{""", ",", "}")
-    val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
-    val passStatsJson = passStats.mkString(""","jvm_max_heap_mb":""" + maxHeapMb +
-      ""","pass_stats":[""", ",", "]")
-    val attribJson =
-      if (attrib.isEmpty) ""
-      else attrib.toSeq.sortBy(_._1).map { case (n, (t, g, c, w)) =>
-        s"""\"$n\":{\"task_ms\":$t,\"task_gc_ms\":$g,\"task_cpu_ms\":$c,\"wall_s\":$w}"""
-      }.mkString(""","attribution":{""", ",", "}")
-    // Artifact of record (r9 verdict #1): the registry's full per-query
-    // map outgrew the driver's ~2–4 KB stdout-tail capture (two rounds
-    // of `"parsed": null`, then a red BenchTriageSpec when BENCH_r09's
-    // surviving window kept zero flat pairs). So: (a) the COMPLETE
-    // result JSON goes to BENCH_SELF.json — committed per round, and
-    // what prevBench reads for next round's triage bands — and (b) the
-    // LAST stdout line is a compact summary sized to survive the tail:
-    // total + triage verdict + the slowest rows only, plus a pointer.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$passStatsJson$runsJson$triageJson$memoJson$attribJson$loadWarning}"""
-    // best-effort: a read-only cwd / full disk must not cost the round
-    // its stdout artifact line after minutes of measured work (r10
-    // review #3) — the println below is unconditional. A filtered
-    // (BENCH_ONLY) run never overwrites the committed artifact.
-    val artifactPath = if (only.isEmpty) "BENCH_SELF.json" else "BENCH_FOCUS.json"
-    // focused runs persist to their OWN file (r14 review: attribution
-    // only exists in focused runs, and leaving it stdout-only put the
-    // r13 verdict #4 stage-time split on the exact ~2-4 KB
-    // tail-truncation surface BENCH_SELF.json exists to avoid);
-    // BENCH_FOCUS.json is never read by prevBench — partial bands must
-    // not become triage reference
-    try java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] $artifactPath write failed: ${e.getMessage}") }
+    // Incremental emit (r14 verdict #1b): the artifact is rewritten and
+    // the compact stdout summary reprinted after EVERY completed pass,
+    // so a wall-limit kill mid-run still leaves (a) a parseable
+    // BENCH_SELF.json with `reps_completed` passes of verbatim runs and
+    // (b) the last completed pass's summary inside the driver's stdout
+    // tail capture. r14's all-or-nothing write lost the whole round's
+    // number of record to a kill at ~95%.
+    def emit(): Unit = {
+      val allRuns: Map[String, Seq[Double]] =
+        names.map(n => n -> passes.toSeq.map(_(n))).toMap
+      // In-artifact regression triage (r7 verdict #4; thresholds r9;
+      // r13 semantics): a row is TRIAGED when its BEST recorded rep sits
+      // above the previous band (1.5× AND +0.3 s absolute; NEW rows with
+      // no band use a 1.0 s bar); a single-rep spike is host noise the
+      // `runs` map documents verbatim, not a regression candidate.
+      // `noisy_first_runs` counts the rep1 spikes separately so the
+      // noise level stays visible in one number.
+      val triage = allRuns.toSeq.sortBy(_._1).flatMap { case (name, rs) =>
+        val best = rs.min
+        prev.get(name) match {
+          case Some(p) if p > 0 && best > 1.5 * p && best - p > 0.3 =>
+            Some(name -> (Some(p), rs.head, best))
+          case None if prev.nonEmpty && best > 1.0 =>
+            Some(name -> (None, rs.head, best))
+          case _ => None
+        }
+      }.toMap
+      val noisyFirstRuns = allRuns.count { case (_, rs) =>
+        rs.head > 2 * rs.min && rs.head - rs.min > 0.3 }
+      val results = allRuns.map { case (name, rs) => name -> median(rs) }
+      val triageJson =
+        if (triage.isEmpty) ""
+        else triage.toSeq.sortBy(_._1).map { case (n, (p, f, b)) =>
+          s"""\"$n\":{\"prev\":${p.map(_.toString).getOrElse("null")},\"first\":$f,\"best\":$b}"""
+        }.mkString(""","triage":{""", ",", "}")
+      val memoJson =
+        if (memoPaid.isEmpty) ""
+        else memoPaid.map { case (n, ks) =>
+          s"""\"$n\":[${ks.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+        }.mkString(""","memo_paid":{""", ",", "}")
+      val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // Load context in the artifact (r5 verdict #4, r6 verdict #1):
+      // loadavg1m_start is the idle-discipline reading (taken BEFORE any
+      // Spark work — the number to compare against the <1.0 bar);
+      // loadavg1m (end) includes the bench's own local load and is
+      // recorded for continuity with earlier artifacts.
+      val load = loadavg1m
+      val runsJson = allRuns.toSeq.sortBy(_._1)
+        .map { case (n, rs) => s"""\"$n\":[${rs.mkString(",")}]""" }
+        .mkString(""","runs":{""", ",", "}")
+      val passStatsJson = passStats.mkString(""","jvm_max_heap_mb":""" + maxHeapMb +
+        ""","pass_stats":[""", ",", "]")
+      val attribJson =
+        if (attrib.isEmpty) ""
+        else attrib.toSeq.sortBy(_._1).map { case (n, (t, g, c, w)) =>
+          s"""\"$n\":{\"task_ms\":$t,\"task_gc_ms\":$g,\"task_cpu_ms\":$c,\"wall_s\":$w}"""
+        }.mkString(s""","attribution_settle":"$settleMode","attribution":{""", ",", "}")
+      val budgetJson = s""","reps_completed":${passes.size},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"warm_pass_s":${f"$warmPassS%.1f"}"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps$budgetJson,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$passStatsJson$runsJson$triageJson$memoJson$attribJson$loadWarning}"""
+      // best-effort: a read-only cwd / full disk must not cost the round
+      // its stdout artifact line after minutes of measured work (r10
+      // review #3) — the println below is unconditional. A filtered
+      // (BENCH_ONLY) run never overwrites the committed artifact.
+      try java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $artifactPath write failed: ${e.getMessage}") }
+      val slowest = results.toSeq.sortBy(-_._2).take(12)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val regressed = triage.count { case (_, (p, _, b3)) =>
+        p.exists(pv => b3 > 1.5 * pv && b3 - pv > 0.3) }
+      // Artifact of record (r9 verdict #1): the registry's full per-query
+      // map outgrew the driver's ~2–4 KB stdout-tail capture, so the
+      // COMPLETE result JSON goes to the artifact file and the stdout
+      // line is a compact summary sized to survive the tail: total +
+      // triage verdict + the slowest rows only, plus a pointer to the
+      // actual artifact written (BENCH_FOCUS.json for filtered runs —
+      // r14 ADVICE: the summary used to hardcode BENCH_SELF.json).
+      println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$slowest,"n_queries":${results.size},"queries_file":"$artifactName","triaged":${triage.size},"regressed":$regressed,"noisy_first_runs":$noisyFirstRuns,"warm_pass":$warm,"reps":$reps$budgetJson,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load,"jvm_max_heap_mb":$maxHeapMb$fpJson${passStats.mkString(""","pass_stats":[""", ",", "]")}$attribJson$loadWarning}""")
+    }
+    var lastPassWall = 0.0
+    var stopped = false
+    while (passes.size < reps && !stopped) {
+      if (shouldStop(elapsedS, lastPassWall, budgetS, passes.size)) {
+        System.err.println(f"[bench] budget stop after ${passes.size}/$reps passes: elapsed ${elapsedS}%.0fs + last pass ${lastPassWall}%.0fs > budget ${budgetS}%.0fs")
+        stopped = true
+      } else {
+        val pt0 = System.nanoTime()
+        val gc0 = gcMillis(); val st0 = stealTicks(); val ev0 = evictedBlocks.get()
+        val tr0 = taskRunMs.get(); val tc0 = taskCpuNs.get()
+        val m = names.map(n => n -> runMeasured(n)).toMap
+        // settle the async bus once per pass so the pass-level task
+        // deltas don't bleed across pass boundaries (5 calls total)
+        if (drainWorks) drainListenerBus(spark)
+        val st1 = stealTicks()
+        lastPassWall = (System.nanoTime() - pt0) / 1e9
+        passStats += s"""{"gc_ms":${gcMillis() - gc0},"steal_ticks":${
+          if (st0 < 0 || st1 < 0) -1 else st1 - st0},"evicted_blocks":${
+          evictedBlocks.get() - ev0},"heap_used_mb":$heapUsedMb,"storage_used_mb":$storageUsedMb,"pass_wall_s":${f"$lastPassWall%.2f"},"task_ms":${taskRunMs.get() - tr0},"task_cpu_ms":${(taskCpuNs.get() - tc0) / 1000000L}}"""
+        passes += m
+        emit()
+      }
+    }
     if (only.nonEmpty)
       System.err.println(s"[bench] BENCH_ONLY filter active (${names.size} rows) — wrote $artifactPath, BENCH_SELF.json untouched")
-    val slowest = results.toSeq.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val regressed = triage.count { case (_, (p, _, b3)) =>
-      p.exists(pv => b3 > 1.5 * pv && b3 - pv > 0.3) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$slowest,"n_queries":${results.size},"queries_file":"BENCH_SELF.json","triaged":${triage.size},"regressed":$regressed,"noisy_first_runs":$noisyFirstRuns,"warm_pass":$warm,"reps":$reps,"sf":"$sfDir","loadavg1m_start":$startLoad,"loadavg1m":$load,"jvm_max_heap_mb":$maxHeapMb$fpJson${passStats.mkString(""","pass_stats":[""", ",", "]")}$attribJson$loadWarning}""")
-    spark.stop()
+    if (knob("SPARK_GRAFT_BENCH_KEEP_SESSION", "0") != "1") spark.stop()
   }
 }

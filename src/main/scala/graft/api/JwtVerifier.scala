@@ -133,29 +133,64 @@ final class JwksDiscoveryVerifier(
   @volatile private var lastFetchAt: Long = Long.MinValue
   @volatile private var fetchedOnce = false
   @volatile private var lastFailed = false
+  // true while the claiming thread is inside the (unmonitored) fetch
+  private var fetchInFlight = false
+  // how long a HEALTHY-path non-claimer waits for the in-flight fetch
+  // before proceeding with whatever is cached (bounded: a hung issuer
+  // must not park request threads for the GET's full 40 s timeout)
+  private val healthyWaitNanos = 10L * 1000 * 1000 * 1000
 
-  private def refresh(): Unit = synchronized {
+  /** Rate-limit EVERY attempt, with the window keyed on how the LAST
+    * attempt ended (r14 review: keying on fetchedOnce — ever
+    * succeeded — made a rotation-time issuer blip back off at the
+    * full minRefreshSeconds, 403ing new-kid tokens for minutes after
+    * the issuer recovered): after a success the window is
+    * minRefreshSeconds (rotation stampede guard), after ANY failure
+    * it is failedRefreshSeconds so recovery is prompt — only the
+    * very first call (lastFetchAt unset) fetches unconditionally.
+    *
+    * LOCKING (r14 ADVICE): the monitor guards only the window check
+    * and the single-flight claim — never the blocking GET (10 s
+    * connect + 30 s read). The claiming thread fetches on its own
+    * clock; concurrent callers inside an OUTAGE window return
+    * immediately and reject from local state (the "fast local 403s"
+    * contract now holds however slowly the probe fails), while
+    * callers racing a HEALTHY-path fetch (startup, key rotation) wait
+    * bounded for the result — 403ing a valid token because another
+    * request won the first-fetch race would be the worse trade. */
+  private def refresh(): Unit = {
     val now = nowEpochSeconds()
-    // rate-limit EVERY attempt, with the window keyed on how the LAST
-    // attempt ended (r14 review: keying on fetchedOnce — ever
-    // succeeded — made a rotation-time issuer blip back off at the
-    // full minRefreshSeconds, 403ing new-kid tokens for minutes after
-    // the issuer recovered): after a success the window is
-    // minRefreshSeconds (rotation stampede guard), after ANY failure
-    // it is failedRefreshSeconds so recovery is prompt — only the
-    // very first call (lastFetchAt unset) fetches unconditionally
-    val window = if (lastFailed) failedRefreshSeconds else minRefreshSeconds
-    if (lastFetchAt != Long.MinValue && now - lastFetchAt < window) return
-    lastFetchAt = now
-    try {
-      cached = fromJwks(fetchJwks(jwksUrl))
-      fetchedOnce = true
-      lastFailed = false
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        lastFailed = true
-        System.err.println(s"[auth] JWKS fetch from $jwksUrl failed: ${e.getMessage} - " +
-          (if (cached.nonEmpty) "keeping previously cached keys" else "no keys cached, all tokens reject"))
+    val claimed = synchronized {
+      val window = if (lastFailed) failedRefreshSeconds else minRefreshSeconds
+      val due = lastFetchAt == Long.MinValue || now - lastFetchAt >= window
+      if (fetchInFlight) {
+        if (!lastFailed) {
+          val deadline = System.nanoTime() + healthyWaitNanos
+          while (fetchInFlight && System.nanoTime() < deadline) {
+            val ms = (deadline - System.nanoTime()) / 1000000L
+            if (ms > 0) wait(ms)
+          }
+        }
+        false // in-flight result (or outage state) answers this caller
+      } else if (!due) false
+      else { fetchInFlight = true; lastFetchAt = now; true }
+    }
+    if (!claimed) return
+    val fetched =
+      try Some(fromJwks(fetchJwks(jwksUrl))) // blocking I/O, monitor NOT held
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[auth] JWKS fetch from $jwksUrl failed: ${e.getMessage} - " +
+            (if (cached.nonEmpty) "keeping previously cached keys" else "no keys cached, all tokens reject"))
+          None
+      }
+    synchronized {
+      fetched match {
+        case Some(keys) => cached = keys; fetchedOnce = true; lastFailed = false
+        case None       => lastFailed = true
+      }
+      fetchInFlight = false
+      notifyAll()
     }
   }
 

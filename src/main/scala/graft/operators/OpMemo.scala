@@ -62,6 +62,25 @@ object OpMemo {
     scalars.getOrElseUpdate((spark, dir, key), build)
   }
 
+  // plan handles (NOT .cache()d) — see [[plan]]
+  private val plans = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized logical-plan HANDLE per (session, dir, key) — no
+    * `.cache()`, no storage memory. For base-table relations whose
+    * construction cost (file listing + parquet footer schema read) is
+    * paid driver-side on EVERY `spark.read.parquet` call: the bench's
+    * 190 rows × 6 passes × multi-table queries re-listed the same ten
+    * static parquet dirs thousands of times, single-threaded on the
+    * driver — the exact fixed overhead r14 verdict #3 asks to cut.
+    * Reusing the resolved relation reuses its InMemoryFileIndex and
+    * schema. Shares the frame memo's static-input contract and
+    * eviction lifecycle: [[invalidate]] drops plan handles too, so "the
+    * files under this dir changed" has one hook for both. */
+  def plan(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    hook(spark)
+    plans.getOrElseUpdate((spark, dir, key), build)
+  }
+
   private def hook(spark: SparkSession): Unit = hooked.synchronized {
     if (hooked.add(spark)) {
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -83,6 +102,8 @@ object OpMemo {
     }
     scalars.keys.filter { case (s, d, _) => (s eq spark) && dir.forall(_ == d) }
       .foreach(scalars.remove)
+    plans.keys.filter { case (s, d, _) => (s eq spark) && dir.forall(_ == d) }
+      .foreach(plans.remove)
   }
 
   /** Number of live entries (test hook). */

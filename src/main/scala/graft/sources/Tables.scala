@@ -25,10 +25,22 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Relation handles are memoized per (session, dir, name) via
+    * `OpMemo.plan` — NOT `.cache()`d (no storage memory; the scan still
+    * runs per action), but the resolved `LogicalRelation`'s file
+    * listing and footer-derived schema are reused instead of re-paid
+    * driver-side on every construction (r14 verdict #3: the bench's
+    * 190 queries × 6 passes re-listed these ten static dirs thousands
+    * of times). The testdata dirs are static for a session's lifetime;
+    * a service that rewrites files under a dir calls
+    * `OpMemo.invalidate(spark, Some(dir))`, the same hook the cached
+    * frames already use. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, dir)
-      case _        => spark.read.parquet(path(dir, name))
+    graft.operators.OpMemo.plan(spark, dir, s"table:$name") {
+      name match {
+        case "events" => buildEvents(spark, dir)
+        case _        => spark.read.parquet(path(dir, name))
+      }
     }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
@@ -50,7 +62,9 @@ object Tables {
     * TimestampType, a value-preserving reinterpretation since the
     * session runs UTC — so downstream time arithmetic and the DuckDB
     * oracle's naive timestamps agree either way). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+
+  private def buildEvents(spark: SparkSession, dir: String): DataFrame = {
     // the nanosAsLong flag is SESSION-GLOBAL and one-way for the reads
     // it enables, so set it only when this table actually carries
     // TIMESTAMP(NANOS) — probing by attempting the plain read first

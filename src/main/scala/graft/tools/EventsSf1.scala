@@ -45,14 +45,32 @@ object EventsSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      val src = spark.read.parquet(s"$srcSf/events.parquet")
+      // Replica id-space strides DERIVED from the source (r14 ADVICE:
+      // the old fixed 10000/1e9 strides silently collided replica id
+      // spaces when SPARK_GRAFT_SF_DIR pointed at a larger dataset,
+      // corrupting the user-scale claim this probe exists to measure).
+      // One tiny agg job over two columns, then a power-of-10 stride
+      // past the max so replica ids stay human-readable.
+      val mx = src.agg(max("user_id"), max("event_id")).head()
+      def stride(maxId: Long): Long = {
+        require(maxId >= 0, s"negative source id $maxId — replication shift undefined")
+        var s = 1L
+        while (s <= maxId) s *= 10
+        s
+      }
+      val userStride = stride(mx.getLong(0))
+      val eventStride = stride(mx.getLong(1))
+      require(BigInt(eventStride) * r <= Long.MaxValue,
+        s"event_id stride $eventStride x $r replicas overflows Long")
       val reps = spark.range(r).toDF("rep")
-      spark.read.parquet(s"$srcSf/events.parquet")
-        .crossJoin(reps)
-        .withColumn("user_id", col("user_id") + col("rep") * 10000L)
-        .withColumn("event_id", col("event_id") + col("rep") * 1000000000L)
+      src.crossJoin(reps)
+        .withColumn("user_id", col("user_id") + col("rep") * userStride)
+        .withColumn("event_id", col("event_id") + col("rep") * eventStride)
         .drop("rep")
         .repartition(32).write.parquet(s"$dir/events.parquet")
-      println(s"[events-sf1] wrote ${r}x $srcSf events to $dir")
+      println(s"[events-sf1] wrote ${r}x $srcSf events to $dir " +
+        s"(user stride $userStride, event stride $eventStride)")
     }
     spark.range(1000).count() // scheduler warm-up
     val n = spark.read.parquet(s"$dir/events.parquet").count()

@@ -74,6 +74,40 @@ class BenchTriageSpec extends AnyFunSuite {
     }
   }
 
+  test("prevBench falls PAST a pairless killed-run wrapper to the previous round's (r14 verdict #7)") {
+    // the r14 failure mode: the driver killed the bench at its wall
+    // limit, so BENCH_r14.json holds rc=124 and a tail of WARN log
+    // lines with zero per-query pairs — the reader must fall through
+    // to the previous wrapper instead of silently zeroing the bands
+    val killed =
+      """{"n": 14, "rc": 124, "cpus": 32, "sf": 0.1, "tail": "26/08/16 23:13:32 WARN BlockManager: Block rdd_18792_1 already exists on this machine; not re-adding it", "parsed": null}"""
+    val valid =
+      """{"n": 13, "rc": 0, "sf": 0.1, "tail": "\"ns_dedup_minhash\":0.097872784", "parsed": null}"""
+    inTempDir("BENCH_r14.json" -> killed, "BENCH_r13.json" -> valid) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev == Map("ns_dedup_minhash" -> 0.097872784),
+        s"expected fall-through past the pairless r14 wrapper to r13, got $prev")
+    }
+    // and with a valid self file present, the killed wrapper is moot
+    val self =
+      s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"ns_dedup_exact":0.177},"sf":"$sf01"}"""
+    inTempDir("BENCH_SELF.json" -> self, "BENCH_r14.json" -> killed) { dir =>
+      assert(Bench.prevBench(sf01, dir) == Map("ns_dedup_exact" -> 0.177))
+    }
+  }
+
+  test("prevBench bands from an early-stopped self file: ceiling = max over reps_completed passes (r15)") {
+    // a budget-stopped run records fewer runs entries than `reps`; the
+    // ceiling is the max over what RAN — no special-casing, no refusal
+    val self =
+      s"""{"metric":"total","value":1.0,"unit":"sec","stat":"median","queries":{"ns_dedup_minhash":0.12},"sf":"$sf01","reps":5,"reps_completed":3,"runs":{"ns_dedup_minhash":[0.12,0.29,0.11]}}"""
+    inTempDir("BENCH_SELF.json" -> self) { dir =>
+      val prev = Bench.prevBench(sf01, dir)
+      assert(prev("ns_dedup_minhash") == 0.29,
+        s"ceiling over the 3 completed passes expected, got $prev")
+    }
+  }
+
   test("prevBench refuses a cross-SF band (sf mismatch -> no triage)") {
     val self =
       s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"ns_dedup_exact":0.2},"sf":"$sf01"}"""
@@ -139,13 +173,24 @@ class BenchTriageSpec extends AnyFunSuite {
       java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
     for (f <- Seq("\"stat\":\"median\"", "\"jvm_max_heap_mb\":", "\"pass_stats\":[",
                   "\"gc_ms\":", "\"steal_ticks\":", "\"evicted_blocks\":",
-                  "\"heap_used_mb\":", "\"storage_used_mb\":"))
+                  "\"heap_used_mb\":", "\"storage_used_mb\":",
+                  // r14 verdict #1/#3/#6: budget accounting, warm-pass
+                  // wall, and the per-pass task≫cpu contention meter
+                  // are now load-bearing for cross-round adjudication
+                  "\"reps_completed\":", "\"budget_s\":", "\"warm_pass_s\":",
+                  "\"pass_wall_s\":", "\"task_ms\":", "\"task_cpu_ms\":"))
       assert(text.contains(f), s"committed BENCH_SELF.json must carry $f")
-    // one pass-stat object per recorded rep
+    // one pass-stat object per COMPLETED rep (r15: a budget stop may
+    // record fewer than the requested reps; the file says how many)
     val reps = "\"reps\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt).get
     assert(reps >= 5, s"canonical runs use >=5 interleaved reps, got $reps")
+    val repsCompleted =
+      "\"reps_completed\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt).get
+    assert(repsCompleted >= 3 && repsCompleted <= reps,
+      s"committed artifact needs >=3 completed passes for an honest median, got $repsCompleted")
     val nPassStats = "\\{\"gc_ms\":".r.findAllIn(text).length
-    assert(nPassStats == reps, s"expected $reps pass_stats objects, got $nPassStats")
+    assert(nPassStats == repsCompleted,
+      s"expected $repsCompleted pass_stats objects, got $nPassStats")
     // the flat queries value IS the median of the recorded runs
     val qBlock = text.substring(text.indexOf("\"queries\":"), text.indexOf("\"sf\":"))
     val flat = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(qBlock)
@@ -160,6 +205,66 @@ class BenchTriageSpec extends AnyFunSuite {
       assert(math.abs(flat(n) - Bench.median(runs(n))) < 1e-9,
         s"$n: queries value ${flat(n)} != median of runs ${runs(n)}")
     }
+  }
+
+  test("budget early-stop predicate (r14 verdict #1a)") {
+    // never stops before the first measured pass — an artifact with
+    // zero recorded passes adjudicates nothing, whatever the budget
+    assert(!Bench.shouldStop(elapsedS = 9999, lastPassWallS = 9999, budgetS = 1, passesDone = 0))
+    // stops when the projected next pass would overrun
+    assert(Bench.shouldStop(elapsedS = 1500, lastPassWallS = 400, budgetS = 1800, passesDone = 3))
+    // continues while the projection fits
+    assert(!Bench.shouldStop(elapsedS = 1000, lastPassWallS = 300, budgetS = 1800, passesDone = 3))
+    // boundary: projection exactly at budget still runs (stop is >)
+    assert(!Bench.shouldStop(elapsedS = 1400, lastPassWallS = 400, budgetS = 1800, passesDone = 2))
+  }
+
+  test("main(): budget stop + incremental flush leave a parseable artifact per pass (r14 verdict #1)") {
+    // drives the real main() in-process via the prop-overridable knobs:
+    // 4 requested reps against a budget only one pass can fit must
+    // yield reps_completed < reps with a valid artifact and a summary
+    // line per completed pass — the r14 kill left NOTHING parseable
+    val out = SparkSuite.tempDir("benchmain")
+    val props = Map(
+      "SPARK_GRAFT_SF_DIR" -> SparkSuite.sfDir,
+      "SPARK_GRAFT_BENCH_ONLY" -> "k01_table_counts,k04_point_lookup",
+      "SPARK_GRAFT_BENCH_REPS" -> "4",
+      "SPARK_GRAFT_BENCH_WARM" -> "0",
+      "SPARK_GRAFT_BENCH_IDLE_WAIT_S" -> "0",
+      "SPARK_GRAFT_BENCH_DIR" -> out,
+      "SPARK_GRAFT_BENCH_KEEP_SESSION" -> "1")
+    def run(budget: String): (String, String) = {
+      SparkSuite.spark // ensure the shared session exists before main() getOrCreate()s
+      (props + ("SPARK_GRAFT_BENCH_BUDGET_S" -> budget)).foreach { case (k, v) => sys.props(k) = v }
+      val buf = new java.io.ByteArrayOutputStream()
+      try Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) { Bench.main(Array.empty) }
+      finally {
+        (props.keySet + "SPARK_GRAFT_BENCH_BUDGET_S").foreach(sys.props.remove)
+        SparkSuite.spark.sparkContext.setLogLevel("ERROR")
+      }
+      val artifact = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "BENCH_FOCUS.json")), "UTF-8")
+      (artifact, buf.toString("UTF-8"))
+    }
+    // budget 0.001 s: pass 1 always runs, then the stop predicate fires
+    val (a1, s1) = run(budget = "0.001")
+    assert(a1.contains("\"reps\":4") && a1.contains("\"reps_completed\":1"),
+      s"expected an early stop after exactly 1 of 4 passes, artifact: ${a1.take(300)}")
+    assert("\"k01_table_counts\":\\[[0-9.]+\\]".r.findFirstIn(a1).isDefined,
+      "the single completed pass must carry verbatim runs arrays")
+    assert(s1.linesIterator.count(_.contains("\"queries_file\":\"BENCH_FOCUS.json\"")) == 1,
+      "one summary line per completed pass, naming the focused artifact (r14 ADVICE)")
+    // ample budget: all 4 passes complete, one flush + summary per pass
+    val (a2, s2) = run(budget = "100000")
+    assert(a2.contains("\"reps_completed\":4"), s"expected 4 completed passes: ${a2.take(300)}")
+    assert(s2.linesIterator.count(_.contains("\"queries_file\":\"BENCH_FOCUS.json\"")) == 4,
+      "incremental flush must reprint the summary after every completed pass")
+    val runsArr = "\"k01_table_counts\":\\[([0-9.,Ee+-]+)\\]".r.findFirstMatchIn(a2)
+      .map(_.group(1).split(",").length)
+    assert(runsArr.contains(4), s"4 completed passes -> 4 recorded reps, got $runsArr")
+    for (f <- Seq("\"warm_pass_s\":", "\"budget_s\":", "\"pass_wall_s\":",
+                  "\"task_ms\":", "\"task_cpu_ms\":", "\"attribution_settle\":"))
+      assert(a2.contains(f), s"focused artifact must carry $f")
   }
 
   test("cwd integration: the committed self artifact carries full bands") {

@@ -155,6 +155,46 @@ class JwksDiscoverySpec extends AnyFunSuite {
     }
   }
 
+  test("outage probe never parks concurrent auth on the monitor (r14 ADVICE)") {
+    // a HUNG (not fast-failing) issuer: the probing fetch blocks on a
+    // latch. The old code held `synchronized` across the GET, so every
+    // groups() call in the window queued up to 40 s behind the probe —
+    // "fast local 403s" only held when the fetch failed quickly.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val (_, priv) = rsaPair()
+    val secondEntered = new CountDownLatch(1)
+    val secondGate = new CountDownLatch(1)
+    val calls = new AtomicInteger(0)
+    var now = 1000000L
+    val v = new JwksDiscoveryVerifier("latched://jwks", nowEpochSeconds = () => now,
+      minRefreshSeconds = 300L, failedRefreshSeconds = 15L,
+      fetchJwks = _ =>
+        if (calls.incrementAndGet() == 1) sys.error("issuer down") // arms the outage state
+        else {
+          secondEntered.countDown()
+          secondGate.await() // the hung probe
+          sys.error("issuer down")
+        })
+    assert(v.groups(rs256("k1", priv, claims())).isEmpty)
+    assert(calls.get() == 1)
+    // next failure window: the probe HANGS instead of failing fast
+    now += 16
+    val prober = new Thread(() => { v.groups(rs256("k1", priv, claims())); () })
+    prober.start()
+    // wait until the prober is INSIDE the fetch — this is the exact
+    // moment the old code held the monitor across the GET
+    assert(secondEntered.await(5, TimeUnit.SECONDS), "prober never reached fetch")
+    val t0 = System.nanoTime()
+    assert(v.groups(rs256("k1", priv, claims())).isEmpty,
+      "concurrent auth during the hung probe must reject locally")
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 2000, s"auth parked ${elapsedMs}ms behind the hung probe")
+    assert(calls.get() == 2, "the concurrent call must not launch a second fetch")
+    secondGate.countDown()
+    prober.join(5000)
+    assert(!prober.isAlive, "prober never finished")
+  }
+
   test("fail-closed with no successful fetch; issuer blip keeps the cache") {
     val (pub, priv) = rsaPair()
     withServer { (url, hits, doc) =>

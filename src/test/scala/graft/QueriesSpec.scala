@@ -380,6 +380,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(OpMemo.size(spark) == 0)
   }
 
+  test("OpMemo.plan + Tables: relation handles reused, not cached, invalidate-evicted (r14 verdict #3)") {
+    import graft.operators.OpMemo
+    import graft.sources.Tables
+    // Tables hands back the SAME resolved relation per (session, dir,
+    // name) — the file listing + footer schema read are paid once per
+    // session, not once per query construction (the bench's dominant
+    // fixed overhead: 190 rows × 6 passes × multi-table queries)
+    val a = Tables(spark, dir, "lineitem")
+    val b = Tables(spark, dir, "lineitem")
+    assert(a eq b, "same session+dir+name must return the identical plan handle")
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "plan memo must NOT cache — no storage memory, scans still stream")
+    // the events wrapper (ts normalization) is memoized through the same path
+    assert(Tables(spark, dir, "events") eq Tables.events(spark, dir))
+    // invalidate drops plan handles with the same (session, dir) hook
+    var builds = 0
+    def mk() = { builds += 1; spark.range(3).toDF() }
+    OpMemo.plan(spark, "/tmp/planA", "t")(mk())
+    OpMemo.plan(spark, "/tmp/planA", "t")(mk())
+    assert(builds == 1, "second plan() call must be a memo hit")
+    OpMemo.invalidate(spark, Some("/tmp/planA"))
+    OpMemo.plan(spark, "/tmp/planA", "t")(mk())
+    assert(builds == 2, "invalidate must evict the plan handle")
+    OpMemo.invalidate(spark)
+  }
+
   test("decontamination: found pairs verify exactly; high-similarity pairs are found") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, dir)
