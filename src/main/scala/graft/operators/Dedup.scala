@@ -440,14 +440,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_emits"), max("hamming").as("hamming"))
     // recompute through the independent aggregate plan, but only for
     // docs that appear in emitted pairs (left-semi before the explode):
-    // the verify pass costs O(|pairs|), not a second corpus scan
+    // the verify pass costs O(|pairs|), not a second corpus scan.
+    // pairDocs is pair-set-sized — broadcast it so the corpus scan is
+    // never exchanged/sorted for a sort-merge semi-join (r15: the
+    // planner picked SMJ here, paying a corpus Exchange + Sort per run).
+    // ADAPTIVE (r15, HotProbe-measured): on this corpus the emitted
+    // pairs touch 3458 of 5000 docs, and building + broadcasting the
+    // distinct pair-doc set cost MORE (1.0 s + a slower probed scan:
+    // 2.5 s) than recomputing signatures for the whole corpus (1.2 s).
+    // A prune that prunes nothing is pure overhead (guide §1.1
+    // first-principles), so the semi-join only applies when the pair
+    // docs cover under half the corpus — the 100 TB regime, where
+    // pairs ≪ corpus and the prune is the whole design. Both guard
+    // counts are session memo scalars (warm pass pays them once); the
+    // full-corpus sigs frame is a SUPERSET of the semi-joined one and
+    // the pair join below is inner on doc_id, so the result set is
+    // identical on either path.
     val pairDocs = emitted.select(col("doc_a").as("doc_id"))
       .unionByName(emitted.select(col("doc_b").as("doc_id"))).distinct()
-    val sigs = simhashSignaturesAggOf(
-      Tables.documents(spark, dir).join(pairDocs, Seq("doc_id"), "left_semi"))
-    emitted
-      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
-      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+    val nPairDocs = OpMemo.cachedLong(spark, dir,
+      s"dedup:simhash-pairdocs-$maxHamming")(pairDocs.count())
+    val nDocs = OpMemo.cachedLong(spark, dir, "dedup:ndocs")(
+      Tables.documents(spark, dir).count())
+    val sigSource =
+      if (2L * nPairDocs >= nDocs) Tables.documents(spark, dir)
+      else Tables.documents(spark, dir)
+        .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+    val sigs = simhashSignaturesAggOf(sigSource)
+    // attach the recomputed signature to each pair ONCE: the former
+    // `join(sigs as a) join(sigs as b)` shape planted the whole sigs
+    // subtree (corpus scan + semi-join + explode + 64-vote aggregate)
+    // TWICE in the plan — aliases differ, so ReuseExchange cannot
+    // dedupe it (r15, measured: the sound row's task time was ~2× the
+    // aggregate's real cost). Unpivoting the pair's endpoints and
+    // regrouping keeps inner-join semantics (both sigs required) while
+    // the expensive subtree appears exactly once.
+    val sided = emitted.select(col("doc_a"), col("doc_b"), col("hamming"), col("n_emits"),
+        explode(array(
+          struct(lit(0).as("side"), col("doc_a").as("doc_id")),
+          struct(lit(1).as("side"), col("doc_b").as("doc_id")))).as("e"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_emits"),
+        col("e.side").as("side"), col("e.doc_id").as("doc_id"))
+    sided.join(sigs, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "hamming", "n_emits")
+      .agg(max(when(col("side") === 0, col("sig"))).as("sig_a"),
+        max(when(col("side") === 1, col("sig"))).as("sig_b"))
+      .where(col("sig_a").isNotNull && col("sig_b").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_emits"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming_check"))
       .where(col("hamming_check") =!= col("hamming") || col("hamming") > maxHamming ||

@@ -239,27 +239,28 @@ object TextClassify {
       // table, the generated source is iteration-invariant, and the
       // compile cache hits
       val wArr = lit(w.clone())
-      // ONE action per iteration (r11 — at 8 iterations the loop's
-      // cost was pure job count, 3 actions/iter on a cached 5k-row
-      // frame): the per-f update sums and the misclassified-doc count
-      // ride one collect as a union of two aggregates over the same
-      // cached dv scan (the count as a sentinel f = -1 row). The
-      // margin is a codegen'd sparse dot ([[SparseCountDot]] — the
-      // interpreted 256-literal HOF fold ran outside whole-stage
-      // codegen, the repo's measured gotcha); it evaluates once per
-      // branch, cheap enough that fusing jobs beats caching it.
+      // ONE action AND one cached-dv scan per iteration (r11 fused the
+      // 3 actions/iter into one union-of-two-aggregates; r15 fuses the
+      // two aggregate SUBTREES — each re-evaluated the sparse dot and
+      // re-scanned dv — into a single explode+groupBy by appending a
+      // sentinel f = -1 feature with cnt = 1 to every misclassified
+      // doc's feature list: count(*) of the sentinel group is the
+      // misclassified-doc count, and its sum(y·cnt) column is simply
+      // ignored). The margin is a codegen'd sparse dot
+      // ([[SparseCountDot]] — the interpreted 256-literal HOF fold ran
+      // outside whole-stage codegen, the repo's measured gotcha); it
+      // now evaluates exactly once per doc per iteration.
       val miscl = dv.withColumn("margin",
           graft.functions.VectorExpressions.sparseCountDot(col("fs"), wArr))
         .where(col("y") * col("margin") <= 0)
       val res = miscl
-        .select(col("y"), explode(col("fs")).as("e"))
+        .select(col("y"), explode(concat(col("fs"),
+          array(struct(lit(-1).as("f"), lit(1L).as("cnt"))))).as("e"))
         .groupBy(col("e.f").as("f"))
-        .agg(sum(col("y") * col("e.cnt")).as("u"))
-        .unionByName(miscl.select(lit(-1).as("f"))
-          .groupBy("f").agg(count(lit(1)).as("u")))
+        .agg(sum(col("y") * col("e.cnt")).as("u"), count(lit(1)).as("n"))
         .collect()
       val upd = res.filter(_.getInt(0) >= 0).map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val nMiscl = res.find(_.getInt(0) == -1).map(_.getLong(1)).getOrElse(0L)
+      val nMiscl = res.find(_.getInt(0) == -1).map(_.getLong(2)).getOrElse(0L)
       curve += ((t, nMiscl, upd.values.map(math.abs).sum))
       upd.foreach { case (f, u) => w(f) += u }
     }

@@ -75,11 +75,19 @@ object TextPmi {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       array_distinct(TextOps.tokensNonEmpty(lower(col("text")))).as("toks"))
-    val vocab = toks
-      .select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("tok")).limit(VocabTopV)
-    pmiCore(toks, vocab, docs.count())
+    // the top-V vocabulary and the corpus count are model-sized static
+    // artifacts of the per-dir snapshot — the IVF-index/BPE-merges/τ
+    // memo discipline (r15: rebuilding the vocabulary paid a second
+    // corpus tokenize + explode + vocab-keyed aggregate on every run,
+    // and the count a third scan job; steady state is the pair pass)
+    val vocab = OpMemo.cached(spark, dir, "text:pmi-vocab") {
+      toks
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(VocabTopV)
+    }
+    val nDocs = OpMemo.cachedLong(spark, dir, "text:pmi-ndocs")(docs.count())
+    pmiCore(toks, vocab, nDocs)
       .orderBy("t1", "t2")
   }
 

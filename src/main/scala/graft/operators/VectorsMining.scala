@@ -170,8 +170,10 @@ object VectorsMining {
     * target row computes its Q cosines AND its own top-4 sum in one
     * map (zero shuffle for avgₖ(y) — the corpus side never groups);
     * avgₖ(x) reduces through the bounded [[graft.functions.TopKAggregator]]
-    * (Q groups, O(k) state); the final top-1-per-query rides the same
-    * aggregator. No corpus-keyed exchange anywhere. */
+    * (Q groups, O(k) state); the final top-1-per-query is a native
+    * `max_by` over struct keys — O(1) state, map-side partials, and it
+    * carries the winner's cosine so nothing joins back against the
+    * pair stream. No corpus-keyed exchange anywhere. */
   val marginPairs: GraftQuery = GraftQuery.checked("ns_vec_margin_pairs",
     """WITH q AS (
       SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -235,21 +237,28 @@ object VectorsMining {
       .select(col("qid"), col("yid"), col("cosm"),
         floor((col("cosm") * 8).cast("double") / (col("sx4") + col("sy4")) * 1000000)
           .cast("long").as("margin_micro"))
-    // top-1 per query by (margin DESC, yid) through the same aggregator
-    val top1 = new TopKAggregator(1).toColumn
-    val best = margins.as[(Long, Long, Long, Long)]
-      .map { case (q, y, _, mm) => (q, ScoredId(y, mm.toDouble)) }
-      .groupByKey(_._1).mapValues(_._2).agg(top1.name("top1"))
-      .flatMap { case (q, tk) => tk.headOption.map(s => (q, s.id)) }
-      .toDF("query_id", "pair_id")
-    // winners join back against the pair stream for their cosine —
-    // broadcast the Q-sized winner set, never the corpus-sized stream
+    // top-1 per query by (margin DESC, yid ASC) as ONE native max_by
+    // over struct keys — O(1) state per group with map-side partials,
+    // the same bounded-aggregate scale contract as the typed top-1
+    // aggregator it replaces. r15 (measured: this row was DRIVER-bound,
+    // wall ≈ 2.5 s vs 1.4 s of task time per run): the typed
+    // groupByKey top-1 plus the winner join-back planted the corpus
+    // cosine subtree in the plan THREE times (sx pass, best pass,
+    // join-back pass) and added two object-serialization boundaries;
+    // max_by carries the winner's cosine through the aggregate, so the
+    // cosine map now executes exactly twice (the irreducible sx pass +
+    // this one) and nothing joins back. (yid is unique per group, so
+    // the lexicographic (margin, -yid) key has no ties and max_by is
+    // deterministic; exact BIGINTs replace the aggregator's double
+    // scores — identical ordering, margins are ~1e7 ≪ 2^53.)
     margins
-      .select(col("qid").as("query_id"), col("yid").as("pair_id"),
-        col("cosm").as("cos_micro"), col("margin_micro"))
-      .join(broadcast(best), Seq("query_id", "pair_id"))
+      .groupBy(col("qid").as("query_id"))
+      .agg(max_by(
+        struct(col("yid"), col("cosm"), col("margin_micro")),
+        struct(col("margin_micro"), (-col("yid")).as("neg_yid"))).as("b"))
+      .select(col("query_id"), col("b.yid").as("pair_id"),
+        col("b.cosm").as("cos_micro"), col("b.margin_micro").as("margin_micro"))
       .where(col("margin_micro") > 1000000L)
-      .select("query_id", "pair_id", "cos_micro", "margin_micro")
       .orderBy("query_id")
   }
 

@@ -22,6 +22,9 @@ object TimeOne {
       .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
+      // match the bench session (r15): AQE off by default locally, same knob
+      .config("spark.sql.adaptive.enabled",
+        sys.props.get("SPARK_GRAFT_AQE").orElse(sys.env.get("SPARK_GRAFT_AQE")).getOrElse("false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
