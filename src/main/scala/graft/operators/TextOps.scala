@@ -686,14 +686,21 @@ object TextOps {
     // document frequency is a plain row count over tf — no second
     // corpus-wide explode + COUNT(DISTINCT) shuffle
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(spark, dir).count()
+    val n = OpMemo.cachedLong(spark, dir, "text:ndocs")(
+      Tables.documents(spark, dir).count())
     val scored = tf.join(broadcast(df), "t")
       .select(col("doc_id"), col("t").as("token"),
         dround(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3 && col("doc_id") < 100)
+    // doc_id < 100 BEFORE the window (r15): the window partitions by
+    // doc_id, so ranks inside the kept docs are unchanged, but the
+    // optimizer does not push this conjunct through the Window itself
+    // and was ranking all docs to keep 100 (df/tf above stay
+    // corpus-wide — document frequency is global by definition)
+    scored.where(col("doc_id") < 100)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
       .select("doc_id", "token", "tfidf")
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }

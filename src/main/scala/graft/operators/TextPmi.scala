@@ -86,7 +86,7 @@ object TextPmi {
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(VocabTopV)
     }
-    val nDocs = OpMemo.cachedLong(spark, dir, "text:pmi-ndocs")(docs.count())
+    val nDocs = OpMemo.cachedLong(spark, dir, "text:ndocs")(docs.count())
     pmiCore(toks, vocab, nDocs)
       .orderBy("t1", "t2")
   }
