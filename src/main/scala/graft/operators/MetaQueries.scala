@@ -313,16 +313,19 @@ object MetaQueries {
     var frontier: DataFrame = edges
       .select(col("src").as("root"), col("dst").as("node"), lit(1).as("depth"))
       .distinct() // the core takes ANY edge list; later levels distinct, so must level 1 (r10 review)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the emptiness count below (r15, one job)
     // one materialization per round: the reach set is the UNION of the
     // already-checkpointed frontiers (flat lineage, depth-bounded fan-in),
     // so only the new frontier pays a localCheckpoint each level
     var levels: List[DataFrame] = List(frontier)
     var depth = 1
-    // one emptiness probe per materialized frontier (r15: the loop
-    // condition AND the post-loop `unfinished` read each re-ran
-    // isEmpty on the same checkpointed frame — a redundant job)
-    var frontierEmpty = frontier.isEmpty
+    // ONE job per round (r15): an eager localCheckpoint is itself a
+    // materialization job, and the loop's emptiness probe was a second
+    // — a LAZY checkpoint mark + count() materializes every partition
+    // of the checkpoint AND answers the emptiness question in the same
+    // job (count, not isEmpty: take(1) could short-circuit before all
+    // partitions of the checkpoint are computed)
+    var frontierEmpty = frontier.count() == 0
     while (!frontierEmpty && depth < maxDepth) {
       val seen = levels.map(_.select("root", "node")).reduce(_ unionByName _)
       val next = frontier.join(edges, frontier("node") === edges("src"))
@@ -330,10 +333,10 @@ object MetaQueries {
         .distinct()
         .join(seen, Seq("root", "node"), "left_anti")
         .select(col("root"), col("node"), lit(depth + 1).as("depth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      frontierEmpty = next.count() == 0
       levels ::= next
       frontier = next
-      frontierEmpty = frontier.isEmpty
       depth += 1
     }
     val unfinished = !frontierEmpty
@@ -415,13 +418,16 @@ object MetaQueries {
       // levels, so convergence reads the (node-count-sized) local
       // checkpoint instead of re-joining prev vs next — one action per
       // round, not two joins (the fix that took the bench row from
-      // 1.9 s to the fixpoint loop's floor)
+      // 1.9 s to the fixpoint loop's floor). r15: the checkpoint mark
+      // is LAZY and the convergence count materializes it — one job
+      // per round instead of checkpoint-job + isEmpty-job (count, not
+      // isEmpty, so every checkpoint partition is computed)
       val next = levels.join(relaxed, Seq("node"), "left")
         .select(col("node"),
           greatest(col("lvl"), coalesce(col("in_lvl"), lit(0L))).as("lvl"),
           (coalesce(col("in_lvl"), lit(0L)) > col("lvl")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.where(col("changed")).isEmpty
+        .localCheckpoint(false)
+      converged = next.where(col("changed")).count() == 0
       levels = next.drop("changed")
       iter += 1
     }
@@ -491,7 +497,11 @@ object MetaQueries {
       dagEdges(spark)
         .join(dagEdges(spark).groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
         .select(col("src"), col("dst"), col("deg")))
-    pageRankFinish(pageRankLoop(nodes, weighted, n))
+    // eagerFinal = false: nothing is unpersisted after this loop, so
+    // the caller's single action executes the whole checkpoint-marked
+    // iteration chain as ONE job (r15 — the eager marks were three
+    // separate materialization jobs per run)
+    pageRankFinish(pageRankLoop(nodes, weighted, n, eagerFinal = false))
   }
 
   /** The generic power-method core over a `(src, dst)` edge list —
@@ -516,8 +526,12 @@ object MetaQueries {
   }
 
   /** The power iterations over prebuilt (nodes, weighted, n) — shared
-    * by the memoizing registered path and the cache-owning core. */
-  private def pageRankLoop(nodes: DataFrame, weighted: DataFrame, n: Long): DataFrame = {
+    * by the memoizing registered path and the cache-owning core.
+    * `eagerFinal` materializes the final checkpoint before returning —
+    * required when the caller unpersists the loop's inputs (the r10
+    * rule); the memoized path defers it to its caller's action. */
+  private def pageRankLoop(nodes: DataFrame, weighted: DataFrame, n: Long,
+                           eagerFinal: Boolean = true): DataFrame = {
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     for (t <- 1 to PrIters) {
       val contrib = weighted
@@ -532,13 +546,16 @@ object MetaQueries {
       // depth without paying an eager materialization job per round —
       // ten of which dominated wall time at catalog scale (4.6 s → one
       // job); at billion-edge scale the cadence is the tuning knob
-      if (t % 4 == 0) pr = pr.localCheckpoint(true)
+      // LAZY mark (r15): truncates the logical plan immediately; the
+      // RDD materializes inside whichever job first computes it, so
+      // mid-loop checkpoints no longer cost a job each
+      if (t % 4 == 0) pr = pr.localCheckpoint(false)
     }
     // materialize the FINAL frame before releasing its inputs (r10
     // review: iterations past the last in-loop checkpoint lived as
     // live joins against `weighted`/`nodes`, so the caller's action
     // re-ran the degree build plus two power iterations uncached)
-    pr.localCheckpoint(true)
+    pr.localCheckpoint(eagerFinal)
   }
 
   private def pageRankFinish(pr: DataFrame): DataFrame =
@@ -747,13 +764,16 @@ object MetaQueries {
     // the fixture run from 12 rounds to its ~2-round erosion depth;
     // at scale the per-round isEmpty is the standard convergence-probe
     // cost, paid against never running wasted corpus-wide rounds.
+    // r15: checkpoint marks are LAZY; the convergence count is the
+    // round's single job and materializes every checkpoint partition
+    // (count, not isEmpty — take(1) could stop short of that)
     var c = adj.groupBy("node").agg(count(lit(1)).as("cv")).localCheckpoint(true)
     var converged = false
     var t = 0
     while (!converged && t < maxIters) {
-      val next = hRound(c).localCheckpoint(true)
+      val next = hRound(c).localCheckpoint(false)
       converged = next.join(c.withColumnRenamed("cv", "prev"), "node")
-        .where(col("cv") =!= col("prev")).isEmpty
+        .where(col("cv") =!= col("prev")).count() == 0
       c = next; t += 1
     }
     // a value that would still drop means the h-index cascade hasn't

@@ -50,19 +50,26 @@ object RecallReport {
         expr("coalesce(found_pairs, 0) * 10000 div expected_pairs").as("recall_bp"))
   }
 
+  // the planted ground-truth aggregates are static per-dir fixture
+  // arithmetic (1-row frames) — OpMemo'd (r15: each report run re-ran
+  // three documents scans + one embeddings scan just to recount them)
   private def mediaExpected(spark: SparkSession, dir: String, mod: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .where(col("doc_id") % 3 === mod)
-      .groupBy(expr("doc_id div 15").as("grp")).agg(count(lit(1)).as("c"))
-      .agg(count(lit(1)).as("n_groups"),
-        sum(expr("c * (c - 1) div 2")).as("expected_pairs"))
+    OpMemo.cached(spark, dir, s"recall:expected-media-$mod") {
+      Tables.documents(spark, dir)
+        .where(col("doc_id") % 3 === mod)
+        .groupBy(expr("doc_id div 15").as("grp")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(expr("c * (c - 1) div 2")).as("expected_pairs"))
+    }
 
   private def vecExpected(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .where(col("vec_id") % 4 === 0)
-      .agg(count(lit(1)).as("n_groups"),
-        (count(lit(1)) * (VectorsPlanted.Members * (VectorsPlanted.Members - 1) / 2))
-          .as("expected_pairs"))
+    OpMemo.cached(spark, dir, "recall:expected-vec") {
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") % 4 === 0)
+        .agg(count(lit(1)).as("n_groups"),
+          (count(lit(1)) * (VectorsPlanted.Members * (VectorsPlanted.Members - 1) / 2))
+            .as("expected_pairs"))
+    }
 
   private def mediaExpectedSql(mod: Int): String =
     s"""(SELECT COUNT(*) AS n_groups,
