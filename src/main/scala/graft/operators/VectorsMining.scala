@@ -206,8 +206,14 @@ object VectorsMining {
     import spark.implicits._
     import graft.functions.{ScoredId, TopKAggregator}
     val emb = Tables.embeddings(spark, dir)
-    val qRows = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 32)
-      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+    // Q-bounded static query slice — memoized like TimeSeries'
+    // `ts:queries` (r15: every run re-scanned the embeddings parquet
+    // just to re-collect the same 16 query vectors); the per-call
+    // collect reads the 16-row cache
+    val qRows = OpMemo.cached(spark, dir, "vec:margin-queries") {
+      emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 32)
+        .select("vec_id", "embedding")
+    }.collect().sortBy(_.getLong(0))
     val qIds = qRows.map(_.getLong(0))
     val qIdArr = array(qIds.map(lit).toIndexedSeq: _*)
     // per-target-row cosines vs EVERY query (native codegen'd dots
