@@ -368,11 +368,16 @@ object Dedup {
   def simhashSignaturesAggOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    // branch-free vote sums (r15): the ±1 vote total over n tokens is
+    // 2·ones_j − n, so bit j is set iff 2·Σ((h>>j)&1) > n — the same
+    // 64-vote-sum aggregate algebra with the per-row per-bit CASE
+    // branch replaced by two ALU ops, identical results including the
+    // tie (vote sum 0 ⇔ 2·ones = n ⇒ bit clear on both forms)
+    val ones = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1)).as(s"o$j"))
     val sig = (0 until 64).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      when(col(s"o$j") * 2 > col("nt"), lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    toks.groupBy("doc_id").agg(count(lit(1)).as("nt"), ones: _*)
       .select(col("doc_id"), sig.as("sig"))
   }
 
