@@ -320,15 +320,39 @@ object Bench {
     // measured pass is the symmetric methodology. Its wall is recorded
     // (`warm_pass_s`, r14 verdict #3) — it is the bench's single
     // largest fixed cost and was invisible in every prior artifact.
-    val memoPaid = scala.collection.mutable.LinkedHashMap.empty[String, Set[String]]
     val warm = knob("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    // Warm lanes (r15 verdict "next round" #3): the sequential warm pass
+    // was the bench's single largest fixed block (133-155 s). The warm
+    // pass is UNTIMED, so overlapping independent queries (guide §2.6 —
+    // FIFO scheduling back-fills each job's straggler tail with the next
+    // lane's tasks) cuts only run wall, never a measured number. Memo
+    // attribution moves from before/after key diffs (racy under lanes)
+    // to build-time tags recorded by OpMemo itself — exact either way.
+    // Per-query warm walls are recorded VERBATIM as `warm_runs` (r15
+    // verdict #1a: every memoized row now carries its cold, memo-paying
+    // wall next to the steady-state median); under >1 lane they overlap,
+    // so they are UPPER bounds on the solo cold cost — the artifact
+    // names the lane count (`warm_parallelism`) so a reader prices that.
+    val warmThreads = math.max(1, knob("SPARK_GRAFT_BENCH_WARM_THREADS", "4").toInt)
+    val warmRuns = scala.collection.concurrent.TrieMap.empty[String, Double]
     val warmT0 = System.nanoTime()
-    if (warm) names.foreach { name =>
-      val before = graft.operators.OpMemo.keys(spark, sfDir)
-      runOnce(name)
-      val paid = graft.operators.OpMemo.keys(spark, sfDir) -- before
-      if (paid.nonEmpty) memoPaid(name) = paid
+    if (warm) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
+      names.foreach { name =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            spark.sparkContext.setJobDescription(s"warm:$name") // thread-local
+            warmRuns(name) = graft.operators.OpMemo.withBuildTag(name)(runOnce(name))
+          }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(7, java.util.concurrent.TimeUnit.DAYS)
+      spark.sparkContext.setJobDescription(null)
     }
+    val memoPaid: Map[String, Seq[String]] =
+      graft.operators.OpMemo.builds(spark, sfDir).toSeq.groupBy(_._2)
+        .map { case (q, ks) => q -> ks.map(_._1).sorted }
     val warmPassS = (System.nanoTime() - warmT0) / 1e9
     // Measured passes: up to `reps` recorded runs per row (r12 verdict
     // #2's per-row variance ask; reps 3→5 and min→median per r13
@@ -419,9 +443,17 @@ object Bench {
         }.mkString(""","triage":{""", ",", "}")
       val memoJson =
         if (memoPaid.isEmpty) ""
-        else memoPaid.map { case (n, ks) =>
-          s"""\"$n\":[${ks.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+        else memoPaid.toSeq.sortBy(_._1).map { case (n, ks) =>
+          s"""\"$n\":[${ks.map("\"" + _ + "\"").mkString(",")}]"""
         }.mkString(""","memo_paid":{""", ",", "}")
+      // cold receipts: the warm pass's per-query walls, keyed like
+      // `queries` — placed BEFORE the `queries` map so prevBench's
+      // last-wins flat scan still bands on the steady-state medians
+      val warmRunsJson =
+        if (warmRuns.isEmpty) ""
+        else warmRuns.toSeq.sortBy(_._1)
+          .map { case (n, w) => s"""\"$n\":${f"$w%.3f"}""" }
+          .mkString(s""""warm_parallelism":$warmThreads,"warm_runs":{""", ",", "},")
       val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -441,8 +473,18 @@ object Bench {
         else attrib.toSeq.sortBy(_._1).map { case (n, (t, g, c, w)) =>
           s"""\"$n\":{\"task_ms\":$t,\"task_gc_ms\":$g,\"task_cpu_ms\":$c,\"wall_s\":$w}"""
         }.mkString(s""","attribution_settle":"$settleMode","attribution":{""", ",", "}")
-      val budgetJson = s""","reps_completed":${passes.size},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"warm_pass_s":${f"$warmPassS%.1f"}"""
-      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps$budgetJson,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$passStatsJson$runsJson$triageJson$memoJson$attribJson$loadWarning}"""
+      // effective-parallelism contract (r15 verdict "next round" #2: the
+      // driver's scaling heuristic fired `suspect_cpus_ignored` on an
+      // HONORED knob because no artifact stated what parallelism the run
+      // actually used — these three fields close that gap in both the
+      // artifact and the stdout summary)
+      val parJson = {
+        val cpusJson = scala.util.Try(cpus.trim.toInt).map(_.toString)
+          .getOrElse("\"" + cpus + "\"")
+        s""","cpus":$cpusJson,"default_parallelism":${spark.sparkContext.defaultParallelism},"shuffle_partitions":${scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(-1)},"aqe":"${knob("SPARK_GRAFT_AQE", "false")}""""
+      }
+      val budgetJson = s""","reps_completed":${passes.size},"budget_s":$budgetS,"elapsed_s":${f"$elapsedS%.1f"},"warm_pass_s":${f"$warmPassS%.1f"}$parJson"""
+      val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median",$warmRunsJson"queries":$qs,"sf":"$sfDir","warm_pass":$warm,"reps":$reps$budgetJson,"noisy_first_runs":$noisyFirstRuns,"loadavg1m_start":$startLoad,"loadavg1m":$load$fpJson$passStatsJson$runsJson$triageJson$memoJson$attribJson$loadWarning}"""
       // best-effort: a read-only cwd / full disk must not cost the round
       // its stdout artifact line after minutes of measured work (r10
       // review #3) — the println below is unconditional. A filtered

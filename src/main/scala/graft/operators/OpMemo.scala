@@ -32,6 +32,31 @@ object OpMemo {
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  // ---- build attribution (r16: the bench's warm pass now runs
+  // queries CONCURRENTLY, so its old attribution — diff OpMemo.keys
+  // before/after each query — would misattribute any memo another
+  // lane built in between. The builder records WHO built each entry
+  // at build time instead: callers tag their thread via
+  // [[withBuildTag]] and the memo stores the tag alongside the key.)
+  private val buildTagTL = new ThreadLocal[String]
+  private val builders = TrieMap.empty[(SparkSession, String, String), String]
+
+  /** Run `f` with every memo built on this thread attributed to `tag`
+    * (thread-local — safe under the bench's concurrent warm lanes). */
+  def withBuildTag[T](tag: String)(f: => T): T = {
+    val prev = buildTagTL.get()
+    buildTagTL.set(tag)
+    try f finally { if (prev == null) buildTagTL.remove() else buildTagTL.set(prev) }
+  }
+
+  private def recordBuild(k: (SparkSession, String, String)): Unit =
+    Option(buildTagTL.get()).foreach(t => builders.put(k, t))
+
+  /** (memo key -> building query tag) for (session, dir) — the bench's
+    * `memo_paid` source. Covers frame, scalar and plan-handle memos. */
+  def builds(spark: SparkSession, dir: String): Map[String, String] =
+    builders.collect { case ((s, d, k), tag) if (s eq spark) && d == dir => k -> tag }.toMap
+
   /** Memo keys currently materialized for (session, dir) — lets the
     * bench stamp WHICH query paid each shared training memo (r8
     * verdict #4b: `ns_text_bpe_fertility` read 2 s in the artifact
@@ -44,7 +69,18 @@ object OpMemo {
   def cached(spark: SparkSession, dir: String, key: String)
             (build: => DataFrame): DataFrame = {
     hook(spark)
-    memos.getOrElseUpdate((spark, dir, key), build.cache())
+    val k = (spark, dir, key)
+    memos.get(k).getOrElse {
+      // explicit get/putIfAbsent instead of getOrElseUpdate so the
+      // build is attributable (recordBuild) and a concurrent-warm race
+      // keeps ONE winner; the loser's handle is discarded un-unpersisted
+      // (both .cache() calls map to the same CacheManager entry — an
+      // unpersist here would drop the winner's storage too)
+      val df = build.cache()
+      val prev = memos.putIfAbsent(k, df)
+      if (prev.isEmpty) recordBuild(k)
+      prev.getOrElse(df)
+    }
   }
 
   // scalar companions to the frame memo (r12 review: the g7 corpus
@@ -59,7 +95,12 @@ object OpMemo {
   def cachedLong(spark: SparkSession, dir: String, key: String)
                 (build: => Long): Long = {
     hook(spark)
-    scalars.getOrElseUpdate((spark, dir, key), build)
+    val k = (spark, dir, key)
+    scalars.get(k).getOrElse {
+      val v = build
+      if (scalars.putIfAbsent(k, v).isEmpty) recordBuild(k)
+      scalars.getOrElse(k, v)
+    }
   }
 
   // plan handles (NOT .cache()d) — see [[plan]]
@@ -78,7 +119,12 @@ object OpMemo {
     * files under this dir changed" has one hook for both. */
   def plan(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
     hook(spark)
-    plans.getOrElseUpdate((spark, dir, key), build)
+    val k = (spark, dir, key)
+    plans.get(k).getOrElse {
+      val df = build
+      if (plans.putIfAbsent(k, df).isEmpty) recordBuild(k)
+      plans.getOrElse(k, df)
+    }
   }
 
   private def hook(spark: SparkSession): Unit = hooked.synchronized {
@@ -104,6 +150,8 @@ object OpMemo {
       .foreach(scalars.remove)
     plans.keys.filter { case (s, d, _) => (s eq spark) && dir.forall(_ == d) }
       .foreach(plans.remove)
+    builders.keys.filter { case (s, d, _) => (s eq spark) && dir.forall(_ == d) }
+      .foreach(builders.remove)
   }
 
   /** Number of live entries (test hook). */

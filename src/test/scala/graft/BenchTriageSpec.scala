@@ -263,8 +263,45 @@ class BenchTriageSpec extends AnyFunSuite {
       .map(_.group(1).split(",").length)
     assert(runsArr.contains(4), s"4 completed passes -> 4 recorded reps, got $runsArr")
     for (f <- Seq("\"warm_pass_s\":", "\"budget_s\":", "\"pass_wall_s\":",
-                  "\"task_ms\":", "\"task_cpu_ms\":", "\"attribution_settle\":"))
+                  "\"task_ms\":", "\"task_cpu_ms\":", "\"attribution_settle\":",
+                  // r15 verdict #4 / next-round #2: effective parallelism
+                  // must be stated in-artifact AND in the stdout summary
+                  "\"cpus\":", "\"default_parallelism\":", "\"shuffle_partitions\":"))
       assert(a2.contains(f), s"focused artifact must carry $f")
+    for (f <- Seq("\"cpus\":", "\"default_parallelism\":", "\"shuffle_partitions\":"))
+      assert(s2.contains(f), s"stdout summary must carry $f")
+  }
+
+  test("main(): warm pass records per-query cold walls as warm_runs (r15 verdict next-round #1a)") {
+    val out = SparkSuite.tempDir("benchwarm")
+    val props = Map(
+      "SPARK_GRAFT_SF_DIR" -> SparkSuite.sfDir,
+      "SPARK_GRAFT_BENCH_ONLY" -> "k01_table_counts,k04_point_lookup",
+      "SPARK_GRAFT_BENCH_REPS" -> "1",
+      "SPARK_GRAFT_BENCH_WARM" -> "1",
+      "SPARK_GRAFT_BENCH_WARM_THREADS" -> "2",
+      "SPARK_GRAFT_BENCH_IDLE_WAIT_S" -> "0",
+      "SPARK_GRAFT_BENCH_BUDGET_S" -> "100000",
+      "SPARK_GRAFT_BENCH_DIR" -> out,
+      "SPARK_GRAFT_BENCH_KEEP_SESSION" -> "1")
+    SparkSuite.spark
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      Bench.main(Array.empty)
+    } finally {
+      props.keySet.foreach(sys.props.remove)
+      SparkSuite.spark.sparkContext.setLogLevel("ERROR")
+    }
+    val a = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "BENCH_FOCUS.json")), "UTF-8")
+    assert(a.contains("\"warm_parallelism\":2"), s"artifact must state the warm lane count: ${a.take(200)}")
+    for (q <- Seq("k01_table_counts", "k04_point_lookup"))
+      assert(("\"warm_runs\":\\{[^}]*\"" + q + "\":[0-9.]+").r.findFirstIn(a).isDefined,
+        s"warm_runs must carry a cold wall for $q")
+    // warm_runs precedes queries so prevBench's last-wins flat scan
+    // still bands on the steady-state medians, not the cold walls
+    assert(a.indexOf("\"warm_runs\":") < a.indexOf("\"queries\":"),
+      "warm_runs must precede the queries map")
   }
 
   test("cwd integration: the committed self artifact carries full bands") {
