@@ -85,14 +85,34 @@ object AnalyticsParts {
     SELECT p_brand, COUNT(*) AS n_small,
            ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS small_revenue
     FROM small GROUP BY p_brand
-    ORDER BY p_brand""") { (spark, dir) =>
+    ORDER BY p_brand""") { (spark, dir) => smallQtyFrame(spark, dir) }
+
+  /** Broadcast the per-part aggregate and the size-filtered part dim
+    * only while their measured counts stay under the cap (r15 left this
+    * row on AQE-off SortMergeJoins because a static broadcast hint is a
+    * fixture-size assumption — both smaller sides are PARTS-sized and
+    * grow with SF; the guard-count conditional, the
+    * `Dedup.simhashViolations` idiom, is scale-correct: counts are
+    * session memo scalars derived from the data, and past the cap both
+    * joins shuffle exactly as before). Cap sized to the broadcast
+    * contract: ~24 B/row ⇒ 2M rows ≈ 50 MB per relation, far inside
+    * the 8 GB broadcast cap yet big enough that any corpus that
+    * exceeds it genuinely belongs on a shuffle. */
+  private[graft] val PartsBroadcastCap = 2000000L
+
+  private[graft] def smallQtyFrame(spark: org.apache.spark.sql.SparkSession, dir: String,
+      broadcastCap: Long = PartsBroadcastCap): org.apache.spark.sql.DataFrame = {
     val pq = Tables.lineitem(spark, dir)
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_l"), sum(qtyL).as("sum_qty"))
+    val smallParts = Tables.part(spark, dir).where(col("p_size") <= 25)
+    val nPq = OpMemo.cachedLong(spark, dir, "parts:n-lineitem-partkeys")(pq.count())
+    val nSmall = OpMemo.cachedLong(spark, dir, "parts:n-small-parts")(smallParts.count())
+    val pqSide = if (nPq < broadcastCap) broadcast(pq) else pq
+    val partSide = if (nSmall < broadcastCap) broadcast(smallParts) else smallParts
     Tables.lineitem(spark, dir)
-      .join(pq, "l_partkey")
-      .join(Tables.part(spark, dir).where(col("p_size") <= 25),
-        col("p_partkey") === col("l_partkey"))
+      .join(pqSide, "l_partkey")
+      .join(partSide, col("p_partkey") === col("l_partkey"))
       .where(lit(2L) * qtyL * col("n_l") < col("sum_qty"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_small"),

@@ -225,8 +225,22 @@ object TextClassify {
       "\n    ORDER BY iter"
   }) { (spark, dir) =>
     import spark.implicits._
+    // Partition counts derive from DATA SIZE, not core count (r15
+    // verdict next-round #7: the row is job-floor bound — 8 sequential
+    // iterations × (32 map + 32 reduce) KB-sized tasks at
+    // shuffle.partitions = cpus; the 8-core bench run read the whole
+    // row at 0.82 s for exactly this reason). ~100k docs per cached dv
+    // partition keeps per-task state model-bounded at any SF (sf0.1:
+    // 1 partition; a 100 TB corpus: ~nDocs/1e5 partitions), and the
+    // 257-group final aggregate coalesces to ~1 task per 4096 map
+    // partials (≤ ~1M partial rows/task) — both scale-adaptive, both
+    // exact (sums are order-invariant).
+    val nDocs = OpMemo.cachedLong(spark, dir, "text:ndocs")(
+      Tables.documents(spark, dir).count())
+    val dvParts = math.max(1L, math.min(1L << 16, (nDocs + 99999L) / 100000L)).toInt
+    val aggParts = math.max(1, dvParts / 4096)
     val dv = OpMemo.cached(spark, dir, "perceptron-docvec") {
-      docVectors(Tables.documents(spark, dir))
+      docVectors(Tables.documents(spark, dir)).coalesce(dvParts)
     }
     var w = Array.fill(256)(0L)
     val curve = Seq.newBuilder[(Int, Long, Long)]
@@ -258,6 +272,7 @@ object TextClassify {
           array(struct(lit(-1).as("f"), lit(1L).as("cnt"))))).as("e"))
         .groupBy(col("e.f").as("f"))
         .agg(sum(col("y") * col("e.cnt")).as("u"), count(lit(1)).as("n"))
+        .coalesce(aggParts) // merge the ≤257-group final agg's tasks (see above)
         .collect()
       val upd = res.filter(_.getInt(0) >= 0).map(r => r.getInt(0) -> r.getLong(1)).toMap
       val nMiscl = res.find(_.getInt(0) == -1).map(_.getLong(2)).getOrElse(0L)

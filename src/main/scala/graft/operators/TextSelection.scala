@@ -84,23 +84,52 @@ object TextSelection {
     * refined path via `boundaryCap = 1`). */
   private[graft] def langTerciles(perdoc: DataFrame,
       boundaryCap: Long = BoundaryRowCap): DataFrame = {
+    val spark = perdoc.sparkSession
     val keyed = perdoc
       .withColumn("lkey", -round(col("avg_logp") * 10000).cast("long"))
       .withColumn("bin", floor(col("lkey").cast("double") / RankBinWidth).cast("long"))
-    val wOff = Window.partitionBy("lang").orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, -1)
     // ONE broadcast frame: per-(lang,bin) rank offset, per-lang total,
     // the bucket of the bin's first and last rank, and the bin's doc-id
-    // range (band geometry for whale refinement)
-    val offsets = keyed.groupBy("lang", "bin")
-      .agg(count(lit(1)).as("bin_n"),
-        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      .withColumn("bin_off", coalesce(sum("bin_n").over(wOff), lit(0L)))
-      .withColumn("n_lang", sum("bin_n").over(Window.partitionBy("lang").orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("b_lo", expr("bin_off * 3 div n_lang + 1").cast("long"))
-      .withColumn("b_hi", expr("(bin_off + bin_n - 1) * 3 div n_lang + 1").cast("long"))
-      .select("lang", "bin", "bin_n", "min_id", "max_id", "bin_off", "n_lang", "b_lo", "b_hi")
+    // range (band geometry for whale refinement). LOCALIZED (r16,
+    // verdict next-round #4): the frame is langs × bins rows — already
+    // inside the broadcast contract — and as a lazy subtree (groupBy +
+    // two windows over the perplexity frame) it was re-PLANNED under
+    // each of the three branches below, the bulk of this operator's
+    // 1054-line plan. The `valueRanks` discipline instead: one eager
+    // bounded collect, the prefix/total/bucket arithmetic folded
+    // driver-side in exact integers, and the result re-lifted as a
+    // LocalRelation — the three branches now join a literal frame.
+    // Memoized per canonicalized input plan (rankMemo: bounded, LRU,
+    // session-scoped, static-input contract as every valueRanks site).
+    val cap = 1 << 22
+    val offsets = EventStats.rankMemo(
+      (spark, keyed.queryExecution.analyzed.canonicalized: Any,
+        "ccnet-tercile-offsets", RankBinWidth)) {
+      val counts = keyed.groupBy("lang", "bin")
+        .agg(count(lit(1)).as("bin_n"),
+          min(col("doc_id").cast("long")).as("min_id"),
+          max(col("doc_id").cast("long")).as("max_id"))
+        .limit(cap + 1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      require(counts.length <= cap,
+        s"langTerciles: over $cap (lang,bin) cells exceeds the broadcastable-frame " +
+        s"contract; raise RankBinWidth=$RankBinWidth toward valueRange/2^20")
+      val rows = counts.groupBy(_._1).toSeq.flatMap { case (_, cells) =>
+        val sorted = cells.sortBy(_._2) // by bin: the window's ORDER BY
+        val nLang = sorted.map(_._3).sum
+        var off = 0L
+        sorted.map { case (lang, bin, binN, minId, maxId) =>
+          val binOff = off; off += binN
+          // integer div on non-negative operands == SQL `div`
+          (lang, bin, binN, minId, maxId, binOff, nLang,
+            binOff * 3 / nLang + 1, (binOff + binN - 1) * 3 / nLang + 1)
+        }
+      }
+      import spark.implicits._
+      rows.toDF("lang", "bin", "bin_n", "min_id", "max_id",
+        "bin_off", "n_lang", "b_lo", "b_hi")
+    }
     val annotated = keyed.join(broadcast(offsets), Seq("lang", "bin"))
     val outCols = (perdoc.columns :+ "bucket").map(col)
     val uniform = annotated.where(col("b_lo") === col("b_hi"))
@@ -207,19 +236,39 @@ object TextSelection {
     * for pure row-local SCORING the HOF form wins 0.70× by moving zero
     * rows, interpreted evaluation and all. Both measurements stand:
     * HOFs lose inside exchange-bearing plans, win in map-only ones.) */
-  private def bigramBuckets(docs: DataFrame,
-      keys: Seq[String] = Seq("doc_id", "lang")): DataFrame =
-    // key columns are a parameter (r10 review #4: sourceDrift carried a
-    // token-for-token copy keyed by source — the B=256 first-md5-byte
-    // feature definition must live ONCE or the dsir and drift feature
-    // spaces can silently diverge)
+  // key columns are a parameter (r10 review #4: sourceDrift carried a
+  // token-for-token copy keyed by source — the B=256 first-md5-byte
+  // feature definition must live ONCE or the dsir and drift feature
+  // spaces can silently diverge). r16: the definition now lives in
+  // [[bigramFs]] (the per-doc bucket-id ARRAY — row-local, the
+  // registered scorer's shape) and the flat occurrence stream is its
+  // explode, so the array and stream forms cannot diverge either.
+  private def bigramFs(docs: DataFrame, keys: Seq[String]): DataFrame =
     docs.select(keys.map(col) :+ split(col("text"), " ").as("t"): _*)
       .where(size(col("t")) >= 2)
-      .select(keys.map(col) :+ explode(expr(
-        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
-        .as("g"): _*)
-      .select(keys.map(col) :+
-        conv(substring(md5(col("g")), 1, 2), 16, 10).cast("int").as("f"): _*)
+      .select(keys.map(col) :+ expr(
+        """transform(
+             transform(sequence(1, size(t)-1),
+               i -> concat(element_at(t, i), ' ', element_at(t, i+1))),
+             g -> CAST(conv(substring(md5(g), 1, 2), 16, 10) AS INT))""").as("fs"): _*)
+
+  private def bigramBuckets(docs: DataFrame,
+      keys: Seq[String] = Seq("doc_id", "lang")): DataFrame =
+    bigramFs(docs, keys)
+      .select(keys.map(col) :+ explode(col("fs")).as("f"): _*)
+
+  /** The (doc_id, lang, source, fs) hashed-bigram plane under `dir`,
+    * OpMemo'd (r15 verdict next-round #6: dsir and source_drift each
+    * re-ran the split+md5+conv chain over the whole corpus TWICE per
+    * run — model pass and score pass — for a stateless projection
+    * shared by both operators; the warm pass now pays it once with
+    * `memo_paid`/`warm_runs` attribution, the same convention as the
+    * perceptron doc-vector and perplexity frames. The MODELS are still
+    * built per run — only the tokenize+hash projection is shared). */
+  private[graft] def bigramArrays(spark: SparkSession, dir: String): DataFrame =
+    OpMemo.cached(spark, dir, "text:bigram-fs") {
+      bigramFs(Tables.documents(spark, dir), Seq("doc_id", "lang", "source"))
+    }
 
   /** DSIR importance scores, target = the English slice (the stand-in
     * for "looks like my high-quality target set"), features = hashed
@@ -268,8 +317,12 @@ object TextSelection {
     FROM scored
     ORDER BY score_micro DESC, doc_id
     LIMIT 100""") { (spark, dir) =>
-    val docs = Tables.documents(spark, dir)
-    dsirScoreRowwise(docs, dsirModel(docs))
+    // model AND score passes ride the shared memoized bigram plane —
+    // the model is still built per run (one 256-group aggregate +
+    // model-sized collect); only the stateless tokenize+hash
+    // projection is shared (r15 verdict next-round #6)
+    val fs = bigramArrays(spark, dir)
+    dsirScoreOnFs(fs, dsirModelOnFs(fs))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(100)
   }
@@ -280,10 +333,14 @@ object TextSelection {
     * built tgt/raw/totals as three separate plans and scanned the
     * exploded bigram stream four times (benched 1.49 s vs DuckDB 0.37
     * at sf0.1); this one scans once for the model, once for scoring. */
-  def dsirModel(docs: DataFrame): Map[Int, Long] = {
-    val spark = docs.sparkSession
+  def dsirModel(docs: DataFrame): Map[Int, Long] =
+    dsirModelOnFs(bigramFs(docs, Seq("doc_id", "lang")))
+
+  /** [[dsirModel]] over a prebuilt (…, lang, fs) bigram plane. */
+  def dsirModelOnFs(fs: DataFrame): Map[Int, Long] = {
+    val spark = fs.sparkSession
     import spark.implicits._
-    val counts = bigramBuckets(docs)
+    val counts = fs.select(col("lang"), explode(col("fs")).as("f"))
       .groupBy("f").agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -330,16 +387,13 @@ object TextSelection {
     * batch form pays: measured 0.70× at sf0.1 (SelectionScaleProbe),
     * which is why r8 made this the registered `ns_text_dsir` scoring
     * path too. Equality of the two scorers is spec-pinned. */
-  def dsirScoreRowwise(docs: DataFrame, model: Map[Int, Long]): DataFrame = {
+  def dsirScoreRowwise(docs: DataFrame, model: Map[Int, Long]): DataFrame =
+    dsirScoreOnFs(bigramFs(docs, Seq("doc_id", "lang")), model)
+
+  /** [[dsirScoreRowwise]] over a prebuilt (doc_id, lang, fs) plane. */
+  def dsirScoreOnFs(fs: DataFrame, model: Map[Int, Long]): DataFrame = {
     val wArr = modelArray(model)
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"), expr(
-        """transform(
-             transform(sequence(1, size(t)-1),
-               i -> concat(element_at(t, i), ' ', element_at(t, i+1))),
-             g -> CAST(conv(substring(md5(g), 1, 2), 16, 10) AS INT))""").as("fs"))
-      .select(col("doc_id"), col("lang"),
+    fs.select(col("doc_id"), col("lang"),
         size(col("fs")).cast("long").as("n_bigrams"),
         aggregate(col("fs"), lit(0L),
           (acc, f) => acc + element_at(wArr, f + 1)).as("score_micro"))
@@ -403,8 +457,11 @@ object TextSelection {
     SELECT source, CAST(n AS BIGINT) AS n_bigrams, CAST(SUM(t) AS BIGINT) AS kl_micro
     FROM terms GROUP BY source, n
     ORDER BY source""") { (spark, dir) =>
-    val occ = bigramBuckets(Tables.documents(spark, dir), keys = Seq("source"))
-      .select(col("source"), col("f").cast("long").as("f"))
+    // rides the shared memoized bigram plane (see [[bigramArrays]]);
+    // the sc model aggregate + localize below still run per run
+    val occ = bigramArrays(spark, dir)
+      .select(col("source"), explode(col("fs")).as("fi"))
+      .select(col("source"), col("fi").cast("long").as("f"))
     // ONE corpus pass: aggregate to the (sources × 256)-bounded sc
     // frame, LOCALIZE it (KB-sized model state), and derive every
     // other statistic from the local copy — the first formulation
