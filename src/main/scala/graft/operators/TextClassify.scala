@@ -234,7 +234,11 @@ object TextClassify {
     // 1 partition; a 100 TB corpus: ~nDocs/1e5 partitions), and the
     // 257-group final aggregate coalesces to ~1 task per 4096 map
     // partials (≤ ~1M partial rows/task) — both scale-adaptive, both
-    // exact (sums are order-invariant).
+    // exact (sums are order-invariant). Divisor A/B'd at the TextSf1
+    // 100× plane (500k docs): 20k docs/partition (25 tasks) read
+    // SLOWER at BOTH core counts than 100k (5 tasks) — 3.67/2.72 s
+    // (32c/8c) vs 2.23/2.28 s — the iteration is job-floor-bound even
+    // at 100×, so coarse partitions win; 100k kept.
     val nDocs = OpMemo.cachedLong(spark, dir, "text:ndocs")(
       Tables.documents(spark, dir).count())
     val dvParts = math.max(1L, math.min(1L << 16, (nDocs + 99999L) / 100000L)).toInt
