@@ -613,13 +613,26 @@ object EventStats {
 
   private[graft] def wauFrame(spark: SparkSession, dir: String,
       broadcastCap: Long = DayBroadcastCap): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val cal = ud.groupBy("d").agg(count(lit(1)).as("dau"))
-    val wauDf = ud
-      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("d"))
-      .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
-      .distinct()
+    // ONE user-keyed shuffle, then row-local calendar algebra (r16):
+    // the former shape shuffled the DISTINCT (user, window-day) stream
+    // — 7× the distinct-activity rows with NO map-side reduction
+    // (every key unique) — just to count it per day. Per-user day SETS
+    // make both dedups row-local: collect_set partial-aggregates
+    // map-side, the 7-day window expansion + dedup run inside the row
+    // (arrays bounded by the CALENDAR, not the corpus), and the final
+    // per-day counts partial-aggregate to calendar-sized frames before
+    // their exchanges. Same results by construction: distinct (user,
+    // wd) ≡ per-user distinct window-days (spec-pinned both shapes).
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(collect_set(col("d")).as("ds"))
+    val cal = userDays
+      .select(explode(col("ds")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("dau"))
+    val wauDf = userDays
+      .select(explode(expr(
+        "array_distinct(flatten(transform(ds, x -> sequence(x, date_add(x, 6)))))"))
+        .as("wd"))
       .groupBy(col("wd").as("d")).agg(count(lit(1)).as("wau"))
     val nDays = OpMemo.cachedLong(spark, dir, "events:ndays")(cal.count())
     // hint the side the local planner already builds (BuildRight per

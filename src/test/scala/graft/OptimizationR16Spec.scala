@@ -32,6 +32,24 @@ class OptimizationR16Spec extends AnyFunSuite {
     assert(bc.nonEmpty && bc == sh)
   }
 
+  test("wau: per-user day-set shape == distinct (user, window-day) reference") {
+    // the PRE-r16 reference formulation, verbatim
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cal = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wauDf = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
+      .distinct()
+      .groupBy(col("wd").as("d")).agg(count(lit(1)).as("wau"))
+    val expected = cal.join(wauDf, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        graft.functions.dround(col("dau") / (lit(1.0) * col("wau")), 4).as("stickiness"))
+      .orderBy("day").collect().toSeq
+    val got = EventStats.wauFrame(spark, dir).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("parts_small_qty: broadcast guard path == forced-shuffle path (100 TB regime)") {
     val bc = AnalyticsParts.smallQtyFrame(spark, dir).collect().toSeq
     val sh = AnalyticsParts.smallQtyFrame(spark, dir, broadcastCap = 0L).collect().toSeq
