@@ -549,13 +549,21 @@ object EventStats {
                JOIN tc cb ON cb.event_type = t_b
                CROSS JOIN n
     ORDER BY t_a, t_b""") { (spark, dir) =>
-    val ut = Tables.events(spark, dir)
+    // ONE corpus exchange (r16, the wau day-set lens): the former
+    // DISTINCT (user, hr, type) exchange preceding the basket groupBy
+    // was redundant — collect_set dedupes inside the (user, hr)
+    // shuffle, so the basket build IS the distinct; the per-type
+    // totals then come from exploding the basket sets (one row per
+    // distinct (basket, type) by construction — exactly |ut|), which
+    // partial-aggregates map-side to |types| rows. Equality with the
+    // distinct-stream reference is spec-pinned.
+    val baskets = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-      .distinct()
-    val baskets = ut.groupBy("user_id", "hr")
+      .groupBy("user_id", "hr")
       .agg(sort_array(collect_set("event_type")).as("tset"))
     val nB = broadcast(baskets.agg(count(lit(1)).as("n_baskets")))
-    val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val tc = baskets.select(explode(col("tset")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_t"))
     val pairs = baskets
       .select(explode(expr(
         """flatten(transform(tset, (a, i) ->

@@ -90,6 +90,34 @@ class OptimizationR16Spec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("lift: basket-set shape == distinct (user, hr, type) stream reference") {
+    // the PRE-r16 reference formulation, verbatim
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .distinct()
+    val baskets = ut.groupBy("user_id", "hr")
+      .agg(sort_array(collect_set("event_type")).as("tset"))
+    val nB = broadcast(baskets.agg(count(lit(1)).as("n_baskets")))
+    val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(tset, (a, i) ->
+          |  transform(slice(tset, i + 2, size(tset)), b -> struct(a AS t_a, b AS t_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.t_a").as("t_a"), col("p.t_b").as("t_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val expected = pairs
+      .join(broadcast(tc.select(col("event_type").as("t_a"), col("n_t").as("n_a"))), Seq("t_a"))
+      .join(broadcast(tc.select(col("event_type").as("t_b"), col("n_t").as("n_b"))), Seq("t_b"))
+      .crossJoin(nB)
+      .select(col("t_a"), col("t_b"), col("n_ab"),
+        graft.functions.dround(col("n_ab") / (lit(1.0) * col("n_baskets")), 4).as("support"),
+        graft.functions.dround((lit(1.0) * col("n_ab") * col("n_baskets")) /
+          (lit(1.0) * col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy("t_a", "t_b").collect().toSeq
+    val got = SparkEntry.queries("ns_events_lift")(spark, dir).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("dsir: shared memoized bigram plane == direct-docs model+score reference") {
     val docs = Tables.documents(spark, dir)
     val ref = TextSelection.dsirScoreRowwise(docs, TextSelection.dsirModel(docs))
